@@ -1,0 +1,217 @@
+"""Scan / projection / filter / limit queries (SURVEY.md §2B "scans",
+"projections/filters", "sorts/limits").
+
+Reference parity notes:
+- Projection pruning + filter pushdown mirror the reference's
+  ``PrunedFilteredScan`` contract (reference:
+  src/main/scala/org/apache/spark/sql/JDBCRelationWithLimit.scala:29-43);
+  here Catalyst pushes both into the parquet scan (asserted in
+  tests/test_plans.py).
+- ``limit_semantics`` pins the reference's subtlest invariant: its
+  per-partition ``LIMIT n`` pushdown fetches up to partitions×n rows but the
+  retained LocalLimit restores exactly-n semantics (reference:
+  PropagateJDBCLimit.scala:26, JDBCRDDWithLimit.scala:131-133). Our engine
+  must likewise return exactly n rows regardless of partitioning.
+- ``count_star_filter`` mirrors the reference's empty-projection
+  ``SELECT 1`` count-style scan (reference: JDBCRDDWithLimit.scala:36-40).
+
+Oracle-parity discipline (applies to every module in this package):
+- money sums go through ``DECIMAL(18,6)`` so Spark's and DuckDB's
+  different accumulation orders cannot produce different doubles;
+- averages are computed as exact-decimal sum / count, in double, rounded;
+- every computed column is aliased identically in builder and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def dec_sum(expr, alias, scale=2):
+    """Exact decimal sum of a double expression, emitted as rounded double.
+
+    Summing doubles is order-dependent; Spark (partial+final over 32
+    partitions) and DuckDB (single-threaded scan) would disagree in the last
+    bits. Casting each row to DECIMAL(18,6) first makes the sum exact and
+    engine-independent.
+    """
+    return F.round(F.sum(expr.cast("decimal(18,6)")).cast("double"), scale).alias(alias)
+
+
+def dec_avg(expr, alias, scale=4):
+    """Engine-independent average: exact decimal sum / count, in double."""
+    return F.round(
+        (F.sum(expr.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))), scale
+    ).alias(alias)
+
+
+def sql_dec_sum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), {scale}) AS {alias}"
+
+
+def sql_dec_avg(expr: str, alias: str, scale: int = 4) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), {scale}) AS {alias}"
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    category="aggregation",
+    description="Flagship TPC-H Q1-style pricing summary over lineitem",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dec_sum('l_quantity', 'sum_qty')},
+               {sql_dec_sum('l_extendedprice', 'sum_base_price')},
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+               {sql_dec_avg('l_quantity', 'avg_qty')},
+               {sql_dec_avg('l_extendedprice', 'avg_price')},
+               {sql_dec_avg('l_discount', 'avg_disc')},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed filter → project/derive → partial+final hash agg → sort.
+
+    The whole plan stays in whole-stage codegen; the shipdate predicate and
+    the 7-column projection reach the parquet scan (PushedFilters/ReadSchema).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), "sum_qty"),
+            dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg(F.col("l_quantity"), "avg_qty"),
+            dec_avg(F.col("l_extendedprice"), "avg_price"),
+            dec_avg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "scan_project_filter_topk",
+    category="scan",
+    description="Projection pruning + filter pushdown + deterministic top-k",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+)
+def scan_project_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-column projection + range predicate reach the scan; orderBy+limit
+    plans TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate", "l_discount")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "limit_semantics",
+    category="scan",
+    description="limit(n) returns exactly n rows regardless of partitioning",
+    oracle="SELECT COUNT(*) AS n_rows FROM (SELECT * FROM lineitem LIMIT 1000) t",
+)
+def limit_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pushes LIMIT per partition (up to p×n rows fetched) and
+    relies on the retained LocalLimit for exact-n semantics (reference:
+    JDBCRDDWithLimit.scala:131-133, PropagateJDBCLimit.scala:26). We pin the
+    same contract: a multi-partition scan under limit(1000) yields 1000."""
+    li = load_table(spark, sf_dir, "lineitem").repartition(8)
+    return li.limit(1000).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "count_star_filter",
+    category="scan",
+    description="count(*) under a pushed filter (empty-projection scan)",
+    oracle="""
+        SELECT COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity < 25
+    """,
+)
+def count_star_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirrors the reference's SELECT-1 count-style scan (empty projection,
+    reference: JDBCRDDWithLimit.scala:36-40): no data columns survive the
+    aggregate, so the scan reads only the filter columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 25))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query(
+    "filter_predicate_algebra",
+    category="scan",
+    description="The reference's full pushable-Filter algebra in one predicate",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE (o_orderstatus IN ('O', 'F'))
+          AND o_totalprice >= 1000.0
+          AND o_totalprice < 400000.0
+          AND o_orderpriority IS NOT NULL
+          AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '%URGENT'
+               OR contains(o_orderpriority, 'HIGH'))
+          AND NOT (o_custkey = 0)
+        ORDER BY o_orderkey
+        LIMIT 500
+    """,
+)
+def filter_predicate_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covers the Filter classes the reference compiles to SQL — EqualTo,
+    </>/<=/>=, IsNotNull, In, StartsWith/EndsWith/Contains, And/Or/Not
+    (reference: JDBCRelationWithLimit.scala:29-31 delegating to Spark's
+    compileFilter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") >= 1000.0)
+            & (F.col("o_totalprice") < 400000.0)
+            & F.col("o_orderpriority").isNotNull()
+            & (
+                F.col("o_orderpriority").startswith("1")
+                | F.col("o_orderpriority").endswith("URGENT")
+                | F.col("o_orderpriority").contains("HIGH")
+            )
+            & ~(F.col("o_custkey") == 0)
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

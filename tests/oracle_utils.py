@@ -1,0 +1,77 @@
+"""Local differential harness mirroring the driver's correctness gate:
+run the Spark builder and the DuckDB oracle SQL over the same parquet
+tables, then compare row-count + column names + order-insensitive values
+(columns sorted by name, like the driver's hash)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from spark_jdbc_limit_spark.sources.catalog import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
+    return con
+
+
+def _canon_cell(x):
+    if x is None or x is pd.NaT:
+        return "<NULL>"
+    if isinstance(x, (float, np.floating)):
+        if math.isnan(x):
+            return "<NULL>"
+        return float(x)
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    if isinstance(x, (pd.Timestamp, dt.datetime)):
+        ts = pd.Timestamp(x)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(x, dt.date):
+        return x.isoformat()
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return tuple(_canon_cell(v) for v in x)
+    if isinstance(x, bytes):
+        return x.hex()
+    return x
+
+
+def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
+    return sorted(rows, key=repr)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> None:
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    assert s_cols == o_cols, f"{name}: column mismatch spark={s_cols} oracle={o_cols}"
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    s_rows, o_rows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
+    if mismatches:
+        i, a, b = mismatches[0]
+        raise AssertionError(
+            f"{name}: {len(mismatches)}/{len(s_rows)} rows differ; first at sorted idx {i}:\n"
+            f"  spark : {a}\n  oracle: {b}\n  cols  : {s_cols}"
+        )
+
+
+def run_differential(spark, spec, sf_dir: str) -> None:
+    spark_pdf = spec.builder(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+    compare_frames(spark_pdf, oracle_pdf, spec.name)
