@@ -1,1 +1,304 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Join queries (SURVEY.md §2B "joins"): broadcast-hash, sort-merge,
+semi, anti, multi-way star, hybrid equi+range, and as-of.
+
+The reference implements no joins — host Spark executes them above its
+JDBC scan (reference: README.md:88-95 shows aggregation/exchange planned
+over the pushed-down scan). The engine therefore exposes the full join
+surface with explicit physical-strategy intent:
+
+- dimension tables get ``F.broadcast`` (no shuffle of the fact side);
+- fact-fact joins use sort-merge (the only strategy that survives 100 TB);
+- the as-of join is the union-merge operator from
+  :mod:`spark_jdbc_limit_spark.operators.asof` — one shuffle, no range
+  blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.asof import asof_join
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import dec_sum, sql_dec_sum
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+@query(
+    "join_broadcast_dim",
+    category="join",
+    description="Fact ⋈ broadcast dimension: revenue per part brand",
+    oracle=f"""
+        SELECT p_brand,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part is a dimension (2k rows/GB-scale even at sf100) → broadcast-hash
+    join: the lineitem side never shuffles; agg is partial+final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "join_sortmerge_facts",
+    category="join",
+    description="Fact ⋈ fact sort-merge: revenue per order priority",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def join_sortmerge_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders are both lineitem-proportional; at 100 TB neither
+    side broadcasts, so we pin sort-merge with a hint (locally Spark would
+    broadcast the 15k-row orders and hide the scale behavior)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_semi",
+    category="join",
+    description="Left-semi join: customers that have at least one open order",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_anti",
+    category="join",
+    description="Left-anti join: customers with no orders at all",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_outer_coverage",
+    category="join",
+    description="Full-outer join over per-nation customer/supplier counts",
+    oracle="""
+        WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                   FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nationkey
+    """,
+)
+def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.nk_s, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk_s).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_multiway_star",
+    category="join",
+    description="TPC-H Q5-style 6-table star join: revenue per nation in ASIA",
+    oracle=f"""
+        SELECT n_name,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join order: facts (lineitem⋈orders) sort-merge on orderkey; every
+    dimension hop (customer at sf-scale is 100× smaller than lineitem,
+    supplier/nation/region are tiny) broadcasts, so the fact side shuffles
+    exactly once. The region filter prunes nations before the fact join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_range_hybrid",
+    category="join",
+    description="Equi+range theta join: customers within ±500 acctbal of a same-nation supplier",
+    oracle="""
+        SELECT s_suppkey, COUNT(*) AS n_close_customers
+        FROM supplier JOIN customer
+          ON c_nationkey = s_nationkey
+         AND c_acctbal BETWEEN s_acctbal - 500.0 AND s_acctbal + 500.0
+        GROUP BY s_suppkey
+        ORDER BY s_suppkey
+    """,
+)
+def join_range_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi conjunct (nationkey) keys the hash/broadcast join; the range
+    conjunct is a post-join filter — so this stays a hash join, NOT a
+    nested-loop. At 100 TB the supplier side broadcasts and the range
+    predicate evaluates inside codegen."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(
+            F.broadcast(s),
+            (c.c_nationkey == s.s_nationkey)
+            & (c.c_acctbal >= s.s_acctbal - 500.0)
+            & (c.c_acctbal <= s.s_acctbal + 500.0),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "join_asof_events_orders",
+    category="join",
+    description="As-of join: each event picks up the user's most recent order",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ), dedup AS (SELECT * FROM r WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               d.o_orderkey AS last_orderkey,
+               ROUND(d.o_totalprice, 2) AS last_totalprice
+        FROM events e
+        ASOF LEFT JOIN dedup d
+          ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+        ORDER BY e.event_id
+    """,
+)
+def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of via the union-merge operator (asof.py):
+    one shuffle on user_id, no range-join blowup. Right side pre-deduped to
+    one order per (custkey, orderdate) — latest orderkey wins — so the
+    match is deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    dedup = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        ev,
+        dedup,
+        on_left="ts",
+        on_right="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_payload=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round("o_totalprice", 2).alias("last_totalprice"),
+    ).orderBy("event_id")

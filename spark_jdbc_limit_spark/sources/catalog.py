@@ -43,7 +43,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one catalog table as a DataFrame (parquet scan, pushdown-capable)."""
+    """Load one catalog table as a DataFrame (parquet scan, pushdown-capable).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects (DuckDB silently truncates to µs). We read nanos
+    as long and rebuild a µs TimestampType column, matching the oracle's
+    view of the data. Integer ``div`` keeps full precision (a double cast
+    would lose bits above 2^53).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
