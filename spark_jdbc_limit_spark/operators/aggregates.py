@@ -1,1 +1,234 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Aggregation queries (SURVEY.md §2B "aggregations"): hash agg with
+partial+final combine, distinct aggregates, approx sketches, rollup, cube,
+grouping sets, and pivot.
+
+The reference delegates all aggregation to host Spark — its README golden
+plan shows partial_count + final HashAggregate planned over its limited
+scan (reference: README.md:88-95). Here every shape is exercised directly;
+Catalyst plans two-phase hash aggregation (map-side combine) for all of
+them, which is the 100 TB-safe default: the shuffle carries one row per
+(partition × group), not per input row.
+
+Determinism: variance/stddev are computed from exact decimal sums
+(sum, sum of squares, count) instead of the built-in ``stddev`` whose
+float accumulation differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import (
+    dec_avg,
+    dec_sum,
+    round_dbl,
+    sql_dec_avg,
+    sql_dec_sum,
+)
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+@query(
+    "agg_stats_by_segment",
+    category="aggregation",
+    description="min/max/count/sum/avg/stddev per customer segment",
+    oracle=f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               ROUND(MIN(c_acctbal), 2) AS min_bal,
+               ROUND(MAX(c_acctbal), 2) AS max_bal,
+               {sql_dec_sum('c_acctbal', 'sum_bal')},
+               {sql_dec_avg('c_acctbal', 'avg_bal')},
+               FLOOR(SQRT(GREATEST(
+                   (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) ^ 2 / COUNT(*))
+                   / NULLIF(COUNT(*) - 1, 0), 0.0)) * 10000.0 + 0.5) / 10000.0 AS stddev_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def agg_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    sum_sq = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(28,6)")).cast("double")
+    sum_v = F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_sq - F.pow(sum_v, 2) / n) / F.nullif(n - 1, F.lit(0))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            n.alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            dec_sum(F.col("c_acctbal"), "sum_bal"),
+            dec_avg(F.col("c_acctbal"), "avg_bal"),
+            round_dbl(F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("stddev_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    category="aggregation",
+    description="COUNT(DISTINCT) — exact distinct aggregation per group",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one query → Catalyst plans expand +
+    two-phase agg; the expand doubles shuffle rows, which is why approx
+    sketches (below) are preferred at 100 TB when tolerance allows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    category="aggregation",
+    description="approx_count_distinct (HLL++) — sketch-based distinct at scale",
+    oracle=None,  # HLL estimates are engine-specific; driver records rows-only
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch: mergeable partial state → one small shuffle row
+    per group regardless of cardinality. The scale path for distinct counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    category="aggregation",
+    description="ROLLUP over (returnflag, linestatus) with grouping ids",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_cube",
+    category="aggregation",
+    description="CUBE over (orderstatus, orderpriority)",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    category="aggregation",
+    description="Explicit GROUPING SETS — mixed granularities in one pass",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    category="aggregation",
+    description="Pivot linestatus into columns of summed quantity per returnflag",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                     AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty_O,
+               CAST(ROUND(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                     AS DECIMAL(18,6))), 2) AS DOUBLE) AS qty_F
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values ('O','F') — without them Spark runs an extra
+    distinct pass over the pivot column, a full shuffle wasted at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )

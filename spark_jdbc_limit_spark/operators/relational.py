@@ -33,32 +33,50 @@ from spark_jdbc_limit_spark.sources.catalog import load_table
 Q1_CUTOFF = "1998-09-02"
 
 
+def round_dbl(col, scale=4):
+    """Engine-portable half-up rounding of a double.
+
+    ``ROUND(double, n)`` diverges between engines at half-way points: Spark
+    rounds the shortest decimal string of the double (Java BigDecimal),
+    DuckDB rounds the raw binary value. ``floor(x*10^n + 0.5)/10^n`` uses
+    only IEEE double ops, so two engines holding bit-identical doubles get
+    bit-identical results.
+    """
+    s = float(10**scale)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def sql_round_dbl(expr: str, scale: int = 4) -> str:
+    s = float(10**scale)
+    return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
+
+
 def dec_sum(expr, alias, scale=2):
     """Exact decimal sum of a double expression, emitted as rounded double.
 
     Summing doubles is order-dependent; Spark (partial+final over 32
     partitions) and DuckDB (single-threaded scan) would disagree in the last
     bits. Casting each row to DECIMAL(18,6) first makes the sum exact and
-    engine-independent.
+    engine-independent; rounding happens in decimal space (exact half-up),
+    never on the double.
     """
-    return F.round(F.sum(expr.cast("decimal(18,6)")).cast("double"), scale).alias(alias)
+    return F.round(F.sum(expr.cast("decimal(18,6)")), scale).cast("double").alias(alias)
 
 
 def dec_avg(expr, alias, scale=4):
-    """Engine-independent average: exact decimal sum / count, in double."""
-    return F.round(
-        (F.sum(expr.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))), scale
-    ).alias(alias)
+    """Engine-independent average: exact decimal sum / count in double,
+    rounded with the portable floor trick."""
+    ratio = F.sum(expr.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+    return round_dbl(ratio, scale).alias(alias)
 
 
 def sql_dec_sum(expr: str, alias: str, scale: int = 2) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), {scale}) AS {alias}"
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE) AS {alias}"
 
 
 def sql_dec_avg(expr: str, alias: str, scale: int = 4) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), {scale}) AS {alias}"
-    )
+    ratio = f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    return f"{sql_round_dbl(ratio, scale)} AS {alias}"
 
 
 @query(

@@ -1,1 +1,192 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Window-function queries (SURVEY.md §2B "window functions"): ranking,
+analytic (lag/lead/first/last), and aggregates over row/range frames.
+
+The reference has none — host Spark provides them above its scan. Window
+evaluation shuffles once on the partition key then sorts within
+partitions; all queries here partition on a real key (never a global
+window, which would serialize 100 TB through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+@query(
+    "window_topk_per_group",
+    category="window",
+    description="Top-3 orders per customer by totalprice (row_number)",
+    oracle="""
+        SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+        FROM (
+            SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+            FROM orders
+        ) t
+        WHERE rn <= 3
+        ORDER BY c_custkey, rn
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical distributed top-k-per-group: one shuffle on the group key,
+    per-partition sort, early filter on rn. No global sort, no collect."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "window_ranking_trio",
+    category="window",
+    description="row_number vs rank vs dense_rank vs ntile on one ordering",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderpriority, rn
+        LIMIT 1000
+    """,
+)
+def window_ranking_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("o_orderpriority", "rn")
+        .limit(1000)
+    )
+
+
+@query(
+    "window_lag_lead",
+    category="window",
+    description="lag/lead/first/last order dates per customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               strftime(LAG(o_orderdate) OVER w, '%Y-%m-%d') AS prev_date,
+               strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d') AS next_date,
+               strftime(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+               strftime(LAST_VALUE(o_orderdate) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                   '%Y-%m-%d') AS last_date
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    fmt = "yyyy-MM-dd"
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", fmt).alias("order_date"),
+            F.date_format(F.lag("o_orderdate").over(w), fmt).alias("prev_date"),
+            F.date_format(F.lead("o_orderdate").over(w), fmt).alias("next_date"),
+            F.date_format(F.first("o_orderdate").over(w), fmt).alias("first_date"),
+            F.date_format(F.last("o_orderdate").over(w_full), fmt).alias("last_date"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_running_agg",
+    category="window",
+    description="Running sum/avg + count over a growing row frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+                   AS running_spend,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far,
+               FLOOR((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w) * 10000.0 + 0.5) / 10000.0 AS avg_so_far
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running_dec = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    n = F.count(F.lit(1)).over(w).cast("long")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(running_dec, 2).cast("double").alias("running_spend"),
+            n.alias("n_so_far"),
+            round_dbl(running_dec.cast("double") / n, 4).alias("avg_so_far"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_range_frame",
+    category="window",
+    description="RANGE frame: orders within 10000 totalprice below current",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS n_in_band
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame — the frame boundary is an offset on the
+    ORDER BY value, not a row count; ties all enter the frame together.
+    (Expressed in SQL: the Python ``rangeBetween`` API only takes integer
+    offsets, while the SQL frame grammar accepts any numeric literal.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.selectExpr(
+            "o_orderkey",
+            """CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+               RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_band""",
+        )
+        .orderBy("o_orderkey")
+    )
