@@ -1,1 +1,281 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Scalar-function queries (SURVEY.md §2B "scalar functions"): string,
+date/time, math, array, map, JSON, and conditional expressions.
+
+The reference's only scalar-level logic is dialect identifier quoting and
+predicate compilation (reference: JDBCRelationWithLimit.scala:73,
+ExtJdbcUtils.scala:61); everything here is the engine surface its
+workloads get from host Spark. All expressions are built-in
+``pyspark.sql.functions`` — JVM-side, inside whole-stage codegen; no
+Python UDFs in any of these paths.
+
+Oracle-parity notes baked into the queries:
+- ``split`` is 0-indexed in Spark, 1-indexed as DuckDB list;
+- Spark ``dayofweek`` is 1=Sunday, DuckDB 0=Sunday → normalized;
+- transcendentals (ln/exp) may differ in the last ulp between libm
+  implementations → floor-trick rounding at 6 decimals;
+- JSON extraction: ``get_json_object`` ↔ ``json_extract_string``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+@query(
+    "scalar_string_funcs",
+    category="scalar",
+    description="upper/lower/substring/concat/split/regexp/length/trim/replace",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_type) AS type_lower,
+               SUBSTRING(p_name, 1, 5) AS name_head,
+               p_brand || '/' || p_type AS brand_type,
+               string_split(p_name, ' ')[1] AS first_word,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+               TRIM('  ' || p_name || ' ') AS name_trimmed,
+               REPLACE(p_name, ' ', '_') AS name_snake,
+               LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+        FROM part
+        ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.substring("p_name", 1, 5).alias("name_head"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.split("p_name", " ").getItem(0).alias("first_word"),
+            F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    category="scalar",
+    description="year/month/day/quarter/trunc/diff/epoch/add on order dates",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(day(o_orderdate) AS BIGINT) AS dy,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT)
+                   AS days_since_95,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+            .cast("long")
+            .alias("days_since_95"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            F.date_format(
+                F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
+            ).alias("due_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    category="scalar",
+    description="abs/ceil/floor/sqrt/power/ln/mod/sign over lineitem measures",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_extendedprice - 50000.0) AS dist_from_50k,
+               CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               {sql_round_dbl('SQRT(l_extendedprice)', 6)} AS price_sqrt,
+               l_quantity * l_quantity AS qty_sq,
+               {sql_round_dbl('LN(l_extendedprice + 1.0)', 6)} AS price_ln,
+               CAST(CAST(l_orderkey AS BIGINT) % 7 AS BIGINT) AS key_mod7,
+               CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qty_sq uses x*x (IEEE-exact) rather than pow(x, 2.0) — pow goes
+    through libm and can differ in the last ulp across platforms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_50k"),
+            F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+            F.floor("l_quantity").cast("long").alias("qty_floor"),
+            round_dbl(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+            round_dbl(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+            (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+            F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    category="scalar",
+    description="size/element_at/slice/fold over embedding vectors",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS n_dims,
+               CAST(embedding[1] AS DOUBLE) AS first_dim,
+               {sql_round_dbl("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))", 6)}
+                   AS sum_dims,
+               {sql_round_dbl(
+                   "SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))",
+                   6,
+               )} AS l2_norm
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.aggregate folds on the JVM inside codegen — the idiomatic way to
+    reduce an array column without a UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dsum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    dsq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            F.element_at("embedding", 1).cast("double").alias("first_dim"),
+            round_dbl(dsum, 6).alias("sum_dims"),
+            round_dbl(F.sqrt(dsq), 6).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    category="scalar",
+    description="JSON extraction from the events.props string column",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               json_extract_string(props, '$.missing') AS missing_val
+        FROM events
+        ORDER BY event_id
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k_val"),
+            (k % 10).alias("k_bucket"),
+            F.get_json_object("props", "$.missing").alias("missing_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    category="scalar",
+    description="map construction, key/value extraction, map_concat",
+    oracle="""
+        SELECT event_id,
+               event_type AS et_from_map,
+               ROUND(value, 2) AS val_from_map,
+               2 AS n_keys
+        FROM events
+        ORDER BY event_id
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a MapType column and reads it back — the oracle computes the
+    same values directly (DuckDB MAP extraction semantics differ, so the
+    parity check is on the roundtripped VALUES, not the map type)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("value"), F.round("value", 2).cast("string"),
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.element_at(m, "type").alias("et_from_map"),
+            F.element_at(m, "value").cast("double").alias("val_from_map"),
+            F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "scalar_conditional",
+    category="scalar",
+    description="CASE/coalesce/nullif/greatest/least tiering",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'standard'
+                    ELSE 'premium' END AS tier,
+               COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+               GREATEST(LEAST(c_acctbal, 9000.0), 0.0) AS bal_clamped
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "standard")
+            .otherwise("premium")
+            .alias("tier"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+                "segment_masked"
+            ),
+            F.greatest(F.least("c_acctbal", F.lit(9000.0)), F.lit(0.0)).alias("bal_clamped"),
+        )
+        .orderBy("c_custkey")
+    )
