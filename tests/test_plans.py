@@ -1,0 +1,96 @@
+"""Plan-assertion tests — the reference's golden-plan discipline
+(reference README pins physical plans as proof pushdown fired; here we
+assert PushedFilters / pruned ReadSchema / join strategy / exchange
+counts so optimizations can't silently regress)."""
+
+from __future__ import annotations
+
+from spark_jdbc_limit_spark.operators import get_query
+from spark_jdbc_limit_spark.plans import (
+    assert_broadcast_hash_join,
+    assert_no_python_udf_in_plan,
+    assert_pushed_filters,
+    assert_read_schema_cols,
+    assert_sort_merge_join,
+    count_exchanges,
+)
+from spark_jdbc_limit_spark.sources.jdbc import map_reference_options
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = get_query("q1_pricing_summary").builder(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_read_schema_cols(
+        df,
+        "lineitem",
+        {
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        },
+    )
+    assert_no_python_udf_in_plan(df)
+    # one shuffle for the agg + one for the global sort — no more
+    assert count_exchanges(df) <= 2
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    df = get_query("scan_project_filter_topk").builder(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount")
+    assert_read_schema_cols(
+        df,
+        "lineitem",
+        {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate", "l_discount"},
+    )
+    # top-k must not global-sort: TakeOrderedAndProject, zero shuffles
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    assert "TakeOrderedAndProject" in plan_text(df)
+    assert count_exchanges(df) == 0
+
+
+def test_broadcast_join_strategy(spark, sf_dir):
+    df = get_query("join_broadcast_dim").builder(spark, sf_dir)
+    assert_broadcast_hash_join(df)
+    # fact side must not shuffle for the join; agg adds one, sort one
+    assert count_exchanges(df) <= 2
+
+
+def test_sortmerge_join_strategy(spark, sf_dir):
+    df = get_query("join_sortmerge_facts").builder(spark, sf_dir)
+    assert_sort_merge_join(df)
+
+
+def test_star_join_single_fact_shuffle(spark, sf_dir):
+    df = get_query("join_multiway_star").builder(spark, sf_dir)
+    assert_broadcast_hash_join(df)
+    text_exchanges = count_exchanges(df)
+    # lineitem⋈orders⋈customer may shuffle each input once + agg + sort;
+    # anything above that means a dimension failed to broadcast.
+    assert text_exchanges <= 5, f"too many exchanges: {text_exchanges}"
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    for name in (
+        "q1_pricing_summary",
+        "join_asof_events_orders",
+        "window_topk_per_group",
+        "agg_rollup",
+        "scalar_array_funcs",
+    ):
+        assert_no_python_udf_in_plan(get_query(name).builder(spark, sf_dir))
+
+
+def test_reference_option_mapping():
+    mapped = map_reference_options(
+        {"url": "jdbc:postgresql://h/db", "table": "t", "fetchsize": 1000, "numPartitions": 8}
+    )
+    assert mapped["dbtable"] == "t"
+    assert mapped["fetchsize"] == "1000"
+    # the reference's hand-rolled pushdowns must be on by default
+    assert mapped["pushDownLimit"] == "true"
+    assert mapped["pushDownPredicate"] == "true"
