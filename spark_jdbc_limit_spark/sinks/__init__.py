@@ -1,0 +1,13 @@
+"""Sink layer: SaveMode-faithful writers with all-or-nothing publish
+semantics (the portable replacement for the reference's Postgres-only
+compensating-delete protocol, reference: ExtJdbcUtils.scala:70-109)."""
+
+from __future__ import annotations
+
+from spark_jdbc_limit_spark.sinks.transactional import (
+    AtomicWriteError,
+    write_jdbc_atomic,
+    write_parquet_atomic,
+)
+
+__all__ = ["AtomicWriteError", "write_jdbc_atomic", "write_parquet_atomic"]

@@ -1,0 +1,89 @@
+"""Transactional sink tests: SaveMode semantics + all-or-nothing visibility
+(the engine's replacement for the reference's compensating-delete protocol,
+including the failure-injection case the reference could only handle with
+Postgres xmin forensics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.sinks import AtomicWriteError, write_parquet_atomic
+
+
+@pytest.fixture()
+def target(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, n=100, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_create_and_read_back(spark, target):
+    write_parquet_atomic(_df(spark), target, mode="error")
+    assert spark.read.parquet(target).count() == 100
+
+
+def test_overwrite_replaces(spark, target):
+    write_parquet_atomic(_df(spark, 100), target, mode="error")
+    write_parquet_atomic(_df(spark, 50, offset=1000), target, mode="overwrite")
+    got = spark.read.parquet(target)
+    assert got.count() == 50
+    assert got.agg(F.min("id")).collect()[0][0] == 1000
+
+
+def test_append_accumulates(spark, target):
+    write_parquet_atomic(_df(spark, 100), target, mode="append")
+    write_parquet_atomic(_df(spark, 100, offset=100), target, mode="append")
+    got = spark.read.parquet(target)
+    assert got.count() == 200
+    assert got.select("id").distinct().count() == 200
+
+
+def test_error_mode_raises(spark, target):
+    write_parquet_atomic(_df(spark), target)
+    with pytest.raises(AtomicWriteError, match="already exists"):
+        write_parquet_atomic(_df(spark), target, mode="error")
+
+
+def test_ignore_mode_noop(spark, target):
+    write_parquet_atomic(_df(spark, 100), target)
+    write_parquet_atomic(_df(spark, 7), target, mode="ignore")
+    assert spark.read.parquet(target).count() == 100
+
+
+def test_failed_job_leaves_target_untouched(spark, target, tmp_path):
+    """The all-or-nothing guarantee: a task failure mid-write must leave the
+    existing target intact and no staging debris — the scenario where the
+    reference fires its compensating xmin DELETE (ExtJdbcUtils.scala:88-105).
+    """
+    write_parquet_atomic(_df(spark, 100), target)
+
+    @F.udf("long")
+    def boom(x):
+        if x == 5:
+            raise RuntimeError("injected task failure")
+        return x
+
+    bad = spark.range(10).repartition(4).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(AtomicWriteError, match="target .* untouched"):
+        write_parquet_atomic(bad, target, mode="overwrite")
+
+    got = spark.read.parquet(target)
+    assert got.count() == 100
+    # no staging/trash directories left behind
+    debris = [p for p in os.listdir(tmp_path) if "__staging_" in p or "__trash_" in p]
+    assert debris == []
+
+
+def test_partitioned_write(spark, target):
+    df = _df(spark, 100).withColumn("bucket", F.col("id") % 4)
+    write_parquet_atomic(df, target, mode="overwrite", partition_by=["bucket"])
+    got = spark.read.parquet(target)
+    assert got.count() == 100
+    assert set(got.columns) == {"id", "v", "bucket"}
