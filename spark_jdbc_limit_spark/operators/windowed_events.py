@@ -1,1 +1,137 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Batch twins of the streaming window operators (SURVEY.md §2B
+"streaming", build plan M4): identical window semantics expressed in batch
+mode so the DuckDB oracle can verify them. tests/test_streaming.py
+additionally proves the REAL streams (streaming/windows.py) produce the
+same rows as these twins on the same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "events_tumbling_windows",
+    category="streaming",
+    description="Tumbling 5-minute windows per event type (batch twin)",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '{TS_FMT_DUCK}') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sliding_windows",
+    category="streaming",
+    description="Sliding windows: 10-minute length, 5-minute slide (batch twin)",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - (k * INTERVAL '5 minutes'),
+                        '{TS_FMT_DUCK}') AS window_start,
+               COUNT(*) AS n_events
+        FROM events, UNNEST([0, 1]) AS t(k)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A row falls in length/slide = 2 overlapping windows; Spark expands
+    rows internally (Expand node) — the oracle does the same with UNNEST."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_session_windows",
+    category="streaming",
+    description="Session windows per user, 30-minute gap (batch twin)",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM ordered
+        )
+        SELECT strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+               strftime(MAX(ts) + INTERVAL '30 minutes', '{TS_FMT_DUCK}') AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in batch mode — sessions close after 30 idle minutes;
+    window.end = last event + gap (same convention as the oracle's
+    gaps-and-islands formulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("session_window.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("session_window.end", TS_FMT_SPARK).alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "events_dedup_keys",
+    category="streaming",
+    description="Dedup on (user_id, event_type) — batch twin of streaming dedup",
+    oracle="""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+    """,
+)
+def events_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")

@@ -1,0 +1,122 @@
+"""Streaming window operators over the events table.
+
+Scale design: every aggregation is keyed (window × event_type or user_id) —
+state is bounded by the watermark, which evicts windows older than the
+lateness bound; ``dropDuplicatesWithinWatermark`` keeps only in-horizon
+keys. On a real cluster these run against a Kafka/file-drop source with
+the same code — the source swap is one line.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events physical schema — ts is TIMESTAMP(NANOS) in the parquet, which
+#: Spark only reads as long (see sources/catalog.py); the stream reader
+#: does the same long→µs reconstruction.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with a proper event-time
+    TimestampType column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-stream sources need a DIRECTORY; select the events file by glob.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event_type, 10-minute watermark."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user: 30-minute inactivity gap. The only
+    streaming op with MERGING state (sessions coalesce as events arrive)."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) with watermark-bounded state."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion against its (finite) file
+    source via a memory sink; returns a batch DataFrame of the results."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,67 @@
+"""Streaming tests: each real stream (file source → watermark → windowed
+agg → memory sink, run to completion with availableNow) must produce
+exactly the rows of its oracle-checked batch twin."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_jdbc_limit_spark.operators import get_query
+from spark_jdbc_limit_spark.streaming import (
+    run_stream_to_memory,
+    stream_dedup_within_watermark,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_counts,
+)
+
+from tests.oracle_utils import compare_frames
+
+
+def _assert_stream_matches_twin(spark, sf_dir, stream_builder, twin_name, output_mode):
+    got = run_stream_to_memory(stream_builder(spark, sf_dir), output_mode).toPandas()
+    want = get_query(twin_name).builder(spark, sf_dir).toPandas()
+    compare_frames(got, want, f"stream vs {twin_name}")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    _assert_stream_matches_twin(
+        spark, sf_dir, stream_tumbling_counts, "events_tumbling_windows", "complete"
+    )
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    _assert_stream_matches_twin(
+        spark, sf_dir, stream_sliding_counts, "events_sliding_windows", "complete"
+    )
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    _assert_stream_matches_twin(
+        spark, sf_dir, stream_session_windows, "events_session_windows", "complete"
+    )
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir):
+    got = run_stream_to_memory(
+        stream_dedup_within_watermark(spark, sf_dir), "append"
+    ).toPandas()
+    want = get_query("events_dedup_keys").builder(spark, sf_dir).toPandas()
+    compare_frames(got, want, "stream dedup vs batch distinct")
+
+
+def test_late_data_dropped_beyond_watermark(spark, sf_dir):
+    """Append-mode windowed agg only emits windows the watermark has
+    closed; with availableNow over a finite source the final watermark
+    still trails max(ts), so append output is a strict subset of the
+    complete result — the late/open windows are withheld."""
+    appended = run_stream_to_memory(
+        stream_tumbling_counts(spark, sf_dir), "append"
+    ).toPandas()
+    complete = get_query("events_tumbling_windows").builder(spark, sf_dir).toPandas()
+    assert len(appended) < len(complete)
+    merged = appended.merge(
+        complete, on=["window_start", "event_type"], suffixes=("_s", "_b")
+    )
+    assert len(merged) == len(appended)  # every emitted window exists in batch
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
