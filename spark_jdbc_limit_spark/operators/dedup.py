@@ -1,1 +1,403 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Deduplication operators over documents (north-star LLM pipeline,
+SURVEY.md §2B; build plan M5): exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+- exact dedup is a hash groupBy — one shuffle on a 16-byte digest;
+- MinHash/LSH replaces the O(n²) pair space with band-bucket joins:
+  shuffle keyed on (band_id, band_hash), pairs generated only inside
+  buckets; candidate verification re-joins shingle sets on the candidate
+  pair keys only;
+- SimHash packs a document into one int — near-dup search is a
+  band-bucketed self-join on bit slices, cheapest of all;
+- embedding near-dup blocks on a coarse key (here: label; in production,
+  an LSH bucket) before the quadratic inner comparison;
+- all hashes are pure int64 arithmetic (base-131 rolling hash mod 2^31-1,
+  affine minhash permutations) so the DuckDB oracle reproduces every
+  pipeline BIT-FOR-BIT — the LSH queries are deterministically testable,
+  not just "approximately right". Products stay < 2^62: ANSI-safe.
+
+On real corpora, prune stop-shingles (document frequency ≫ average)
+before the LSH join; this synthetic corpus has near-unique shingles
+(max df ≈ 7) so no cutoff is applied here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
+from spark_jdbc_limit_spark.operators.text import FP_BASE, FP_MOD
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+SHINGLE_K = 3          # words per shingle
+NUM_HASHES = 16        # minhash signature length
+LSH_BANDS = 8          # bands × rows: 8 × 2 (recall ≈ 0.9 at jaccard 0.5)
+LSH_ROWS = NUM_HASHES // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+#: affine permutation params for minhash j: (a_j * h + b_j) mod FP_MOD.
+MINHASH_A = [(7919 * j + 104729) % FP_MOD for j in range(NUM_HASHES)]
+MINHASH_B = [(104729 * j + 7919) % FP_MOD for j in range(NUM_HASHES)]
+
+
+def _char_hash(col: Column) -> Column:
+    """base-131 rolling hash over code points, mod 2^31-1 (pure int64)."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * FP_BASE + c) % FP_MOD,
+    )
+
+
+def _sql_char_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_extract_all({expr}, '.'), c -> unicode(c)::BIGINT)), "
+        f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD})"
+    )
+
+
+def shingle_hashes(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, h): distinct hashed k-word shingles per document."""
+    words = F.split(F.col("text"), " ")
+    shingles = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", _char_hash(F.col("s")).alias("h"))
+        .distinct()
+    )
+
+
+def _sql_shingles(k: int = SHINGLE_K) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+        SELECT DISTINCT doc_id, {_sql_char_hash(f"({parts})")} AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+             UNNEST(range(1, len(w) - {k - 2})) AS t(i)
+        WHERE len(w) >= {k}
+    """
+
+
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash): LSH bucket keys per document.
+
+    One shuffle to aggregate NUM_HASHES mins per doc, then bands are a
+    narrow explode — at cluster scale the bucket join that follows is
+    keyed on (band_id, band_hash), never on the raw pair space.
+    """
+    sh = shingle_hashes(docs)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % FP_MOD).alias(f"m{j}")
+            for j in range(NUM_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            ((F.col(f"m{b * LSH_ROWS}") * FP_BASE + F.col(f"m{b * LSH_ROWS + 1}")) % FP_MOD)
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return mins.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+
+
+def _sql_minhash_bands() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {FP_MOD}) AS m{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_id, (m{b * LSH_ROWS} * {FP_BASE} + m{b * LSH_ROWS + 1}) % {FP_MOD} AS band_hash FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        sh AS ({_sql_shingles()}),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({band_rows})
+    """
+
+
+@query(
+    "dedup_exact",
+    category="llm_dedup",
+    description="Exact dedup: content-hash groups with deterministic keeper",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keeper_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on the digest; min(doc_id) is the canonical survivor
+    (dropDuplicates would keep an arbitrary row — nondeterministic across
+    reruns, so the engine always dedupes via group-min)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_candidates",
+    category="llm_dedup",
+    description="MinHash/LSH candidate pairs (16 hashes, 8 bands × 2 rows)",
+    oracle=f"""
+        WITH {_sql_minhash_bands()}
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        ORDER BY d1, d2
+    """,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs agreeing on ANY band are candidates. The join is keyed on the
+    bucket, so cost scales with bucket occupancy, not n²."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_band_buckets(d)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("band_id").alias("band_id2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    return (
+        bands.join(
+            b2,
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") < F.col("doc_id2")),
+        )
+        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "dedup_minhash_verified",
+    category="llm_dedup",
+    description="LSH candidates verified by exact Jaccard ≥ 0.5",
+    oracle=f"""
+        WITH {_sql_minhash_bands()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.d1, c.d2, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.d1
+            JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+            GROUP BY c.d1, c.d2
+        )
+        SELECT common.d1, common.d2,
+               {sql_round_dbl('CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common)', 4)} AS jaccard
+        FROM common
+        JOIN sizes z1 ON z1.doc_id = common.d1
+        JOIN sizes z2 ON z2.doc_id = common.d2
+        WHERE CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates → exact Jaccard on the
+    candidate pairs only. Verification touches |candidates| × shingles,
+    not n² — the shape that survives 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d)
+    bands = minhash_band_buckets(d)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("band_id").alias("band_id2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") < F.col("doc_id2")),
+        )
+        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
+    s2 = sh.select(F.col("doc_id").alias("d2b"), F.col("h").alias("h2"))
+    common = (
+        cand.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("d2b")) & (F.col("h1") == F.col("h2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(z1, "d1")
+        .join(z2, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_exhaustive",
+    category="llm_dedup",
+    description="Exhaustive n-gram Jaccard pairs ≥ 0.5 (exact baseline)",
+    oracle=f"""
+        WITH sh AS ({_sql_shingles()}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               {sql_round_dbl('CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common)', 4)} AS jaccard
+        FROM common
+        JOIN sizes z1 ON z1.doc_id = d1
+        JOIN sizes z2 ON z2.doc_id = d2
+        WHERE CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def dedup_ngram_jaccard_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs via the inverted shingle index (join on
+    shingle hash, never a cross join). The recall yardstick for the LSH
+    path; tests assert LSH-verified ⊆ exhaustive."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    common = (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        common.join(z1, "d1")
+        .join(z2, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+SIMHASH_BITS = 24
+
+
+@query(
+    "dedup_simhash",
+    category="llm_dedup",
+    description=f"{SIMHASH_BITS}-bit SimHash fingerprint per document",
+    oracle=f"""
+        WITH wh AS (
+            SELECT doc_id, {_sql_char_hash('w')} AS h
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents) t
+        )
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+                   f"THEN {1 << i} ELSE 0 END)"
+                   for i in range(SIMHASH_BITS)
+               )} AS BIGINT) AS simhash
+        FROM wh
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic SimHash: each word votes ±1 per bit of its hash; the sign
+    vector packs into one integer. Near-dup docs land at small Hamming
+    distance — at scale, candidate pairs come from exact-matching bit
+    bands of the fingerprint (same LSH trick as minhash, but on one int).
+    Duplicate words vote once per occurrence (bag semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    wh = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).select("doc_id", _char_hash(F.col("w")).alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    packed = sum(
+        [F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)],
+        start=F.lit(0),
+    )
+    return (
+        wh.groupBy("doc_id")
+        .agg(*bit_votes)
+        .select("doc_id", packed.cast("long").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+COSINE_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    category="llm_dedup",
+    description=f"Embedding near-dup pairs: same-label cosine ≥ {COSINE_THRESHOLD}",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               {sql_round_dbl('list_cosine_similarity(a.v, b.v)', 3)} AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
+        ORDER BY v1, v2
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup, blocked by label so the quadratic part
+    stays inside blocks (in production the block key is an LSH bucket —
+    see similarity.ann_lsh_hyperplane_buckets). Cosine is computed in
+    double on both engines; the threshold compare is on the raw value."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.select("vec_id", "label", v.alias("v"))
+    a = e.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
+        .select("v1", "v2", round_dbl(F.col("cos_raw"), 3).alias("cos_sim"))
+        .orderBy("v1", "v2")
+    )

@@ -1,1 +1,217 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Text-analysis operators over the documents table (north-star LLM
+pipeline, SURVEY.md §2B; build plan M5): token counting, quality scoring,
+language identification, and document fingerprinting.
+
+All four stay 100% JVM-side (built-in string/array functions inside
+whole-stage codegen) — at 100 TB these run at scan speed with zero
+Python serialization. Each has an exact SQL twin; the language-ID
+heuristic is deterministic lexicon scoring (the harness corpus is
+synthetic word salad, so the operator is verified for determinism and
+engine parity, not linguistic accuracy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: tiny per-language stopword lexicons for the heuristic language scorer.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+@query(
+    "text_token_stats",
+    category="llm_text",
+    description="Whitespace + BPE-ish token counts and word-length stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpeish,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+               {sql_round_dbl(
+                   "CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))", 4
+               )} AS avg_word_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.regexp_count("text", F.lit(BPE_RE)).cast("long").alias("n_bpeish"),
+            F.length("text").cast("long").alias("n_chars_measured"),
+            round_dbl(
+                F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+                / F.size(toks),
+                4,
+            ).alias("avg_word_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_score",
+    category="llm_text",
+    description="Document quality: length/stopword/uniqueness signals",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stopwords,
+               {sql_round_dbl(
+                   "CAST(len(list_filter(string_split(text, ' '), "
+                   "x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)"
+                   " / len(string_split(text, ' '))", 4
+               )} AS stopword_ratio,
+               {sql_round_dbl(
+                   "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+                   " / len(string_split(text, ' '))", 4
+               )} AS distinct_ratio,
+               CASE WHEN LENGTH(text) BETWEEN 100 AND 5000
+                     AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.3
+                    THEN 1 ELSE 0 END AS quality_pass
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (the C4/Gopher-style signals expressible
+    without models): stopword density, vocabulary diversity, length band."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop = F.array([F.lit(w) for w in LANG_LEXICONS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("long")
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return (
+        d.select(
+            "doc_id",
+            n_stop.alias("n_stopwords"),
+            round_dbl(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+            round_dbl(distinct_ratio, 4).alias("distinct_ratio"),
+            F.when(
+                F.length("text").between(100, 5000) & (distinct_ratio > 0.3), 1
+            )
+            .otherwise(0)
+            .alias("quality_pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+
+
+@query(
+    "text_language_id",
+    category="llm_text",
+    description="Lexicon-vote language ID (deterministic heuristic)",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sql_lang_score('de')} AS s_de,
+                   {_sql_lang_score('en')} AS s_en,
+                   {_sql_lang_score('es')} AS s_es,
+                   {_sql_lang_score('fr')} AS s_fr,
+                   {_sql_lang_score('zh')} AS s_zh
+            FROM documents
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE GREATEST(s_de, s_en, s_es, s_fr, s_zh)
+                    WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                    WHEN s_fr THEN 'fr' ELSE 'zh' END AS predicted_lang
+        FROM scored
+        ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax over per-language lexicon hit counts, ties broken in fixed
+    lexicon order (de,en,es,fr,zh) — mirrored exactly by the oracle CASE."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def lex_score(words: tuple[str, ...]):
+        lex = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(lex, x)))
+
+    scores = {lang: lex_score(ws) for lang, ws in LANG_LEXICONS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+#: rolling-hash constants: base 131, modulus 2^31-1 (products stay < 2^38,
+#: far inside int64 — safe under ANSI overflow checking in both engines).
+FP_BASE = 131
+FP_MOD = 2_147_483_647
+
+
+@query(
+    "text_fingerprint",
+    category="llm_text",
+    description="Polynomial rolling-hash fingerprint of normalized text",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(string_split(LOWER(text), ' '),
+                           w -> list_reduce(
+                                    list_prepend(0::BIGINT,
+                                        list_transform(regexp_extract_all(w, '.'),
+                                                       c -> unicode(c)::BIGINT)),
+                                    (a, c) -> (a * {FP_BASE} + c) % {FP_MOD}))),
+                   (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level deterministic hash (chars→word hash, word hashes→doc
+    fingerprint) built from pure int64 arithmetic so ANY engine reproduces
+    it bit-for-bit — the engine-portable alternative to xxhash64/md5 when
+    the oracle must recompute the value."""
+    d = load_table(spark, sf_dir, "documents")
+    word_hash = lambda w: F.aggregate(  # noqa: E731
+        F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * FP_BASE + c) % FP_MOD,
+    )
+    doc_fp = F.aggregate(
+        F.transform(_tokens(F.lower(F.col("text"))), word_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
+    )
+    return d.select("doc_id", doc_fp.alias("fingerprint")).orderBy("doc_id")
