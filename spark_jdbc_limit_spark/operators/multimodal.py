@@ -1,1 +1,114 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Multimodal column plumbing (north-star LLM pipeline, SURVEY.md §2B;
+build plan M5): opaque binary payloads with typed metadata, processed by
+Arrow-batched ``mapInPandas`` operators.
+
+The container ships no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features / NotImplementedError for real codecs) while
+everything Spark-side is real and tested: binary column construction,
+schema, partitioning, the mapInPandas batch shape, and feature-extraction
+output.
+
+Scale design: binary payloads ride through relational ops untouched
+(Tungsten treats them as byte arrays); decode/feature-extract runs once
+per Arrow batch (10k rows default), not per row; output is a narrow typed
+frame so downstream aggs never carry the blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, codepoint_sum long, head_hex string"
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real codec hook — intentionally unavailable in this container.
+
+    In production this imports PIL/torchvision inside the executor and
+    returns decoded dimensions/tensors. Gated so the Spark plumbing stays
+    testable without the codec.
+    """
+    raise NotImplementedError("image codecs are not installed in this environment")
+
+
+def extract_binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: per Arrow batch, compute deterministic
+    features of each binary payload (stand-in for decode+featurize)."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        texts = pdf["text"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                # codepoint sum of the ORIGINAL text — cheap deterministic
+                # "feature" the oracle can recompute; a real pipeline would
+                # decode `payload` here instead.
+                "codepoint_sum": texts.map(lambda t: sum(map(ord, t)) % 997).astype("int64"),
+                "head_hex": payloads.map(lambda b: b[:4].hex()),
+            }
+        )
+
+
+@query(
+    "multimodal_binary_features",
+    category="llm_multimodal",
+    description="Binary payload column → mapInPandas feature extraction",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+                                            c -> unicode(c)::BIGINT)) % 997 AS BIGINT)
+                   AS codepoint_sum,
+               lower(hex(encode(SUBSTRING(text, 1, 4)))) AS head_hex
+        FROM documents
+        WHERE n_chars >= 4
+        ORDER BY doc_id
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal shape: text → binary payload column (stands in
+    for image/audio bytes) → Arrow-batched mapInPandas feature extraction.
+    The oracle recomputes every feature from the source text, proving the
+    binary roundtrip and the batch operator are lossless."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 4)
+    with_payload = d.select("doc_id", "text", F.encode("text", "utf-8").alias("payload"))
+    return with_payload.mapInPandas(extract_binary_features, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+@query(
+    "multimodal_payload_through_relational",
+    category="llm_multimodal",
+    description="Binary payloads survive join/filter/agg untouched",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def multimodal_payload_through_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob columns flowing through relational ops: construct payloads,
+    filter/aggregate by metadata, measure payload sizes with built-ins
+    (octet-level ops never leave the JVM)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.encode("text", "utf-8").alias("payload"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+        )
+        .orderBy("lang")
+    )

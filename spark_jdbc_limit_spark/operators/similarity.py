@@ -1,1 +1,199 @@
-"""Placeholder — populated in M1/M4/M5."""
+"""Similarity search over the embeddings table (north-star LLM pipeline,
+SURVEY.md §2B; build plan M5): brute-force cosine top-k as the exact
+baseline, random-hyperplane LSH bucketing and an IVF-style partition
+search as the scale paths.
+
+Scale design:
+- brute force is a broadcast of ONE query vector + a codegen'd
+  aggregate over arrays — a full scan, perfectly parallel, no shuffle
+  except the final top-k (TakeOrderedAndProject);
+- hyperplane LSH assigns each vector a 16-bit bucket in one pass; ANN
+  then searches only the query's bucket (and neighbors at Hamming ≤ r);
+  hyperplanes are DETERMINISTIC pseudo-random ints so the oracle
+  reproduces bucket assignment exactly;
+- IVF: coarse centroids (deterministically seeded), vectors partitioned
+  by nearest centroid; queries probe the nearest `nprobe` partitions.
+  At 100 TB the partition becomes a parquet partition key → partition
+  pruning turns ANN into a handful of file reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+EMB_DIM = 64
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+LSH_PLANES = 16
+#: deterministic pseudo-random hyperplane component for plane j, dim d:
+#: ((1103515245 * (j*EMB_DIM + d) + 12345) mod 2^31) / 2^31 - 0.5
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _plane_component(j: int, d: int) -> float:
+    return ((_LCG_A * (j * EMB_DIM + d) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
+
+
+def dot_cols(a, b) -> Column:
+    """Dot product of two array<double> columns via zip_with + aggregate —
+    JVM-side, no UDF."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col) -> Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col("embedding"))
+    cos = dot_cols(v, q) / (_norm(v) * _norm(q))
+    return (
+        embeddings.select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", round_dbl(F.col("cos_raw"), 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "ann_cosine_topk_bruteforce",
+    category="llm_similarity",
+    description=f"Exact cosine top-{TOP_K} for query vector vec_id={QUERY_VEC_ID}",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT vec_id,
+               {sql_round_dbl(
+                   'list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv)', 4
+               )} AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> {QUERY_VEC_ID}
+        ORDER BY list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) DESC,
+                 vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query vector is fetched once on the driver (it is a query
+    PARAMETER, not data) and inlined as a literal → broadcast to every
+    task; the scan + dot product stay in whole-stage codegen and the
+    top-k is TakeOrderedAndProject (no global sort)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
+    return cosine_topk(e.filter(F.col("vec_id") != QUERY_VEC_ID), [float(x) for x in qv], TOP_K)
+
+
+def _sql_plane_dot(j: int) -> str:
+    comps = " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * {_plane_component(j, d)!r}" for d in range(EMB_DIM)
+    )
+    return f"({comps})"
+
+
+def hyperplane_bucket_col() -> Column:
+    """16-bit LSH bucket from deterministic hyperplane signs (column expr
+    over ``embedding``)."""
+    bucket = F.lit(0)
+    for j in range(LSH_PLANES):
+        plane = F.array(*[F.lit(_plane_component(j, d)) for d in range(EMB_DIM)])
+        dot = dot_cols(_as_double(F.col("embedding")), plane)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+@query(
+    "ann_lsh_hyperplane_buckets",
+    category="llm_similarity",
+    description=f"{LSH_PLANES}-bit random-hyperplane LSH bucket per vector",
+    oracle=f"""
+        SELECT vec_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN {_sql_plane_dot(j)} > 0 THEN {1 << j} ELSE 0 END)"
+                   for j in range(LSH_PLANES)
+               )} AS BIGINT) AS bucket
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+)
+def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign of ⟨v, r_j⟩ for 16 deterministic pseudo-random hyperplanes →
+    one int bucket. Cosine-similar vectors collide with high probability;
+    ANN search probes the query's bucket (plus Hamming-1 neighbors for
+    recall). One scan, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", hyperplane_bucket_col().alias("bucket")).orderBy("vec_id")
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_assignments(embeddings: DataFrame) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer with deterministic seeding: the centroid set is
+    the EMB vectors with the smallest vec_ids (a fixed, reproducible
+    choice standing in for k-means — at scale you'd run
+    ``pyspark.ml.clustering.KMeans`` once, offline, and broadcast the
+    model). Returns (assignments df, centroid list)."""
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.orderBy("vec_id").limit(IVF_CENTROIDS).collect()
+    ]
+    v = _as_double(F.col("embedding"))
+    # Materialize each centroid cosine as a column FIRST: folding argmax
+    # with chained when() would nest each step's tree into the next
+    # (exponential expression blowup → driver OOM at plan build).
+    cos_cols = []
+    for cid, cvec in cents:
+        c = F.array(*[F.lit(x) for x in cvec])
+        cos_cols.append((dot_cols(v, c) / (_norm(v) * _norm(c))).alias(f"__cos_{cid}"))
+    scored = embeddings.select("*", *cos_cols)
+    best = F.greatest(*[F.col(f"__cos_{cid}") for cid, _ in cents])
+    assign = F.lit(None)
+    for cid, _ in reversed(cents):
+        assign = F.when(F.col(f"__cos_{cid}") == best, F.lit(cid)).otherwise(assign)
+    assigned = scored.withColumn("centroid_id", assign.cast("long")).drop(
+        *[f"__cos_{cid}" for cid, _ in cents]
+    )
+    return assigned, cents
+
+
+@query(
+    "ann_ivf_topk",
+    category="llm_similarity",
+    description=f"IVF ANN: probe {IVF_NPROBE}/{IVF_CENTROIDS} partitions, exact rerank",
+    oracle=None,  # partition-probe recall is structural, verified by tests vs brute force
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign vectors to nearest coarse centroid, probe the
+    query's IVF_NPROBE nearest centroids, exact-rerank inside them. At
+    scale the assignment is a parquet partition key and probing = partition
+    pruning. Tests assert recall vs the brute-force baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_assignments(e)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    probe = sorted(cents, key=lambda c: (-cos_py(qv, c[1]), c[0]))[:IVF_NPROBE]
+    probe_ids = [cid for cid, _ in probe]
+    cand = assigned.filter(
+        F.col("centroid_id").isin(probe_ids) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
+    return cosine_topk(cand, qv, TOP_K)

@@ -1,0 +1,72 @@
+"""Quality/property tests for the LLM-pipeline operators — beyond oracle
+parity: LSH recall vs exhaustive ground truth, IVF recall vs brute force,
+SimHash locality, and the multimodal decode gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_jdbc_limit_spark.operators import get_query
+from spark_jdbc_limit_spark.operators.multimodal import decode_image
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_minhash_verified_subset_of_exhaustive_with_recall(spark, sf_correct):
+    exact = _pairs(get_query("dedup_ngram_jaccard_exhaustive").builder(spark, sf_correct))
+    lsh = _pairs(get_query("dedup_minhash_verified").builder(spark, sf_correct))
+    assert lsh <= exact, "LSH-verified pairs must be a subset of exhaustive Jaccard pairs"
+    assert len(exact) > 0, "test corpus should contain planted near-duplicates"
+    recall = len(lsh) / len(exact)
+    # 8 bands × 2 rows → P(candidate) ≈ 0.90 at jaccard 0.5, higher above;
+    # planted dups sit well above threshold, so recall should be high.
+    assert recall >= 0.75, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_correct):
+    bf = [r.vec_id for r in get_query("ann_cosine_topk_bruteforce").builder(spark, sf_correct).collect()]
+    ivf = [r.vec_id for r in get_query("ann_ivf_topk").builder(spark, sf_correct).collect()]
+    recall = len(set(bf) & set(ivf)) / len(bf)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} vs brute force too low"
+
+
+def test_simhash_locality_on_near_dups(spark, sf_correct):
+    """Planted near-duplicate pairs must sit closer in SimHash Hamming
+    space than the corpus average."""
+    sim = {r.doc_id: r.simhash for r in get_query("dedup_simhash").builder(spark, sf_correct).collect()}
+    dup_pairs = _pairs(get_query("dedup_ngram_jaccard_exhaustive").builder(spark, sf_correct))
+    assert dup_pairs
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    dup_dist = sum(hamming(sim[a], sim[b]) for a, b in dup_pairs) / len(dup_pairs)
+    ids = sorted(sim)[:200]
+    rand_pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 2)]
+    rand_dist = sum(hamming(sim[a], sim[b]) for a, b in rand_pairs) / len(rand_pairs)
+    assert dup_dist < rand_dist / 2, (
+        f"near-dups not closer in simhash space: dup={dup_dist:.1f} rand={rand_dist:.1f}"
+    )
+
+
+def test_exact_dedup_partition_of_corpus(spark, sf_correct):
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    total = load_table(spark, sf_correct, "documents").count()
+    rows = get_query("dedup_exact").builder(spark, sf_correct).collect()
+    assert sum(r.n_copies for r in rows) == total
+    assert all(r.n_copies >= 1 for r in rows)
+
+
+def test_lsh_buckets_spread(spark, sf_correct):
+    rows = get_query("ann_lsh_hyperplane_buckets").builder(spark, sf_correct).collect()
+    buckets = {r.bucket for r in rows}
+    # 16-bit space: random-ish vectors should occupy many buckets
+    assert len(buckets) > 50, f"LSH degenerate: only {len(buckets)} buckets"
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError, match="codecs"):
+        decode_image(b"\x89PNG\r\n")
