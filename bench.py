@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Execution uses the noop sink — the full physical plan runs JVM-side
+(scans, shuffles, aggregations) without driver collection, so timings
+measure the engine, not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_jdbc_limit_spark import build_session  # noqa: E402
+from spark_jdbc_limit_spark.operators import REGISTRY  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = build_session(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    # warm the JVM/codegen paths once with the cheapest query
+    REGISTRY["limit_semantics"].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

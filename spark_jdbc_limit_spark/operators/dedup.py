@@ -61,29 +61,61 @@ def _sql_char_hash(expr: str) -> str:
 
 
 def shingle_hashes(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, h): distinct hashed k-word shingles per document."""
+    """(doc_id, h): distinct hashed k-word shingles per document.
+
+    Perf shape: each WORD is char-hashed once, then shingle hashes combine
+    k word-hashes arithmetically — k× less character work than hashing
+    every shingle string (higher-order-function evaluation is the hot loop
+    here, interpreted per element)."""
     words = F.split(F.col("text"), " ")
+    # Materialize the word-hash ARRAY once per doc before building shingle
+    # combinations: referencing it from the shingle lambda directly would
+    # re-evaluate the whole array per shingle index (O(words²) per doc).
+    hashed = docs.select(
+        "doc_id", F.transform(words, _char_hash_of_word).alias("wh")
+    )
+    wh = F.col("wh")
     shingles = F.when(
-        F.size(words) >= k,
+        F.size(wh) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+            F.sequence(F.lit(0), F.size(wh) - k),
+            lambda i: _combine_k(wh, i, k),
         ),
     ).otherwise(F.array())
-    return (
-        docs.select("doc_id", F.explode(shingles).alias("s"))
-        .select("doc_id", _char_hash(F.col("s")).alias("h"))
-        .distinct()
+    return hashed.select("doc_id", F.explode(shingles).alias("h")).distinct()
+
+
+def _char_hash_of_word(w: Column) -> Column:
+    return F.aggregate(
+        F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * FP_BASE + c) % FP_MOD,
     )
 
 
+def _combine_k(word_hashes: Column, i: Column, k: int) -> Column:
+    h = F.element_at(word_hashes, i + 1)
+    for j in range(1, k):
+        h = (h * FP_BASE + F.element_at(word_hashes, i + 1 + j)) % FP_MOD
+    return h
+
+
 def _sql_shingles(k: int = SHINGLE_K) -> str:
-    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    word_hash = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_extract_all(w, '.'), c -> unicode(c)::BIGINT)), "
+        f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD})"
+    )
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * {FP_BASE} + wh[i+{j}]) % {FP_MOD}"
     return f"""
-        SELECT DISTINCT doc_id, {_sql_char_hash(f"({parts})")} AS h
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
-             UNNEST(range(1, len(w) - {k - 2})) AS t(i)
-        WHERE len(w) >= {k}
+        SELECT DISTINCT doc_id, {combine} AS h
+        FROM (SELECT doc_id,
+                     list_transform(string_split(text, ' '), w -> {word_hash}) AS wh
+              FROM documents) d,
+             UNNEST(range(1, len(wh) - {k - 2})) AS t(i)
+        WHERE len(wh) >= {k}
     """
 
 
@@ -384,16 +416,20 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     double on both engines; the threshold compare is on the raw value."""
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = e.select("vec_id", "label", v.alias("v"))
-    a = e.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    # Pre-normalize ONCE per vector (n folds), so each of the O(n²/blocks)
+    # pairs costs a single dot-product fold instead of dot + two norms —
+    # ~3× less higher-order-function work in the quadratic stage.
+    e = e.select(
+        "vec_id", "label", F.transform(v, lambda x: x / norm).alias("u")
     )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    a = e.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("u").alias("ua"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("u").alias("ub"))
+    cos = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     return (
         a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
         .withColumn("cos_raw", cos)
