@@ -1,0 +1,190 @@
+"""Python-extension surface (SURVEY.md §2B "UDF/UDAF/UDTF"): Arrow-
+vectorized pandas UDFs (scalar + grouped aggregate), grouped-map
+applyInPandas, and a Python UDTF.
+
+The reference has none — this is the engine's escape hatch for semantics
+the built-ins can't express. Rules encoded here:
+- every UDF is Arrow-batched (pandas_udf / applyInPandas / @udtf), never
+  row-at-a-time ``F.udf`` in a hot path;
+- UDF outputs are DETERMINISTIC pure functions of their inputs, so the
+  DuckDB oracle can recompute them — the same discipline as the hash
+  operators;
+- each query's built-in-free twin exists only where built-ins genuinely
+  cannot express the op (here they could — these queries exist to verify
+  the extension machinery itself against known-good SQL).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+def _make_clv_score():
+    """Vectorized scalar UDF: a toy customer-value score. Pure arithmetic
+    on the Arrow batch — one Python call per ~10k rows, not per row.
+    (Built lazily: pandas_udf parses its DDL type against the active
+    session, so decorating at import time would require one.)"""
+
+    @F.pandas_udf("double")
+    def clv_score(total: pd.Series, n_orders: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.log1p(total) * n_orders.clip(upper=10)
+
+    return clv_score
+
+
+@query(
+    "udf_pandas_scalar",
+    category="udf",
+    description="Arrow-vectorized scalar pandas UDF (log1p value score)",
+    oracle="""
+        SELECT o_custkey,
+               FLOOR(LN(1.0 + SUM(o_totalprice)) *
+                     LEAST(COUNT(*), 10) * 10000.0 + 0.5) / 10000.0 AS clv
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy.log1p and JVM/DuckDB LN agree to the last ulp on these
+    magnitudes; the floor-round guard absorbs it either way."""
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.select(
+            "o_custkey",
+            round_dbl(_make_clv_score()(F.col("total"), F.col("n_orders")), 4).alias("clv"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+
+
+def _make_weighted_avg():
+    """Grouped-aggregate pandas UDF (UDAF): quantity-weighted mean price."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        q = qty.sum()
+        return float((price * qty).sum() / q) if q else float("nan")
+
+    return weighted_avg
+
+
+@query(
+    "udaf_grouped_weighted_avg",
+    category="udf",
+    description="pandas_udf grouped-aggregate UDAF: qty-weighted avg price",
+    oracle=None,  # float accumulation order inside the UDAF is pandas-defined;
+    # correctness is pinned by tests vs an exact-decimal built-in twin.
+)
+def udaf_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(_make_weighted_avg()(F.col("l_extendedprice"), F.col("l_quantity")).alias("w_avg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def weighted_avg_builtin_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal built-in equivalent used by tests to bound the UDAF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)")).cast(
+        "double"
+    )
+    den = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg((num / den).alias("w_avg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _minmax_scale(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map: min-max scale acctbal within each segment."""
+    lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+    span = hi - lo
+    pdf = pdf.copy()
+    pdf["bal_scaled"] = 0.0 if span == 0 else (pdf["c_acctbal"] - lo) / span
+    return pdf[["c_mktsegment", "c_custkey", "bal_scaled"]]
+
+
+@query(
+    "udf_grouped_map_scale",
+    category="udf",
+    description="applyInPandas grouped-map: per-segment min-max scaling",
+    oracle="""
+        SELECT c_mktsegment, c_custkey,
+               FLOOR(CASE WHEN MAX(c_acctbal) OVER w = MIN(c_acctbal) OVER w THEN 0.0
+                    ELSE (c_acctbal - MIN(c_acctbal) OVER w)
+                         / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w)
+               END * 10000.0 + 0.5) / 10000.0 AS bal_scaled
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment)
+        ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def udf_grouped_map_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-group pandas transform: each segment arrives as ONE pandas
+    DataFrame (watch group size at scale — a hot segment must fit in
+    executor memory; pre-salt if it can't)."""
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    c = load_table(spark, sf_dir, "customer")
+    scaled = c.select("c_mktsegment", "c_custkey", "c_acctbal").groupBy("c_mktsegment").applyInPandas(
+        _minmax_scale, "c_mktsegment string, c_custkey long, bal_scaled double"
+    )
+    return (
+        scaled.select(
+            "c_mktsegment", "c_custkey", round_dbl(F.col("bal_scaled"), 4).alias("bal_scaled")
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "udtf_word_ngrams",
+    category="udf",
+    description="Python UDTF: explode documents into word bigrams",
+    oracle="""
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+             UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2 AND doc_id < 100
+        ORDER BY doc_id, bigram
+    """,
+)
+def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function: one input row → many output rows. (The built-in
+    twin is explode+transform; the UDTF form exists to verify the
+    machinery. Restricted to doc_id<100 to keep the differential small.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            words = text.split(" ")
+            for a, b in zip(words, words[1:]):
+                yield doc_id, f"{a} {b}"
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    d.select("doc_id", "text").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT b.doc_id, b.bigram FROM docs_for_udtf, "
+        "LATERAL bigrams_udtf(doc_id, text) b ORDER BY doc_id, bigram"
+    )
