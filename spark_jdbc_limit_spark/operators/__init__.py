@@ -28,6 +28,7 @@ from spark_jdbc_limit_spark.operators import similarity  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import text  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import multimodal  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import udfs  # noqa: E402,F401
+from spark_jdbc_limit_spark.operators import advanced  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import windowed_events  # noqa: E402,F401
 
 __all__ = [

@@ -1,0 +1,230 @@
+"""Advanced relational coverage: correlated/scalar/IN subqueries, unpivot,
+generator functions (explode over generated arrays), exact percentiles,
+approximate quantiles, and the salted two-phase aggregation used for
+hot-key skew.
+
+Subqueries matter for parity because the reference's users wrote plain
+Spark SQL over its relations (reference: README.md:38-40 drives
+DataFrame ops through the patched scan); decorrelation is Catalyst's job
+and these queries pin that it happens (no per-row re-execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import dec_sum, round_dbl, sql_dec_sum, sql_round_dbl
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+@query(
+    "subquery_correlated",
+    category="subquery",
+    description="Correlated scalar subquery: orders 1.5× above the customer's average",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst decorrelates this into an aggregate + join — one pass over
+    orders, not a subquery per row (assert: no more than 2 exchanges)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_sq o
+        WHERE o.o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                                FROM orders_sq o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+@query(
+    "subquery_scalar_and_in",
+    category="subquery",
+    description="Uncorrelated scalar subquery + IN-subquery membership",
+    oracle="""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        ORDER BY c_custkey
+    """,
+)
+def subquery_scalar_and_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer_sq
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_sq)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation_sq WHERE n_regionkey = 2)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "unpivot_measures",
+    category="reshape",
+    description="Unpivot (melt): lineitem measures to long form",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot is a zero-shuffle Expand — n_measures× rows, same
+    partitioning; the inverse of agg_pivot."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@query(
+    "generator_posexplode_sequence",
+    category="reshape",
+    description="Generated arrays + posexplode (lateral row generation)",
+    oracle="""
+        SELECT o_orderkey, CAST(i - 1 AS INTEGER) AS pos, CAST(i AS BIGINT) AS installment,
+               FLOOR((o_totalprice / (o_orderkey % 4 + 1)) * 100.0 + 0.5) / 100.0
+                   AS installment_amount
+        FROM orders, UNNEST(range(1, o_orderkey % 4 + 2)) AS t(i)
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey, pos
+    """,
+)
+def generator_posexplode_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation without a UDTF: sequence() builds the array JVM-side,
+    posexplode laterally expands — the idiom for date spines, installment
+    schedules, retry fans."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    n = (F.col("o_orderkey") % 4 + 1).cast("int")
+    return (
+        o.select(
+            "o_orderkey",
+            F.posexplode(F.sequence(F.lit(1).cast("long"), n.cast("long"))).alias(
+                "pos", "installment"
+            ),
+            round_dbl(F.col("o_totalprice") / n, 2).alias("installment_amount"),
+        )
+        .select("o_orderkey", F.col("pos").cast("int").alias("pos"), "installment", "installment_amount")
+        .orderBy("o_orderkey", "pos")
+    )
+
+
+@query(
+    "percentile_exact",
+    category="aggregation",
+    description="Exact interpolated percentiles (p25/p50/p75) per status",
+    oracle=f"""
+        SELECT o_orderstatus,
+               {sql_round_dbl('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+               {sql_round_dbl('quantile_cont(o_totalprice, 0.50)', 4)} AS p50,
+               {sql_round_dbl('quantile_cont(o_totalprice, 0.75)', 4)} AS p75
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition; both interpolate between the SAME two sorted
+    neighbors, so the doubles agree to the last ulp."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            round_dbl(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            round_dbl(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            round_dbl(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "approx_quantiles",
+    category="aggregation",
+    description="approx_percentile sketch (scale path for quantiles)",
+    oracle=None,  # sketch internals are engine-specific; rows-only check
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-digest-style sketch: mergeable partial state, one shuffle row per
+    group — the 100 TB path where exact percentile's full sort/collect of
+    the group is impossible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").alias(
+                "p50_95_99"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SALT_BUCKETS = 16
+
+
+@query(
+    "agg_salted_two_phase",
+    category="aggregation",
+    description=f"Two-phase salted aggregation ({SALT_BUCKETS} salts) for hot keys",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_dec_sum('l_quantity', 'sum_qty')},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern: phase 1 aggregates on (key, salt) — a hot key's rows
+    spread over SALT_BUCKETS reducers — phase 2 merges the partials per
+    key. Result identical to the plain aggregation (the oracle IS the
+    plain aggregation); only the shuffle distribution changes. l_returnflag
+    has 3 values over all of lineitem — exactly the shape that would
+    bottleneck 3 reducers at 100 TB without salting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("part_qty"),
+        F.count(F.lit(1)).alias("part_n"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("part_qty"), 2).cast("double").alias("sum_qty"),
+            F.sum("part_n").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
