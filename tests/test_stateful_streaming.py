@@ -1,0 +1,70 @@
+"""Stateful streaming tests: multi-batch state folding must converge to
+the batch ground truth; the foreachBatch atomic sink must deliver every
+row exactly once across micro-batches."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.sources.catalog import load_table
+from spark_jdbc_limit_spark.streaming.stateful import (
+    run_stream_foreach_batch_atomic,
+    stream_user_running_totals,
+)
+from spark_jdbc_limit_spark.streaming.windows import run_stream_to_memory
+
+
+def _split_events(spark, sf_dir, tmp_path, n_files=4) -> str:
+    """Copy the events table into n parquet files so maxFilesPerTrigger=1
+    yields n micro-batches (state must survive across them)."""
+    src = str(tmp_path / "events_src")
+    ev = load_table(spark, sf_dir, "events")
+    # preserve the raw long-nanos ts shape the stream schema expects
+    raw = ev.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+    raw.repartition(n_files).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
+    src = _split_events(spark, sf_dir, tmp_path)
+    out = run_stream_to_memory(stream_user_running_totals(spark, src), "update").toPandas()
+    # update mode emits one row per user per batch that touched it; the
+    # LAST emission per user must equal the batch aggregate.
+    final = out.groupby("user_id").last()
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(truth)
+    for uid, row in truth.iterrows():
+        assert final.loc[uid, "n_events_so_far"] == row["n"], uid
+        assert final.loc[uid, "total_value_cents"] == row["cents"], uid
+    # multiple batches actually happened (state crossed batch boundaries)
+    assert len(out) > len(final)
+
+
+def test_foreach_batch_atomic_exactly_once(spark, sf_dir, tmp_path):
+    src = _split_events(spark, sf_dir, tmp_path)
+    target = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    from spark_jdbc_limit_spark.streaming.stateful import events_file_stream
+
+    run_stream_foreach_batch_atomic(
+        events_file_stream(spark, src).select("event_id", "user_id", "value"),
+        target,
+        ckpt,
+    )
+    epochs = [d for d in os.listdir(target) if d.startswith("epoch=")]
+    assert len(epochs) >= 2, "expected multiple micro-batches"
+    got = spark.read.parquet(*[f"{target}/{e}" for e in epochs])
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert got.select("event_id").distinct().count() == want.count()
