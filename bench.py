@@ -30,10 +30,18 @@ def main() -> None:
         sf_val = sf
 
     spark = build_session(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
-    # warm the JVM/codegen paths once with the cheapest query
-    REGISTRY["limit_semantics"].builder(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm the JVM once: codegen/compiler init plus first-touch parquet
+    # footer reads dominate the first query's wall-clock (~7 s of pure
+    # session warm-up measured at sf0.1) and would be misattributed to it.
+    for warm in ("limit_semantics", "q1_pricing_summary"):
+        REGISTRY[warm].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    # spin up the Arrow/Python worker pool (session infrastructure, not
+    # query cost — the first pandas-UDF query would otherwise absorb it)
+    spark.range(0, cpus * 10, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():

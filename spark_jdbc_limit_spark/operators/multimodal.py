@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,7 +52,16 @@ def extract_binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 # codepoint sum of the ORIGINAL text — cheap deterministic
                 # "feature" the oracle can recompute; a real pipeline would
                 # decode `payload` here instead.
-                "codepoint_sum": texts.map(lambda t: sum(map(ord, t)) % 997).astype("int64"),
+                # utf-32-le bytes ARE the codepoints — one numpy sum per
+                # doc instead of a per-char Python loop
+                "codepoint_sum": texts.map(
+                    lambda t: int(
+                        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).sum(
+                            dtype=np.int64
+                        )
+                    )
+                    % 997
+                ).astype("int64"),
                 "head_hex": payloads.map(lambda b: b[:4].hex()),
             }
         )

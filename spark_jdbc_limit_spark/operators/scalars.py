@@ -62,7 +62,6 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
             F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -105,7 +104,6 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
             ).alias("due_date"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -144,7 +142,6 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
             F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -184,7 +181,6 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_dbl(dsum, 6).alias("sum_dims"),
             round_dbl(F.sqrt(dsq), 6).alias("l2_norm"),
         )
-        .orderBy("vec_id")
     )
 
 
@@ -211,7 +207,6 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k % 10).alias("k_bucket"),
             F.get_json_object("props", "$.missing").alias("missing_val"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -244,7 +239,6 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(m, "value").cast("double").alias("val_from_map"),
             F.size(F.map_keys(m)).cast("int").alias("n_keys"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -277,5 +271,4 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.greatest(F.least("c_acctbal", F.lit(9000.0)), F.lit(0.0)).alias("bal_clamped"),
         )
-        .orderBy("c_custkey")
     )
