@@ -1,0 +1,187 @@
+"""Training-data-pipeline operators over the documents table (north-star
+extension beyond SURVEY.md §2A; the reference has no analogue — cited gap:
+/root/reference/README.md:1-9 covers only JDBC limit pushdown + writes).
+
+These are the selection/shaping stages a 100 TB pretraining pipeline runs
+AFTER dedup (operators/dedup.py) and quality scoring (operators/text.py):
+
+- deterministic sampling — reproducible train/holdout cuts with NO
+  stored state: membership is a pure function of the key, so re-runs,
+  backfills, and late-arriving shards select consistently. A filter at
+  scan speed: no shuffle, predicate-pushdown friendly.
+- per-source quota sampling — cap any one source's contribution
+  (anti-domination): top-N per group by a deterministic pseudo-random
+  order → one shuffle on the group key.
+- sequential token packing — the concat-and-split batching used by
+  training loaders: running token cumsum within each (source) stream,
+  bin id = cumsum ÷ budget. Window cumsum: one shuffle + sort.
+- survivor-policy dedup — exact dedup where the KEPT copy follows a
+  source-priority policy, not min(doc_id): argmin over (priority,
+  doc_id) per content hash via a struct-min aggregate (single shuffle,
+  no window, no self-join).
+
+Every operator is engine-exact (integer hashes / policy tuples), so the
+DuckDB oracle reproduces each result bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+#: Knuth multiplicative hash over doc_id → uniform pseudo-random percent.
+#: Pure int64 arithmetic (doc_id < 2^31 ⇒ product < 2^63): ANSI-safe and
+#: bit-identical in every engine.
+SAMPLE_MULT = 2_654_435_761
+SAMPLE_MOD = 1 << 32
+SAMPLE_PCT = 10
+
+QUOTA_PER_SOURCE = 100
+TOKEN_BUDGET = 512
+
+#: smaller value = higher priority when choosing the surviving duplicate.
+#: The harness sources are named src0..src19; the policy buckets them into
+#: 4 trust tiers by source number (standing in for wiki > books > web >
+#: social in a real corpus).
+PRIORITY_TIERS = 4
+
+
+def _hash_pct_col(key):
+    return (key * F.lit(SAMPLE_MULT)) % F.lit(SAMPLE_MOD) % F.lit(100)
+
+
+def _sql_hash_pct(expr: str) -> str:
+    return f"(({expr}) * {SAMPLE_MULT}) % {SAMPLE_MOD} % 100"
+
+
+@query(
+    "sample_deterministic_hash",
+    category="llm_pipeline",
+    description=f"Stateless reproducible {SAMPLE_PCT}% sample by key hash",
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE {_sql_hash_pct('doc_id')} < {SAMPLE_PCT}
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership is a pure function of doc_id — re-runs and late shards
+    sample consistently with zero coordination or stored state (unlike
+    ``df.sample``, whose RNG is partition-layout-dependent). Executes as a
+    plain filter at scan speed; at 100 TB it costs one pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_hash_pct_col(F.col("doc_id")) < SAMPLE_PCT).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "sample_quota_per_source",
+    category="llm_pipeline",
+    description=f"Anti-domination cap: ≤{QUOTA_PER_SOURCE} docs per source",
+    oracle=f"""
+        SELECT doc_id, source
+        FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY {_sql_hash_pct('doc_id')}, doc_id) AS rn
+            FROM documents
+        ) t
+        WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each source contributes at most QUOTA docs, chosen by a
+    deterministic pseudo-random order (hash, then doc_id tiebreak) so the
+    quota sample is unbiased w.r.t. storage order yet fully reproducible.
+    One shuffle on source; row_number stops early per partition."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(_hash_pct_col(F.col("doc_id")), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "pack_tokens_sequential",
+    category="llm_pipeline",
+    description=f"Concat-and-split sequence packing into {TOKEN_BUDGET}-token bins",
+    oracle=f"""
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens) / {TOKEN_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+            FROM documents
+        ) t
+    """,
+)
+def pack_tokens_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batching strategy training loaders actually use at scale:
+    concatenate the stream in a canonical order and split every
+    TOKEN_BUDGET tokens. bin_id = (cumulative tokens BEFORE this doc) ÷
+    budget — a running-sum window per source stream (one shuffle + sort),
+    not a bin-packing solver; first-fit-decreasing buys <1% padding at
+    1000× the coordination cost."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tokens).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.floor((cum - n_tokens) / float(TOKEN_BUDGET)).cast("long").alias("bin_id"),
+    )
+
+
+def _sql_priority(expr: str) -> str:
+    return f"(CAST(substr({expr}, 4) AS BIGINT) % {PRIORITY_TIERS})"
+
+
+@query(
+    "dedup_survivor_policy",
+    category="llm_pipeline",
+    description="Exact dedup keeping the highest-priority source's copy",
+    oracle=f"""
+        SELECT md5(text) AS content_hash,
+               CAST(MIN({{p: {_sql_priority('source')}, d: doc_id}}).d AS BIGINT)
+                   AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-aware exact dedup: among identical texts keep the copy from
+    the most trusted source tier, tie-broken by doc_id.
+    min(struct(priority, doc_id)) makes the whole policy ONE
+    hash-aggregate — no window, no self-join, partial aggregation
+    (map-side combine) intact, so it scales like a plain groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.substring("source", 4, 12).cast("long") % PRIORITY_TIERS
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min(F.struct(prio.alias("p"), F.col("doc_id").alias("d")))
+            .getField("d")
+            .alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
