@@ -59,8 +59,13 @@ def count_exchanges(df: DataFrame) -> int:
     queries assert an upper bound so an accidental extra shuffle (lost
     partitioning, missed broadcast) fails fast.
     """
+    # formatted mode names each operator once in a detail block header like
+    # "(5) Exchange"; BroadcastExchange deliberately excluded (broadcasts
+    # move one small side, not the whole stream). NOTE: matching the
+    # "Exchange hashpartitioning(...)" simple-mode spelling here would
+    # silently count 0 in formatted mode and make every bound vacuous.
     text = plan_text(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", text))
+    return len(re.findall(r"^\(\d+\) Exchange\b", text, re.MULTILINE))
 
 
 def assert_broadcast_hash_join(df: DataFrame) -> None:

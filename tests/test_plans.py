@@ -85,6 +85,20 @@ def test_relational_queries_stay_jvm_side(spark, sf_dir):
         assert_no_python_udf_in_plan(get_query(name).builder(spark, sf_dir))
 
 
+def test_pipeline_ops_shuffle_budget(spark, sf_dir):
+    """The selection operators must hit their designed shuffle counts:
+    hash sampling is a pure scan-side filter (zero exchanges), quota and
+    packing are one window shuffle, survivor dedup is one agg shuffle."""
+    sample = get_query("sample_deterministic_hash").builder(spark, sf_dir)
+    assert count_exchanges(sample) == 0
+    assert_read_schema_cols(sample, "documents", {"doc_id", "source", "n_chars"})
+    assert_no_python_udf_in_plan(sample)
+
+    assert count_exchanges(get_query("sample_quota_per_source").builder(spark, sf_dir)) == 1
+    assert count_exchanges(get_query("pack_tokens_sequential").builder(spark, sf_dir)) == 1
+    assert count_exchanges(get_query("dedup_survivor_policy").builder(spark, sf_dir)) == 1
+
+
 def test_reference_option_mapping():
     mapped = map_reference_options(
         {"url": "jdbc:postgresql://h/db", "table": "t", "fetchsize": 1000, "numPartitions": 8}
