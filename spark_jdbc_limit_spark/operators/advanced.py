@@ -228,3 +228,68 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "join_lateral_topn",
+    category="join",
+    description="LATERAL correlated subquery: top-2 customers per nation",
+    oracle="""
+        SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM nation n,
+             LATERAL (SELECT c_custkey, c_acctbal
+                      FROM customer
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) c
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in the FROM clause — per outer row, a
+    dependent top-N. Catalyst rewrites the correlation into a window +
+    filter (DomainJoin decorrelation), so execution is one shuffle on the
+    correlation key, never a per-nation re-scan of customer."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM nation_lat n
+        JOIN LATERAL (SELECT c_custkey, c_acctbal
+                      FROM customer_lat
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 2) c
+        """
+    )
+
+
+@query(
+    "sort_null_ordering",
+    category="sort",
+    description="Explicit NULLS LAST ordering + deterministic top-100",
+    oracle="""
+        SELECT event_id, user_id, purchase_value
+        FROM (SELECT event_id, user_id,
+                     CASE WHEN event_type = 'purchase' THEN ROUND(value, 4) END
+                         AS purchase_value
+              FROM events) t
+        ORDER BY purchase_value ASC NULLS LAST, event_id
+        LIMIT 100
+    """,
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null placement is ENGINE-DEPENDENT by default (Spark sorts nulls
+    first ascending, DuckDB last) — portable queries must spell it out.
+    Explicit asc_nulls_last (Spark's NON-default) + unique tiebreak makes
+    the top-100 a deterministic set of real values; the limit keeps it
+    TakeOrderedAndProject (no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchase_value = F.when(
+        F.col("event_type") == "purchase", F.round("value", 4)
+    ).alias("purchase_value")
+    return (
+        ev.select("event_id", "user_id", purchase_value)
+        .orderBy(F.col("purchase_value").asc_nulls_last(), F.col("event_id"))
+        .limit(100)
+    )

@@ -442,6 +442,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(d.select("doc_id", "text")).mapInPandas(gen, "doc_id long, simhash long")
 
 
+CC_MAX_ITERS = 20
+
+
+@query(
+    "dedup_connected_components",
+    category="llm_dedup",
+    description="Near-dup clusters: connected components over verified LSH pairs",
+    oracle=f"""
+        WITH RECURSIVE {_sql_minhash_bands()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.d1, c.d2, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.d1
+            JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+            GROUP BY c.d1, c.d2
+        ),
+        verified AS (
+            SELECT common.d1, common.d2
+            FROM common
+            JOIN sizes z1 ON z1.doc_id = common.d1
+            JOIN sizes z2 ON z2.doc_id = common.d2
+            WHERE CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT d1 AS a, d2 AS b FROM verified
+                  UNION SELECT d2, d1 FROM verified),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+        )
+        SELECT id AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: the transitive closure of the
+    verified-pair graph, labeled by each component's smallest doc_id (the
+    canonical keeper). Iterative min-label propagation — per round, every
+    node takes the min of its own and its neighbors' labels; rounds =
+    graph diameter (near-dup clusters are tiny, so 2-3 in practice,
+    CC_MAX_ITERS caps pathology). Each round is one join + one groupBy on
+    the edge key; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1 (and caps the plan size). At
+    100 TB scale swap the loop body for the alternating small-star/
+    large-star contraction; the per-round operators are identical.
+    The DuckDB oracle computes the same closure with a recursive CTE —
+    exact, since labels are integer mins."""
+    pairs = dedup_minhash_verified(spark, sf_dir).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint(eager=False)
+    labels = edges.select(F.col("d1").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    for _ in range(CC_MAX_ITERS):
+        neighbor = edges.join(
+            labels, edges["d1"] == labels["doc_id"], "inner"
+        ).select(F.col("d2").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # eager: materialize + cut lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 COSINE_THRESHOLD = 0.4
 
 
