@@ -158,6 +158,58 @@ def ann_lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", hyperplane_bucket_udf()("embedding").alias("bucket"))
 
 
+def _sql_bucket_expr() -> str:
+    return (
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {_sql_plane_dot(j)} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(LSH_PLANES)
+        )
+        + " AS BIGINT)"
+    )
+
+
+@query(
+    "ann_lsh_probe_topk",
+    category="llm_similarity",
+    description=f"LSH ANN: probe query bucket + Hamming-1 neighbors, exact rerank",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {_sql_bucket_expr()} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT bucket AS qb, v AS qv FROM b WHERE vec_id = {QUERY_VEC_ID})
+        SELECT b.vec_id,
+               {sql_round_dbl('list_cosine_similarity(b.v, q.qv)', 4)} AS cos_sim
+        FROM b, q
+        WHERE b.vec_id <> {QUERY_VEC_ID}
+          AND bit_count(xor(b.bucket, q.qb)) <= 1
+        ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id
+        LIMIT {TOP_K}
+    """,
+)
+def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LSH ANN search, end to end: bucket every vector (one scan,
+    shuffle-free), probe only the query's bucket plus its 16 Hamming-1
+    neighbors (multi-probe doubles recall at negligible cost), exact
+    cosine rerank inside the probe set. At 100 TB the bucket is a parquet
+    partition key, so probing = partition pruning: the scan reads
+    ~17/65536 of the corpus. Deterministic hyperplanes → the oracle
+    reproduces bucket assignment and the probe set exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
+    signs = (np.asarray(qv, dtype=np.float64) @ _PLANES.T) > 0
+    q_bucket = int(signs @ _PLANE_WEIGHTS)
+    bucketed = e.select("vec_id", "embedding", hyperplane_bucket_udf()("embedding").alias("bucket"))
+    cand = bucketed.filter(
+        (F.col("vec_id") != QUERY_VEC_ID)
+        & (F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= 1)
+    )
+    return cosine_topk(cand.select("vec_id", "embedding"), qv, TOP_K)
+
+
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 

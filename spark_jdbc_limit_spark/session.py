@@ -52,3 +52,30 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Local tests resolve the module through the driver's cwd, but a driver
+    that imports ``__spark_entry__`` from another working directory (or a
+    real cluster, where workers share nothing with the driver) would fail
+    inside any pandas UDF with ``ModuleNotFoundError``. Shipping a zip of
+    the package via ``addPyFile`` removes the cwd dependency entirely;
+    idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_spark_graft_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    archive = shutil.make_archive(
+        os.path.join(tempfile.mkdtemp(prefix="spark_graft_"), "spark_jdbc_limit_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(archive)
+    sc._spark_graft_shipped = True
