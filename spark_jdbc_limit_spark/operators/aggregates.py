@@ -232,3 +232,38 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_collect_sorted",
+    category="aggregation",
+    description="Ordered collect_list / string_agg per nation",
+    oracle="""
+        SELECT n_nationkey,
+               string_agg(s_name, '|' ORDER BY s_name) AS supplier_names,
+               COUNT(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_nationkey
+        ORDER BY n_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG/string_agg semantics: collect per-group values into a
+    canonically ordered string. ``collect_list`` order is
+    partition-layout-dependent, so ``sort_array`` before joining — the
+    only way the result is deterministic under ANY partitioning (and the
+    reason the oracle's ORDER BY inside string_agg matches exactly).
+    One hash aggregate; the small nation dim broadcasts."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "supplier_names"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_nationkey")
+    )

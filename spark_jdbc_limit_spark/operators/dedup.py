@@ -507,21 +507,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(CC_MAX_ITERS):
         neighbor = edges.join(
             labels, edges["d1"] == labels["doc_id"], "inner"
-        ).select(F.col("d2").alias("doc_id"), "component")
-        new_labels = (
-            labels.unionByName(neighbor)
+        ).select(
+            F.col("d2").alias("doc_id"),
+            "component",
+            F.lit(None).cast("long").alias("own"),
+        )
+        # Carry each node's previous label ("own", unique per doc) through
+        # the union so change detection is a column compare on the round's
+        # aggregate — no second join against the old labels per round.
+        agg = (
+            labels.select("doc_id", "component", F.col("component").alias("own"))
+            .unionByName(neighbor)
             .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("own").alias("own"),
+            )
             .localCheckpoint()  # eager: materialize + cut lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = agg.select("doc_id", "component")
+        # min-propagation only ever lowers labels, so < means "changed";
+        # the count scans the checkpointed round result, no recompute.
+        if agg.filter(F.col("component") < F.col("own")).count() == 0:
             break
     return labels
 

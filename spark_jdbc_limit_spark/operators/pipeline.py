@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_jdbc_limit_spark.operators.dedup import _sql_shingles, shingle_hashes
 from spark_jdbc_limit_spark.operators.registry import query
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
@@ -148,6 +149,59 @@ def pack_tokens_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n_tokens.alias("n_tokens"),
         F.floor((cum - n_tokens) / float(TOKEN_BUDGET)).cast("long").alias("bin_id"),
+    )
+
+
+#: decontamination shingle width. Real pipelines use 8-13-gram overlap
+#: (e.g. GPT-3's 13-gram dedup against benchmarks); 5 keeps the check
+#: non-vacuous on the tiny synthetic corpus while exercising the exact
+#: same plan shape.
+DECON_K = 5
+EVAL_MOD = 97
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    category="llm_pipeline",
+    description=f"Drop training docs sharing any {DECON_K}-gram with the eval split",
+    oracle=f"""
+        WITH sh AS ({_sql_shingles(DECON_K)}),
+        eval_h AS (SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+        cont AS (
+            SELECT DISTINCT doc_id FROM sh
+            WHERE doc_id % {EVAL_MOD} <> 0 AND h IN (SELECT h FROM eval_h)
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        WHERE d.doc_id % {EVAL_MOD} <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        ORDER BY d.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a training doc is dropped if it shares
+    ANY hashed DECON_K-word shingle with the (deterministic) eval split.
+    Plan shape for 100 TB: the eval side's distinct shingle set is tiny
+    (benchmarks are MBs) → broadcast it; the training side then runs a
+    broadcast LEFT SEMI to find contaminated doc_ids (no shuffle of the
+    corpus), and the final LEFT ANTI against that small id set is again
+    broadcast. The full-corpus scan is touched exactly once, shuffle-free.
+    Shingle hashing is the engine-exact rolling hash shared with
+    operators/dedup.py, so the oracle reproduces the result bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d, k=DECON_K)
+    is_eval = (F.col("doc_id") % EVAL_MOD) == 0
+    eval_h = sh.filter(is_eval).select("h").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_h), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "lang")
     )
 
 

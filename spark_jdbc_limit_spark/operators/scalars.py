@@ -198,14 +198,19 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with an explicit schema parses each props string ONCE
+    and extracts every field from the struct; per-field ``get_json_object``
+    would re-run the JSON parser per extraction (3× the parse work here,
+    and linearly worse as fields are added)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    j = F.from_json("props", "k bigint, missing string")
     return (
-        ev.select(
+        ev.select("event_id", j.alias("j"))
+        .select(
             "event_id",
-            k.alias("k_val"),
-            (k % 10).alias("k_bucket"),
-            F.get_json_object("props", "$.missing").alias("missing_val"),
+            F.col("j.k").alias("k_val"),
+            (F.col("j.k") % 10).alias("k_bucket"),
+            F.col("j.missing").alias("missing_val"),
         )
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
 
@@ -192,4 +193,32 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            PARTITION BY o_orderstatus, year(o_orderdate), month(o_orderdate)
            ORDER BY o_totalprice
            RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_band""",
+    )
+
+
+@query(
+    "window_distribution",
+    category="window",
+    description="percent_rank / cume_dist of account balance within segment",
+    oracle=f"""
+        SELECT c_custkey, c_mktsegment,
+               {sql_round_dbl('percent_rank() OVER w', 6)} AS pct_rank,
+               {sql_round_dbl('cume_dist() OVER w', 6)} AS cum_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — rank-normalized position within the
+    partition. The ordering key appends c_custkey so ties are broken
+    deterministically in both engines (percent_rank over a non-unique
+    ordering is otherwise engine-dependent for peers under cume_dist)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        round_dbl(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_dbl(F.cume_dist().over(w), 6).alias("cum_dist"),
     )

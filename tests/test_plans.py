@@ -108,3 +108,25 @@ def test_reference_option_mapping():
     # the reference's hand-rolled pushdowns must be on by default
     assert mapped["pushDownLimit"] == "true"
     assert mapped["pushDownPredicate"] == "true"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The corpus-side scan must join the (tiny) eval shingle set and the
+    contaminated-id set via broadcast — a shuffle of the corpus here is
+    exactly the plan that dies at 100 TB."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("decontaminate_ngram_overlap").builder(spark, sf_dir)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text
+    # semi (shingle overlap) + anti (survivor filter) both broadcast
+    assert "LeftSemi" in text and "LeftAnti" in text
+    for marker in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert marker not in text, f"corpus-side shuffle join: {marker}"
+
+
+def test_collect_sorted_single_agg_exchange(spark, sf_dir):
+    df = get_query("agg_collect_sorted").builder(spark, sf_dir)
+    assert_broadcast_hash_join(df)
+    # one shuffle for the groupBy, one for the output sort
+    assert count_exchanges(df) <= 2
