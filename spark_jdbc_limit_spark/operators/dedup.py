@@ -303,7 +303,6 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only. Verification touches |candidates| × shingles,
     not n² — the shape that survives 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(d)
     bands = minhash_band_buckets(d)
     b2 = bands.select(
         F.col("doc_id").alias("doc_id2"),
@@ -319,7 +318,22 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
         .distinct()
+        # cand feeds both the candidate-doc semi-join and the common-shingle
+        # join below; checkpoint so the band pipeline runs once, not twice.
+        .localCheckpoint(eager=False)
     )
+    # Verification needs shingle sets ONLY for docs in some candidate pair —
+    # a small fraction of the corpus. Re-shingling just those (broadcast
+    # semi-join on the candidate ids) instead of everything removes the
+    # pipeline's second full-corpus scan + hash pass: at 100 TB the corpus
+    # is read once for signatures, and verification I/O scales with the
+    # near-dup rate, not the corpus size.
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_hashes(d.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
     s2 = sh.select(F.col("doc_id").alias("d2b"), F.col("h").alias("h2"))
