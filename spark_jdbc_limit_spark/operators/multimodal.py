@@ -122,3 +122,61 @@ def multimodal_payload_through_relational(spark: SparkSession, sf_dir: str) -> D
         )
         .orderBy("lang")
     )
+
+
+FRAME_SIZE = 32     # bytes per "frame" of the opaque payload
+FRAME_STRIDE = 4    # keep every 4th frame
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: 1 payload row in → one row per SAMPLED frame
+    out (the row-explosion shape video pipelines use: decode is per-frame,
+    so sampling BEFORE decode is what makes 100 TB of video tractable).
+    Frames are fixed-size byte slices here; a real pipeline would hand
+    each slice to the codec (see decode_image) instead of hex-dumping it."""
+    for pdf in batches:
+        ids: list[int] = []
+        idxs: list[int] = []
+        hexes: list[str] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_SIZE
+            for i in range(0, n_frames, FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                hexes.append(payload[i * FRAME_SIZE : (i + 1) * FRAME_SIZE].hex())
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_idx": np.asarray(idxs, dtype=np.int64),
+                "frame_hex": pd.Series(hexes, dtype="object"),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    category="llm_multimodal",
+    description=f"Strided frame sampling: every {FRAME_STRIDE}th {FRAME_SIZE}-byte frame",
+    oracle=f"""
+        SELECT doc_id, i AS frame_idx,
+               lower(substring(hex(encode(text)),
+                               CAST(i * {FRAME_SIZE} * 2 + 1 AS BIGINT),
+                               {FRAME_SIZE} * 2)) AS frame_hex
+        FROM documents,
+             UNNEST(range(0, octet_length(encode(text)) // {FRAME_SIZE},
+                          {FRAME_STRIDE})) t(i)
+        ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: slice each
+    payload into FRAME_SIZE-byte frames, keep every FRAME_STRIDE-th, one
+    output row per kept frame. Runs embarrassingly parallel (frame
+    extraction is payload-local, no shuffle); the oracle recomputes each
+    kept slice from the source text via hex-string arithmetic, proving
+    the byte-offset math end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return with_payload.mapInPandas(
+        sample_frames, "doc_id long, frame_idx long, frame_hex string"
+    ).orderBy("doc_id", "frame_idx")

@@ -14,8 +14,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = build_session(app_name="tests", cpus=8, shuffle_partitions=8, driver_memory="6g")
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    spark = build_session(
+        app_name="tests",
+        cpus=8,
+        shuffle_partitions=8,
+        driver_memory="6g",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
 
 
