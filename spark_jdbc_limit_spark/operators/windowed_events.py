@@ -135,3 +135,29 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")
+
+
+@query(
+    "events_enrich_dim_join",
+    category="streaming",
+    description="Events enriched with the customer dimension (batch twin of the stream-static join)",
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+               ROUND(e.value, 2) AS value_r
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        ORDER BY e.event_id
+    """,
+)
+def events_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment of the event stream, batch mode. The streaming
+    twin (streaming/windows.py::stream_enriched_with_dim) runs the SAME
+    join per micro-batch with the dim broadcast — the standard pattern for
+    attaching slowly-changing reference data to a 100 TB/day stream
+    without shuffling the stream side."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "segment", F.round("value", 2).alias("value_r")
+    )

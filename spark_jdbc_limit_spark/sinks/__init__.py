@@ -8,6 +8,12 @@ from spark_jdbc_limit_spark.sinks.transactional import (
     AtomicWriteError,
     write_jdbc_atomic,
     write_parquet_atomic,
+    write_parquet_overwrite_partitions,
 )
 
-__all__ = ["AtomicWriteError", "write_jdbc_atomic", "write_parquet_atomic"]
+__all__ = [
+    "AtomicWriteError",
+    "write_jdbc_atomic",
+    "write_parquet_atomic",
+    "write_parquet_overwrite_partitions",
+]

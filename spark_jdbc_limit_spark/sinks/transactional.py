@@ -229,3 +229,87 @@ def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], au
             stmt.close()
     finally:
         conn.close()
+
+
+def write_parquet_overwrite_partitions(
+    df: DataFrame,
+    target: str,
+    partition_col: str,
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leave every other partition of ``target`` untouched.
+
+    This is the incremental-backfill primitive a 100 TB pipeline runs
+    daily: recompute ``dt=2026-08-13`` and swap it in without rewriting
+    (or even listing) the other 3000 partitions. Spark's built-in
+    ``partitionOverwriteMode=dynamic`` has no cross-partition atomicity —
+    a mid-job failure leaves some partitions new and some old; here each
+    partition directory is swapped by rename AFTER the full staging write
+    succeeded, and on a mid-publish failure every already-swapped
+    partition is restored from its trash location (same compensation
+    posture as the reference's xmin delete, ExtJdbcUtils.scala:324-337,
+    but restoring instead of destroying).
+
+    Single partition column only (the common date-partition case);
+    multi-level layouts should swap at their leaf level via a table
+    format (Iceberg/Delta) instead.
+    """
+    spark = df.sparkSession
+    jvm, fs, target_path = _hadoop_fs(spark, target)
+    Path = jvm.org.apache.hadoop.fs.Path
+
+    token = uuid.uuid4().hex[:12]
+    staging = f"{target.rstrip('/')}__staging_{token}"
+    staging_path = Path(staging)
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    except Exception as exc:
+        fs.delete(staging_path, True)
+        raise AtomicWriteError(
+            f"staging write to {staging} failed; staging removed, target {target} untouched"
+        ) from exc
+
+    if not fs.exists(target_path):
+        if not fs.rename(staging_path, target_path):
+            fs.delete(staging_path, True)
+            raise AtomicWriteError(f"publish rename to {target_path} failed")
+        return
+
+    part_dirs = [
+        st.getPath()
+        for st in fs.listStatus(staging_path)
+        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
+    ]
+    swapped: list = []  # (trash_or_None, target_dir) in swap order
+    try:
+        for src in part_dirs:
+            dst = Path(target_path, src.getName())
+            trash = None
+            if fs.exists(dst):
+                trash = Path(str(target_path), f"__trash_{token}_{src.getName()}")
+                if not fs.rename(dst, trash):
+                    raise AtomicWriteError(f"could not move old {dst} aside")
+            if not fs.rename(src, dst):
+                if trash is not None:
+                    fs.rename(trash, dst)
+                raise AtomicWriteError(f"rename {src} -> {dst} failed")
+            swapped.append((trash, dst))
+    except Exception as exc:
+        stranded: list[str] = []
+        for trash, dst in reversed(swapped):
+            fs.delete(dst, True)
+            if trash is not None and not fs.rename(trash, dst):
+                stranded.append(str(trash))
+        fs.delete(staging_path, True)
+        if stranded:
+            raise AtomicWriteError(
+                f"partition publish failed and rollback stranded old data at: {stranded}"
+            ) from exc
+        raise AtomicWriteError(
+            f"partition publish to {target_path} failed; "
+            f"{len(swapped)} swapped partitions restored"
+        ) from exc
+    for trash, _ in swapped:
+        if trash is not None:
+            fs.delete(trash, True)
+    fs.delete(staging_path, True)

@@ -120,3 +120,20 @@ def run_stream_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_enriched_with_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of events joins the static
+    customer dimension (broadcast — the stream side never shuffles).
+    Static side is re-resolved per batch, so a dim refresh between
+    triggers is picked up automatically; no watermark needed because the
+    join is stateless (inner, static right side)."""
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "segment", F.round("value", 2).alias("value_r")
+    )

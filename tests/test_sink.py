@@ -87,3 +87,33 @@ def test_partitioned_write(spark, target):
     got = spark.read.parquet(target)
     assert got.count() == 100
     assert set(got.columns) == {"id", "v", "bucket"}
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: rewrite ONE event_type partition;
+    every other partition's bytes stay untouched."""
+    from spark_jdbc_limit_spark.sinks import write_parquet_overwrite_partitions
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value", "event_type")
+    write_parquet_overwrite_partitions(ev, target, "event_type")
+
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    assert len(types) >= 2
+    victim, survivor = sorted(types)[0], sorted(types)[1]
+    before_survivor = (
+        spark.read.parquet(target).filter(F.col("event_type") == survivor).count()
+    )
+
+    patch = (
+        ev.filter(F.col("event_type") == victim)
+        .withColumn("value", F.col("value") * 2)
+        .limit(5)
+    )
+    write_parquet_overwrite_partitions(patch, target, "event_type")
+
+    got = spark.read.parquet(target)
+    assert got.filter(F.col("event_type") == victim).count() == 5
+    assert got.filter(F.col("event_type") == survivor).count() == before_survivor

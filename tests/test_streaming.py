@@ -65,3 +65,14 @@ def test_late_data_dropped_beyond_watermark(spark, sf_dir):
     )
     assert len(merged) == len(appended)  # every emitted window exists in batch
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static dim enrichment emits exactly the batch join's rows."""
+    from spark_jdbc_limit_spark.streaming.windows import stream_enriched_with_dim
+
+    got = run_stream_to_memory(
+        stream_enriched_with_dim(spark, sf_dir), "append"
+    ).toPandas()
+    want = get_query("events_enrich_dim_join").builder(spark, sf_dir).toPandas()
+    compare_frames(got, want, "stream-static join vs batch twin")
