@@ -1,0 +1,103 @@
+"""Property tests for the custom as-of join operator (asof.py): pandas
+``merge_asof`` (backward, inclusive) is the independent oracle. Hypothesis
+drives key skew, ties, empty sides, and no-match-before-t cases the
+fixture-based oracle test can't enumerate."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from spark_jdbc_limit_spark.operators.asof import asof_join
+
+LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("lid", T.LongType()),
+    ]
+)
+RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("rk", T.LongType()),
+        T.StructField("rt", T.LongType()),
+        T.StructField("pay", T.LongType()),
+    ]
+)
+
+left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=12
+)
+# unique (key, time) on the right: with duplicates there the "winning"
+# payload is tie-broken by sort order, which both engines leave undefined
+right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-5, 5)),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _expected(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> list[tuple]:
+    if rpdf.empty:
+        merged = lpdf.assign(pay=pd.NA)
+    else:
+        merged = pd.merge_asof(
+            lpdf.sort_values(["t", "lid"]),
+            rpdf.rename(columns={"rk": "k"}).sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="backward",
+        )
+    return sorted(
+        (int(r.k), int(r.t), int(r.lid), None if pd.isna(r.pay) else int(r.pay))
+        for r in merged.itertuples()
+    )
+
+
+def _run_asof(spark, lrows, rrows, num_salts: int) -> list[tuple]:
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], LEFT_SCHEMA
+    )
+    rdf = spark.createDataFrame(list(rrows), RIGHT_SCHEMA)
+    out = asof_join(
+        ldf,
+        rdf,
+        on_left="t",
+        on_right="rt",
+        by_left="k",
+        by_right="rk",
+        right_payload=["pay"],
+        num_salts=num_salts,
+    ).collect()
+    return sorted(
+        (r["k"], r["t"], r["lid"], None if r["pay"] is None else int(r["pay"]))
+        for r in out
+    )
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):
+    lpdf = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)], columns=["k", "t", "lid"]
+    ).astype("int64")
+    rpdf = pd.DataFrame(rrows, columns=["rk", "rt", "pay"]).astype("int64")
+    assert _run_asof(spark, lrows, rrows, num_salts=1) == _expected(lpdf, rpdf)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_salted_equals_unsalted(spark, lrows, rrows):
+    """num_salts > 1 (skew mitigation: scatter left, replicate right) must
+    be a pure performance knob — bit-identical output."""
+    assert _run_asof(spark, lrows, rrows, num_salts=3) == _run_asof(
+        spark, lrows, rrows, num_salts=1
+    )
