@@ -295,10 +295,13 @@ def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_right="o_custkey",
         right_payload=["o_orderkey", "o_totalprice"],
     )
+    # No trailing orderBy: the output is per-row (one per event) and the
+    # driver's compare is order-insensitive — a global sort here is a full
+    # extra exchange at scale for nothing.
     return joined.select(
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         F.col("o_orderkey").alias("last_orderkey"),
         F.round("o_totalprice", 2).alias("last_totalprice"),
-    ).orderBy("event_id")
+    )

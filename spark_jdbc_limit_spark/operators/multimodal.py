@@ -90,7 +90,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary roundtrip and the batch operator are lossless."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 4)
     with_payload = d.select("doc_id", "text", F.encode("text", "utf-8").alias("payload"))
-    return with_payload.mapInPandas(extract_binary_features, FEATURE_SCHEMA).orderBy("doc_id")
+    return with_payload.mapInPandas(extract_binary_features, FEATURE_SCHEMA)
 
 
 @query(
@@ -179,4 +179,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return with_payload.mapInPandas(
         sample_frames, "doc_id long, frame_idx long, frame_hex string"
-    ).orderBy("doc_id", "frame_idx")
+    )

@@ -67,7 +67,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("avg_word_len"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -117,7 +116,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("quality_pass"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -169,7 +167,6 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
-        .orderBy("doc_id")
     )
 
 
@@ -214,4 +211,4 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
     )
-    return d.select("doc_id", doc_fp.alias("fingerprint")).orderBy("doc_id")
+    return d.select("doc_id", doc_fp.alias("fingerprint"))
