@@ -251,6 +251,82 @@ def join_range_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_overlap",
+    category="join",
+    description="Interval-overlap self-join: same-customer order windows (30d) that overlap",
+    oracle="""
+        WITH w AS (
+            SELECT o_orderkey, o_custkey,
+                   o_orderdate AS win_start,
+                   o_orderdate + INTERVAL 30 DAY AS win_end
+            FROM orders
+        )
+        SELECT a.o_custkey AS custkey,
+               COUNT(*) AS n_overlap_pairs,
+               CAST(SUM(epoch_ms(least(a.win_end, b.win_end))
+                        - epoch_ms(greatest(a.win_start, b.win_start))) AS BIGINT)
+                   AS overlap_ms_total
+        FROM w a JOIN w b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.win_start < b.win_end
+         AND b.win_start < a.win_end
+        GROUP BY a.o_custkey
+        ORDER BY custkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (SURVEY.md §2B joins: "range / as-of / interval"): both
+    sides carry an interval and the predicate is symmetric overlap
+    (a.start < b.end AND b.start < a.end), not a point-in-band test like
+    join_range_hybrid. The reference has no join code (SURVEY.md §2B) — host
+    Spark executes joins above its scans — so this is the engine-surface op.
+
+    Scale shape: the equi conjunct (o_custkey) keys a hash join (broadcast
+    under the threshold, shuffled/sort-merge at scale), so both sides
+    co-partition by customer and the overlap predicate evaluates post-join
+    inside codegen; per-key pair cost is bounded by orders-per-customer
+    (~10 at any SF), never global-quadratic. A hot customer key
+    would salt exactly like agg_salted_two_phase. Overlap length is computed
+    in integer milliseconds (unix_millis / epoch_ms) so Spark and the oracle
+    agree bit-for-bit with no float rounding."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+        )
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.win_start") < F.col("b.win_end"))
+        & (F.col("b.win_start") < F.col("a.win_end")),
+    )
+    # parquet timestamps are NTZ; unix_millis needs TIMESTAMP — the cast is
+    # exact under the engine's UTC session convention (session.py).
+    overlap_ms = F.unix_millis(
+        F.least(F.col("a.win_end"), F.col("b.win_end")).cast("timestamp")
+    ) - F.unix_millis(
+        F.greatest(F.col("a.win_start"), F.col("b.win_start")).cast("timestamp")
+    )
+    return (
+        pairs.groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.sum(overlap_ms).alias("overlap_ms_total"),
+        )
+        .orderBy("custkey")
+    )
+
+
+
+
+@query(
     "join_asof_events_orders",
     category="join",
     description="As-of join: each event picks up the user's most recent order",
