@@ -130,3 +130,19 @@ def test_collect_sorted_single_agg_exchange(spark, sf_dir):
     assert_broadcast_hash_join(df)
     # one shuffle for the groupBy, one for the output sort
     assert count_exchanges(df) <= 2
+
+
+def test_interval_overlap_join_shape(spark, sf_dir):
+    """Interval join must stay an equi-keyed hash/SMJ with the overlap
+    predicate as a post-join condition — never a nested-loop cross
+    product — and read only the three needed order columns."""
+    df = get_query("join_interval_overlap").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert_read_schema_cols(
+        df, "orders", {"o_orderkey", "o_custkey", "o_orderdate"}
+    )
+    # agg reuses the join's custkey partitioning; budget: join-side
+    # exchanges (or none when broadcast) + final sort
+    assert count_exchanges(df) <= 3
