@@ -121,6 +121,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_sketch_union",
+    category="aggregation",
+    description="Datasketches HLL: per-group sketches re-aggregated via hll_union_agg",
+    oracle=None,  # sketch estimates are engine-specific; rows-only + property test
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches as first-class mergeable state (beyond approx_count_distinct,
+    which hides the sketch): hll_sketch_agg materializes a per-group binary
+    HLL sketch, hll_union_agg merges sketches downstream. This is the 100 TB
+    rollup pattern — per-partition/per-day sketches a few KB each are stored
+    or shuffled instead of raw keys, and any coarser grouping is answered by
+    unioning sketches, never rescanning data. The reference has no aggregate
+    code at all (SURVEY.md §2B: host Spark runs aggregation above its scans).
+
+    tests/test_llm_ops.py pins the invariant that makes this sound: a union
+    of per-group sketches estimates the same cardinality as one sketch built
+    over the whole column (within sketch error — the union path promotes to
+    HLL_8/lgMaxK so it is not bit-identical), both within 5% of exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_flag.select(
+            "l_returnflag",
+            "n_rows",
+            F.hll_sketch_estimate("sk").alias("approx_parts"),
+        ).orderBy("l_returnflag")
+    )
+
+
+@query(
     "agg_rollup",
     category="aggregation",
     description="ROLLUP over (returnflag, linestatus) with grouping ids",

@@ -70,3 +70,28 @@ def test_lsh_buckets_spread(spark, sf_correct):
 def test_decode_stub_gated():
     with pytest.raises(NotImplementedError, match="codecs"):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_hll_union_of_group_sketches_equals_direct_sketch(spark, sf_correct):
+    """Mergeability invariant behind agg_hll_sketch_union: unioning per-group
+    HLL sketches estimates the same cardinality as one sketch over the whole
+    column (union promotes to HLL_8/lgMaxK, so estimates agree within the
+    sketch error bound, not bit-for-bit), and both land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_correct, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est")
+    ).collect()[0]["est"]
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(merged - direct) / exact < 0.03
+    assert abs(merged - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05
+    rows = get_query("agg_hll_sketch_union").builder(spark, sf_correct).collect()
+    assert len(rows) >= 1 and all(r["approx_parts"] > 0 for r in rows)
