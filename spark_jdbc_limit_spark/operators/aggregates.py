@@ -144,13 +144,19 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("l_partkey").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return (
-        per_flag.select(
-            "l_returnflag",
-            "n_rows",
-            F.hll_sketch_estimate("sk").alias("approx_parts"),
-        ).orderBy("l_returnflag")
+    per_flag_rows = per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.hll_sketch_estimate("sk").alias("approx_parts"),
     )
+    # The rollup level: the grand total is answered by UNIONING the per-flag
+    # sketches (hll_union_agg), never rescanning lineitem — the whole point
+    # of carrying sketches instead of estimates.
+    grand_total = per_flag.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", True)).alias("approx_parts"),
+    ).select(F.lit("ALL").alias("l_returnflag"), "n_rows", "approx_parts")
+    return per_flag_rows.unionByName(grand_total).orderBy("l_returnflag")
 
 
 @query(

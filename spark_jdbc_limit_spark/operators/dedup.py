@@ -518,6 +518,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("d1").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("component")
     )
+    converged = False
     for _ in range(CC_MAX_ITERS):
         neighbor = edges.join(
             labels, edges["d1"] == labels["doc_id"], "inner"
@@ -543,7 +544,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min-propagation only ever lowers labels, so < means "changed";
         # the count scans the checkpointed round result, no recompute.
         if agg.filter(F.col("component") < F.col("own")).count() == 0:
+            converged = True
             break
+    if not converged:
+        # Returning unconverged labels would be silently wrong for any
+        # component whose diameter exceeds the round budget — fail loud.
+        raise RuntimeError(
+            f"label propagation did not converge within {CC_MAX_ITERS} rounds; "
+            "component diameter exceeds budget — raise CC_MAX_ITERS or switch "
+            "to small-star/large-star contraction for this dataset"
+        )
     return labels
 
 

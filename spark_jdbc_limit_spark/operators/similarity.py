@@ -123,8 +123,11 @@ def hyperplane_bucket_udf():
     One Arrow batch → one (n, dim) @ (dim, planes) matrix product; the
     per-plane higher-order-function formulation costs
     planes × dim interpreted lambda evals per ROW (~2M per 1k rows) —
-    the GEMM is ~20× faster and bit-compatible on this data (sign of an
-    O(1)-magnitude double dot product)."""
+    the GEMM is ~20× faster. GEMM and the oracle's sequential sum order
+    floats differently, so a dot near 0 could flip sign; soundness on the
+    compared data is VERIFIED, not assumed — tests/test_llm_ops.py::
+    test_float_decision_margins_on_oracle_data pins min |dot| > 1e-6,
+    ~6 orders above the accumulation error."""
 
     @F.pandas_udf("long")
     def bucket(emb: pd.Series) -> pd.Series:

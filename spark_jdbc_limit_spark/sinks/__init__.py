@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from spark_jdbc_limit_spark.sinks.transactional import (
     AtomicWriteError,
+    recover_partition_publish,
     write_jdbc_atomic,
     write_parquet_atomic,
     write_parquet_overwrite_partitions,
@@ -13,6 +14,7 @@ from spark_jdbc_limit_spark.sinks.transactional import (
 
 __all__ = [
     "AtomicWriteError",
+    "recover_partition_publish",
     "write_jdbc_atomic",
     "write_parquet_atomic",
     "write_parquet_overwrite_partitions",

@@ -34,6 +34,7 @@ Non-atomic windows, documented exactly as the reference documents its
 
 from __future__ import annotations
 
+import json
 import uuid
 
 from pyspark.sql import DataFrame
@@ -280,6 +281,23 @@ def write_parquet_overwrite_partitions(
         for st in fs.listStatus(staging_path)
         if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
     ]
+    # Durable publish manifest: written BEFORE the first swap so a driver
+    # crash mid-swap is detectable — recover_partition_publish() reads it
+    # and rolls the half-published partitions back (target state = before
+    # the publish). Deleted only after all swaps + trash cleanup succeed.
+    manifest_path = Path(target_path, f"__publish_manifest_{token}.json")
+    _fs_write_text(
+        fs,
+        manifest_path,
+        json.dumps(
+            {
+                "token": token,
+                "staging": staging,
+                "partition_col": partition_col,
+                "partitions": [p.getName() for p in part_dirs],
+            }
+        ),
+    )
     swapped: list = []  # (trash_or_None, target_dir) in swap order
     try:
         for src in part_dirs:
@@ -305,6 +323,7 @@ def write_parquet_overwrite_partitions(
             raise AtomicWriteError(
                 f"partition publish failed and rollback stranded old data at: {stranded}"
             ) from exc
+        fs.delete(manifest_path, False)
         raise AtomicWriteError(
             f"partition publish to {target_path} failed; "
             f"{len(swapped)} swapped partitions restored"
@@ -313,3 +332,74 @@ def write_parquet_overwrite_partitions(
         if trash is not None:
             fs.delete(trash, True)
     fs.delete(staging_path, True)
+    fs.delete(manifest_path, False)
+
+
+def recover_partition_publish(spark, target: str) -> list[str]:
+    """Crash recovery for :func:`write_parquet_overwrite_partitions`: find
+    publish manifests left behind by a driver that died mid-swap and ROLL
+    BACK each half-published publish, restoring the pre-publish target
+    state. Per manifest partition:
+
+    - trash dir exists → the swap touched it: drop the (new) partition dir
+      and rename the trash back;
+    - no trash but the staging copy is gone and the partition dir exists →
+      it was swapped in with no prior data: drop it;
+    - staging copy still present → never swapped: leave the target alone.
+
+    Then delete the staging dir and the manifest. Run this at pipeline
+    startup (idempotent, no-op when no manifest exists). Returns the list
+    of recovered publish tokens.
+    """
+    jvm, fs, target_path = _hadoop_fs(spark, target)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(target_path):
+        return []
+    recovered = []
+    for st in fs.listStatus(target_path):
+        name = st.getPath().getName()
+        if not (name.startswith("__publish_manifest_") and name.endswith(".json")):
+            continue
+        man = json.loads(_fs_read_text(jvm, fs, st.getPath()))
+        token = man["token"]
+        staging_path = Path(man["staging"])
+        for part in man["partitions"]:
+            dst = Path(target_path, part)
+            trash = Path(str(target_path), f"__trash_{token}_{part}")
+            if fs.exists(trash):
+                fs.delete(dst, True)
+                if not fs.rename(trash, dst):
+                    raise AtomicWriteError(f"recovery could not restore {trash} -> {dst}")
+            elif not fs.exists(Path(staging_path, part)) and fs.exists(dst):
+                fs.delete(dst, True)
+        fs.delete(staging_path, True)
+        fs.delete(st.getPath(), False)
+        recovered.append(token)
+    return recovered
+
+
+def _fs_write_text(fs, path, text: str) -> None:
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(jvm, fs, path) -> str:
+    # py4j passes byte[] by value, so a read(buf) loop can't observe bytes
+    # Java writes into the buffer — read line-wise on the JVM side instead
+    # (readLine returns Python strings by value).
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(path), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return "\n".join(lines)
+    finally:
+        reader.close()

@@ -5,6 +5,7 @@ at 100 TB."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.plans import count_exchanges, plan_text
@@ -12,7 +13,10 @@ from spark_jdbc_limit_spark.sources.bucketing import read_table, write_bucketed
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
 
-def test_bucketed_join_no_exchange(spark, sf_dir):
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    """Create orders_b / lineitem_b once for every test in this module, so
+    each test passes in isolation (pytest -k, shuffled order)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     write_bucketed(orders, "orders_b", "o_orderkey", num_buckets=8)
@@ -22,7 +26,11 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
         "o_orderkey",
         num_buckets=8,
     )
+    return orders, lineitem
 
+
+def test_bucketed_join_no_exchange(spark, sf_dir, bucketed_tables):
+    orders, lineitem = bucketed_tables
     joined = read_table(spark, "orders_b").join(
         read_table(spark, "lineitem_b"), "o_orderkey"
     )
@@ -36,7 +44,7 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     assert joined.count() == plain.count()
 
 
-def test_bucketed_groupby_no_exchange(spark, sf_dir):
+def test_bucketed_groupby_no_exchange(spark, sf_dir, bucketed_tables):
     agg = (
         read_table(spark, "lineitem_b")
         .groupBy("o_orderkey")

@@ -94,4 +94,40 @@ def test_hll_union_of_group_sketches_equals_direct_sketch(spark, sf_correct):
     assert abs(merged - exact) / exact < 0.05
     assert abs(direct - exact) / exact < 0.05
     rows = get_query("agg_hll_sketch_union").builder(spark, sf_correct).collect()
-    assert len(rows) >= 1 and all(r["approx_parts"] > 0 for r in rows)
+    assert len(rows) >= 2 and all(r["approx_parts"] > 0 for r in rows)
+    # the query's own rollup row must be the sketch-union estimate, ≈ exact
+    total = next(r for r in rows if r["l_returnflag"] == "ALL")
+    assert abs(total["approx_parts"] - exact) / exact < 0.05
+
+
+def test_float_decision_margins_on_oracle_data(sf_correct):
+    """The LSH bucket and cosine-pair oracles compare float expressions
+    computed with DIFFERENT summation orders (numpy GEMM vs sequential
+    SQL sums). That is sound only if no decision quantity sits within
+    float-error distance of its threshold — verify the margin on the
+    exact data the driver compares (sf0.01), with plenty of headroom
+    over the ~1e-12 accumulation error of a 64-dim double dot product."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.dedup import COSINE_THRESHOLD
+    from spark_jdbc_limit_spark.operators.similarity import _PLANES
+
+    t = pq.read_table(f"{sf_correct}/embeddings.parquet").to_pandas()
+    v = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+
+    # hyperplane sign decisions: min |<v, plane>| across all vectors/planes
+    dots = v @ _PLANES.T
+    assert np.abs(dots).min() > 1e-6, "a hyperplane dot sits at the sign boundary"
+
+    # same-label cosine threshold decisions: min |cos - threshold|
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    margin = np.inf
+    for _, grp in t.groupby("label"):
+        idx = grp.index.to_numpy()
+        if len(idx) < 2:
+            continue
+        sims = u[idx] @ u[idx].T
+        i, j = np.triu_indices(len(idx), k=1)
+        margin = min(margin, np.abs(sims[i, j] - COSINE_THRESHOLD).min())
+    assert margin > 1e-6, "a cosine pair sits at the threshold boundary"

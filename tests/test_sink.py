@@ -117,3 +117,47 @@ def test_overwrite_partitions_replaces_only_touched(spark, sf_dir, tmp_path):
     got = spark.read.parquet(target)
     assert got.filter(F.col("event_type") == victim).count() == 5
     assert got.filter(F.col("event_type") == survivor).count() == before_survivor
+
+
+def test_partition_publish_crash_recovery(spark, tmp_path):
+    """Driver crash mid-swap: the publish manifest (written before the first
+    rename) lets recover_partition_publish roll the half-published state
+    back to exactly the pre-publish target."""
+    import json
+    import shutil
+
+    from spark_jdbc_limit_spark.sinks import recover_partition_publish
+
+    target = tmp_path / "t"
+    # pre-publish target: partitions p=a (v=1) and p=b (v=2)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "v int, p string")
+    base.write.partitionBy("p").parquet(str(target))
+
+    # fake a crashed publish: new data staged for p=a, p=b, p=c;
+    # p=a already swapped (old copy in trash, new copy live, staging gone),
+    # p=c swapped with no prior data, p=b untouched (still in staging).
+    staging = tmp_path / "t__staging_deadbeef0000"
+    patch = spark.createDataFrame([(10, "a"), (20, "b"), (30, "c")], "v int, p string")
+    patch.write.partitionBy("p").parquet(str(staging))
+    shutil.move(str(target / "p=a"), str(target / "__trash_deadbeef0000_p=a"))
+    shutil.move(str(staging / "p=a"), str(target / "p=a"))
+    shutil.move(str(staging / "p=c"), str(target / "p=c"))
+    (target / "__publish_manifest_deadbeef0000.json").write_text(
+        json.dumps(
+            {
+                "token": "deadbeef0000",
+                "staging": str(staging),
+                "partition_col": "p",
+                "partitions": ["p=a", "p=b", "p=c"],
+            }
+        )
+    )
+
+    recovered = recover_partition_publish(spark, str(target))
+    assert recovered == ["deadbeef0000"]
+    got = {(r.v, r.p) for r in spark.read.parquet(str(target)).collect()}
+    assert got == {(1, "a"), (2, "b")}  # pre-publish state, p=c gone
+    assert not staging.exists()
+    assert not (target / "__publish_manifest_deadbeef0000.json").exists()
+    # idempotent no-op on a clean target
+    assert recover_partition_publish(spark, str(target)) == []
