@@ -170,9 +170,10 @@ def write_jdbc_atomic(
     unlike the reference where committed partitions are visible until the
     compensating delete lands (reference: ExtJdbcUtils.scala:88-105).
 
-    Requires a JDBC driver on the Spark classpath and a reachable database;
-    untested in this container (no DB ships with it) — structure mirrors
-    the verified parquet path above.
+    Integration-tested end to end against the embedded Apache Derby
+    database on Spark's classpath (tests/test_jdbc_integration.py),
+    including the failure-injection case: a task that dies mid-staging
+    leaves the target byte-identical and the staging table dropped.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("write_jdbc_atomic supports append/overwrite")
@@ -186,7 +187,7 @@ def write_jdbc_atomic(
     try:
         df.write.format("jdbc").options(**opts).mode("overwrite").save()
     except Exception as exc:
-        _jdbc_exec(spark, url, props, [f"DROP TABLE IF EXISTS {staging}"], autocommit=True)
+        _drop_table_quiet(spark, url, props, staging)
         raise AtomicWriteError(f"staging write to {staging} failed; staging dropped") from exc
 
     publish = []
@@ -196,11 +197,20 @@ def write_jdbc_atomic(
     try:
         _jdbc_exec(spark, url, props, publish, autocommit=False)
     except Exception as exc:
-        _jdbc_exec(spark, url, props, [f"DROP TABLE IF EXISTS {staging}"], autocommit=True)
+        _drop_table_quiet(spark, url, props, staging)
         raise AtomicWriteError(
             f"publish transaction failed; target {table} unchanged, staging dropped"
         ) from exc
-    _jdbc_exec(spark, url, props, [f"DROP TABLE IF EXISTS {staging}"], autocommit=True)
+    _drop_table_quiet(spark, url, props, staging)
+
+
+def _drop_table_quiet(spark, url: str, props: dict[str, str], table: str) -> None:
+    """DROP TABLE tolerating absence — portable across dialects without
+    ``IF EXISTS`` support (Derby, Oracle)."""
+    try:
+        _jdbc_exec(spark, url, props, [f"DROP TABLE {table}"], autocommit=True)
+    except Exception:
+        pass
 
 
 def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], autocommit: bool) -> None:
@@ -209,6 +219,10 @@ def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], au
     from spark_jdbc_limit_spark.sources.jdbc import connect_with_retry
 
     jvm = spark._jvm
+    if "driver" in props:
+        # ensure the driver registers with DriverManager (embedded drivers
+        # like Derby's are not auto-loaded on the py4j entry classloader)
+        jvm.java.lang.Class.forName(props["driver"])
     jprops = jvm.java.util.Properties()
     for k, v in props.items():
         if k not in ("url", "table", "dbtable"):

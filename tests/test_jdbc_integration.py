@@ -1,0 +1,173 @@
+"""End-to-end JDBC integration against the embedded Apache Derby database
+that ships on Spark's classpath — the reference's native habitat, actually
+exercised: partitioned scans with filter/column/limit pushdown (ops 1-6),
+the DSv2 catalog's aggregate pushdown (beyond the reference), and the
+all-or-nothing transactional write (ops 8-10) including failure injection.
+
+Derby is also the deliberate choice: Spark 4's DerbyDialect reports
+``supportsLimit = false``, so Spark CANNOT push a limit to it natively —
+the same Spark-can't-do-it gap the reference filled in 2017, now filled
+Spark-first by ``jdbc_scan_with_limit``."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.plans import plan_text
+from spark_jdbc_limit_spark.sinks import AtomicWriteError, write_jdbc_atomic
+from spark_jdbc_limit_spark.sources.jdbc import (
+    jdbc_reader,
+    jdbc_scan_with_limit,
+    limit_clause,
+    register_jdbc_catalog,
+    write_extjdbc,
+)
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+N_ROWS = 1000
+
+
+@pytest.fixture(scope="module")
+def derby(spark):
+    """Unique in-memory Derby DB with a seeded table ``src`` (id, grp, val).
+    Embedded driver shares the local[*] JVM, so executor tasks and the
+    driver-side publish transaction hit the same database."""
+    spark._jvm.java.lang.System.setProperty("derby.system.home", "/tmp/derby_home")
+    url = f"jdbc:derby:memory:it{uuid.uuid4().hex[:10]};create=true"
+    df = spark.range(N_ROWS).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 3).alias("val"),
+    )
+    write_extjdbc(df, url, "src", mode="overwrite", driver=DRIVER)
+    return url
+
+
+def test_roundtrip_and_schema(spark, derby):
+    got = jdbc_reader(spark, url=derby, table="src", driver=DRIVER).load()
+    assert got.count() == N_ROWS
+    assert {f.name.lower() for f in got.schema.fields} == {"id", "grp", "val"}
+
+
+def test_filter_and_column_pushdown_reach_database(spark, derby):
+    """Ops 2-3: the database sees only the pruned columns and the compiled
+    predicate — asserted on the generated external query, the analogue of
+    the reference's golden-plan README check (SURVEY.md §5.1.3)."""
+    got = (
+        jdbc_reader(spark, url=derby, table="src", driver=DRIVER)
+        .load()
+        .filter(F.col("grp") == 3)
+        .select("id")
+    )
+    plan = plan_text(got)
+    assert "PushedFilters" in plan and "EqualTo(grp,3)" in plan.replace('"', "")
+    assert 'struct<id:bigint>' in plan.replace("ReadSchema: ", "")
+    assert got.count() == N_ROWS // 10
+    # every row the DB returned satisfied the predicate — nothing re-filtered
+    assert got.withColumn("one", F.lit(1)).agg(F.sum("one")).collect()[0][0] == N_ROWS // 10
+
+
+def test_spark_cannot_push_limit_to_derby_natively(spark, derby):
+    """Pin the gap jdbc_scan_with_limit exists to fill: Spark's own scan of
+    a Derby relation plans the limit ABOVE the scan (CollectLimit), with no
+    limit in the external query."""
+    q = jdbc_reader(spark, url=derby, table="src", driver=DRIVER).load().limit(5)
+    plan = plan_text(q)
+    assert "CollectLimit" in plan
+    assert "FETCH FIRST" not in plan and "PushedLimit" not in plan
+
+
+def test_limit_clause_is_dialect_aware(spark, derby):
+    assert limit_clause(spark, derby, 7) == "FETCH FIRST 7 ROWS ONLY"
+    assert limit_clause(spark, "jdbc:postgresql:x", 7) == "LIMIT 7"
+
+
+def test_per_partition_limit_pushdown(spark, derby):
+    """Op 5-6 parity: every partition's external query carries the limit
+    (≤ partitions × n rows cross the wire), the retained global limit
+    yields exactly n, and partition splitting + predicate compile down."""
+    parts = ['"grp" < 3', '"grp" >= 3 AND "grp" < 7', '"grp" >= 7']
+    q = jdbc_scan_with_limit(
+        spark, derby, "src", limit=7,
+        columns=["id", "grp"], predicate='"id" >= 0',
+        partition_predicates=parts, driver=DRIVER,
+    )
+    plan = plan_text(q)
+    assert "FETCH FIRST 7 ROWS ONLY" in plan
+    for i in range(len(parts)):
+        # each partition is its own scan whose pushed subquery carries the limit
+        assert f"FETCH FIRST 7 ROWS ONLY) spark_part_{i}" in plan
+    assert "CollectLimit" in plan  # the retained global limit (ref rule keeps LocalLimit)
+    rows = q.collect()
+    assert len(rows) == 7
+    assert all(r.id >= 0 for r in rows)
+
+
+def test_limit_zero_yields_zero_rows_without_pushdown(spark, derby):
+    """The reference refuses to push limit <= 0 but the retained LocalLimit
+    still produces 0 rows (JDBCRDDWithLimit.scala:65-71, SURVEY.md §4.2)."""
+    q = jdbc_scan_with_limit(spark, derby, "src", limit=0, driver=DRIVER)
+    assert "FETCH FIRST" not in plan_text(q)
+    assert q.count() == 0
+
+
+def test_dsv2_catalog_aggregate_pushdown(spark, derby):
+    """Beyond the reference (SURVEY.md §4.1): GROUP BY executes inside the
+    database via the DSv2 catalog — PushedAggregates in the plan."""
+    register_jdbc_catalog(spark, "derbycat", derby, driver=DRIVER)
+    # Derby folded the unquoted V1-written table name to SRC; V2 catalog
+    # identifiers are case-sensitive, so quote the uppercase form.
+    agg = spark.sql("SELECT grp, COUNT(*) AS n FROM derbycat.`SRC` GROUP BY grp")
+    plan = plan_text(agg)
+    assert "PushedAggregates" in plan and "COUNT(*)" in plan
+    got = {(r.grp, r.n) for r in agg.collect()}
+    assert got == {(g, N_ROWS // 10) for g in range(10)}
+
+
+def test_write_jdbc_atomic_append_and_overwrite(spark, derby):
+    base = jdbc_reader(spark, url=derby, table="src", driver=DRIVER).load()
+    write_extjdbc(base.limit(0), derby, "tgt", mode="overwrite", driver=DRIVER)
+
+    write_jdbc_atomic(base.filter(F.col("grp") == 1), derby, "tgt",
+                      mode="append", properties={"driver": DRIVER})
+    got = jdbc_reader(spark, url=derby, table="tgt", driver=DRIVER).load()
+    assert got.count() == N_ROWS // 10
+
+    write_jdbc_atomic(base.filter(F.col("grp") == 2).limit(5), derby, "tgt",
+                      mode="overwrite", properties={"driver": DRIVER})
+    got = jdbc_reader(spark, url=derby, table="tgt", driver=DRIVER).load()
+    assert got.count() == 5
+    assert got.agg(F.min("grp"), F.max("grp")).collect()[0] == (2, 2)
+
+
+def test_write_jdbc_atomic_task_failure_leaves_target_untouched(spark, derby):
+    """The reference's raison d'être for ops 9-10: one failing task must not
+    leave any partition's rows visible. Here a poisoned UDF kills the
+    staging write; the target is byte-identical and staging is gone —
+    stronger than the reference, whose committed partitions are readable
+    until the compensating xmin delete lands (ExtJdbcUtils.scala:88-105)."""
+    base = jdbc_reader(spark, url=derby, table="src", driver=DRIVER).load()
+    write_extjdbc(base.limit(10), derby, "tgt2", mode="overwrite", driver=DRIVER)
+
+    @F.udf("long")
+    def poison(v):
+        if v is not None and v % 7 == 0:
+            raise RuntimeError("injected task failure")
+        return v
+
+    bad = base.repartition(4).select(poison(F.col("id")).alias("id"),
+                                     F.col("grp"), F.col("val"))
+    with pytest.raises(AtomicWriteError, match="staging"):
+        write_jdbc_atomic(bad, derby, "tgt2", mode="append",
+                          properties={"driver": DRIVER})
+    got = jdbc_reader(spark, url=derby, table="tgt2", driver=DRIVER).load()
+    assert got.count() == 10  # unchanged
+    # no staging table left behind (Derby system catalog)
+    sys_tables = jdbc_reader(
+        spark, url=derby, driver=DRIVER,
+        table="(SELECT TABLENAME FROM SYS.SYSTABLES) st",
+    ).load()
+    assert sys_tables.filter(F.upper(F.col("TABLENAME")).contains("STAGING")).count() == 0
