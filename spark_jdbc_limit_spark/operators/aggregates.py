@@ -306,3 +306,93 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "agg_conditional_filter",
+    category="aggregation",
+    description="FILTER-style conditional aggregates: count_if, filtered sum, bool_and/bool_or",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                          FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS sum_finished,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'P') AS any_pending
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation without self-joins or unions: count_if,
+    sum-over-a-predicate (the FILTER clause), and boolean aggregates —
+    one pass, one shuffle, every branch in the same partial/final hash
+    aggregate. The anti-pattern this replaces (one groupBy per predicate
+    + join) multiplies shuffles by the predicate count. Filtered sum in
+    decimal domain for engine-exact parity."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F",
+                        F.col("o_totalprice").cast("decimal(18,6)"),
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_mode_argmax",
+    category="aggregation",
+    description="Per-group mode via the deterministic argmax pattern (max over (count, key))",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+            FROM orders
+            GROUP BY o_orderpriority, o_orderstatus
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY cnt DESC, o_orderstatus DESC) AS rn
+            FROM c
+        )
+        SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_count
+        FROM r WHERE rn = 1
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group, deterministically: count pairs, then
+    max over the (count, value) struct — ties break to the larger value in
+    BOTH engines, unlike built-in mode() whose tie-break is unspecified.
+    Two hash aggregates, the second over the (small) distinct-pair set;
+    no window, no sort — at 100 TB the pair set is the compressible
+    intermediate, not the raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    best = F.max(F.struct(F.col("cnt"), F.col("o_orderstatus"))).alias("best")
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(best)
+        .select(
+            "o_orderpriority",
+            F.col("best.o_orderstatus").alias("mode_status"),
+            F.col("best.cnt").alias("mode_count"),
+        )
+        .orderBy("o_orderpriority")
+    )

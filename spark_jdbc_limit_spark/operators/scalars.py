@@ -277,3 +277,39 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.least("c_acctbal", F.lit(9000.0)), F.lit(0.0)).alias("bal_clamped"),
         )
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    category="scalar",
+    description="Bitwise AND/OR/XOR, shifts, and popcount on join keys",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & CAST(l_linenumber AS BIGINT) AS k_and,
+               l_orderkey | CAST(l_linenumber AS BIGINT) AS k_or,
+               xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS k_xor,
+               l_orderkey << 3 AS k_shl,
+               l_orderkey >> 2 AS k_shr,
+               CAST(bit_count(l_orderkey) AS INT) AS k_pop
+        FROM lineitem
+        WHERE l_orderkey < 2000
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise algebra stays in whole-stage codegen — the substrate of the
+    engine's own SimHash/LSH bucket arithmetic (band packing, Hamming
+    probes). Shifts widen through BIGINT identically in both engines;
+    per-row output, no trailing sort (driver compare is order-insensitive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("long")
+    k = F.col("l_orderkey")
+    return li.filter(k < 2000).select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(ln).alias("k_and"),
+        k.bitwiseOR(ln).alias("k_or"),
+        k.bitwiseXOR(ln).alias("k_xor"),
+        F.shiftleft(k, 3).alias("k_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).alias("k_pop"),
+    )

@@ -272,3 +272,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").isin(probe_ids) & (F.col("vec_id") != QUERY_VEC_ID)
     )
     return cosine_topk(cand, qv, TOP_K)
+
+
+@query(
+    "embedding_centroid_norms",
+    category="llm_similarity",
+    description="Per-label centroid norm + dispersion via posexplode/elementwise avg",
+    oracle=f"""
+        WITH d AS (
+            SELECT label, i,
+                   AVG(CAST(embedding[i] AS DOUBLE)) AS m,
+                   COUNT(*) AS c
+            FROM embeddings, range(1, {EMB_DIM + 1}) t(i)
+            GROUP BY label, i
+        )
+        SELECT CAST(label AS INT) AS label,
+               CAST(MAX(c) AS BIGINT) AS n_vecs,
+               {sql_round_dbl('SQRT(SUM(m * m))', 3)} AS centroid_norm
+        FROM d
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector aggregation — the building block of k-means
+    assignment-update, IVF coarse-centroid refresh, and class prototypes.
+    posexplode → (label, dim) hash agg → 64-row-per-label regroup: the
+    shuffle carries labels × dims partial sums, never raw vectors, and the
+    explode is pipelined inside the scan stage (no materialized 64× blowup
+    on disk). Mean in double rounded to 3 — same tolerance posture as the
+    cosine queries, margin-checked by the LSH margin test."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "x")
+    ).select("label", "i", F.col("x").cast("double").alias("x"))
+    per_dim = exploded.groupBy("label", "i").agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("c").alias("n_vecs"),
+            round_dbl(F.sqrt(F.sum(F.col("m") * F.col("m"))), 3).alias("centroid_norm"),
+        )
+        .select(F.col("label").cast("int").alias("label"), "n_vecs", "centroid_norm")
+        .orderBy("label")
+    )

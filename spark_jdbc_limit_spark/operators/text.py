@@ -212,3 +212,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
     )
     return d.select("doc_id", doc_fp.alias("fingerprint"))
+
+
+@query(
+    "text_repetition_ratio",
+    category="llm_text",
+    description="Within-doc repetition: duplicate-word and duplicate-3-gram ratios",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n_words, words,
+                   list_transform(range(1, n_words - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               {sql_round_dbl('1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / n_words', 4)}
+                   AS word_rep_ratio,
+               CASE WHEN n_words >= 3 THEN
+                   {sql_round_dbl('1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / (n_words - 2)', 4)}
+               ELSE 0.0 END AS gram_rep_ratio
+        FROM g
+        ORDER BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/C4-style repetition quality signal: what fraction of a
+    document's words (and word-3-grams) are repeats. Pure higher-order
+    array functions — ``transform`` over a ``sequence`` builds the 3-gram
+    list without exploding rows, so the whole signal stays inside
+    whole-stage codegen with zero shuffles and zero Python; at 100 TB this
+    is a scan-speed map, unlike the explode→groupBy formulation whose
+    intermediate is 3× the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _tokens(F.col("text"))
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    word_rep = round_dbl(
+        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n, 4
+    )
+    gram_rep = F.when(
+        n >= 3,
+        round_dbl(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (n - 2), 4),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        word_rep.alias("word_rep_ratio"),
+        gram_rep.alias("gram_rep_ratio"),
+    )

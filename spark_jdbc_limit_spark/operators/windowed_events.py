@@ -7,7 +7,7 @@ same rows as these twins on the same files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
@@ -160,4 +160,66 @@ def events_enrich_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.join(F.broadcast(dim), "user_id").select(
         "event_id", "user_id", "segment", F.round("value", 2).alias("value_r")
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in microseconds
+
+
+@query(
+    "events_sessionize_gap",
+    category="streaming",
+    description="Batch gap-based sessionization: 30-min inactivity splits sessions",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, us,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(us) AS start_us,
+               MAX(us) AS end_us,
+               MAX(us) - MIN(us) AS duration_us
+        FROM s
+        GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic event-stream sessionization, in batch: a session breaks
+    after 30 minutes of inactivity; session ids are a running sum of break
+    flags. Two window passes + one aggregate, all on the SAME partition
+    key (user_id) — Catalyst plans ONE exchange and reuses its
+    partitioning for both windows and the final groupBy, which is the
+    shape that matters at 100 TB (users ≫ cores, so no skew; state never
+    leaves the executor). Integer microsecond arithmetic end to end so
+    the DuckDB twin is bit-exact (timestamps are NTZ; session pins UTC)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.select("user_id", "event_id", "ts", us.alias("us"), brk.alias("brk"))
+        .select("user_id", "us", F.sum("brk").over(run).alias("session_id"))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
     )
