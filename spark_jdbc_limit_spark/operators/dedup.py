@@ -515,8 +515,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=False)
-    labels = edges.select(F.col("d1").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("component")
+    # Fuse the first propagation round into the init: label = min(self,
+    # neighbors). Pair/star clusters — the dominant near-dup shape — are
+    # already converged here, so the loop runs one confirming round
+    # instead of two full ones.
+    labels = edges.groupBy(F.col("d1").alias("doc_id")).agg(
+        F.min(F.least(F.col("d1"), F.col("d2"))).alias("component")
     )
     converged = False
     for _ in range(CC_MAX_ITERS):

@@ -239,3 +239,132 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+#: train/val/test boundaries on the 0-99 hash percentile: [0,90) / [90,95) / [95,100)
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95
+
+
+@query(
+    "split_train_val_test",
+    category="llm_pipeline",
+    description="Deterministic hash-based train/val/test split with per-split stats",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN {_sql_hash_pct('doc_id')} < {SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN {_sql_hash_pct('doc_id')} < {SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_doc_id,
+               MAX(doc_id) AS max_doc_id
+        FROM s
+        GROUP BY split
+        ORDER BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment as a pure function of doc_id (same affine
+    hash as the sampler): no shuffle to assign, membership stable across
+    re-runs, shards, and engine versions — the property that keeps eval
+    sets uncontaminated when the corpus is regenerated. At 100 TB the
+    split is a scan-time predicate (three filtered writes share one scan),
+    never a materialized assignment table."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = _hash_pct_col(F.col("doc_id"))
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, "train")
+        .when(pct < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+#: curation thresholds (mirror text_quality_score's signals, composed here)
+CURATE_MIN_WORDS = 8
+CURATE_MAX_GRAM_REP = 0.6
+
+
+@query(
+    "curate_corpus_pipeline",
+    category="llm_pipeline",
+    description="End-to-end curation: quality gate -> exact dedup -> per-source accounting",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, lang, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]) AS grams
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, source, lang, text, n_words
+            FROM scored
+            WHERE n_words >= {CURATE_MIN_WORDS}
+              AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / (n_words - 2)
+                  <= {CURATE_MAX_GRAM_REP}
+        ),
+        deduped AS (
+            SELECT source, lang, text, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+            FROM gated
+            GROUP BY source, lang, text
+        )
+        SELECT source,
+               COUNT(*) AS n_kept,
+               CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped_dups,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM deduped
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed the way a real curation job runs them:
+    repetition/length quality gate (scan-time predicate, no shuffle) →
+    exact near-dup collapse on full text (one hash shuffle) → per-source
+    accounting (map-side partial agg). One scan, two shuffles total —
+    composition does NOT multiply passes, which is the point of keeping
+    every stage declarative: Catalyst pipelines the gate into the scan
+    and reuses the dedup shuffle's partitioning where it can. At 100 TB
+    the text groupBy key is replaced by its sha2 (same plan shape,
+    64-byte shuffle keys instead of documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+        ),
+    )
+    gram_rep = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (n - 2)
+    gated = d.filter((n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP))
+    deduped = gated.groupBy("source", "lang", "text").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_copies") - 1).alias("n_dropped_dups"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
