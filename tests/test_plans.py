@@ -146,3 +146,40 @@ def test_interval_overlap_join_shape(spark, sf_dir):
     # agg reuses the join's custkey partitioning; budget: join-side
     # exchanges (or none when broadcast) + final sort
     assert count_exchanges(df) <= 3
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Gap sessionization's whole point at scale: lag-window, running-sum
+    window, and the final groupBy all share the user_id partitioning —
+    ONE exchange for the entire query."""
+    df = get_query("events_sessionize_gap").builder(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert_no_python_udf_in_plan(df)
+
+
+def test_repetition_ratio_scan_speed_shape(spark, sf_dir):
+    """The 3-gram repetition signal must be a pure scan-side map: zero
+    exchanges, zero Python, only the two needed columns read."""
+    df = get_query("text_repetition_ratio").builder(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert_no_python_udf_in_plan(df)
+    assert_read_schema_cols(df, "documents", {"doc_id", "text"})
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    """Composing gate→dedup→accounting must not multiply passes: the gate
+    rides the scan (no exchange of its own); the budget is the dedup
+    groupBy + the distinct-lang accounting agg + its expand, ≤ 4 total."""
+    df = get_query("curate_corpus_pipeline").builder(spark, sf_dir)
+    assert count_exchanges(df) <= 4
+    assert_no_python_udf_in_plan(df)
+
+
+def test_mode_argmax_two_aggregates_no_window(spark, sf_dir):
+    """The argmax-mode pattern is two hash aggregates (+ output sort) —
+    no window over the raw rows, which is the skew-prone alternative."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("agg_mode_argmax").builder(spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    assert "Window" not in plan_text(df)
