@@ -381,3 +381,31 @@ def join_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.round("o_totalprice", 2).alias("last_totalprice"),
     )
+
+
+@query(
+    "join_cross_product",
+    category="join",
+    description="Explicit cross join (region x nation) with derived pairing key",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               r.r_regionkey * 100 + n.n_nationkey AS pair_key,
+               CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one join type with no key at all: Catalyst plans
+    BroadcastNestedLoopJoin with the 5-row side broadcast, so the cost is
+    |big side| × |broadcast| evaluated streaming-side — legitimate exactly
+    when one side is tiny (calendar × dims, grid expansion). Guarded cross
+    joins against two big tables are the classic 100 TB outage; anything
+    larger belongs in an equi/LSH-blocked formulation instead."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_key"),
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_home"),
+    )

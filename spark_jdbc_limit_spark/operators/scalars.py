@@ -313,3 +313,43 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("k_shr"),
         F.bit_count(k).alias("k_pop"),
     )
+
+
+@query(
+    "scalar_struct_funcs",
+    category="scalar",
+    description="Nested struct columns: build, field access, array-of-struct transform",
+    oracle="""
+        SELECT o_orderkey,
+               {'status': o_orderstatus, 'price': o_totalprice}.status AS s_status,
+               FLOOR(({'status': o_orderstatus, 'price': o_totalprice}.price) * 100.0 + 0.5) / 100.0
+                   AS s_price,
+               len(list_transform(range(1, 4),
+                   i -> {'k': i, 'v': o_orderkey * i})) AS n_pairs,
+               list_transform(range(1, 4), i -> o_orderkey * i) AS key_multiples
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types as first-class columns — the capability the reference
+    explicitly THROWS on (its write path rejects StructType/MapType,
+    reference: ExtJdbcUtils.scala:175-178; SURVEY.md §1.5 upgrades this).
+    Struct build + field access + array-of-struct transform, all inside
+    whole-stage codegen; structs are flattened by Tungsten so the nesting
+    costs nothing at execution."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(3)),
+        lambda i: F.struct(i.alias("k"), (F.col("o_orderkey") * i).alias("v")),
+    )
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        round_dbl(s.getField("price"), 2).alias("s_price"),
+        F.size(pairs).alias("n_pairs"),
+        F.transform(pairs, lambda p: p.getField("v")).alias("key_multiples"),
+    )
