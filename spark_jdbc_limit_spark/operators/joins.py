@@ -409,3 +409,51 @@ def join_cross_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_regionkey") * 100 + F.col("n_nationkey")).alias("pair_key"),
         F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).alias("is_home"),
     )
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "join_salted_replicated",
+    category="join",
+    description=f"Skew-resistant equi-join: {SALT_BUCKETS}-way salted fact x replicated dim",
+    oracle="""
+        SELECT o.o_orderkey,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 5000
+        GROUP BY o.o_orderkey
+    """,
+)
+def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew salting, the pre-AQE (and streaming-state) defense
+    against one hot key melting a single reducer: the probe side appends a
+    DETERMINISTIC salt (l_linenumber % B — reproducible, unlike rand()),
+    the build side is replicated B× via explode(sequence(...)), and the
+    join key becomes (key, salt) so each hot key spreads over B reducers.
+    The result is IDENTICAL to the plain equi-join — the oracle runs the
+    unsalted SQL — only the shuffle distribution changes. At 100 TB this
+    is also the shape for skewed streaming joins where AQE can't help;
+    in batch, AQE's skew-join split handles moderate skew without the B×
+    replication cost, so reach for salting when keys are pathological
+    (null-heavy, power-law head) or the engine is stateful."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    salted_fact = li.withColumn("salt", (F.col("l_linenumber") % SALT_BUCKETS).cast("int"))
+    replicated_dim = o.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)).cast("array<int>"))
+    )
+    joined = salted_fact.join(
+        replicated_dim,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (salted_fact["salt"] == replicated_dim["salt"]),
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -183,3 +183,44 @@ def test_mode_argmax_two_aggregates_no_window(spark, sf_dir):
     df = get_query("agg_mode_argmax").builder(spark, sf_dir)
     assert count_exchanges(df) <= 3
     assert "Window" not in plan_text(df)
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-style partition layout + a partition-key predicate must prune
+    at PLANNING time: the scan's PartitionFilters carries the predicate
+    and only the matching partition directories are read — at 100 TB this
+    is the difference between reading one day and reading the decade."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.plans import plan_text
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    target = str(tmp_path / "events_parted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(target)
+    types = sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+    victim = types[0]
+
+    pruned = spark.read.parquet(target).filter(F.col("event_type") == victim)
+    plan = plan_text(pruned)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    # every file the scan ACTUALLY reads lives under the victim partition
+    # (inputFiles() is relation-level/pre-pruning, so ask execution itself)
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all(f"event_type={victim}" in f for f in files)
+    assert pruned.count() == ev.filter(F.col("event_type") == victim).count()
+
+
+def test_salted_join_matches_plain_and_spreads_keys(spark, sf_dir):
+    """The salted join is a pure redistribution trick: row-identical to
+    the plain (unsalted) join — the oracle differential pins value
+    equality; here we pin the plan carries the composite (key, salt)
+    join key, i.e. the hot key genuinely spreads over SALT_BUCKETS
+    reducers."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("join_salted_replicated").builder(spark, sf_dir)
+    plan = plan_text(df)
+    assert "salt" in plan
+    assert "Explode" in plan or "Generate" in plan  # dim replicated B×
+    assert len(df.take(1)) == 1
