@@ -222,3 +222,43 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dbl(F.percent_rank().over(w), 6).alias("pct_rank"),
         round_dbl(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+#: values below this are nulled out to create the gaps LOCF fills.
+LOCF_NULL_BELOW = 10.0
+
+
+@query(
+    "window_locf_ignore_nulls",
+    category="window",
+    description="Gap-fill: last_value IGNORE NULLS carries the last observation forward",
+    oracle=f"""
+        SELECT event_id, user_id,
+               LAST_VALUE((CASE WHEN value >= {LOCF_NULL_BELOW} THEN value END)
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS value_filled
+        FROM events
+    """,
+)
+def window_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward — the sensor/ticker gap-fill
+    pattern: null out sub-threshold readings, then ``last(..., ignorenulls)``
+    over a running frame replaces each gap with the latest valid value
+    upstream. One window pass on the same user partitioning as every other
+    per-user operator (no extra exchange when composed); IGNORE NULLS
+    frame semantics are pinned against the oracle because engines
+    historically disagree on it (Spark <3.2 lacked it entirely)."""
+    ev = load_table(spark, sf_dir, "events")
+    # deterministic gap injection: readings below threshold become NULL
+    gapped = F.when(F.col("value") >= LOCF_NULL_BELOW, F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(gapped, ignorenulls=True).over(w).alias("value_filled"),
+    )
