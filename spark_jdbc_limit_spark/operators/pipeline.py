@@ -345,16 +345,16 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reuses the dedup shuffle's partitioning where it can. At 100 TB
     the text groupBy key is replaced by its sha2 (same plan shape,
     64-byte shuffle keys instead of documents)."""
+    from spark_jdbc_limit_spark.operators.text import grams3
+
     d = load_table(spark, sf_dir, "documents")
+    # grams3's slice/zip_with shape keeps the gate cheap even after
+    # Catalyst pushes this filter into the scan and inlines words back to
+    # split(text) — see grams3's docstring for why indexed lambdas would
+    # go quadratic here.
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
-    )
-    gram_rep = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (n - 2)
+    gram_rep = F.lit(1.0) - F.size(F.array_distinct(grams3(words, n))).cast("double") / (n - 2)
     gated = d.filter((n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP))
     deduped = gated.groupBy("source", "lang", "text").agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")

@@ -36,6 +36,22 @@ def _tokens(col):
     return F.split(col, " ")
 
 
+def grams3(words, n):
+    """Word-3-gram list via slice + zip_with — deliberately WITHOUT indexed
+    ``element_at(words, i)`` lambdas: higher-order lambdas are interpreted
+    (no codegen), and when Catalyst's predicate pushdown / project collapse
+    inlines ``words`` back to ``split(text)``, an indexed formulation
+    re-splits the text once per gram (O(n²) splits per document). The
+    slice/zip_with shape evaluates its ``words`` argument a constant ~4
+    times per row no matter what the optimizer inlines."""
+    m = F.greatest(n - 2, F.lit(0))
+    w1 = F.slice(words, 1, m)
+    w2 = F.slice(words, 2, m)
+    w3 = F.slice(words, 3, m)
+    pair = F.zip_with(w1, w2, lambda a, b: F.concat_ws(" ", a, b))
+    return F.zip_with(pair, w3, lambda ab, c: F.concat_ws(" ", ab, c))
+
+
 @query(
     "text_token_stats",
     category="llm_text",
@@ -251,24 +267,28 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a scan-speed map, unlike the explode→groupBy formulation whose
     intermediate is 3× the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    words = _tokens(F.col("text"))
-    n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+    base = d.select("doc_id", _tokens(F.col("text")).alias("words")).select(
+        "doc_id", "words", F.size("words").alias("n")
+    )
+    n = F.col("n")
+    counted = base.select(
+        "doc_id",
+        "n",
+        F.size(F.array_distinct("words")).alias("n_uniq_words"),
+        F.when(n >= 3, F.size(F.array_distinct(grams3(F.col("words"), n)))).alias(
+            "n_uniq_grams"
         ),
     )
-    word_rep = round_dbl(
-        F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n, 4
-    )
-    gram_rep = F.when(
-        n >= 3,
-        round_dbl(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (n - 2), 4),
-    ).otherwise(F.lit(0.0))
-    return d.select(
+    return counted.select(
         "doc_id",
         n.cast("long").alias("n_words"),
-        word_rep.alias("word_rep_ratio"),
-        gram_rep.alias("gram_rep_ratio"),
+        round_dbl(F.lit(1.0) - F.col("n_uniq_words").cast("double") / n, 4).alias(
+            "word_rep_ratio"
+        ),
+        F.when(
+            n >= 3,
+            round_dbl(F.lit(1.0) - F.col("n_uniq_grams").cast("double") / (n - 2), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("gram_rep_ratio"),
     )
