@@ -161,3 +161,27 @@ def test_partition_publish_crash_recovery(spark, tmp_path):
     assert not (target / "__publish_manifest_deadbeef0000.json").exists()
     # idempotent no-op on a clean target
     assert recover_partition_publish(spark, str(target)) == []
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """46k-micro-batch-files problem in miniature: 32-file table compacts
+    to few files, atomically, with identical data."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.sinks.maintenance import compact_parquet
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    target = str(tmp_path / "shattered")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(32).write.parquet(target)
+    before_files = len(spark.read.parquet(target).inputFiles())
+    assert before_files >= 32
+    before_sum = spark.read.parquet(target).agg(F.sum("event_id")).collect()[0][0]
+    before_count = spark.read.parquet(target).count()
+
+    after_files = compact_parquet(spark, target, target_file_bytes=64 * 1024 * 1024,
+                                  sort_within_by=["user_id"])
+    got = spark.read.parquet(target)
+    assert after_files < before_files / 4
+    assert got.count() == before_count
+    assert got.agg(F.sum("event_id")).collect()[0][0] == before_sum
