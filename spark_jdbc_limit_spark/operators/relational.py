@@ -233,3 +233,39 @@ def filter_predicate_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "filter_null_safe_eq",
+    category="scan",
+    description="EqualNullSafe (<=>) vs plain equality over synthesized nulls",
+    oracle="""
+        WITH t AS (
+            SELECT NULLIF(o_custkey % 5, 0) AS a,
+                   NULLIF(o_orderkey % 5, 0) AS b
+            FROM orders
+        )
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE a IS NOT DISTINCT FROM b) AS n_nullsafe_eq,
+               COUNT(*) FILTER (WHERE a = b) AS n_plain_eq,
+               COUNT(*) FILTER (WHERE a IS NULL AND b IS NULL) AS n_both_null
+        FROM t
+    """,
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the reference's pushable-Filter algebra: EqualNullSafe
+    (the one class filter_predicate_algebra doesn't exercise — reference
+    op 3, JDBCRelationWithLimit.scala:29-31). Nulls are synthesized
+    deterministically; the output pins the defining identity
+    ``nullsafe_eq = plain_eq + both_null``, i.e. <=> treats NULL as a
+    comparable value where = yields unknown."""
+    o = load_table(spark, sf_dir, "orders")
+    a = F.nullif(F.col("o_custkey") % 5, F.lit(0))
+    b = F.nullif(F.col("o_orderkey") % 5, F.lit(0))
+    t = o.select(a.alias("a"), b.alias("b"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("a").eqNullSafe(F.col("b"))).alias("n_nullsafe_eq"),
+        F.count_if(F.col("a") == F.col("b")).alias("n_plain_eq"),
+        F.count_if(F.col("a").isNull() & F.col("b").isNull()).alias("n_both_null"),
+    )

@@ -1,0 +1,37 @@
+"""Property test for the 3-gram machinery (grams3): the slice+zip_with
+formulation must agree with the obvious Python reference over adversarial
+word lists — including the n<3 edge cases the corpus never exercises."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.text import grams3
+
+
+def py_grams3(words: list[str]) -> list[str]:
+    return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+
+
+def test_grams3_matches_python_reference(spark):
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd dd", "", "e"]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randint(0, 12))] for _ in range(300)
+    ]
+    # deliberate edge cases: empty, 1-word, 2-word, 3-word docs
+    docs += [[], ["x"], ["x", "y"], ["x", "y", "z"]]
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, words array<string>"
+    )
+    got = {
+        r.doc_id: list(r.grams)
+        for r in df.select(
+            "doc_id", grams3(F.col("words"), F.size("words")).alias("grams")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == py_grams3(d), f"doc {i}: {d!r} -> {got[i]} != {py_grams3(d)}"
