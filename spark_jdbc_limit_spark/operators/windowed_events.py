@@ -223,3 +223,59 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+ATTRIBUTION_WINDOW_MIN = 10
+
+
+@query(
+    "events_view_click_attribution",
+    category="streaming",
+    description=f"View→click attribution join within {ATTRIBUTION_WINDOW_MIN} min (batch twin of the stream-stream join)",
+    oracle=f"""
+        SELECT v.event_id AS view_id,
+               c.event_id AS click_id,
+               v.user_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} minutes
+    """,
+)
+def events_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join every event pipeline runs: each view pairs
+    with the same user's clicks in the next N minutes. Equi-key on
+    user_id (hash join) with the time range as a post-join predicate —
+    never a cross join. This is the batch twin of
+    streaming/windows.py::stream_view_click_join, whose stream-stream
+    state is exactly this join with watermark-bounded buffers;
+    tests/test_streaming.py pins stream == batch row sets."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    win_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_us") >= F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + win_us),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.col("c_us") - F.col("v_us")).alias("lag_us"),
+        )
+    )

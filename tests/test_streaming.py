@@ -76,3 +76,26 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     ).toPandas()
     want = get_query("events_enrich_dim_join").builder(spark, sf_dir).toPandas()
     compare_frames(got, want, "stream-static join vs batch twin")
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream view→click attribution must emit exactly the batch
+    twin's row set once the finite source drains (availableNow)."""
+    from spark_jdbc_limit_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_view_click_join,
+    )
+
+    got = {
+        (r.view_id, r.click_id, r.user_id, r.lag_us)
+        for r in run_stream_to_memory(
+            stream_view_click_join(spark, sf_dir), "append"
+        ).collect()
+    }
+    want = {
+        (r.view_id, r.click_id, r.user_id, r.lag_us)
+        for r in get_query("events_view_click_attribution")
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and len(want) > 0
