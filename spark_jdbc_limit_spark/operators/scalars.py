@@ -353,3 +353,34 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pairs).alias("n_pairs"),
         F.transform(pairs, lambda p: p.getField("v")).alias("key_multiples"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    category="scalar",
+    description="VariantType semi-structured access: parse_json -> variant_get/type/missing-path",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k_int,
+               CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+               CAST(NULL AS VARCHAR) AS missing_path
+        FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VariantType — the engine's semi-structured upgrade over
+    both the reference (whose write path rejects anything nested,
+    ExtJdbcUtils.scala:175-178) and stringly JSON: ``parse_json`` builds a
+    binary variant ONCE, then typed ``variant_get`` paths read it without
+    re-parsing (vs get_json_object re-parsing per call — the exact cost
+    scalar_json_funcs' single-parse pattern works around). Missing paths
+    via try_variant_get are NULL, not errors; the DuckDB twin models the
+    same access over its native JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select("event_id", v.alias("v")).select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_int"),
+        (F.variant_get("v", "$.k", "int") % 10).alias("k_mod"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing_path"),
+    )
