@@ -180,3 +180,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         sample_frames, "doc_id long, frame_idx long, frame_hex string"
     )
+
+
+RESIZE_STRIDE = 4  # byte-level decimation factor of the "resize" stub
+
+
+def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas 'resize': deterministic 1-in-RESIZE_STRIDE byte
+    decimation of the payload (the testable stand-in for an image resize —
+    a real pipeline calls PIL.Image.resize here, same batch shape, same
+    output contract: smaller payload + its summary stats)."""
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: bytes(b[::RESIZE_STRIDE]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized_bytes": resized.map(len).astype("int64"),
+                "resized_sum": resized.map(
+                    lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) % 997
+                ).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize_stub",
+    category="llm_multimodal",
+    description=f"Resize stub: 1-in-{RESIZE_STRIDE} byte decimation with verifiable stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+               CAST((octet_length(encode(text)) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS BIGINT)
+                   AS resized_bytes,
+               CAST(list_sum(list_transform(
+                        range(1, octet_length(encode(text)) + 1),
+                        i -> CASE WHEN (i - 1) % {RESIZE_STRIDE} = 0
+                                  THEN unicode(SUBSTRING(text, i, 1))::BIGINT
+                                  ELSE 0 END)) % 997 AS BIGINT) AS resized_sum
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The missing piece of the decode/feature/resize/frame-sample quartet
+    (SURVEY.md §2B multimodal): payload in, SMALLER payload out, verified
+    by size + content checksum. The corpus is ASCII so byte i of the
+    payload == code point of char i+1 — which is what lets the DuckDB twin
+    recompute the decimated checksum from the source text, proving the
+    binary transform is exactly the declared function of its input."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return with_payload.mapInPandas(
+        resize_payloads,
+        "doc_id long, orig_bytes long, resized_bytes long, resized_sum long",
+    )

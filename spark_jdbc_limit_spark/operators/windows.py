@@ -262,3 +262,33 @@ def window_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(gapped, ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+NTILE_BUCKETS = 4
+
+
+@query(
+    "window_ntile_quartiles",
+    category="window",
+    description=f"ntile({NTILE_BUCKETS}) quartile assignment per market segment",
+    oracle=f"""
+        SELECT c_custkey, c_mktsegment,
+               CAST(ntile({NTILE_BUCKETS}) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        FROM customer
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count bucket assignment — the window-function way to build
+    per-group quantile cohorts (ntile splits remainders to the leading
+    buckets identically in both engines, given the deterministic
+    tie-broken ordering). Completes the ranking-function set alongside
+    row_number/rank/dense_rank (ranking trio) and percent_rank/cume_dist
+    (distribution)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(NTILE_BUCKETS).over(w).alias("quartile"),
+    )
