@@ -99,3 +99,44 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_restart_no_reprocessing(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: a checkpointed stream drained with
+    availableNow emits nothing on a second start over the same (unchanged)
+    source — committed offsets in the checkpoint are honored, so a crashed
+    and restarted 100 TB backfill never double-counts a file."""
+    import uuid as _uuid
+
+    from spark_jdbc_limit_spark.streaming.windows import events_stream
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(name):
+        counts = (
+            events_stream(spark, sf_dir)
+            .withWatermark("ts", "10 minutes")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            n_batches = len(q.recentProgress)
+            processed = sum(p["numInputRows"] for p in q.recentProgress)
+        finally:
+            q.stop()
+        return processed
+
+    first = run_once(f"ck_{_uuid.uuid4().hex[:8]}")
+    assert first > 0
+    second = run_once(f"ck_{_uuid.uuid4().hex[:8]}")
+    assert second == 0, f"restart reprocessed {second} rows despite checkpoint"
