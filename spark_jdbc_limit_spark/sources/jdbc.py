@@ -119,7 +119,16 @@ def jdbc_scan_with_limit(
     dialect too, JDBCRDDWithLimit.scala:36-40); ``predicate`` /
     ``partition_predicates`` are raw SQL fragments — quote identifiers as
     the target database expects (Spark-written tables have quoted,
-    case-sensitive column names).
+    case-sensitive column names). Like every dbtable/query-option JDBC
+    read, the fragments are interpolated into SQL verbatim: they are
+    ENGINE-INTERNAL strings, never end-user input.
+
+    Cost note: each partition is its own JDBC relation, so building the
+    scan issues one schema-resolution metadata query per partition — the
+    same hidden re-resolution the reference performs when its rule swaps
+    relations (SURVEY.md §3.3 step 2). Negligible against the data read;
+    if it matters, resolve once and reuse a cached StructType via
+    ``spark.read.schema(...)``.
     """
     dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
     col_list = ", ".join(dialect.quoteIdentifier(c) for c in columns) if columns else "*"
