@@ -342,11 +342,17 @@ def write_parquet_overwrite_partitions(
             f"partition publish to {target_path} failed; "
             f"{len(swapped)} swapped partitions restored"
         ) from exc
+    # COMMIT POINT: deleting the manifest makes the publish final. It must
+    # happen BEFORE trash/staging cleanup — in the reverse order, a crash
+    # between cleanup and manifest-delete would leave a manifest whose
+    # partitions have neither a trash copy (cleaned) nor a staging copy
+    # (renamed away), and rollback would delete the published partition
+    # with nothing left to restore.
+    fs.delete(manifest_path, False)
     for trash, _ in swapped:
         if trash is not None:
             fs.delete(trash, True)
     fs.delete(staging_path, True)
-    fs.delete(manifest_path, False)
 
 
 def recover_partition_publish(spark, target: str) -> list[str]:
@@ -361,9 +367,13 @@ def recover_partition_publish(spark, target: str) -> list[str]:
       it was swapped in with no prior data: drop it;
     - staging copy still present → never swapped: leave the target alone.
 
-    Then delete the staging dir and the manifest. Run this at pipeline
-    startup (idempotent, no-op when no manifest exists). Returns the list
-    of recovered publish tokens.
+    Then delete the staging dir and the manifest. A publish whose manifest
+    is already gone is COMMITTED (manifest deletion is the commit point) —
+    its leftover ``__trash_*`` dirs, if the cleanup crashed, are orphans of
+    a successful publish and are deleted here, never restored. The policy
+    is deterministic: manifest present → roll back; manifest absent → the
+    published state stands. Run at pipeline startup (idempotent, no-op on
+    a clean target). Returns the recovered publish tokens.
     """
     jvm, fs, target_path = _hadoop_fs(spark, target)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -389,6 +399,11 @@ def recover_partition_publish(spark, target: str) -> list[str]:
         fs.delete(staging_path, True)
         fs.delete(st.getPath(), False)
         recovered.append(token)
+    # orphan trash dirs (manifest already gone = publish committed, cleanup
+    # crashed): safe to drop — the published partitions are the live state
+    for st in fs.listStatus(target_path):
+        if st.getPath().getName().startswith("__trash_"):
+            fs.delete(st.getPath(), True)
     return recovered
 
 

@@ -185,3 +185,29 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     assert after_files < before_files / 4
     assert got.count() == before_count
     assert got.agg(F.sum("event_id")).collect()[0][0] == before_sum
+
+
+def test_partition_publish_committed_crash_keeps_new_data(spark, tmp_path):
+    """Crash AFTER the commit point (manifest deleted) but before trash
+    cleanup: recovery must keep the published data and only sweep the
+    orphan trash — the window that would otherwise lose the partition."""
+    import shutil
+
+    from spark_jdbc_limit_spark.sinks import recover_partition_publish
+
+    target = tmp_path / "t"
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "v int, p string")
+    base.write.partitionBy("p").parquet(str(target))
+
+    # committed publish of p=a (new v=10), cleanup crashed: manifest gone,
+    # old copy still in trash
+    newdata = spark.createDataFrame([(10, "a")], "v int, p string")
+    staging = tmp_path / "stage_once"
+    newdata.write.partitionBy("p").parquet(str(staging))
+    shutil.move(str(target / "p=a"), str(target / "__trash_cafecafe0000_p=a"))
+    shutil.move(str(staging / "p=a"), str(target / "p=a"))
+
+    assert recover_partition_publish(spark, str(target)) == []  # no manifest
+    got = {(r.v, r.p) for r in spark.read.parquet(str(target)).collect()}
+    assert got == {(10, "a"), (2, "b")}  # published state stands
+    assert not (target / "__trash_cafecafe0000_p=a").exists()  # orphan swept
