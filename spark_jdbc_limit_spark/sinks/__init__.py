@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from spark_jdbc_limit_spark.sinks.transactional import (
     AtomicWriteError,
+    recover_atomic_publish,
     recover_partition_publish,
     write_jdbc_atomic,
     write_parquet_atomic,
@@ -14,6 +15,7 @@ from spark_jdbc_limit_spark.sinks.transactional import (
 
 __all__ = [
     "AtomicWriteError",
+    "recover_atomic_publish",
     "recover_partition_publish",
     "write_jdbc_atomic",
     "write_parquet_atomic",

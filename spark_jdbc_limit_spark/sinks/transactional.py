@@ -18,16 +18,15 @@ This engine replaces that with the portable staging+publish protocol:
 3. success → publish staging to the target via rename (files) or a
    single target-side transaction (JDBC).
 
-Non-atomic windows, documented exactly as the reference documents its
-"clean table manually" hole:
-- file OVERWRITE swaps via two renames (target→trash, staging→target);
-  a driver crash between them leaves the target missing (recoverable:
-  the trash dir holds the old data, staging holds the new);
-- file APPEND publishes by renaming files one by one into the target;
-  a crash mid-publish leaves a prefix of the new files visible —
-  on failure we compensate by deleting the already-published files
-  (the direct analogue of the reference's xmin delete, but against
-  uniquely-named files we know we created);
+Crash windows and their recovery (the reference's analogue is a log line
+saying "clean table manually", ExtJdbcUtils.scala:97-100):
+- every multi-rename publish (overwrite swap, append file-moves, dynamic
+  partition overwrite) first writes a durable PUBLISH MANIFEST; deleting
+  the manifest is the commit point. A driver crash at any rename boundary
+  is rolled back to the pre-publish state by ``recover_atomic_publish`` /
+  ``recover_partition_publish`` (run them at pipeline startup; idempotent);
+- manifest absent ⇒ the publish committed; leftover trash/staging dirs
+  are swept as orphans, never restored;
 - object stores without atomic rename (S3) degrade rename to
   copy+delete; use a table format (Iceberg/Delta) there instead.
 """
@@ -95,17 +94,44 @@ def write_parquet_atomic(
             f"staging write to {staging} failed; staging removed, target {target} untouched"
         ) from exc
 
-    # Phase 2: publish.
-    if mode == "overwrite" or not target_exists:
-        _publish_swap(jvm, fs, staging_path, target_path, target_exists)
-    else:  # append
-        _publish_append(jvm, fs, staging_path, target_path, token)
+    # Phase 2: publish, under a durable sibling manifest so a driver crash
+    # at ANY rename boundary is recoverable by recover_atomic_publish()
+    # (manifest deletion is the commit point, same protocol as the
+    # partition-overwrite path below).
+    trash = (
+        str(target_path) + f"__trash_{token}"
+        if (mode == "overwrite" or not target_exists) and target_exists
+        else None
+    )
+    manifest_path = jvm.org.apache.hadoop.fs.Path(
+        f"{target.rstrip('/')}__publish_manifest_{token}.json"
+    )
+    _fs_write_text(
+        fs,
+        manifest_path,
+        json.dumps(
+            {
+                "token": token,
+                "mode": "swap" if (mode == "overwrite" or not target_exists) else "append",
+                "staging": staging,
+                "trash": trash,
+            }
+        ),
+    )
+    try:
+        if mode == "overwrite" or not target_exists:
+            _publish_swap(jvm, fs, staging_path, target_path, trash, manifest_path)
+        else:  # append
+            _publish_append(jvm, fs, staging_path, target_path, token, manifest_path)
+    except Exception:
+        fs.delete(manifest_path, False)  # in-process paths rolled back already
+        raise
 
 
-def _publish_swap(jvm, fs, staging_path, target_path, target_exists: bool) -> None:
+def _publish_swap(jvm, fs, staging_path, target_path, trash_str, manifest_path) -> None:
     trash = None
-    if target_exists:
-        trash = jvm.org.apache.hadoop.fs.Path(str(target_path) + f"__trash_{uuid.uuid4().hex[:8]}")
+    if trash_str is not None:
+        trash = jvm.org.apache.hadoop.fs.Path(trash_str)
         if not fs.rename(target_path, trash):
             fs.delete(staging_path, True)
             raise AtomicWriteError(f"could not move old {target_path} aside; staging removed")
@@ -117,11 +143,12 @@ def _publish_swap(jvm, fs, staging_path, target_path, target_exists: bool) -> No
             )
         fs.delete(staging_path, True)
         raise AtomicWriteError(f"publish rename to {target_path} failed; old data restored")
+    fs.delete(manifest_path, False)  # COMMIT POINT — before trash cleanup
     if trash is not None:
         fs.delete(trash, True)
 
 
-def _publish_append(jvm, fs, staging_path, target_path, token: str) -> None:
+def _publish_append(jvm, fs, staging_path, target_path, token: str, manifest_path) -> None:
     """Move staging data files into the target with unique names; on
     partial failure, compensating-delete the files already moved."""
     Path = jvm.org.apache.hadoop.fs.Path
@@ -152,7 +179,64 @@ def _publish_append(jvm, fs, staging_path, target_path, token: str) -> None:
         raise AtomicWriteError(
             f"append publish to {target_path} failed; {len(moved)} published files compensated"
         ) from exc
+    fs.delete(manifest_path, False)  # COMMIT POINT — before staging cleanup
     fs.delete(staging_path, True)
+
+
+def recover_atomic_publish(spark, target: str) -> list[str]:
+    """Crash recovery for :func:`write_parquet_atomic`: find sibling
+    publish manifests (``<target>__publish_manifest_<token>.json``) and
+    roll each interrupted publish BACK (manifest present ⇒ uncommitted;
+    manifest deletion is the commit point, so a committed publish never
+    reaches this code). States, in rename order:
+
+    - nothing renamed yet (target present or absent as before, staging
+      present, no trash) → drop staging;
+    - old target moved to trash, staging not yet renamed in (target
+      absent) → restore trash → target, drop staging;
+    - staging renamed in but commit not reached (target present, trash
+      present / or swap-with-no-prior-data with staging gone) → drop the
+      new target, restore trash if any;
+    - append half-moved (mode=append) → delete ``<token>-*`` files from
+      the target, drop staging.
+
+    Idempotent; returns the rolled-back tokens.
+    """
+    jvm, fs, target_path = _hadoop_fs(spark, target)
+    Path = jvm.org.apache.hadoop.fs.Path
+    parent = target_path.getParent()
+    base = target_path.getName()
+    if parent is None or not fs.exists(parent):
+        return []
+    recovered = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if not (name.startswith(f"{base}__publish_manifest_") and name.endswith(".json")):
+            continue
+        man = json.loads(_fs_read_text(jvm, fs, st.getPath()))
+        token = man["token"]
+        staging_path = Path(man["staging"])
+        staging_exists = fs.exists(staging_path)
+        if man["mode"] == "swap":
+            trash_path = Path(man["trash"]) if man.get("trash") else None
+            trash_exists = trash_path is not None and fs.exists(trash_path)
+            if trash_exists:
+                # target dir, if present, is the un-committed new data
+                fs.delete(target_path, True)
+                if not fs.rename(trash_path, target_path):
+                    raise AtomicWriteError(f"recovery could not restore {trash_path}")
+            elif not staging_exists and fs.exists(target_path):
+                # no prior data existed and staging was renamed in → undo
+                fs.delete(target_path, True)
+        else:  # append
+            if fs.exists(target_path):
+                for f in fs.listStatus(target_path):
+                    if f.getPath().getName().startswith(f"{token}-"):
+                        fs.delete(f.getPath(), False)
+        fs.delete(staging_path, True)
+        fs.delete(st.getPath(), False)
+        recovered.append(token)
+    return recovered
 
 
 def write_jdbc_atomic(

@@ -211,3 +211,73 @@ def test_partition_publish_committed_crash_keeps_new_data(spark, tmp_path):
     got = {(r.v, r.p) for r in spark.read.parquet(str(target)).collect()}
     assert got == {(10, "a"), (2, "b")}  # published state stands
     assert not (target / "__trash_cafecafe0000_p=a").exists()  # orphan swept
+
+
+def test_atomic_swap_crash_states_recover(spark, tmp_path):
+    """Every crash point of the overwrite swap rolls back to the
+    pre-publish state via the sibling manifest."""
+    import json
+    import shutil
+
+    from spark_jdbc_limit_spark.sinks import recover_atomic_publish
+
+    def fresh(name, rows):
+        t = tmp_path / name
+        spark.createDataFrame(rows, "v int").write.parquet(str(t))
+        return t
+
+    def manifest(t, token, trash):
+        (tmp_path / f"{t.name}__publish_manifest_{token}.json").write_text(
+            json.dumps({"token": token, "mode": "swap",
+                        "staging": str(tmp_path / f"{t.name}__staging_{token}"),
+                        "trash": str(tmp_path / f"{t.name}__trash_{token}") if trash else None})
+        )
+
+    # state A: crash before any rename (staging written, target untouched)
+    ta = fresh("a", [(1,)])
+    spark.createDataFrame([(9,)], "v int").write.parquet(str(tmp_path / "a__staging_t1"))
+    manifest(ta, "t1", trash=True)
+    assert recover_atomic_publish(spark, str(ta)) == ["t1"]
+    assert {r.v for r in spark.read.parquet(str(ta)).collect()} == {1}
+    assert not (tmp_path / "a__staging_t1").exists()
+
+    # state B: crash between the two renames (target missing!)
+    tb = fresh("b", [(2,)])
+    spark.createDataFrame([(9,)], "v int").write.parquet(str(tmp_path / "b__staging_t2"))
+    shutil.move(str(tb), str(tmp_path / "b__trash_t2"))
+    manifest(tb, "t2", trash=True)
+    assert recover_atomic_publish(spark, str(tb)) == ["t2"]
+    assert {r.v for r in spark.read.parquet(str(tb)).collect()} == {2}
+
+    # state C: crash after staging renamed in, before commit (new target live)
+    tc = fresh("c", [(3,)])
+    shutil.move(str(tc), str(tmp_path / "c__trash_t3"))
+    spark.createDataFrame([(9,)], "v int").write.parquet(str(tc))
+    manifest(tc, "t3", trash=True)
+    assert recover_atomic_publish(spark, str(tc)) == ["t3"]
+    assert {r.v for r in spark.read.parquet(str(tc)).collect()} == {3}
+
+
+def test_atomic_append_crash_recovers_partial_files(spark, tmp_path):
+    """Append crash mid-move: manifest-driven recovery deletes exactly the
+    half-published token files."""
+    import json
+
+    from spark_jdbc_limit_spark.sinks import recover_atomic_publish
+
+    t = tmp_path / "t"
+    spark.createDataFrame([(1,), (2,)], "v int").write.parquet(str(t))
+    n_before = spark.read.parquet(str(t)).count()
+    # fake half-moved append: one token-prefixed data file in the target
+    staging = tmp_path / "t__staging_tok9"
+    spark.createDataFrame([(8,), (9,)], "v int").write.parquet(str(staging))
+    data = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+    data.rename(t / f"tok9-{data.name}")
+    (tmp_path / "t__publish_manifest_tok9.json").write_text(
+        json.dumps({"token": "tok9", "mode": "append",
+                    "staging": str(staging), "trash": None})
+    )
+    assert recover_atomic_publish(spark, str(t)) == ["tok9"]
+    got = spark.read.parquet(str(t))
+    assert got.count() == n_before
+    assert not staging.exists()
