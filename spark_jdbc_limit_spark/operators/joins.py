@@ -432,7 +432,10 @@ SALT_BUCKETS = 8
 def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual skew salting, the pre-AQE (and streaming-state) defense
     against one hot key melting a single reducer: the probe side appends a
-    DETERMINISTIC salt (l_linenumber % B — reproducible, unlike rand()),
+    DETERMINISTIC salt ((l_linenumber - 1) % B — reproducible, unlike
+    rand(); the -1 matters: l_linenumber is 1..7, so a bare %B would never
+    emit bucket 0 and one of the B replicated dim copies would be dead
+    weight),
     the build side is replicated B× via explode(sequence(...)), and the
     join key becomes (key, salt) so each hot key spreads over B reducers.
     The result is IDENTICAL to the plain equi-join — the oracle runs the
@@ -443,7 +446,9 @@ def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (null-heavy, power-law head) or the engine is stateful."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
-    salted_fact = li.withColumn("salt", (F.col("l_linenumber") % SALT_BUCKETS).cast("int"))
+    salted_fact = li.withColumn(
+        "salt", ((F.col("l_linenumber") - 1) % SALT_BUCKETS).cast("int")
+    )
     replicated_dim = o.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)).cast("array<int>"))
     )

@@ -213,11 +213,11 @@ def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
                CAST((octet_length(encode(text)) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS BIGINT)
                    AS resized_bytes,
-               CAST(list_sum(list_transform(
+               CAST(COALESCE(list_sum(list_transform(
                         range(1, octet_length(encode(text)) + 1),
                         i -> CASE WHEN (i - 1) % {RESIZE_STRIDE} = 0
                                   THEN unicode(SUBSTRING(text, i, 1))::BIGINT
-                                  ELSE 0 END)) % 997 AS BIGINT) AS resized_sum
+                                  ELSE 0 END)), 0) % 997 AS BIGINT) AS resized_sum
         FROM documents
         ORDER BY doc_id
     """,

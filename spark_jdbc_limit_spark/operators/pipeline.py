@@ -354,7 +354,14 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # go quadratic here.
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    gram_rep = F.lit(1.0) - F.size(F.array_distinct(grams3(words, n))).cast("double") / (n - 2)
+    # n>=3 guard: under Spark 4's default ANSI mode a bare /(n-2) raises
+    # DIVIDE_BY_ZERO for a 2-word doc (Catalyst gives no evaluation-order
+    # guarantee vs the n>=CURATE_MIN_WORDS conjunct once predicates split);
+    # same guard as text.py's text_repetition_ratio. Value for n<3 is
+    # irrelevant — the length gate drops those rows either way.
+    gram_rep = F.lit(1.0) - F.when(
+        n >= 3, F.size(F.array_distinct(grams3(words, n))).cast("double") / (n - 2)
+    ).otherwise(F.lit(1.0))
     gated = d.filter((n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP))
     deduped = gated.groupBy("source", "lang", "text").agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies")

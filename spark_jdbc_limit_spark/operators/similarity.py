@@ -301,7 +301,9 @@ def embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries labels × dims partial sums, never raw vectors, and the
     explode is pipelined inside the scan stage (no materialized 64× blowup
     on disk). Mean in double rounded to 3 — same tolerance posture as the
-    cosine queries, margin-checked by the LSH margin test."""
+    cosine queries; test_float_decision_margins_on_oracle_data pins the
+    rounding margin (no per-label norm within 1e-6 of a .5 boundary at
+    3 decimals on the compared data)."""
     e = load_table(spark, sf_dir, "embeddings")
     exploded = e.select(
         "label", F.posexplode(F.col("embedding")).alias("i", "x")

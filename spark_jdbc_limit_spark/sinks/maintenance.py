@@ -17,7 +17,7 @@ import math
 
 from pyspark.sql import SparkSession
 
-from spark_jdbc_limit_spark.sinks.transactional import write_parquet_atomic
+from spark_jdbc_limit_spark.sinks.transactional import _hadoop_fs, write_parquet_atomic
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual HDFS-block-ish target
 
@@ -25,9 +25,7 @@ DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual HDFS-block-ish target
 def table_bytes(spark: SparkSession, path: str) -> int:
     """Total on-disk bytes of a parquet table directory (driver-side
     metadata listing — no data read)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    _, fs, hpath = _hadoop_fs(spark, path)
     return fs.getContentSummary(hpath).getLength()
 
 

@@ -97,12 +97,12 @@ def write_parquet_atomic(
     # Phase 2: publish, under a durable sibling manifest so a driver crash
     # at ANY rename boundary is recoverable by recover_atomic_publish()
     # (manifest deletion is the commit point, same protocol as the
-    # partition-overwrite path below).
-    trash = (
-        str(target_path) + f"__trash_{token}"
-        if (mode == "overwrite" or not target_exists) and target_exists
-        else None
-    )
+    # partition-overwrite path below). Manifest lifecycle is owned by the
+    # publish functions: deleted on commit AND on fully-rolled-back
+    # in-process failures, RETAINED when rollback itself failed so the
+    # recovery record survives exactly when it is needed.
+    is_swap = mode == "overwrite" or not target_exists
+    trash = str(target_path) + f"__trash_{token}" if is_swap and target_exists else None
     manifest_path = jvm.org.apache.hadoop.fs.Path(
         f"{target.rstrip('/')}__publish_manifest_{token}.json"
     )
@@ -112,20 +112,16 @@ def write_parquet_atomic(
         json.dumps(
             {
                 "token": token,
-                "mode": "swap" if (mode == "overwrite" or not target_exists) else "append",
+                "mode": "swap" if is_swap else "append",
                 "staging": staging,
                 "trash": trash,
             }
         ),
     )
-    try:
-        if mode == "overwrite" or not target_exists:
-            _publish_swap(jvm, fs, staging_path, target_path, trash, manifest_path)
-        else:  # append
-            _publish_append(jvm, fs, staging_path, target_path, token, manifest_path)
-    except Exception:
-        fs.delete(manifest_path, False)  # in-process paths rolled back already
-        raise
+    if is_swap:
+        _publish_swap(jvm, fs, staging_path, target_path, trash, manifest_path)
+    else:
+        _publish_append(jvm, fs, staging_path, target_path, token, manifest_path)
 
 
 def _publish_swap(jvm, fs, staging_path, target_path, trash_str, manifest_path) -> None:
@@ -134,14 +130,18 @@ def _publish_swap(jvm, fs, staging_path, target_path, trash_str, manifest_path) 
         trash = jvm.org.apache.hadoop.fs.Path(trash_str)
         if not fs.rename(target_path, trash):
             fs.delete(staging_path, True)
+            fs.delete(manifest_path, False)  # nothing moved — clean abort
             raise AtomicWriteError(f"could not move old {target_path} aside; staging removed")
     if not fs.rename(staging_path, target_path):
         # roll the old data back into place
         if trash is not None and not fs.rename(trash, target_path):
+            # manifest RETAINED: recover_atomic_publish can restore trash
             raise AtomicWriteError(
-                f"publish failed AND rollback failed: old data stranded at {trash}"
+                f"publish failed AND rollback failed: old data stranded at {trash}; "
+                f"run recover_atomic_publish"
             )
         fs.delete(staging_path, True)
+        fs.delete(manifest_path, False)  # rolled back — clean abort
         raise AtomicWriteError(f"publish rename to {target_path} failed; old data restored")
     fs.delete(manifest_path, False)  # COMMIT POINT — before trash cleanup
     if trash is not None:
@@ -171,11 +171,13 @@ def _publish_append(jvm, fs, staging_path, target_path, token: str, manifest_pat
                 failed_cleanup.append(str(dst))
         fs.delete(staging_path, True)
         if failed_cleanup:
-            # the reference's same last-resort posture: "clean table manually"
-            # (ExtJdbcUtils.scala:97-100)
+            # manifest RETAINED: recovery can still delete the <token>-*
+            # files this process failed to compensate
             raise AtomicWriteError(
-                f"append publish failed and compensation left files behind: {failed_cleanup}"
+                f"append publish failed and compensation left files behind: "
+                f"{failed_cleanup}; run recover_atomic_publish"
             ) from exc
+        fs.delete(manifest_path, False)  # fully compensated — clean abort
         raise AtomicWriteError(
             f"append publish to {target_path} failed; {len(moved)} published files compensated"
         ) from exc
@@ -199,6 +201,13 @@ def recover_atomic_publish(spark, target: str) -> list[str]:
       new target, restore trash if any;
     - append half-moved (mode=append) → delete ``<token>-*`` files from
       the target, drop staging.
+
+    After the manifest rollbacks, sibling ``<target>__trash_*`` /
+    ``<target>__staging_*`` dirs with no surviving manifest are orphans of
+    COMMITTED publishes (crash between the manifest-delete commit point and
+    cleanup) and are swept, never restored — the same policy as
+    :func:`recover_partition_publish`. Without the sweep every such crash
+    permanently doubles the table's footprint.
 
     Idempotent; returns the rolled-back tokens.
     """
@@ -236,6 +245,12 @@ def recover_atomic_publish(spark, target: str) -> list[str]:
         fs.delete(staging_path, True)
         fs.delete(st.getPath(), False)
         recovered.append(token)
+    # orphan sweep: trash/staging siblings whose manifest is gone belong to
+    # committed publishes whose cleanup crashed — drop them, never restore
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if name.startswith(f"{base}__trash_") or name.startswith(f"{base}__staging_"):
+            fs.delete(st.getPath(), True)
     return recovered
 
 
@@ -290,11 +305,31 @@ def write_jdbc_atomic(
 
 def _drop_table_quiet(spark, url: str, props: dict[str, str], table: str) -> None:
     """DROP TABLE tolerating absence — portable across dialects without
-    ``IF EXISTS`` support (Derby, Oracle)."""
+    ``IF EXISTS`` support (Derby, Oracle). Absence is the ONLY tolerated
+    failure: if the drop failed and the table still exists (lock timeout,
+    dropped connection), warn loudly instead of silently leaking a staging
+    table per run. Never raises — callers invoke this on both success and
+    compensation paths, where masking the publish outcome would be worse
+    than a leaked staging table."""
     try:
         _jdbc_exec(spark, url, props, [f"DROP TABLE {table}"], autocommit=True)
-    except Exception:
-        pass
+        return
+    except Exception as drop_exc:
+        try:
+            # existence probe: succeeds ⇒ table survived the failed drop
+            _jdbc_exec(
+                spark, url, props, [f"SELECT 1 FROM {table} WHERE 1=0"], autocommit=True
+            )
+        except Exception:
+            return  # table absent — the drop "failed" only because there was nothing to drop
+        import warnings
+
+        warnings.warn(
+            f"could not drop staging table {table}; it still exists and must be "
+            f"dropped manually ({type(drop_exc).__name__}: {drop_exc})",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], autocommit: bool) -> None:

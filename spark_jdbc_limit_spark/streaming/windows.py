@@ -158,7 +158,7 @@ def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"),
             F.col("ts").alias("v_ts"),
         )
-        .withWatermark("v_ts", "10 minutes")
+        .withWatermark("v_ts", f"{ATTRIBUTION_WINDOW_MIN} minutes")
     )
     clicks = (
         events_stream(spark, sf_dir)
@@ -168,7 +168,10 @@ def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user_id"),
             F.col("ts").alias("c_ts"),
         )
-        .withWatermark("c_ts", "10 minutes")
+        # watermark delay derived from the SAME constant as the join bound:
+        # a wider attribution window must also widen state retention, or
+        # multi-batch runs silently drop matches the batch twin keeps
+        .withWatermark("c_ts", f"{ATTRIBUTION_WINDOW_MIN} minutes")
     )
     joined = views.join(
         clicks,

@@ -131,3 +131,15 @@ def test_float_decision_margins_on_oracle_data(sf_correct):
         i, j = np.triu_indices(len(idx), k=1)
         margin = min(margin, np.abs(sims[i, j] - COSINE_THRESHOLD).min())
     assert margin > 1e-6, "a cosine pair sits at the threshold boundary"
+
+    # centroid-norm round-to-3 decisions (embedding_centroid_norms):
+    # Spark's partial-agg AVG and DuckDB's sequential AVG accumulate in
+    # different orders; rounding to 3 decimals is engine-portable only if
+    # no per-label sqrt(sum(mean^2))*1000 sits within float-error distance
+    # of a .5 rounding boundary on this data
+    frac = np.empty(0)
+    for _, grp in t.groupby("label"):
+        means = np.stack(grp["embedding"].to_numpy()).astype(np.float64).mean(axis=0)
+        scaled = np.sqrt((means * means).sum()) * 1000.0
+        frac = np.append(frac, np.abs(scaled - np.floor(scaled) - 0.5))
+    assert frac.min() > 1e-6, "a centroid norm sits at a round-to-3 boundary"

@@ -281,3 +281,54 @@ def test_atomic_append_crash_recovers_partial_files(spark, tmp_path):
     got = spark.read.parquet(str(t))
     assert got.count() == n_before
     assert not staging.exists()
+
+
+def test_atomic_committed_orphans_swept(spark, tmp_path):
+    """Crash AFTER the commit point (manifest deleted) but before cleanup:
+    leftover __trash_/__staging_ siblings are orphans of a committed
+    publish — recover_atomic_publish sweeps them and restores nothing."""
+    from spark_jdbc_limit_spark.sinks import recover_atomic_publish
+
+    t = tmp_path / "t"
+    spark.createDataFrame([(5,)], "v int").write.parquet(str(t))
+    spark.createDataFrame([(1,)], "v int").write.parquet(str(tmp_path / "t__trash_tokA"))
+    spark.createDataFrame([(2,)], "v int").write.parquet(str(tmp_path / "t__staging_tokB"))
+    assert recover_atomic_publish(spark, str(t)) == []  # no manifest → committed
+    assert {r.v for r in spark.read.parquet(str(t)).collect()} == {5}
+    assert not (tmp_path / "t__trash_tokA").exists()
+    assert not (tmp_path / "t__staging_tokB").exists()
+
+
+def test_atomic_stranded_rollback_retains_manifest(spark, tmp_path, monkeypatch):
+    """Double failure (publish rename fails AND trash rollback fails): the
+    manifest must SURVIVE so recover_atomic_publish can still restore the
+    trash — deleting it there would orphan the old data forever."""
+    import spark_jdbc_limit_spark.sinks.transactional as tx
+    from spark_jdbc_limit_spark.sinks import recover_atomic_publish
+
+    t = tmp_path / "t"
+    spark.createDataFrame([(7,)], "v int").write.parquet(str(t))
+
+    def failing_swap(jvm, fs, staging_path, target_path, trash_str, manifest_path):
+        # move old data to trash (first rename), then fail BOTH the
+        # staging->target rename and the trash rollback
+        trash = jvm.org.apache.hadoop.fs.Path(trash_str)
+        assert fs.rename(target_path, trash)
+        raise tx.AtomicWriteError(
+            f"publish failed AND rollback failed: old data stranded at {trash}; "
+            f"run recover_atomic_publish"
+        )
+
+    monkeypatch.setattr(tx, "_publish_swap", failing_swap)
+    import pytest as _pytest
+
+    with _pytest.raises(tx.AtomicWriteError, match="stranded"):
+        tx.write_parquet_atomic(
+            spark.createDataFrame([(9,)], "v int"), str(t), mode="overwrite"
+        )
+    manifests = list(tmp_path.glob("t__publish_manifest_*.json"))
+    assert manifests, "manifest was deleted on the stranded path"
+    recovered = recover_atomic_publish(spark, str(t))
+    assert len(recovered) == 1
+    assert {r.v for r in spark.read.parquet(str(t)).collect()} == {7}
+    assert not list(tmp_path.glob("t__trash_*")) and not list(tmp_path.glob("t__staging_*"))
