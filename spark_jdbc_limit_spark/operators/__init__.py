@@ -31,6 +31,7 @@ from spark_jdbc_limit_spark.operators import udfs  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import advanced  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import windowed_events  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import pipeline  # noqa: E402,F401
+from spark_jdbc_limit_spark.operators import file_sources  # noqa: E402,F401
 
 __all__ = [
     "QuerySpec",
