@@ -523,6 +523,17 @@ def recover_partition_publish(spark, target: str) -> list[str]:
     for st in fs.listStatus(target_path):
         if st.getPath().getName().startswith("__trash_"):
             fs.delete(st.getPath(), True)
+    # orphan SIBLING staging dirs: left by a crash before the manifest was
+    # written (target untouched) or after the commit point (staging cleanup
+    # crashed) — in both states the target is consistent and staging is
+    # dead weight (found by the crash-point sweep test: a crash during
+    # manifest creation leaked the staging dir forever)
+    parent = target_path.getParent()
+    base = target_path.getName()
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith(f"{base}__staging_"):
+                fs.delete(st.getPath(), True)
     return recovered
 
 

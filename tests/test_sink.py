@@ -332,3 +332,160 @@ def test_atomic_stranded_rollback_retains_manifest(spark, tmp_path, monkeypatch)
     assert len(recovered) == 1
     assert {r.v for r in spark.read.parquet(str(t)).collect()} == {7}
     assert not list(tmp_path.glob("t__trash_*")) and not list(tmp_path.glob("t__staging_*"))
+
+
+class _SimulatedCrash(BaseException):
+    """Raised by the crash-injection FS proxy; BaseException so no
+    in-process except-Exception handler can compensate — exactly a dead
+    driver."""
+
+
+class _CrashingFS:
+    """Proxy over the Hadoop FileSystem that dies on the k-th MUTATING
+    call (create/rename/delete). Reads pass through untouched."""
+
+    def __init__(self, real, budget):
+        self._real = real
+        self._budget = budget
+
+    def _tick(self):
+        self._budget[0] -= 1
+        if self._budget[0] < 0:
+            raise _SimulatedCrash()
+
+    def create(self, *a):
+        self._tick()
+        return self._real.create(*a)
+
+    def rename(self, *a):
+        self._tick()
+        return self._real.rename(*a)
+
+    def delete(self, *a):
+        self._tick()
+        return self._real.delete(*a)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def _crash_sweep(spark, monkeypatch, tmp_path, do_write, recover, read_ids):
+    """Kill the writer at every mutating-FS-call boundary in turn; after
+    each crash run recovery and assert the target is EXACTLY the old or
+    EXACTLY the new content — never mixed, never missing — and no
+    staging/trash/manifest debris survives."""
+    import spark_jdbc_limit_spark.sinks.transactional as tx
+
+    real_hfs = tx._hadoop_fs
+    k = 0
+    while True:
+        target = tmp_path / f"t{k}"
+        old_ids, new_ids = _seed(spark, target)
+        budget = [k]
+        monkeypatch.setattr(
+            tx,
+            "_hadoop_fs",
+            lambda s, p: (lambda j, f, h: (j, _CrashingFS(f, budget), h))(*real_hfs(s, p)),
+        )
+        crashed = False
+        try:
+            do_write(spark, str(target))
+        except _SimulatedCrash:
+            crashed = True
+        finally:
+            monkeypatch.setattr(tx, "_hadoop_fs", real_hfs)
+        recover(spark, str(target))
+        got = read_ids(spark, str(target))
+        assert got in (old_ids, new_ids), (
+            f"crash at mutation #{k}: target is a MIXED state "
+            f"({len(got)} rows; old={len(old_ids)}, new={len(new_ids)})"
+        )
+        debris = [
+            p.name
+            for p in tmp_path.iterdir()
+            if "__trash_" in p.name or "__staging_" in p.name or "__publish_manifest_" in p.name
+        ]
+        assert not debris, f"crash at mutation #{k}: debris after recovery: {debris}"
+        if not crashed:
+            assert got == new_ids, f"uncrashed write at k={k} did not publish"
+            return k  # total mutating ops; sweep covered every boundary
+        k += 1
+        assert k < 40, "sweep did not terminate — op count exploded"
+
+
+def test_atomic_overwrite_crash_sweep(spark, tmp_path, monkeypatch):
+    """Atomic overwrite: every crash point rolls back (pre-commit) or
+    rolls forward (post-commit) to a consistent table."""
+    global _seed
+
+    def _seed(spark, target):
+        spark.range(0, 10).coalesce(1).write.parquet(str(target))
+        return set(range(10)), set(range(100, 105))
+
+    n_ops = _crash_sweep(
+        spark,
+        monkeypatch,
+        tmp_path,
+        lambda s, t: write_parquet_atomic(s.range(100, 105).coalesce(1), t, mode="overwrite"),
+        lambda s, t: __import__(
+            "spark_jdbc_limit_spark.sinks", fromlist=["recover_atomic_publish"]
+        ).recover_atomic_publish(s, t),
+        lambda s, t: {r.id for r in s.read.parquet(t).collect()},
+    )
+    assert n_ops >= 4  # manifest create, trash swap, publish, commit delete
+
+
+def test_partition_overwrite_crash_sweep(spark, tmp_path, monkeypatch):
+    """Dynamic partition overwrite: every crash point across the
+    multi-partition swap sequence recovers to all-old or all-new."""
+    global _seed
+
+    def _seed(spark, target):
+        old = spark.createDataFrame(
+            [(i, i % 3) for i in range(9)], "id long, p int"
+        ).coalesce(1)
+        old.write.partitionBy("p").parquet(str(target))
+        return set(range(9)), set(range(100, 109))
+
+    from spark_jdbc_limit_spark.sinks import recover_partition_publish
+    from spark_jdbc_limit_spark.sinks.transactional import write_parquet_overwrite_partitions
+
+    def write_new(s, t):
+        new = s.createDataFrame(
+            [(i, i % 3) for i in range(100, 109)], "id long, p int"
+        ).coalesce(1)
+        write_parquet_overwrite_partitions(new, t, "p")
+
+    n_ops = _crash_sweep(
+        spark,
+        monkeypatch,
+        tmp_path,
+        write_new,
+        recover_partition_publish,
+        lambda s, t: {r.id for r in s.read.parquet(t).collect()},
+    )
+    assert n_ops >= 8  # manifest + 3x(trash,swap) + commit + cleanup
+
+
+def test_atomic_append_crash_sweep(spark, tmp_path, monkeypatch):
+    """Append publish: every crash point across the per-file move sequence
+    recovers to exactly the old rows or exactly old+appended rows."""
+    global _seed
+
+    def _seed(spark, target):
+        spark.range(0, 10).coalesce(1).write.parquet(str(target))
+        return set(range(10)), set(range(10)) | set(range(100, 105))
+
+    n_ops = _crash_sweep(
+        spark,
+        monkeypatch,
+        tmp_path,
+        lambda s, t: write_parquet_atomic(
+            s.range(100, 105).repartition(2), t, mode="append"
+        ),
+        lambda s, t: __import__(
+            "spark_jdbc_limit_spark.sinks", fromlist=["recover_atomic_publish"]
+        ).recover_atomic_publish(s, t),
+        lambda s, t: {r.id for r in s.read.parquet(t).collect()},
+    )
+    assert n_ops >= 5  # manifest create, 2 file moves, commit delete, staging delete
