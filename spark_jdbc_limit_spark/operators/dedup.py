@@ -249,9 +249,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs agreeing on ANY band are candidates. The join is keyed on the
-    bucket, so cost scales with bucket occupancy, not n²."""
+    bucket, so cost scales with bucket occupancy, not n². The band table
+    is checkpointed before the self-join — no CSE across join branches,
+    so the raw plan would run the full minhash signature pass twice."""
     d = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_buckets(d)
+    bands = minhash_band_buckets(d).localCheckpoint(eager=False)
     b2 = bands.select(
         F.col("doc_id").alias("doc_id2"),
         F.col("band_id").alias("band_id2"),
@@ -303,7 +305,9 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only. Verification touches |candidates| × shingles,
     not n² — the shape that survives 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_buckets(d)
+    # checkpoint before the self-join: same no-CSE rationale as the
+    # candidates query — one minhash pass, not two
+    bands = minhash_band_buckets(d).localCheckpoint(eager=False)
     b2 = bands.select(
         F.col("doc_id").alias("doc_id2"),
         F.col("band_id").alias("band_id2"),
@@ -333,7 +337,13 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_hashes(d.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
+    # sh fans out to sizes (twice, via z1/z2) and both sides of the
+    # common-shingle join — four scans of the plan absent CSE. Checkpoint
+    # the small candidate-shingle set so the corpus semi-join + shingling
+    # runs once.
+    sh = shingle_hashes(
+        d.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
     s2 = sh.select(F.col("doc_id").alias("d2b"), F.col("h").alias("h2"))
@@ -380,7 +390,9 @@ def dedup_ngram_jaccard_exhaustive(spark: SparkSession, sf_dir: str) -> DataFram
     shingle hash, never a cross join). The recall yardstick for the LSH
     path; tests assert LSH-verified ⊆ exhaustive."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(d)
+    # sh feeds sizes (twice, via z1/z2) and both join sides — checkpoint so
+    # the corpus is shingled once, not four times (no CSE across branches)
+    sh = shingle_hashes(d).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "h")
     b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
@@ -511,10 +523,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star contraction; the per-round operators are identical.
     The DuckDB oracle computes the same closure with a recursive CTE —
     exact, since labels are integer mins."""
-    pairs = dedup_minhash_verified(spark, sf_dir).select("d1", "d2")
+    # Checkpoint the verified pairs BEFORE the self-union: Spark performs
+    # no common-subexpression elimination across union branches, so
+    # union(pairs, swap(pairs)) over the raw plan would run the whole
+    # minhash-verify pipeline twice in the first job (measured: ~2x the
+    # pipeline cost). After the checkpoint both branches read the tiny
+    # materialized pair set.
+    pairs = dedup_minhash_verified(spark, sf_dir).select("d1", "d2").localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).localCheckpoint(eager=False)
+    )
     # Fuse the first propagation round into the init: label = min(self,
     # neighbors). Pair/star clusters — the dominant near-dup shape — are
     # already converged here, so the loop runs one confirming round

@@ -189,11 +189,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingle hashing is the engine-exact rolling hash shared with
     operators/dedup.py, so the oracle reproduces the result bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(d, k=DECON_K)
     is_eval = (F.col("doc_id") % EVAL_MOD) == 0
-    eval_h = sh.filter(is_eval).select("h").distinct()
+    # Filter BEFORE shingling: mapInPandas is a pushdown barrier, so a
+    # doc_id filter on shingle output would shingle the whole corpus for
+    # each branch (two full Python passes). Filtering the input splits the
+    # corpus so each doc is shingled exactly once.
+    eval_h = shingle_hashes(d.filter(is_eval), k=DECON_K).select("h").distinct()
     contaminated = (
-        sh.filter(~is_eval)
+        shingle_hashes(d.filter(~is_eval), k=DECON_K)
         .join(F.broadcast(eval_h), "h", "left_semi")
         .select("doc_id")
         .distinct()
