@@ -54,6 +54,26 @@ def _hadoop_fs(spark, path: str):
     return jvm, fs, hpath
 
 
+def _delete_staging_stubborn(fs, path, attempts: int = 10, pause_s: float = 0.3) -> None:
+    """Delete a staging dir after a FAILED distributed write. Killed tasks
+    tear down asynchronously and their committer can recreate
+    ``_temporary`` attempt dirs moments after a single delete, leaking the
+    staging dir; re-delete until it stays gone (bounded — a leak here is
+    debris, not data loss)."""
+    import time
+
+    clear = 0
+    for _ in range(attempts):
+        if fs.exists(path):
+            fs.delete(path, True)
+            clear = 0
+        else:
+            clear += 1
+            if clear >= 2:  # stayed gone across a full pause — done
+                return
+        time.sleep(pause_s)
+
+
 def write_parquet_atomic(
     df: DataFrame,
     target: str,
@@ -89,7 +109,7 @@ def write_parquet_atomic(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
     except Exception as exc:
-        fs.delete(staging_path, True)
+        _delete_staging_stubborn(fs, staging_path)
         raise AtomicWriteError(
             f"staging write to {staging} failed; staging removed, target {target} untouched"
         ) from exc
@@ -210,6 +230,13 @@ def recover_atomic_publish(spark, target: str) -> list[str]:
     permanently doubles the table's footprint.
 
     Idempotent; returns the rolled-back tokens.
+
+    SINGLE-WRITER ASSUMPTION: run recovery only at pipeline startup, never
+    concurrently with a live writer on the same target — the orphan sweep
+    distinguishes live from dead staging solely by manifest presence, and a
+    writer that has staged data but not yet written its manifest looks
+    identical to a pre-manifest crash. Concurrent-writer coordination
+    belongs to a table format (Iceberg/Delta), not this protocol.
     """
     jvm, fs, target_path = _hadoop_fs(spark, target)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -234,8 +261,13 @@ def recover_atomic_publish(spark, target: str) -> list[str]:
                 fs.delete(target_path, True)
                 if not fs.rename(trash_path, target_path):
                     raise AtomicWriteError(f"recovery could not restore {trash_path}")
-            elif not staging_exists and fs.exists(target_path):
-                # no prior data existed and staging was renamed in → undo
+            elif man.get("trash") is None and not staging_exists and fs.exists(target_path):
+                # no prior data existed and staging was renamed in → undo.
+                # Guarded on trash-is-None: if the manifest PLANNED a trash
+                # (prior data existed) but neither trash nor staging is on
+                # disk, nothing was ever renamed (staging was lost some
+                # other way) and the target IS the live pre-publish data —
+                # deleting it here would destroy the only copy.
                 fs.delete(target_path, True)
         else:  # append
             if fs.exists(target_path):
@@ -246,12 +278,49 @@ def recover_atomic_publish(spark, target: str) -> list[str]:
         fs.delete(st.getPath(), False)
         recovered.append(token)
     # orphan sweep: trash/staging siblings whose manifest is gone belong to
-    # committed publishes whose cleanup crashed — drop them, never restore
+    # committed publishes whose cleanup crashed — drop them, never restore.
+    # EXCEPT dirs still referenced by a surviving manifest of EITHER
+    # protocol (partition-publish manifests live INSIDE the target dir but
+    # their staging dirs are siblings): sweeping those would destroy the
+    # state the other recovery needs to roll back correctly.
+    protected = _live_manifest_refs(jvm, fs, target_path)
     for st in fs.listStatus(parent):
         name = st.getPath().getName()
         if name.startswith(f"{base}__trash_") or name.startswith(f"{base}__staging_"):
-            fs.delete(st.getPath(), True)
+            if name not in protected:
+                fs.delete(st.getPath(), True)
     return recovered
+
+
+def _live_manifest_refs(jvm, fs, target_path) -> set:
+    """Names of staging/trash dirs referenced by any SURVIVING publish
+    manifest for this target, across BOTH publish protocols: sibling
+    ``<base>__publish_manifest_*.json`` (atomic swap/append) and
+    ``<target>/__publish_manifest_*.json`` (dynamic partition overwrite).
+    Orphan sweeps must skip these — a dir is only an orphan once no
+    manifest can still name it. Compared by dir NAME (token-unique) so
+    qualified vs unqualified path strings can't defeat the check."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    refs = set()
+
+    def _absorb(man: dict) -> None:
+        for key in ("staging", "trash"):
+            if man.get(key):
+                refs.add(Path(man[key]).getName())
+
+    parent = target_path.getParent()
+    base = target_path.getName()
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            name = st.getPath().getName()
+            if name.startswith(f"{base}__publish_manifest_") and name.endswith(".json"):
+                _absorb(json.loads(_fs_read_text(jvm, fs, st.getPath())))
+    if fs.exists(target_path):
+        for st in fs.listStatus(target_path):
+            name = st.getPath().getName()
+            if name.startswith("__publish_manifest_") and name.endswith(".json"):
+                _absorb(json.loads(_fs_read_text(jvm, fs, st.getPath())))
+    return refs
 
 
 def write_jdbc_atomic(
@@ -311,6 +380,8 @@ def _drop_table_quiet(spark, url: str, props: dict[str, str], table: str) -> Non
     table per run. Never raises — callers invoke this on both success and
     compensation paths, where masking the publish outcome would be worse
     than a leaked staging table."""
+    import warnings
+
     try:
         _jdbc_exec(spark, url, props, [f"DROP TABLE {table}"], autocommit=True)
         return
@@ -320,16 +391,48 @@ def _drop_table_quiet(spark, url: str, props: dict[str, str], table: str) -> Non
             _jdbc_exec(
                 spark, url, props, [f"SELECT 1 FROM {table} WHERE 1=0"], autocommit=True
             )
-        except Exception:
-            return  # table absent — the drop "failed" only because there was nothing to drop
-        import warnings
-
+        except Exception as probe_exc:
+            if _is_missing_object_error(probe_exc):
+                return  # table absent — the drop "failed" only because there was nothing to drop
+            # probe failed for a NON-absence reason (dropped connection, DB
+            # outage): the table's fate is unknown — warn, don't stay silent
+            warnings.warn(
+                f"could not drop staging table {table} and could not verify its "
+                f"absence (probe failed: {type(probe_exc).__name__}: {probe_exc}); "
+                f"it may still exist and need a manual drop "
+                f"(drop error: {type(drop_exc).__name__}: {drop_exc})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return
         warnings.warn(
             f"could not drop staging table {table}; it still exists and must be "
             f"dropped manually ({type(drop_exc).__name__}: {drop_exc})",
             RuntimeWarning,
             stacklevel=2,
         )
+
+
+def _is_missing_object_error(exc) -> bool:
+    """True when a JDBC failure means the referenced table doesn't exist —
+    SQLState class 42 (Derby 42X05, Postgres 42P01, MySQL 42S02) — rather
+    than a connectivity/availability failure. The probe SQL that feeds this
+    check is a constant ``SELECT 1 FROM <t> WHERE 1=0``, so a class-42
+    (syntax-or-access-rule) state can only be about the table reference.
+    Walks the Java cause chain because py4j surfaces wrapped exceptions."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state is not None and str(state).startswith("42"):
+            return True
+        try:
+            je = je.getCause()
+        except Exception:
+            je = None
+    return False
 
 
 def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], autocommit: bool) -> None:
@@ -398,7 +501,7 @@ def write_parquet_overwrite_partitions(
     try:
         df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     except Exception as exc:
-        fs.delete(staging_path, True)
+        _delete_staging_stubborn(fs, staging_path)
         raise AtomicWriteError(
             f"staging write to {staging} failed; staging removed, target {target} untouched"
         ) from exc
@@ -493,6 +596,12 @@ def recover_partition_publish(spark, target: str) -> list[str]:
     is deterministic: manifest present → roll back; manifest absent → the
     published state stands. Run at pipeline startup (idempotent, no-op on
     a clean target). Returns the recovered publish tokens.
+
+    SINGLE-WRITER ASSUMPTION: never run concurrently with a live writer on
+    the same target — a writer mid-staging-write (manifest not yet on disk)
+    is indistinguishable from a pre-manifest crash, and the sweep would
+    delete its staging under it. Startup-only, like its sibling
+    :func:`recover_atomic_publish`.
     """
     jvm, fs, target_path = _hadoop_fs(spark, target)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -527,12 +636,18 @@ def recover_partition_publish(spark, target: str) -> list[str]:
     # written (target untouched) or after the commit point (staging cleanup
     # crashed) — in both states the target is consistent and staging is
     # dead weight (found by the crash-point sweep test: a crash during
-    # manifest creation leaked the staging dir forever)
+    # manifest creation leaked the staging dir forever). A sibling staging
+    # referenced by a surviving ATOMIC-publish manifest is NOT an orphan —
+    # recover_atomic_publish still needs it to decide rename-progress, and
+    # sweeping it here would make that recovery read "staging gone" and
+    # delete the live target (cross-protocol data loss).
     parent = target_path.getParent()
     base = target_path.getName()
     if parent is not None and fs.exists(parent):
+        protected = _live_manifest_refs(jvm, fs, target_path)
         for st in fs.listStatus(parent):
-            if st.getPath().getName().startswith(f"{base}__staging_"):
+            name = st.getPath().getName()
+            if name.startswith(f"{base}__staging_") and name not in protected:
                 fs.delete(st.getPath(), True)
     return recovered
 

@@ -45,18 +45,29 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame (parquet scan, pushdown-capable).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects (DuckDB silently truncates to µs). We read nanos
-    as long and rebuild a µs TimestampType column, matching the oracle's
-    view of the data. Integer ``div`` keeps full precision (a double cast
-    would lose bits above 2^53).
+    ``events.ts`` normalization (the generated data's physical type has
+    changed across harness generations, so detect rather than assume):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it (DuckDB
+      silently truncates to µs) → read nanos as long, rebuild a µs
+      TimestampType column. Integer ``div`` keeps full precision (a double
+      cast would lose bits above 2^53).
+    - timestamp[us] (no tz → TIMESTAMP_NTZ in Spark): cast to
+      TimestampType — wall-clock preserving under the pinned UTC session
+      timezone, and identical to the oracle's naive-µs view.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos-as-long generation
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

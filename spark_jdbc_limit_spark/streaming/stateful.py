@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from spark_jdbc_limit_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from spark_jdbc_limit_spark.streaming.windows import _events_raw_schema
+
+#: The stateful-stream fixtures feed a LONG-nanos ``ts`` directory (the
+#: fixture normalizes whatever the catalog's events generation is back to
+#: raw nanos), so this source keeps the long schema unconditionally.
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 RUNNING_OUTPUT_SCHEMA = T.StructType(
     [

@@ -15,33 +15,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events physical schema — ts is TIMESTAMP(NANOS) in the parquet, which
-#: Spark only reads as long (see sources/catalog.py); the stream reader
-#: does the same long→µs reconstruction.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with a proper event-time
-    TimestampType column."""
+    TimestampType column.
+
+    The generated data's physical ``ts`` type has changed across harness
+    generations (TIMESTAMP(NANOS) → timestamp[us]); a stream source needs
+    an explicit schema, so peek at the batch footer once and normalize the
+    same way sources/catalog.py does.
+    """
+    from spark_jdbc_limit_spark.sources.catalog import table_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
     # File-stream sources need a DIRECTORY; select the events file by glob.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):  # nanos-as-long generation
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -334,6 +334,91 @@ def test_atomic_stranded_rollback_retains_manifest(spark, tmp_path, monkeypatch)
     assert not list(tmp_path.glob("t__trash_*")) and not list(tmp_path.glob("t__staging_*"))
 
 
+@pytest.mark.parametrize("order", ["partition_first", "atomic_first"])
+def test_cross_protocol_recovery_preserves_live_target(spark, tmp_path, order):
+    """Running BOTH recoveries at startup (as the docs instruct) must not
+    lose data regardless of order. Regression for the cross-protocol sweep
+    bug: each recovery's orphan sweep deleted the OTHER protocol's
+    still-manifested staging dir, after which the second recovery misread
+    'staging gone' as 'staging was renamed in' and deleted the live target.
+    """
+    import json
+
+    from spark_jdbc_limit_spark.sinks import (
+        recover_atomic_publish,
+        recover_partition_publish,
+    )
+
+    def run_both(t):
+        if order == "partition_first":
+            recover_partition_publish(spark, t)
+            recover_atomic_publish(spark, t)
+        else:
+            recover_atomic_publish(spark, t)
+            recover_partition_publish(spark, t)
+        # second pass: both again, other order — idempotent, still safe
+        recover_atomic_publish(spark, t)
+        recover_partition_publish(spark, t)
+
+    # Scenario A: write_parquet_atomic crashed BEFORE its first rename —
+    # sibling manifest (trash planned, never created) + sibling staging,
+    # target = live old data. Any sweep order must keep the old target.
+    ta = tmp_path / "a"
+    spark.createDataFrame([(1,), (2,)], "v int").write.parquet(str(ta))
+    spark.createDataFrame([(9,)], "v int").write.parquet(str(tmp_path / "a__staging_x1"))
+    (tmp_path / "a__publish_manifest_x1.json").write_text(
+        json.dumps({"token": "x1", "mode": "swap",
+                    "staging": str(tmp_path / "a__staging_x1"),
+                    "trash": str(tmp_path / "a__trash_x1")})
+    )
+    run_both(str(ta))
+    assert {r.v for r in spark.read.parquet(str(ta)).collect()} == {1, 2}
+    assert not (tmp_path / "a__staging_x1").exists()
+    assert not (tmp_path / "a__publish_manifest_x1.json").exists()
+
+    # Scenario B (mirror): write_parquet_overwrite_partitions crashed
+    # BEFORE the first swap — manifest inside the target, staging sibling
+    # with the never-swapped new partitions. The pre-existing partitions
+    # must all survive both recoveries in either order.
+    tb = tmp_path / "b"
+    spark.createDataFrame([(1, "a"), (2, "b")], "v int, p string").write.partitionBy(
+        "p"
+    ).parquet(str(tb))
+    staging = tmp_path / "b__staging_x2"
+    spark.createDataFrame([(10, "a")], "v int, p string").write.partitionBy("p").parquet(
+        str(staging)
+    )
+    (tb / "__publish_manifest_x2.json").write_text(
+        json.dumps({"token": "x2", "staging": str(staging),
+                    "partition_col": "p", "partitions": ["p=a"]})
+    )
+    run_both(str(tb))
+    got = {(r.v, r.p) for r in spark.read.parquet(str(tb)).collect()}
+    assert got == {(1, "a"), (2, "b")}  # pre-publish state, nothing lost
+    assert not staging.exists()
+    assert not (tb / "__publish_manifest_x2.json").exists()
+
+
+def test_atomic_recovery_ambiguous_missing_staging_keeps_target(spark, tmp_path):
+    """Swap manifest that PLANNED a trash (prior data existed) but neither
+    trash nor staging is on disk: nothing was ever renamed, so the target
+    is the live pre-publish data. Recovery must leave it untouched instead
+    of misreading 'staging gone' as 'staging was renamed in'."""
+    import json
+
+    from spark_jdbc_limit_spark.sinks import recover_atomic_publish
+
+    t = tmp_path / "t"
+    spark.createDataFrame([(4,), (5,)], "v int").write.parquet(str(t))
+    (tmp_path / "t__publish_manifest_zz.json").write_text(
+        json.dumps({"token": "zz", "mode": "swap",
+                    "staging": str(tmp_path / "t__staging_zz"),
+                    "trash": str(tmp_path / "t__trash_zz")})
+    )
+    assert recover_atomic_publish(spark, str(t)) == ["zz"]
+    assert {r.v for r in spark.read.parquet(str(t)).collect()} == {4, 5}
+
+
 class _SimulatedCrash(BaseException):
     """Raised by the crash-injection FS proxy; BaseException so no
     in-process except-Exception handler can compensate — exactly a dead
