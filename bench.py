@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,7 +65,7 @@ def main() -> None:
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
         all_reps[name] = samples
-        timings[name] = sorted(samples)[len(samples) // 2]
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     full = {

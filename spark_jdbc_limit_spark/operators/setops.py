@@ -4,6 +4,12 @@ intersect / intersect-all, except-all, distinct / dropDuplicates.
 Physicals to know at 100 TB: UNION ALL is a free concatenation (no
 shuffle); DISTINCT / INTERSECT / EXCEPT each hash-shuffle on the full row —
 so we project to the minimal column set FIRST, shrinking shuffle width.
+
+No builder here ends in a global sort: set-op output is a bag compared
+order-insensitively (the oracle SQL keeps ORDER BY only for human
+readability — DuckDB pays nothing for it at this scale), and a trailing
+``orderBy`` would add a range-partition exchange that at 100 TB is pure
+waste. Same reasoning as the asof join (joins.py).
 """
 
 from __future__ import annotations
@@ -31,7 +37,7 @@ from spark_jdbc_limit_spark.sources.catalog import load_table
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.union(s).distinct().orderBy("nk")
+    return c.union(s).distinct()
 
 
 @query(
@@ -52,7 +58,7 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.union(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n")).orderBy("nk")
+    return c.union(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(
@@ -69,7 +75,7 @@ def set_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s).orderBy("nk")
+    return c.intersect(s)
 
 
 @query(
@@ -90,7 +96,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     left = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
     right = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
-    return left.exceptAll(right).orderBy("ck")
+    return left.exceptAll(right)
 
 
 @query(
@@ -108,7 +114,7 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     left = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
     right = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
-    return left.intersectAll(right).orderBy("ck")
+    return left.intersectAll(right)
 
 
 @query(
@@ -139,5 +145,4 @@ def set_dropduplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderstatus", F.col("o_orderkey").alias("min_orderkey"))
-        .orderBy("o_custkey", "o_orderstatus")
     )

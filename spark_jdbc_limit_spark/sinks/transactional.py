@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame
 
@@ -72,6 +73,13 @@ def _delete_staging_stubborn(fs, path, attempts: int = 10, pause_s: float = 0.3)
             if clear >= 2:  # stayed gone across a full pause — done
                 return
         time.sleep(pause_s)
+    if fs.exists(path):
+        warnings.warn(
+            f"staging dir {path} still exists after {attempts} delete "
+            "attempts; leaked debris must be removed manually",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def write_parquet_atomic(
@@ -380,8 +388,6 @@ def _drop_table_quiet(spark, url: str, props: dict[str, str], table: str) -> Non
     table per run. Never raises — callers invoke this on both success and
     compensation paths, where masking the publish outcome would be worse
     than a leaked staging table."""
-    import warnings
-
     try:
         _jdbc_exec(spark, url, props, [f"DROP TABLE {table}"], autocommit=True)
         return
@@ -413,20 +419,31 @@ def _drop_table_quiet(spark, url: str, props: dict[str, str], table: str) -> Non
         )
 
 
+# SQLStates that specifically mean "relation does not exist". Class 42 as a
+# whole also covers privilege errors (Postgres 42501 insufficient_privilege,
+# MySQL 42000 access denied) — matching the class wholesale would misread a
+# permissions failure as absence and suppress the leaked-staging warning.
+_MISSING_TABLE_SQLSTATES = frozenset({
+    "42P01",  # Postgres undefined_table
+    "42S02",  # MySQL/ODBC base table or view not found
+    "42X05",  # Derby table/view does not exist
+    "42704",  # DB2/Derby object not defined
+})
+
+
 def _is_missing_object_error(exc) -> bool:
-    """True when a JDBC failure means the referenced table doesn't exist —
-    SQLState class 42 (Derby 42X05, Postgres 42P01, MySQL 42S02) — rather
-    than a connectivity/availability failure. The probe SQL that feeds this
-    check is a constant ``SELECT 1 FROM <t> WHERE 1=0``, so a class-42
-    (syntax-or-access-rule) state can only be about the table reference.
-    Walks the Java cause chain because py4j surfaces wrapped exceptions."""
+    """True when a JDBC failure means the referenced table doesn't exist
+    (known table-not-found SQLStates only) rather than a connectivity,
+    privilege, or availability failure — other class-42 states fall through
+    to the caller's 'fate unknown' warning. Walks the Java cause chain
+    because py4j surfaces wrapped exceptions."""
     je = getattr(exc, "java_exception", None)
     while je is not None:
         try:
             state = je.getSQLState()
         except Exception:
             state = None
-        if state is not None and str(state).startswith("42"):
+        if state is not None and str(state).upper() in _MISSING_TABLE_SQLSTATES:
             return True
         try:
             je = je.getCause()

@@ -72,8 +72,8 @@ def run_differential(spark, spec, sf_dir: str) -> None:
     if spec.oracle is None:
         # no-oracle queries (sketch estimates, engine-specific results) get
         # the driver's weaker rows-only check: the query must run and
-        # produce a well-formed frame
-        assert len(spark_pdf) >= 0
+        # produce a well-formed, non-degenerate frame
+        assert list(spark_pdf.columns), f"{spec.name}: no-oracle query returned zero columns"
         return
     con = duckdb_connection(sf_dir)
     try:
