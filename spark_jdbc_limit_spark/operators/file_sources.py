@@ -202,15 +202,17 @@ def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     ).option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", "_corrupt_record"
     ).csv(path)
-    # cache before splitting on _corrupt_record: Spark requires the raw
-    # record column to be materialized (a filter referencing only
-    # _corrupt_record on a lazy parse is disallowed / undefined)
+    # cache (lazily) before referencing _corrupt_record alone: Spark
+    # disallows queries whose only referenced column is the internal
+    # corrupt-record column on an un-materialized parse
     back = back.cache()
-    n_good = back.filter(F.col("_corrupt_record").isNull()).count()
-    n_corrupt = back.filter(F.col("_corrupt_record").isNotNull()).count()
-    back.unpersist()
-    return spark.createDataFrame(
-        [(n_good, n_corrupt)], "n_good long, n_corrupt long"
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
     )
 
 

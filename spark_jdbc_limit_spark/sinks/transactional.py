@@ -371,7 +371,12 @@ def write_jdbc_atomic(
         publish.append(f"DELETE FROM {table}")
     publish.append(f"INSERT INTO {table} SELECT * FROM {staging}")
     try:
-        _jdbc_exec(spark, url, props, publish, autocommit=False)
+        # honor Spark's isolationLevel write option on the publish
+        # transaction, negotiated down against database metadata
+        _jdbc_exec(
+            spark, url, props, publish, autocommit=False,
+            isolation=props.get("isolationLevel"),
+        )
     except Exception as exc:
         _drop_table_quiet(spark, url, props, staging)
         raise AtomicWriteError(
@@ -452,9 +457,79 @@ def _is_missing_object_error(exc) -> bool:
     return False
 
 
-def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], autocommit: bool) -> None:
+#: java.sql.Connection isolation constants by Spark's ``isolationLevel``
+#: option names (NONE means "run without a transaction").
+ISOLATION_LEVELS: dict[str, int] = {
+    "NONE": 0,
+    "READ_UNCOMMITTED": 1,
+    "READ_COMMITTED": 2,
+    "REPEATABLE_READ": 4,
+    "SERIALIZABLE": 8,
+}
+_ISOLATION_NAMES = {v: k for k, v in ISOLATION_LEVELS.items()}
+
+
+def negotiate_isolation(conn, requested: str) -> int:
+    """Negotiate the transaction isolation level against connection
+    metadata, mirroring the reference's savePartition negotiation
+    (ExtJdbcUtils.scala:193-216): start from the database's DEFAULT level,
+    upgrade to the requested level only if the database declares support
+    for it, and degrade all the way to NONE (no transaction) when the
+    database does not support transactions at all or metadata probing
+    fails. Every downgrade emits a RuntimeWarning naming both levels.
+
+    Returns the effective ``java.sql.Connection`` isolation constant."""
+    req = ISOLATION_LEVELS[requested.upper()]
+    if req == ISOLATION_LEVELS["NONE"]:
+        return req
+    try:
+        metadata = conn.getMetaData()
+        if not metadata.supportsTransactions():
+            warnings.warn(
+                f"requested isolation {requested} but the database does not "
+                "support transactions; running without one",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return ISOLATION_LEVELS["NONE"]
+        default = metadata.getDefaultTransactionIsolation()
+        if metadata.supportsTransactionIsolationLevel(req):
+            return req
+        warnings.warn(
+            f"requested isolation {requested} is not supported; falling back "
+            f"to database default {_ISOLATION_NAMES.get(default, default)}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return default
+    except Exception as exc:  # metadata probing itself failed
+        warnings.warn(
+            f"could not detect transaction support "
+            f"({type(exc).__name__}: {exc}); running without a transaction",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return ISOLATION_LEVELS["NONE"]
+
+
+def _jdbc_exec(
+    spark,
+    url: str,
+    props: dict[str, str],
+    statements: list[str],
+    autocommit: bool,
+    isolation: str | None = None,
+) -> str:
     """Run statements on one driver-side JDBC connection (py4j), inside a
-    single transaction when ``autocommit`` is false."""
+    single transaction when ``autocommit`` is false. ``isolation`` (a
+    Spark ``isolationLevel`` name) requests a transaction isolation level,
+    negotiated down against connection metadata like the reference
+    (ExtJdbcUtils.scala:193-216); ``None`` keeps the connection default.
+    If negotiation lands on NONE (transactions unsupported), the
+    statements run autocommitted — the reference degrades the same way.
+
+    Returns the effective isolation name actually used ("DEFAULT" when no
+    level was requested) so callers/tests can pin the negotiation."""
     from spark_jdbc_limit_spark.sources.jdbc import connect_with_retry
 
     jvm = spark._jvm
@@ -468,6 +543,14 @@ def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], au
             jprops.setProperty(k, str(v))
     conn = connect_with_retry(lambda: jvm.java.sql.DriverManager.getConnection(url, jprops))
     try:
+        effective = "DEFAULT"
+        if not autocommit and isolation is not None:
+            level = negotiate_isolation(conn, isolation)
+            effective = _ISOLATION_NAMES[level]
+            if level == ISOLATION_LEVELS["NONE"]:
+                autocommit = True
+            else:
+                conn.setTransactionIsolation(level)
         conn.setAutoCommit(autocommit)
         stmt = conn.createStatement()
         try:
@@ -481,6 +564,7 @@ def _jdbc_exec(spark, url: str, props: dict[str, str], statements: list[str], au
             raise
         finally:
             stmt.close()
+        return effective
     finally:
         conn.close()
 

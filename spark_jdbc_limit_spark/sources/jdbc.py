@@ -116,7 +116,11 @@ def jdbc_scan_with_limit(
     limits (JDBCRDDWithLimit.scala:65-71).
 
     ``columns`` are dialect-quoted here (the reference quotes through its
-    dialect too, JDBCRDDWithLimit.scala:36-40); ``predicate`` /
+    dialect too, JDBCRDDWithLimit.scala:36-40). ``columns=None`` means all
+    columns (``SELECT *``); ``columns=[]`` is the degenerate count-style
+    projection and emits ``SELECT 1`` like the reference's empty-column
+    branch (JDBCRDDWithLimit.scala:38) — a count over JDBC then ships one
+    constant per row instead of whole rows. ``predicate`` /
     ``partition_predicates`` are raw SQL fragments — quote identifiers as
     the target database expects (Spark-written tables have quoted,
     case-sensitive column names). Like every dbtable/query-option JDBC
@@ -131,7 +135,12 @@ def jdbc_scan_with_limit(
     ``spark.read.schema(...)``.
     """
     dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-    col_list = ", ".join(dialect.quoteIdentifier(c) for c in columns) if columns else "*"
+    if columns is None:
+        col_list = "*"
+    elif len(columns) == 0:
+        col_list = "1"
+    else:
+        col_list = ", ".join(dialect.quoteIdentifier(c) for c in columns)
     clause = limit_clause(spark, url, limit) if limit > 0 else ""
     parts = list(partition_predicates or ["1=1"])
 

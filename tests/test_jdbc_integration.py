@@ -106,6 +106,20 @@ def test_per_partition_limit_pushdown(spark, derby):
     assert all(r.id >= 0 for r in rows)
 
 
+def test_empty_projection_emits_select_one(spark, derby):
+    """Op 2 degenerate projection (JDBCRDDWithLimit.scala:36-40): a
+    count-style scan with ``columns=[]`` pushes ``SELECT 1`` so the
+    database ships one constant per row, not whole rows; the count is
+    identical to a full-row scan's."""
+    q = jdbc_scan_with_limit(
+        spark, derby, "src", limit=-1, columns=[],
+        predicate='"grp" = 3', driver=DRIVER,
+    )
+    plan = plan_text(q)
+    assert "SELECT 1 FROM src" in plan
+    assert q.count() == N_ROWS // 10
+
+
 def test_limit_zero_yields_zero_rows_without_pushdown(spark, derby):
     """The reference refuses to push limit <= 0 but the retained LocalLimit
     still produces 0 rows (JDBCRDDWithLimit.scala:65-71, SURVEY.md §4.2)."""
@@ -141,6 +155,33 @@ def test_write_jdbc_atomic_append_and_overwrite(spark, derby):
     got = jdbc_reader(spark, url=derby, table="tgt", driver=DRIVER).load()
     assert got.count() == 5
     assert got.agg(F.min("grp"), F.max("grp")).collect()[0] == (2, 2)
+
+
+def test_publish_isolation_negotiated_on_real_connection(spark, derby):
+    """The publish transaction honors a requested isolationLevel,
+    negotiated against live Derby metadata (reference
+    ExtJdbcUtils.scala:193-216): Derby supports SERIALIZABLE, so the
+    effective level equals the requested one; an atomic write carrying the
+    option still round-trips."""
+    from spark_jdbc_limit_spark.sinks.transactional import _jdbc_exec
+
+    props = {"driver": DRIVER}
+    effective = _jdbc_exec(
+        spark, derby, props,
+        ["VALUES 1"], autocommit=False, isolation="SERIALIZABLE",
+    )
+    assert effective == "SERIALIZABLE"
+    # no level requested → connection default untouched
+    assert _jdbc_exec(spark, derby, props, ["VALUES 1"], autocommit=False) == "DEFAULT"
+
+    base = jdbc_reader(spark, url=derby, table="src", driver=DRIVER).load()
+    write_extjdbc(base.limit(0), derby, "tgt_iso", mode="overwrite", driver=DRIVER)
+    write_jdbc_atomic(
+        base.filter(F.col("grp") == 4), derby, "tgt_iso", mode="append",
+        properties={"driver": DRIVER, "isolationLevel": "SERIALIZABLE"},
+    )
+    got = jdbc_reader(spark, url=derby, table="tgt_iso", driver=DRIVER).load()
+    assert got.count() == N_ROWS // 10
 
 
 def test_write_jdbc_atomic_task_failure_leaves_target_untouched(spark, derby):

@@ -574,3 +574,92 @@ def test_atomic_append_crash_sweep(spark, tmp_path, monkeypatch):
         lambda s, t: {r.id for r in s.read.parquet(t).collect()},
     )
     assert n_ops >= 5  # manifest create, 2 file moves, commit delete, staging delete
+
+
+# ---------------------------------------------------------------------------
+# Isolation negotiation (reference ExtJdbcUtils.scala:193-216 semantics)
+
+
+class _FakeMeta:
+    def __init__(self, supports_tx=True, default=2, supported=frozenset({2, 8})):
+        self._tx, self._default, self._supported = supports_tx, default, supported
+
+    def supportsTransactions(self):
+        return self._tx
+
+    def getDefaultTransactionIsolation(self):
+        return self._default
+
+    def supportsTransactionIsolationLevel(self, lvl):
+        return lvl in self._supported
+
+
+class _FakeConn:
+    def __init__(self, meta):
+        self._meta = meta
+
+    def getMetaData(self):
+        return self._meta
+
+
+def test_negotiate_isolation_grants_supported_level():
+    from spark_jdbc_limit_spark.sinks.transactional import (
+        ISOLATION_LEVELS,
+        negotiate_isolation,
+    )
+
+    conn = _FakeConn(_FakeMeta(supported=frozenset({2, 8})))
+    assert negotiate_isolation(conn, "SERIALIZABLE") == ISOLATION_LEVELS["SERIALIZABLE"]
+
+
+def test_negotiate_isolation_downgrades_to_default_with_warning():
+    from spark_jdbc_limit_spark.sinks.transactional import (
+        ISOLATION_LEVELS,
+        negotiate_isolation,
+    )
+
+    conn = _FakeConn(_FakeMeta(default=2, supported=frozenset({2})))
+    with pytest.warns(RuntimeWarning, match="not supported"):
+        got = negotiate_isolation(conn, "SERIALIZABLE")
+    assert got == ISOLATION_LEVELS["READ_COMMITTED"]
+
+
+def test_negotiate_isolation_no_transactions_degrades_to_none():
+    from spark_jdbc_limit_spark.sinks.transactional import (
+        ISOLATION_LEVELS,
+        negotiate_isolation,
+    )
+
+    conn = _FakeConn(_FakeMeta(supports_tx=False))
+    with pytest.warns(RuntimeWarning, match="does not support transactions"):
+        got = negotiate_isolation(conn, "READ_COMMITTED")
+    assert got == ISOLATION_LEVELS["NONE"]
+
+
+def test_negotiate_isolation_metadata_failure_degrades_to_none():
+    from spark_jdbc_limit_spark.sinks.transactional import (
+        ISOLATION_LEVELS,
+        negotiate_isolation,
+    )
+
+    class _Broken:
+        def getMetaData(self):
+            raise RuntimeError("boom")
+
+    with pytest.warns(RuntimeWarning, match="could not detect"):
+        got = negotiate_isolation(_Broken(), "SERIALIZABLE")
+    assert got == ISOLATION_LEVELS["NONE"]
+
+
+def test_negotiate_isolation_none_requested_is_none():
+    from spark_jdbc_limit_spark.sinks.transactional import (
+        ISOLATION_LEVELS,
+        negotiate_isolation,
+    )
+
+    # NONE short-circuits without touching metadata at all
+    class _Untouchable:
+        def getMetaData(self):
+            raise AssertionError("metadata must not be probed for NONE")
+
+    assert negotiate_isolation(_Untouchable(), "NONE") == ISOLATION_LEVELS["NONE"]
