@@ -469,6 +469,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CC_MAX_ITERS = 20
+STAR_MAX_ROUNDS = 50   # ≫ the O(log² n) bound of star contraction
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node u connects each strictly-larger
+    neighbor v to m = min(Γ(u) ∪ {u}). Halves the depth of tall trees in
+    one round. One groupBy + one join, both keyed on the node id."""
+    nbr = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = nbr.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        nbr.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge high→low; every node u connects
+    its smaller neighbors (and itself) to m = min of those neighbors.
+    Flattens shallow trees into stars."""
+    nbr = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    mins = nbr.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        nbr.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionByName(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _star_contract_components(pairs: DataFrame) -> DataFrame:
+    """Connected components by alternating small-star/large-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log² n) rounds regardless of
+    component DIAMETER — the property plain label propagation lacks, and
+    why this is the fallback when propagation blows its round budget on a
+    long-chain component. Each round is two groupBy+join pairs keyed on
+    node id; ``localCheckpoint`` truncates lineage per round.
+
+    ``pairs``: undirected edges as columns (d1, d2). Returns
+    (doc_id, component) where component is the min node id, exactly like
+    the propagation path."""
+    cur = (
+        pairs.select(F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(STAR_MAX_ROUNDS):
+        new = (
+            _small_star(_large_star(cur))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # exact fixpoint check on canonicalized distinct edge sets: same
+        # cardinality + empty one-sided difference ⇒ equal sets
+        if new.count() == cur.count() and new.exceptAll(cur).isEmpty():
+            cur = new
+            break
+        cur = new
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge within {STAR_MAX_ROUNDS} rounds"
+        )
+    # fixpoint is a star forest centered at each component's min node:
+    # label = min(self, neighbors); roots label themselves
+    nbr = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return (
+        nbr.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("doc_id"), F.least("mn", "u").alias("component"))
+    )
 
 
 @query(
@@ -518,11 +601,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph diameter (near-dup clusters are tiny, so 2-3 in practice,
     CC_MAX_ITERS caps pathology). Each round is one join + one groupBy on
     the edge key; ``localCheckpoint`` truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1 (and caps the plan size). At
-    100 TB scale swap the loop body for the alternating small-star/
-    large-star contraction; the per-round operators are identical.
-    The DuckDB oracle computes the same closure with a recursive CTE —
-    exact, since labels are integer mins."""
+    round N doesn't replay rounds 1..N-1 (and caps the plan size). If a
+    component's diameter exceeds the round budget, the query falls back to
+    alternating small-star/large-star contraction
+    (:func:`_star_contract_components`) whose round count is O(log² n)
+    regardless of diameter — no input can make this query raise or return
+    unconverged labels. The DuckDB oracle computes the same closure with a
+    recursive CTE — exact, since labels are integer mins."""
     # Checkpoint the verified pairs BEFORE the self-union: Spark performs
     # no common-subexpression elimination across union branches, so
     # union(pairs, swap(pairs)) over the raw plan would run the whole
@@ -569,13 +654,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
     if not converged:
-        # Returning unconverged labels would be silently wrong for any
-        # component whose diameter exceeds the round budget — fail loud.
-        raise RuntimeError(
-            f"label propagation did not converge within {CC_MAX_ITERS} rounds; "
-            "component diameter exceeds budget — raise CC_MAX_ITERS or switch "
-            "to small-star/large-star contraction for this dataset"
-        )
+        # A component's diameter exceeded the propagation round budget
+        # (per-round progress is one hop). Unconverged labels would be
+        # silently wrong, so switch to star contraction, whose round count
+        # is O(log² n) regardless of diameter — the 100 TB-safe path for
+        # pathological long-chain components.
+        return _star_contract_components(pairs)
     return labels
 
 

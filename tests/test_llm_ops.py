@@ -143,3 +143,43 @@ def test_float_decision_margins_on_oracle_data(sf_correct):
         scaled = np.sqrt((means * means).sum()) * 1000.0
         frac = np.append(frac, np.abs(scaled - np.floor(scaled) - 0.5))
     assert frac.min() > 1e-6, "a centroid norm sits at a round-to-3 boundary"
+
+
+def test_star_contraction_labels_long_chain(spark):
+    """Star contraction converges on a chain of diameter 30 — the exact
+    graph shape that exhausts plain label propagation's round budget
+    (CC_MAX_ITERS=20) — and labels every node with the chain minimum."""
+    from spark_jdbc_limit_spark.operators.dedup import _star_contract_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "d1 long, d2 long"
+    )
+    # second component: a triangle far away, plus reversed-orientation edges
+    tri = spark.createDataFrame(
+        [(101, 100), (101, 102), (100, 102)], "d1 long, d2 long"
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in _star_contract_components(chain.unionByName(tri)).collect()
+    }
+    want = {(i, 0) for i in range(31)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == want
+
+
+def test_connected_components_fallback_matches_propagation(spark, sf_correct, monkeypatch):
+    """With the propagation budget forced to zero rounds, the query must
+    take the star-contraction fallback and return the SAME labels the
+    converged propagation path produces (which the DuckDB recursive-CTE
+    oracle checks elsewhere)."""
+    from spark_jdbc_limit_spark.operators import dedup
+
+    normal = {
+        (r.doc_id, r.component)
+        for r in get_query("dedup_connected_components").builder(spark, sf_correct).collect()
+    }
+    monkeypatch.setattr(dedup, "CC_MAX_ITERS", 0)
+    fallback = {
+        (r.doc_id, r.component)
+        for r in get_query("dedup_connected_components").builder(spark, sf_correct).collect()
+    }
+    assert fallback == normal and len(normal) > 0
