@@ -11,10 +11,12 @@ Scale design:
   then searches only the query's bucket (and neighbors at Hamming ≤ r);
   hyperplanes are DETERMINISTIC pseudo-random ints so the oracle
   reproduces bucket assignment exactly;
-- IVF: coarse centroids (deterministically seeded), vectors partitioned
-  by nearest centroid; queries probe the nearest `nprobe` partitions.
-  At 100 TB the partition becomes a parquet partition key → partition
-  pruning turns ANN into a handful of file reads.
+- IVF: coarse centroids from a seeded ``pyspark.ml.clustering.KMeans``
+  fit over unit vectors (fit once, cached per dataset, centers shipped
+  by closure); vectors partitioned by nearest centroid; queries probe
+  the nearest `nprobe` partitions. At 100 TB the partition becomes a
+  parquet partition key → partition pruning turns ANN into a handful of
+  file reads.
 """
 
 from __future__ import annotations
@@ -217,18 +219,50 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
+_KMEANS_SEED = 42
+_KMEANS_MAX_ITER = 20
+#: fitted centroid matrices keyed by the dataset's input files — the
+#: "fit once, broadcast" posture: at 100 TB the quantizer is trained
+#: offline (optionally on a sample) and only the (k, dim) float matrix
+#: ships with the query, never the training job.
+_IVF_CENTROID_CACHE: dict[tuple[str, ...], np.ndarray] = {}
+
+
+def fit_ivf_centroids(embeddings: DataFrame) -> np.ndarray:
+    """IVF coarse quantizer: ``pyspark.ml.clustering.KMeans`` over
+    L2-normalized vectors (spherical k-means — Euclidean distance on unit
+    vectors is monotone in cosine, matching the cosine assignment below).
+    Fixed seed → reproducible centers for a given dataset. Returns the
+    (IVF_CENTROIDS, dim) centroid matrix, cached per input-file set so
+    repeated queries reuse one fit."""
+    key = tuple(sorted(embeddings.inputFiles()))
+    cached = _IVF_CENTROID_CACHE.get(key) if key else None
+    if cached is not None:
+        return cached
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = _as_double(F.col("embedding"))
+    unit = embeddings.select(
+        array_to_vector(F.transform(v, lambda x: x / _norm(v))).alias("features")
+    )
+    model = KMeans(
+        k=IVF_CENTROIDS, seed=_KMEANS_SEED, maxIter=_KMEANS_MAX_ITER
+    ).fit(unit)
+    centers = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    if key:
+        _IVF_CENTROID_CACHE[key] = centers
+    return centers
+
+
 def ivf_assignments(embeddings: DataFrame) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF coarse quantizer with deterministic seeding: the centroid set is
-    the EMB vectors with the smallest vec_ids (a fixed, reproducible
-    choice standing in for k-means — at scale you'd run
-    ``pyspark.ml.clustering.KMeans`` once, offline, and broadcast the
-    model). Returns (assignments df, centroid list)."""
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in embeddings.orderBy("vec_id").limit(IVF_CENTROIDS).collect()
-    ]
-    cent_ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
-    c = np.asarray([vec for _, vec in cents], dtype=np.float64)
+    """IVF coarse quantizer assignment: nearest (by cosine) KMeans
+    centroid per vector, computed as one Arrow-batched GEMM per batch
+    against the broadcast-by-closure centroid matrix. Returns
+    (assignments df, [(centroid_id, centroid_vector), ...])."""
+    c = fit_ivf_centroids(embeddings)
+    cents = [(i, [float(x) for x in c[i]]) for i in range(len(c))]
+    cent_ids = np.arange(len(c), dtype=np.int64)
     cn = c / np.linalg.norm(c, axis=1, keepdims=True)
 
     # All IVF_CENTROIDS cosines in ONE Arrow-batched matrix product per
