@@ -2,11 +2,11 @@
 build plan M5): opaque binary payloads with typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators.
 
-The container ships no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features / NotImplementedError for real codecs) while
-everything Spark-side is real and tested: binary column construction,
-schema, partitioning, the mapInPandas batch shape, and feature-extraction
-output.
+The container ships no codec LIBRARIES, so compressed formats (JPEG/PNG)
+raise NotImplementedError — but uncompressed netpbm (PGM/PPM) decode,
+box-downsample resize, frame sampling, and feature extraction are all
+REAL: actual binary headers parsed from actual image payloads, verified
+by a DuckDB oracle that recomputes pixels from the source data.
 
 Scale design: binary payloads ride through relational ops untouched
 (Tungsten treats them as byte arrays); decode/feature-extract runs once
@@ -30,13 +30,62 @@ FEATURE_SCHEMA = "doc_id long, n_bytes long, codepoint_sum long, head_hex string
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real codec hook — intentionally unavailable in this container.
+    """Decode an image payload to pixels.
 
-    In production this imports PIL/torchvision inside the executor and
-    returns decoded dimensions/tensors. Gated so the Spark plumbing stays
-    testable without the codec.
+    Binary PGM/PPM (netpbm P5/P6) decodes for real — a pure-Python header
+    parse (magic, whitespace/``#``-comment tokens, width, height, maxval)
+    plus a zero-copy numpy view of the raster. Compressed formats
+    (JPEG/PNG/...) need codec libraries this container doesn't ship, so
+    they raise NotImplementedError; in production that branch imports
+    PIL/torchvision inside the executor — same return contract.
+
+    Returns ``{"mode": "L"|"RGB", "width": w, "height": h, "pixels": arr}``
+    with pixels shaped (h, w) for P5 and (h, w, 3) for P6.
     """
-    raise NotImplementedError("image codecs are not installed in this environment")
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            f"unsupported image format (magic {magic!r}); only netpbm P5/P6 "
+            "decode without codec libraries"
+        )
+    # tokenize the header: 3 ASCII integers after the magic, any
+    # whitespace between tokens, '#' comments running to end of line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters not supported")
+    channels = 1 if magic == b"P5" else 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    if channels == 1:
+        return {"mode": "L", "width": w, "height": h, "pixels": raster.reshape(h, w)}
+    return {"mode": "RGB", "width": w, "height": h, "pixels": raster.reshape(h, w, 3)}
+
+
+def box_downsample(pixels: np.ndarray, factor: int) -> np.ndarray:
+    """Box-filter downsample by an integer factor: each output pixel is
+    the floor-mean of its factor×factor input block (integer arithmetic,
+    bit-for-bit reproducible). Trailing rows/cols that don't fill a block
+    are cropped, as image resamplers do."""
+    h, w = pixels.shape[:2]
+    hc, wc = (h // factor) * factor, (w // factor) * factor
+    a = pixels[:hc, :wc].astype(np.int64)
+    if a.ndim == 2:
+        blocks = a.reshape(hc // factor, factor, wc // factor, factor)
+        return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+    blocks = a.reshape(hc // factor, factor, wc // factor, factor, a.shape[2])
+    return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
 
 
 def extract_binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,56 +231,103 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_STRIDE = 4  # byte-level decimation factor of the "resize" stub
+RESIZE_FACTOR = 2  # box-downsample factor of the image resize
 
 
-def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas 'resize': deterministic 1-in-RESIZE_STRIDE byte
-    decimation of the payload (the testable stand-in for an image resize —
-    a real pipeline calls PIL.Image.resize here, same batch shape, same
-    output contract: smaller payload + its summary stats)."""
+def _img_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-document image dimensions (even, 8..22) so the
+    header parse is exercised on VARYING sizes and the oracle can
+    recompute them from doc_id alone."""
+    return 8 + (doc_id % 8) * 2, 8 + ((doc_id // 8) % 8) * 2
+
+
+def render_pgm_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas "camera": render each document's text into a REAL
+    binary PGM (netpbm P5) image — proper header + raster whose pixel
+    (r, c) is text byte (r*w + c) mod n. Deterministic, so the oracle can
+    recompute every pixel from the source text."""
     for pdf in batches:
-        resized = pdf["payload"].map(lambda b: bytes(b[::RESIZE_STRIDE]))
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w, h = _img_dims(int(doc_id))
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            pixels = data[np.arange(w * h) % len(data)]
+            payloads.append(f"P5\n{w} {h}\n255\n".encode() + pixels.tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_and_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize: decode each payload (REAL header parse — the
+    operator trusts nothing but the bytes), box-downsample by
+    RESIZE_FACTOR, emit dimensions + a checksum of the resized pixels.
+    Swapping decode_image's netpbm branch for PIL turns this into a
+    production JPEG/PNG resize with no change to the Spark plumbing."""
+    for pdf in batches:
+        ow, oh, rw, rh, sums = [], [], [], [], []
+        for payload in pdf["payload"]:
+            img = decode_image(bytes(payload))
+            out = box_downsample(img["pixels"], RESIZE_FACTOR)
+            ow.append(img["width"])
+            oh.append(img["height"])
+            rh.append(out.shape[0])
+            rw.append(out.shape[1])
+            sums.append(int(out.sum(dtype=np.int64)) % 997)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "orig_bytes": pdf["payload"].map(len).astype("int64"),
-                "resized_bytes": resized.map(len).astype("int64"),
-                "resized_sum": resized.map(
-                    lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)) % 997
-                ).astype("int64"),
+                "orig_w": np.asarray(ow, dtype=np.int64),
+                "orig_h": np.asarray(oh, dtype=np.int64),
+                "out_w": np.asarray(rw, dtype=np.int64),
+                "out_h": np.asarray(rh, dtype=np.int64),
+                "resized_sum": np.asarray(sums, dtype=np.int64),
             }
         )
 
 
 @query(
-    "multimodal_resize_stub",
+    "multimodal_image_resize",
     category="llm_multimodal",
-    description=f"Resize stub: 1-in-{RESIZE_STRIDE} byte decimation with verifiable stats",
+    description=f"Real image decode (netpbm) + {RESIZE_FACTOR}x box downsample, checksum-verified",
     oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   8 + (doc_id % 8) * 2 AS w,
+                   8 + ((doc_id // 8) % 8) * 2 AS h
+            FROM documents
+            WHERE n_chars >= 1
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
-               CAST((octet_length(encode(text)) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS BIGINT)
-                   AS resized_bytes,
-               CAST(COALESCE(list_sum(list_transform(
-                        range(1, octet_length(encode(text)) + 1),
-                        i -> CASE WHEN (i - 1) % {RESIZE_STRIDE} = 0
-                                  THEN unicode(SUBSTRING(text, i, 1))::BIGINT
-                                  ELSE 0 END)), 0) % 997 AS BIGINT) AS resized_sum
-        FROM documents
+               CAST(w AS BIGINT) AS orig_w,
+               CAST(h AS BIGINT) AS orig_h,
+               CAST(w // {RESIZE_FACTOR} AS BIGINT) AS out_w,
+               CAST(h // {RESIZE_FACTOR} AS BIGINT) AS out_h,
+               CAST(list_sum(list_transform(range(0, (w // 2) * (h // 2)), j ->
+                   (  unicode(substring(text, ((((j // (w//2)) * 2    ) * w + (j % (w//2)) * 2    ) % n) + 1, 1))
+                    + unicode(substring(text, ((((j // (w//2)) * 2    ) * w + (j % (w//2)) * 2 + 1) % n) + 1, 1))
+                    + unicode(substring(text, ((((j // (w//2)) * 2 + 1) * w + (j % (w//2)) * 2    ) % n) + 1, 1))
+                    + unicode(substring(text, ((((j // (w//2)) * 2 + 1) * w + (j % (w//2)) * 2 + 1) % n) + 1, 1))
+                   ) // 4
+               )) % 997 AS BIGINT) AS resized_sum
+        FROM p
         ORDER BY doc_id
     """,
 )
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The missing piece of the decode/feature/resize/frame-sample quartet
-    (SURVEY.md §2B multimodal): payload in, SMALLER payload out, verified
-    by size + content checksum. The corpus is ASCII so byte i of the
-    payload == code point of char i+1 — which is what lets the DuckDB twin
-    recompute the decimated checksum from the source text, proving the
-    binary transform is exactly the declared function of its input."""
-    d = load_table(spark, sf_dir, "documents")
-    with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/resize leg of the multimodal quartet, now REAL end to
+    end: render text into binary PGM images (varying per-doc dimensions),
+    decode via an actual header parse, box-downsample {RESIZE_FACTOR}×
+    with integer floor-mean, and emit dimensions + pixel checksum. The
+    corpus is ASCII, so the DuckDB twin recomputes every 2×2 block mean
+    from the source text — decode, offset math, and filter arithmetic are
+    all value-verified, not just shape-checked. Both stages are
+    payload-local mapInPandas (no shuffle); blobs never leave the stage
+    that consumes them."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    with_payload = d.select("doc_id", "text").mapInPandas(
+        render_pgm_payloads, "doc_id long, payload binary"
+    )
     return with_payload.mapInPandas(
-        resize_payloads,
-        "doc_id long, orig_bytes long, resized_bytes long, resized_sum long",
+        decode_and_resize,
+        "doc_id long, orig_w long, orig_h long, out_w long, out_h long, resized_sum long",
     )

@@ -104,9 +104,37 @@ def test_lsh_buckets_spread(spark, sf_correct):
     assert len(buckets) > 50, f"LSH degenerate: only {len(buckets)} buckets"
 
 
-def test_decode_stub_gated():
-    with pytest.raises(NotImplementedError, match="codecs"):
+def test_decode_compressed_formats_gated():
+    with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_decode_pgm_real_header_and_raster():
+    """P5 decode is real: header with comment + whitespace variants parses,
+    raster reshapes to (h, w), values round-trip."""
+    import numpy as np
+
+    w, h = 4, 3
+    pixels = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    payload = b"P5\n# a comment\n4 3\n255\n" + pixels.tobytes()
+    img = decode_image(payload)
+    assert (img["mode"], img["width"], img["height"]) == ("L", 4, 3)
+    assert (img["pixels"] == pixels).all()
+
+    # P6 three-channel variant
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    img6 = decode_image(b"P6 4 3 255\n" + rgb.tobytes())
+    assert img6["mode"] == "RGB" and (img6["pixels"] == rgb).all()
+
+
+def test_box_downsample_floor_mean():
+    import numpy as np
+
+    from spark_jdbc_limit_spark.operators.multimodal import box_downsample
+
+    a = np.array([[1, 2, 10], [3, 4, 20]], dtype=np.uint8)  # odd col cropped
+    out = box_downsample(a, 2)
+    assert out.shape == (1, 1) and out[0, 0] == (1 + 2 + 3 + 4) // 4
 
 
 def test_hll_union_of_group_sketches_equals_direct_sketch(spark, sf_correct):
