@@ -88,6 +88,79 @@ def stream_user_running_totals(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+try:  # Spark ≥ 4.0 arbitrary-state API
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover — older Spark keeps the legacy path only
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment]
+
+
+def transform_with_state_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run:
+    the API exists AND the ``protobuf`` package is importable — Spark's
+    TransformWithState Python driver worker speaks a protobuf-framed
+    state-server protocol and crashes at query start without it."""
+    import importlib.util
+
+    if StatefulProcessorHandle is None:
+        return False
+    try:
+        # find_spec imports the parent package, which may itself be absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithState twin of :func:`_fold_user_state`: per-user
+    (count, cents-total) in a named ValueState. Same integer-cents
+    accumulation, so both implementations converge to the identical batch
+    ground truth regardless of micro-batch arrival order."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("totals", RUNNING_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            total += int((pdf["value"] * 100).round().astype("int64").sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_so_far": [n], "total_value_cents": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_running_totals_tws(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Per-user running totals on Spark 4's ``transformWithStateInPandas``
+    (the successor of ``applyInPandasWithState``: named state variables,
+    timers, TTL, and an evolvable StatefulProcessor lifecycle). Semantics
+    and output schema are identical to :func:`stream_user_running_totals`;
+    the converge-to-batch test drives both (skipping this path where
+    ``protobuf`` is unavailable — check
+    :func:`transform_with_state_available` first; Spark's TWS Python
+    driver worker needs it). transformWithState requires the RocksDB
+    state store provider — the production-scale choice anyway
+    (incremental checkpoints, state larger than executor memory)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = events_file_stream(spark, src_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        RUNNING_OUTPUT_SCHEMA,
+        "Update",
+        "None",
+    )
+
+
 def run_stream_foreach_batch_atomic(
     stream_df: DataFrame, target: str, checkpoint: str
 ) -> None:

@@ -12,6 +12,7 @@ from spark_jdbc_limit_spark.sources.catalog import load_table
 from spark_jdbc_limit_spark.streaming.stateful import (
     run_stream_foreach_batch_atomic,
     stream_user_running_totals,
+    stream_user_running_totals_tws,
 )
 from spark_jdbc_limit_spark.streaming.windows import run_stream_to_memory
 
@@ -49,6 +50,79 @@ def test_running_totals_converge_to_batch(spark, sf_dir, tmp_path):
         assert final.loc[uid, "total_value_cents"] == row["cents"], uid
     # multiple batches actually happened (state crossed batch boundaries)
     assert len(out) > len(final)
+
+
+def test_running_totals_processor_folds_state_like_legacy():
+    """RunningTotalsProcessor's fold logic, exercised directly against a
+    fake ValueState (the TWS protocol layer needs protobuf, but the
+    processor's arithmetic must match _fold_user_state regardless):
+    accumulation across calls, integer-cents exactness, emitted rows."""
+    import pandas as pd
+
+    from spark_jdbc_limit_spark.streaming.stateful import RunningTotalsProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeState()
+
+    proc = RunningTotalsProcessor()
+    proc.init(FakeHandle())
+    b1 = pd.DataFrame({"value": [1.10, 2.25]})
+    b2 = pd.DataFrame({"value": [0.65]})
+    (out1,) = proc.handleInputRows((7,), iter([b1]), None)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events_so_far": 2, "total_value_cents": 335,
+    }
+    (out2,) = proc.handleInputRows((7,), iter([b2]), None)
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events_so_far": 3, "total_value_cents": 400,
+    }
+
+
+def test_running_totals_transform_with_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """The transformWithStateInPandas implementation must fold state across
+    micro-batches to the same batch ground truth as the legacy
+    applyInPandasWithState path. Skipped where protobuf (required by
+    Spark's TWS Python driver worker) is not installed."""
+    import pytest
+
+    from spark_jdbc_limit_spark.streaming.stateful import transform_with_state_available
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithState needs the protobuf package (not in this container)")
+    src = _split_events(spark, sf_dir, tmp_path)
+    out = run_stream_to_memory(
+        stream_user_running_totals_tws(spark, src), "update"
+    ).toPandas()
+    final = out.groupby("user_id").last()
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(truth)
+    for uid, row in truth.iterrows():
+        assert final.loc[uid, "n_events_so_far"] == row["n"], uid
+        assert final.loc[uid, "total_value_cents"] == row["cents"], uid
+    assert len(out) > len(final), "state did not cross micro-batch boundaries"
 
 
 def test_foreach_batch_atomic_exactly_once(spark, sf_dir, tmp_path):
