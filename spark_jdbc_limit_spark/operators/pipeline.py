@@ -378,3 +378,48 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "cdc_upsert_latest",
+    category="llm_pipeline",
+    description="Changelog compaction: latest event per user via max_by aggregate",
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_type, value AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+        ORDER BY user_id
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert materialization: compact an event changelog to the
+    latest row per key, (ts, event_id) as the total version order.
+
+    Deliberately an aggregation (``max_by`` over a version-ordered struct),
+    NOT the window row_number formulation the oracle uses: an aggregate
+    gets map-side partial aggregation, so each scan task pre-compacts its
+    partition's keys and the single shuffle carries ~|distinct keys| rows —
+    on a 100 TB changelog with Zipfian key traffic that is orders of
+    magnitude less exchange than the window form, which must shuffle every
+    raw row before sorting each key group. Same determinism: event_id
+    breaks ts ties, and struct comparison is lexicographic."""
+    e = load_table(spark, sf_dir, "events")
+    version = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(
+        F.col("event_id"), F.col("ts"), F.col("event_type"), F.col("value")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.max_by(payload, version).alias("l"))
+        .select(
+            "user_id",
+            F.col("l.event_id").alias("last_event_id"),
+            F.col("l.ts").alias("last_ts"),
+            F.col("l.event_type").alias("last_type"),
+            F.col("l.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -354,3 +354,48 @@ def embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").cast("int").alias("label"), "n_vecs", "centroid_norm")
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_dim_stats",
+    category="llm_similarity",
+    description="Per-dimension mean/std/min/max over the embedding matrix",
+    oracle=f"""
+        WITH flat AS (
+            SELECT unnest(range(len(embedding))) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        )
+        SELECT dim, COUNT(*) AS n,
+               {sql_round_dbl('AVG(val)', 4)} AS mean_val,
+               {sql_round_dbl('STDDEV_SAMP(val)', 4)} AS std_val,
+               {sql_round_dbl('MIN(val)', 4)} AS min_val,
+               {sql_round_dbl('MAX(val)', 4)} AS max_val
+        FROM flat
+        GROUP BY dim
+        ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-matrix QA (drift detection, whitening inputs): per-dimension
+    count/mean/std/min/max. ``posexplode`` keeps the dimension index without
+    a join; the downstream hash aggregate has EMB_DIM distinct keys, so
+    map-side partial aggregation reduces each scan task to EMB_DIM rows and
+    the shuffle is negligible at any corpus size — the same partial-agg
+    shape as embedding_centroid_norms. Values are cast to double BEFORE
+    aggregation so both engines accumulate in f64."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim", "fval")
+    ).select(F.col("dim").cast("long").alias("dim"), F.col("fval").cast("double").alias("val"))
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            round_dbl(F.avg("val")).alias("mean_val"),
+            round_dbl(F.stddev_samp("val")).alias("std_val"),
+            round_dbl(F.min("val")).alias("min_val"),
+            round_dbl(F.max("val")).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -292,3 +292,137 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("gram_rep_ratio"),
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+# Patterns restricted to the syntax subset where Java regex (Spark) and RE2
+# (DuckDB) agree: character classes, bounded repetition, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_LONGNUM_RE = r"[0-9]{7,}"
+
+
+@query(
+    "text_pii_redaction",
+    category="llm_text",
+    description="Regex PII scrub: email/IP/long-number redaction with counts",
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id ||
+                   '@example.com ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ||
+                   ' acct ' || (1000000 + doc_id * 7919) AS t
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{PII_IP_RE}', '<IP>', 'g'),
+                       '{PII_LONGNUM_RE}', '<NUM>', 'g') AS redacted
+            FROM aug
+        )
+        SELECT doc_id, n_emails, n_ips,
+               CAST(LENGTH(redacted) AS BIGINT) AS redacted_len,
+               md5(redacted) AS redacted_md5
+        FROM red
+        ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: chained ``regexp_replace`` for
+    emails → IPv4 → long digit runs, plus per-class match counts. The
+    harness corpus is digit-free word salad, so the query first augments
+    each document with deterministic synthetic PII derived from ``doc_id``
+    (same expression in the oracle) — the differential then genuinely
+    exercises regex parity between engines instead of comparing zeros.
+
+    Scale: pure codegen string ops, zero shuffles — redaction runs at scan
+    speed on 100 TB exactly like the reference's filter pushdown keeps
+    scans tight (reference: JDBCRDDWithLimit.scala:45-48 keeps predicates
+    at the source; here the scrub itself stays in the scan stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" acct "),
+            (F.lit(1000000) + F.col("doc_id") * 7919).cast("string"),
+        ).alias("t"),
+    )
+    red = aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", PII_EMAIL_RE, "<EMAIL>"),
+                PII_IP_RE,
+                "<IP>",
+            ),
+            PII_LONGNUM_RE,
+            "<NUM>",
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+NGRAM_TOPK = 100
+
+
+@query(
+    "text_ngram_topk",
+    category="llm_text",
+    description=f"Corpus-wide bigram heavy hitters, top {NGRAM_TOPK} with total tie-break",
+    oracle=f"""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        g AS (
+            SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+            FROM w
+        )
+        SELECT gram, COUNT(*) AS cnt
+        FROM g
+        GROUP BY gram
+        ORDER BY cnt DESC, gram
+        LIMIT {NGRAM_TOPK}
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency (LM-training n-gram stats / heavy
+    hitters). Bigrams come from the same slice+zip_with shape as
+    :func:`grams3` — codegen-friendly, constant re-evaluations of the
+    split under optimizer inlining. One explode then one hash aggregate:
+    the explode's map-side partial aggregation collapses each partition's
+    grams before the single shuffle, so at 100 TB the exchange carries
+    (distinct grams × partitions), not 1 bigram-per-word rows. Total
+    ordering (count desc, gram asc) makes top-k deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _tokens(F.col("text"))
+    base = d.select(words.alias("words")).select(
+        "words", F.greatest(F.size("words") - 1, F.lit(0)).alias("m")
+    )
+    w1 = F.slice("words", 1, F.col("m"))
+    w2 = F.slice("words", 2, F.col("m"))
+    grams = F.zip_with(w1, w2, lambda a, b: F.concat_ws(" ", a, b))
+    return (
+        base.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(NGRAM_TOPK)
+    )
