@@ -462,3 +462,89 @@ def join_salted_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+#: Bucket count for the co-located join demo. At 100 TB this would be
+#: sized so each bucket file lands near the 128-256 MB sweet spot.
+BUCKETS = 8
+
+_BUCKETED_READY: set[str] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize customer + orders as bucketed tables (bucket key =
+    custkey, BUCKETS buckets, sorted within buckets) and return their
+    catalog names. Idempotent per (session, sf_dir): bench reps and
+    repeated driver calls reuse the first write.
+
+    This is Spark's answer to the reference's partition-predicate scan
+    splitting (reference: JDBCRDDWithLimit.scala:53-63): there the source
+    pre-splits rows so each task reads a disjoint slice; here the SOURCE
+    LAYOUT carries the hash partitioning, so every later equi-join or
+    aggregation on the bucket key skips its shuffle entirely. On a 100 TB
+    fact table that is the difference between an exchange of the whole
+    table per join and zero exchanged bytes, amortized over every
+    downstream query — the reason warehouses bucket their biggest facts."""
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    cust_tbl, ord_tbl = f"sjl_bucketed_customer_{tag}", f"sjl_bucketed_orders_{tag}"
+    key = f"{sf_dir}::{tag}"
+    if key in _BUCKETED_READY and spark.catalog.tableExists(cust_tbl):
+        return cust_tbl, ord_tbl
+    base = f"/tmp/sjl_bucketed/{tag}"
+    (
+        load_table(spark, sf_dir, "customer")
+        .write.format("parquet")
+        .bucketBy(BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{base}/customer")
+        .mode("overwrite")
+        .saveAsTable(cust_tbl)
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.format("parquet")
+        .bucketBy(BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable(ord_tbl)
+    )
+    _BUCKETED_READY.add(key)
+    return cust_tbl, ord_tbl
+
+
+@query(
+    "join_bucketed_colocated",
+    category="joins",
+    description=f"Shuffle-free equi-join via {BUCKETS}-bucket co-located tables",
+    oracle="""
+        SELECT c.c_mktsegment AS mktsegment,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim equi-join where BOTH sides are pre-bucketed on the join
+    key: Spark's scan reports the hash partitioning, Catalyst drops both
+    Exchanges, and the sort-merge join runs bucket-to-bucket. The plan
+    test pins zero shuffles under the join (broadcast disabled). Result is
+    identical to the plain join — only the physical layout differs."""
+    cust_tbl, ord_tbl = _bucketed_tables(spark, sf_dir)
+    c = spark.table(cust_tbl)
+    o = spark.table(ord_tbl)
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"])
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("mktsegment")
+    )

@@ -224,3 +224,47 @@ def test_salted_join_matches_plain_and_spreads_keys(spark, sf_dir):
     assert "salt" in plan
     assert "Explode" in plan or "Generate" in plan  # dim replicated B×
     assert len(df.take(1)) == 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed on the join key → the equi-join itself needs no
+    Exchange: the only shuffles allowed are the post-join aggregation and
+    the global sort. With broadcast disabled, a non-bucketed read of the
+    same join would need two more exchanges to co-locate the keys."""
+    from spark_jdbc_limit_spark.operators.joins import _bucketed_tables
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in with_conf}
+    try:
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        cust_tbl, ord_tbl = _bucketed_tables(spark, sf_dir)
+        c = spark.table(cust_tbl)
+        o = spark.table(ord_tbl)
+        joined = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+            "c_custkey", "o_orderkey"
+        )
+        txt = plan_text(joined)
+        assert "SortMergeJoin" in txt
+        assert "Exchange" not in txt, txt
+        assert joined.count() > 0
+
+        # control: same join over the raw parquet needs exchanges
+        from spark_jdbc_limit_spark.sources.catalog import load_table
+
+        cr = load_table(spark, sf_dir, "customer")
+        orr = load_table(spark, sf_dir, "orders")
+        control = cr.join(orr, cr["c_custkey"] == orr["o_custkey"]).select(
+            "c_custkey", "o_orderkey"
+        )
+        assert "Exchange" in plan_text(control)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
