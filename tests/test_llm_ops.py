@@ -248,3 +248,58 @@ def test_connected_components_fallback_matches_propagation(spark, sf_correct, mo
         for r in get_query("dedup_connected_components").builder(spark, sf_correct).collect()
     }
     assert fallback == normal and len(normal) > 0
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_correct):
+    """PQ/ADC recall: the 8×16-code quantizer's ADC shortlist of 50 must
+    contain most of the exact top-10 (averaged over ~50 query vectors),
+    and the registered query's final top-k — exact rerank of that
+    shortlist — must overlap the brute-force top-k. Recall is computed
+    against exact numpy cosine ground truth, same protocol as IVF."""
+    import numpy as np
+
+    from spark_jdbc_limit_spark.operators.similarity import (
+        PQ_ADC_CANDIDATES,
+        PQ_M,
+        TOP_K,
+        fit_pq_codebooks,
+        EMB_DIM,
+    )
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_correct, "embeddings")
+    books = fit_pq_codebooks(e)
+    sub_dim = EMB_DIM // PQ_M
+    d = e.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    v = np.stack(d["embedding"].to_numpy()).astype(np.float64)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    # encode everything once (same math as the encode UDF)
+    codes = np.empty((len(u), PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = u[:, m * sub_dim : (m + 1) * sub_dim]
+        d2 = (books[m] ** 2).sum(axis=1)[None, :] - 2.0 * (sub @ books[m].T)
+        codes[:, m] = d2.argmin(axis=1)
+
+    n = len(u)
+    total = count = 0
+    for qi in range(0, n, max(1, n // 50)):
+        sims = u @ u[qi]
+        sims[qi] = -2.0
+        exact_top = np.argsort(-sims)[:TOP_K]
+        lut = np.einsum(
+            "md,mkd->mk", u[qi].reshape(PQ_M, sub_dim), books
+        )
+        adc = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        adc[qi] = -2.0
+        shortlist = np.argsort(-adc)[:PQ_ADC_CANDIDATES]
+        total += float(np.isin(exact_top, shortlist).mean())
+        count += 1
+    recall = total / count
+    assert recall >= 0.5, f"PQ ADC shortlist recall {recall:.3f} too low"
+
+    # end-to-end: registered query returns TOP_K rows overlapping brute force
+    pq = {r["vec_id"] for r in get_query("ann_pq_topk").builder(spark, sf_correct).collect()}
+    bf = {r["vec_id"] for r in get_query("ann_cosine_topk_bruteforce").builder(spark, sf_correct).collect()}
+    assert len(pq) == TOP_K
+    assert len(pq & bf) >= TOP_K // 2, f"PQ top-k overlap with brute force only {len(pq & bf)}"
