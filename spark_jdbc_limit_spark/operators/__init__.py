@@ -64,12 +64,25 @@ _DRIVER_SAMPLED_R1_R3 = (
 )
 
 
+#: Queries added in round 4 (never sampled either, but the 47 carried-over
+#: fresh queries have waited 3 rounds for a driver row — they keep priority
+#: for the sampling window; the round-4 additions queue directly behind
+#: them, strong-oracle entries first).
+_NEW_R4 = (
+    "text_pii_redaction", "text_ngram_topk", "cdc_upsert_latest",
+    "embedding_dim_stats", "join_bucketed_colocated", "ann_pq_topk",
+)
+
+
 def _rotate_registry() -> None:
     sampled = set(_DRIVER_SAMPLED_R1_R3)
-    fresh = {n: s for n, s in REGISTRY.items() if n not in sampled}
+    new = set(_NEW_R4)
+    fresh = {n: s for n, s in REGISTRY.items() if n not in sampled and n not in new}
+    added = {n: REGISTRY[n] for n in _NEW_R4 if n in REGISTRY}
     seen = {n: s for n, s in REGISTRY.items() if n in sampled}
     REGISTRY.clear()
     REGISTRY.update(fresh)
+    REGISTRY.update(added)
     REGISTRY.update(seen)
 
 
