@@ -302,6 +302,21 @@ PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 PII_LONGNUM_RE = r"[0-9]{7,}"
 
 
+def redact_pii(col):
+    """Chained PII scrub expression: emails → IPv4 → 7+ digit runs.
+    Order matters: the email/IP replacement tokens contain no digits, so
+    the long-number pass cannot re-match inside an earlier replacement."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_LONGNUM_RE,
+        "<NUM>",
+    )
+
+
 @query(
     "text_pii_redaction",
     category="llm_text",
@@ -363,15 +378,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count("t", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace("t", PII_EMAIL_RE, "<EMAIL>"),
-                PII_IP_RE,
-                "<IP>",
-            ),
-            PII_LONGNUM_RE,
-            "<NUM>",
-        ).alias("redacted"),
+        redact_pii(F.col("t")).alias("redacted"),
     )
     return red.select(
         "doc_id",

@@ -303,3 +303,29 @@ def test_pq_recall_vs_bruteforce(spark, sf_correct):
     bf = {r["vec_id"] for r in get_query("ann_cosine_topk_bruteforce").builder(spark, sf_correct).collect()}
     assert len(pq) == TOP_K
     assert len(pq & bf) >= TOP_K // 2, f"PQ top-k overlap with brute force only {len(pq & bf)}"
+
+
+def test_pii_redaction_edges_and_idempotency(spark):
+    """Edge cases the corpus differential can't reach: multi-dot emails,
+    adjacent PII, 6-vs-7 digit boundary, and idempotency (a second pass
+    over already-redacted text changes nothing — replacement tokens are
+    digit-free so the number pass can't re-match inside them)."""
+    from spark_jdbc_limit_spark.operators.text import redact_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a.b.c+x@sub.example.co.uk wrote", "<EMAIL> wrote"),
+        ("ip 192.168.001.255 ok", "ip <IP> ok"),
+        ("cc 4111111111111111.", "cc <NUM>."),
+        ("short 123456 long 1234567", "short 123456 long <NUM>"),
+        ("x@y.io,10.0.0.1,99999999", "<EMAIL>,<IP>,<NUM>"),
+        ("no pii here", "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["t", "expected"])
+    out = df.select(
+        "expected",
+        redact_pii(F.col("t")).alias("once"),
+    ).withColumn("twice", redact_pii(F.col("once")))
+    for r in out.collect():
+        assert r["once"] == r["expected"], (r["once"], r["expected"])
+        assert r["twice"] == r["once"], "redaction must be idempotent"
