@@ -212,3 +212,28 @@ def test_write_jdbc_atomic_task_failure_leaves_target_untouched(spark, derby):
         table="(SELECT TABLENAME FROM SYS.SYSTABLES) st",
     ).load()
     assert sys_tables.filter(F.upper(F.col("TABLENAME")).contains("STAGING")).count() == 0
+
+
+def test_dialect_matrix_limit_and_quoting(spark):
+    """Dialect coverage as far as the sandbox allows without live servers:
+    Spark's dialect registry resolves clause syntax + identifier quoting
+    purely from the URL, so the SQL our scan would send to Postgres /
+    MySQL / SQL Server / Oracle is pinned here (the reference hard-coded
+    `LIMIT n`, which is wrong on the latter two — SURVEY §4.2)."""
+    jvm = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects
+
+    # limit clause per dialect
+    assert limit_clause(spark, "jdbc:postgresql://h/db", 9) == "LIMIT 9"
+    assert limit_clause(spark, "jdbc:mysql://h/db", 9) == "LIMIT 9"
+    # SQL Server / Oracle: Spark's dialects cannot emit a standalone
+    # trailing clause → our ANSI FETCH FIRST fallback (valid on both,
+    # unlike the reference's LIMIT n which neither accepts)
+    for url in ("jdbc:sqlserver://h;db", "jdbc:oracle:thin:@h:1521:db"):
+        d = jvm.get(url)
+        if not d.supportsLimit():
+            assert limit_clause(spark, url, 9) == "FETCH FIRST 9 ROWS ONLY"
+
+    # identifier quoting per dialect (what jdbc_scan_with_limit emits)
+    assert jvm.get("jdbc:postgresql://h/db").quoteIdentifier('c') == '"c"'
+    assert jvm.get("jdbc:mysql://h/db").quoteIdentifier('c') == '`c`'
+    assert jvm.get("jdbc:derby:memory:x").quoteIdentifier('c') == '"c"'

@@ -24,3 +24,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# Cross-SF sweep: the driver's gate runs only at sf0.01; constants tuned
+# to one scale (bucket counts, sample sizes, planted-duplicate thresholds)
+# are a classic way to be "correct" at the test SF and wrong elsewhere.
+# Gated behind an env var so the default suite stays fast — run with
+#   SPARK_GRAFT_SF_SWEEP=1 python -m pytest tests/test_oracle.py -k sweep
+import os
+
+_SWEEP = bool(os.environ.get("SPARK_GRAFT_SF_SWEEP"))
+
+
+@pytest.mark.skipif(not _SWEEP, reason="set SPARK_GRAFT_SF_SWEEP=1 to run the cross-SF sweep")
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_differential_sf0001_sweep(spark, spec):
+    run_differential(spark, spec, "/root/testdata/sf0.001")
