@@ -423,3 +423,66 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # no trailing sort: the harness compares order-insensitively
     )
+
+
+@query(
+    "mix_epochs_upsample",
+    category="llm_pipeline",
+    description="Weighted data mixing: fractional per-source epoch upsampling",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   1.0 + (CAST(SUBSTR(source, 4) AS INTEGER) % 5) * 0.5 AS epoch_weight
+            FROM documents
+        ),
+        full_epochs AS (
+            SELECT doc_id, source, epoch_weight, CAST(i AS INTEGER) AS epoch
+            FROM w, UNNEST(range(1, CAST(FLOOR(epoch_weight) AS BIGINT) + 1)) AS t(i)
+        ),
+        frac_epoch AS (
+            SELECT doc_id, source, epoch_weight,
+                   CAST(FLOOR(epoch_weight) + 1 AS INTEGER) AS epoch
+            FROM w
+            WHERE {_sql_hash_pct('doc_id')} < (epoch_weight - FLOOR(epoch_weight)) * 100
+        )
+        SELECT doc_id, source, epoch FROM full_epochs
+        UNION ALL
+        SELECT doc_id, source, epoch FROM frac_epoch
+    """,
+)
+def mix_epochs_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining corpus mixing: each source carries a fractional epoch
+    weight (here 1.0-3.0, derived deterministically from the source id);
+    every document is replicated floor(weight) times, and the fractional
+    remainder is realized by the same stateless doc_id-hash sampling as
+    sample_deterministic_hash — so a 2.5-epoch source repeats every doc
+    twice and exactly the same reproducible half of docs a third time.
+
+    Scale: replication is a generator (``explode(sequence)``) — a narrow
+    map, no shuffle, no driver participation; the fractional-tail branch
+    is a scan-speed filter unioned on. At 100 TB the output is written
+    straight to the packed-sequence stage; nothing materializes the
+    blow-up in memory."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_num = F.substring("source", 4, 10).cast("int")
+    weight = F.lit(1.0) + (src_num % 5).cast("double") * 0.5
+    base = d.select("doc_id", "source", weight.alias("epoch_weight"))
+    full = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.floor("epoch_weight").cast("int"))
+        ).alias("epoch"),
+    )
+    frac = (
+        base.filter(
+            _hash_pct_col(F.col("doc_id"))
+            < (F.col("epoch_weight") - F.floor("epoch_weight")) * 100
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.floor("epoch_weight") + 1).cast("int").alias("epoch"),
+        )
+    )
+    return full.unionByName(frac)
