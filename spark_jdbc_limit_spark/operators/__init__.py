@@ -71,7 +71,7 @@ _DRIVER_SAMPLED_R1_R3 = (
 _NEW_R4 = (
     "text_pii_redaction", "text_ngram_topk", "cdc_upsert_latest",
     "embedding_dim_stats", "join_bucketed_colocated", "ann_pq_topk",
-    "mix_epochs_upsample",
+    "mix_epochs_upsample", "text_unigram_logprob", "agg_histogram_prices",
 )
 
 

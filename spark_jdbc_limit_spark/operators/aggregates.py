@@ -396,3 +396,55 @@ def agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+HIST_LO, HIST_HI, HIST_NB = 0.0, 600000.0, 20
+
+
+@query(
+    "agg_histogram_prices",
+    category="aggregation",
+    description=f"{HIST_NB}-bucket histogram of order prices with under/overflow buckets",
+    oracle=f"""
+        WITH b AS (
+            SELECT CASE WHEN o_totalprice < {HIST_LO} THEN 0
+                        WHEN o_totalprice >= {HIST_HI} THEN {HIST_NB} + 1
+                        ELSE CAST(FLOOR((o_totalprice - {HIST_LO})
+                                        / ({HIST_HI} - {HIST_LO}) * {HIST_NB}) AS INTEGER) + 1
+                   END AS bucket,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT bucket,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+        FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram with explicit under/overflow buckets — the
+    profiling primitive for choosing partition bounds and spotting skew
+    before a big job. The bucket id is pure arithmetic on the scan (both
+    engines evaluate the identical IEEE double expression, so bucket
+    edges agree bit-for-bit), then one HIST_NB+2-key hash agg: map-side
+    partial aggregation reduces every scan task to ≤22 rows, so the
+    shuffle is constant-size at any corpus scale."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    bucket = (
+        F.when(v < HIST_LO, F.lit(0))
+        .when(v >= HIST_HI, F.lit(HIST_NB + 1))
+        .otherwise(
+            F.floor((v - HIST_LO) / (HIST_HI - HIST_LO) * HIST_NB).cast("int") + 1
+        )
+    )
+    return (
+        o.select(bucket.alias("bucket"), v.alias("p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("p").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -433,3 +433,48 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "gram")
         .limit(NGRAM_TOPK)
     )
+
+
+@query(
+    "text_unigram_logprob",
+    category="llm_text",
+    description="Unigram log-prob quality score (KenLM-style perplexity proxy)",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        freq AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ),
+        tot AS (SELECT SUM(c) AS n FROM freq)
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               {sql_round_dbl('AVG(LOG10(CAST(freq.c AS DOUBLE) / tot.n))', 4)} AS avg_logprob
+        FROM tok JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY tok.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-language-model quality signal: average per-token unigram
+    log10-probability, the cheap stand-in for a KenLM perplexity filter
+    (low avg logprob = rare-token soup = likely junk). Two aggregates:
+    (1) corpus unigram counts — map-side partial agg, distinct-word-sized
+    shuffle; (2) token→frequency lookup joined back, then a per-doc avg.
+    The frequency table is vocabulary-sized (Heaps' law: ~millions of rows
+    at 100 TB, a few hundred MB) so the join broadcasts and the token
+    stream never shuffles; the per-doc avg partial-aggregates in place
+    because explode preserves document locality within partitions."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    # corpus total as a broadcast 1-row relation — fully declarative, no
+    # eager driver action; Catalyst plans it as a reused subquery result
+    total = freq.agg(F.sum("c").cast("double").alias("n_total"))
+    scored = tok.join(F.broadcast(freq), "w").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        round_dbl(
+            F.avg(F.log10(F.col("c").cast("double") / F.col("n_total")))
+        ).alias("avg_logprob"),
+    )
