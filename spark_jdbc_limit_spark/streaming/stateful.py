@@ -180,3 +180,73 @@ def run_stream_foreach_batch_atomic(
         .start()
     )
     q.awaitTermination()
+
+
+# --- CDC latest-state keeper (streaming twin of cdc_upsert_latest) ---------
+LATEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("etype", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _fold_latest_state(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep only the (ts, event_id)-max row per key — the streaming CDC
+    upsert. State is one fixed-size tuple per key (bounded regardless of
+    stream length, unlike buffering approaches), and the version order
+    (ts, then event_id) is identical to the batch twin's ``max_by``
+    struct comparison, so any arrival order converges to the same row."""
+    cur = state.get if state.exists else None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        ts_us = pdf["ts"].astype("int64")
+        best = pdf.assign(__ts_us=ts_us).sort_values(["__ts_us", "event_id"]).iloc[-1]
+        cand = (
+            int(best["__ts_us"]),
+            int(best["event_id"]),
+            str(best["event_type"]),
+            float(best["value"]),
+        )
+        if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+            cur = cand
+    if cur is not None:
+        state.update(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [cur[1]],
+                "last_ts_us": [cur[0]],
+                "last_type": [cur[2]],
+                "last_value": [cur[3]],
+            }
+        )
+
+
+def stream_user_latest_state(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming CDC compaction: per-user latest row via
+    applyInPandasWithState (the streaming twin of the batch
+    ``cdc_upsert_latest`` registry query — same (ts, event_id) version
+    order, converges to the identical result for any micro-batch split)."""
+    ev = events_file_stream(spark, src_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _fold_latest_state,
+        LATEST_OUTPUT_SCHEMA,
+        LATEST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

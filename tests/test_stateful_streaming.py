@@ -142,3 +142,27 @@ def test_foreach_batch_atomic_exactly_once(spark, sf_dir, tmp_path):
     want = load_table(spark, sf_dir, "events")
     assert got.count() == want.count()
     assert got.select("event_id").distinct().count() == want.count()
+
+
+def test_latest_state_converges_to_batch_cdc(spark, sf_dir, tmp_path):
+    """The streaming CDC keeper's final emission per user must equal the
+    batch cdc_upsert_latest result (same version order), across real
+    multi-batch boundaries."""
+    from spark_jdbc_limit_spark.operators import get_query
+    from spark_jdbc_limit_spark.streaming.stateful import stream_user_latest_state
+
+    src = _split_events(spark, sf_dir, tmp_path)
+    out = run_stream_to_memory(stream_user_latest_state(spark, src), "update").toPandas()
+    final = out.groupby("user_id").last()
+    truth = (
+        get_query("cdc_upsert_latest")
+        .builder(spark, sf_dir)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(truth)
+    for uid, row in truth.iterrows():
+        assert final.loc[uid, "last_event_id"] == row["last_event_id"], uid
+        assert final.loc[uid, "last_type"] == row["last_type"], uid
+        assert final.loc[uid, "last_value"] == row["last_value"], uid
+    assert len(out) > len(final), "state must have crossed batch boundaries"
