@@ -72,6 +72,8 @@ _NEW_R4 = (
     "text_pii_redaction", "text_ngram_topk", "cdc_upsert_latest",
     "embedding_dim_stats", "join_bucketed_colocated", "ann_pq_topk",
     "mix_epochs_upsample", "text_unigram_logprob", "agg_histogram_prices",
+    "dedup_passage_exact", "text_tfidf_topk", "global_rownum_two_phase",
+    "source_parquet_partition_pruning",
 )
 
 

@@ -293,3 +293,67 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("purchase_value").asc_nulls_last(), F.col("event_id"))
         .limit(100)
     )
+
+
+@query(
+    "global_rownum_two_phase",
+    category="sort",
+    description="Scalable global row numbering: monotonic bucket + local rank + tiny offset join",
+    oracle="""
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+        WHERE o_orderstatus = 'O'
+    """,
+)
+def global_rownum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers WITHOUT the single-partition window.
+
+    The naive ``row_number() OVER (ORDER BY k)`` has an empty PARTITION BY,
+    so Spark funnels the whole table through ONE task — the canonical
+    100 TB job killer. Two-phase on a MONOTONIC bucket of the key:
+
+    1. ``bucket = floor(k / W)`` — order-preserving (every key in bucket
+       i sorts below every key in bucket i+1), computed from the value
+       itself so it is deterministic across plan branches (unlike
+       ``spark_partition_id()``, which AQE re-assigns) and costs no
+       sampling pass (unlike ``repartitionByRange``).
+    2. ``row_number`` partitioned by bucket — ONE hash shuffle, every
+       bucket numbered in parallel.
+    3. Per-bucket counts → running-total offsets via a window over that
+       MICRO relation (#buckets rows — the only single-task step) →
+       broadcast-join back: ``rn = offset + local_rn``.
+
+    Fully declarative (no collect, no RDD zipWithIndex); bucket width
+    trades bucket-size skew against offset-table size — at 100 TB pick
+    W so #buckets ≈ 10⁵–10⁶: still a kilobyte-scale broadcast."""
+    from pyspark.sql import Window as W
+
+    bucket_width = 400
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+        .withColumn("bucket", F.floor(F.col("o_orderkey") / bucket_width))
+    )
+    local = o.withColumn(
+        "local_rn",
+        F.row_number().over(W.partitionBy("bucket").orderBy("o_orderkey")),
+    )
+    counts = o.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.col("local_rn")).cast("long").alias("rn"),
+        )
+    )

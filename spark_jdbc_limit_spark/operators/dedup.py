@@ -719,3 +719,91 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         block_pairs, "v1 long, v2 long, cos_sim double"
     )
+
+
+PASSAGE_WORDS = 20     # words per exact-dedup passage window
+
+
+@query(
+    "dedup_passage_exact",
+    category="llm_dedup",
+    description=f"Exact {PASSAGE_WORDS}-word passage dedup, global first-occurrence wins",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE length(text) > 0
+        ),
+        p AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT)))
+                       AS passage_idx,
+                   unnest([
+                       md5(array_to_string(
+                           w[k * {PASSAGE_WORDS} + 1 : (k + 1) * {PASSAGE_WORDS}], ' '))
+                       for k in range(0, CAST(ceil(len(w) / {PASSAGE_WORDS}.0) AS BIGINT))
+                   ]) AS passage_md5
+            FROM w
+        )
+        SELECT passage_md5,
+               MIN({{'doc_id': doc_id, 'passage_idx': passage_idx}}).doc_id
+                   AS doc_id,
+               MIN({{'doc_id': doc_id, 'passage_idx': passage_idx}}).passage_idx
+                   AS passage_idx
+        FROM p
+        GROUP BY passage_md5
+    """,
+)
+def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sub-document (passage-level) deduplication: split every
+    document into fixed {PASSAGE}-word windows, dedup the windows
+    EXACTLY across the whole corpus, first occurrence (lowest
+    (doc_id, passage_idx)) wins. This is the corpus-level analogue of
+    exact-substring training-data dedup — boilerplate headers, licence
+    blocks, and syndicated paragraphs repeat across documents even when
+    whole-document hashes differ.
+
+    Scale shape: passages are digested to md5 BEFORE the shuffle, so
+    the single exchange carries (digest, doc_id, idx) — 40ish bytes per
+    passage, never the text. Survivor selection is
+    ``groupBy(digest).agg(min(struct(doc_id, idx)))`` — an aggregate,
+    not a window, so map-side partial aggregation collapses every
+    partition-local repeat before the wire; a window formulation
+    (row_number over digest) would ship every occurrence. At 100 TB the
+    shuffle is bounded by distinct-passage count, and a hot digest (a
+    boilerplate passage repeated 10⁹ times) partially aggregates to one
+    row per map partition instead of skewing one reducer.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    n_pass = F.ceil(F.size("words") / F.lit(float(PASSAGE_WORDS)))
+    base = d.select("doc_id", words.alias("words")).select(
+        "doc_id",
+        "words",
+        F.sequence(F.lit(0).cast("long"), n_pass - 1).alias("ks"),
+    )
+    passages = base.select(
+        "doc_id",
+        F.explode("ks").alias("passage_idx"),
+        "words",
+    ).select(
+        "doc_id",
+        "passage_idx",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "words",
+                    (F.col("passage_idx") * PASSAGE_WORDS + 1).cast("int"),
+                    PASSAGE_WORDS,
+                ),
+                " ",
+            )
+        ).alias("passage_md5"),
+    )
+    first = passages.groupBy("passage_md5").agg(
+        F.min(F.struct("doc_id", "passage_idx")).alias("s")
+    )
+    return first.select(
+        "passage_md5",
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.passage_idx").alias("passage_idx"),
+    )

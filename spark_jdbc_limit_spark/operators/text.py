@@ -478,3 +478,78 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log10(F.col("c").cast("double") / F.col("n_total")))
         ).alias("avg_logprob"),
     )
+
+
+TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_topk",
+    category="llm_text",
+    description=f"TF-IDF top-{TFIDF_TOPK} distinguishing terms per document",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   {sql_round_dbl('tf.tf * LN(n.n_docs / df.df)', 4)} AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tfidf
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rn FROM scored
+        )
+        WHERE rn <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the classic "what makes this document
+    different" signal used for corpus curation, topic balancing, and
+    near-dup triage. Shape at 100 TB: (1) one explode + hash aggregate
+    to (doc_id, term) counts — map-side partials collapse each
+    partition's repeats before the only full shuffle, keyed by doc_id
+    and term together so no single hot key exists; (2) document
+    frequency is an aggregate OVER the tf relation (rows already
+    distinct per doc×term, so ``COUNT(*)`` = #docs containing the
+    term) — vocabulary-sized, broadcast back; (3) per-doc top-k via a
+    window partitioned by doc_id, which reuses the doc_id-containing
+    partitioning from (1). Scores are half-up rounded to 4 places
+    BEFORE ranking so Spark and the oracle rank identical values; ties
+    break on the term string, making top-k fully deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            round_dbl(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .drop("rn")
+    )

@@ -315,3 +315,57 @@ def test_embedding_dim_stats_partial_agg(spark, sf_dir):
     assert_no_python_udf_in_plan(df)
     assert count_exchanges(df) == 1
     assert "Generate" in plan_text(df)
+
+
+def test_passage_dedup_digest_before_shuffle(spark, sf_dir):
+    """Passage dedup: survivor pick is a min(struct) AGGREGATE (map-side
+    partial collapse of repeats), never a window; the md5 digest must be
+    computed below the exchange so the shuffle carries digests, not text."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("dedup_passage_exact").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df)
+    assert "Window" not in txt
+    assert "partial_min" in txt or "partial" in txt.lower()
+    assert count_exchanges(df) == 1
+
+
+def test_tfidf_broadcasts_df_side(spark, sf_dir):
+    """TF-IDF: the vocabulary-sized document-frequency relation and the
+    1-row corpus count both broadcast — the (doc_id, term) stream must
+    never hash-shuffle for the join."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("text_tfidf_topk").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "BroadcastNestedLoopJoin" in txt  # the 1-row cross join
+
+
+def test_global_rownum_no_empty_partition_window(spark, sf_dir):
+    """Two-phase row numbering: every data-sized window is partitioned by
+    bucket; the only empty-PARTITION BY (single-task) window runs over the
+    micro per-bucket counts relation, which sits above an aggregate."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("global_rownum_two_phase").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    # the offsets branch aggregates before its single-partition window:
+    # a naive global row_number plan has a SinglePartition exchange with
+    # no aggregate under it.
+    assert "partial_count" in txt or "partial" in txt.lower()
+
+
+def test_partition_pruning_query_plan(spark, sf_dir):
+    """The registered pruning query (not just the fixture test above) must
+    carry its event_type IN-list in PartitionFilters at planning time."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("source_parquet_partition_pruning").builder(spark, sf_dir)
+    txt = plan_text(df)
+    assert "PartitionFilters" in txt
+    assert txt.index("PartitionFilters") and "event_type" in txt
