@@ -73,7 +73,9 @@ _NEW_R4 = (
     "embedding_dim_stats", "join_bucketed_colocated", "ann_pq_topk",
     "mix_epochs_upsample", "text_unigram_logprob", "agg_histogram_prices",
     "dedup_passage_exact", "text_tfidf_topk", "global_rownum_two_phase",
-    "source_parquet_partition_pruning",
+    "source_parquet_partition_pruning", "events_gapfill_locf",
+    "scd2_user_type_history", "agg_distinct_two_phase",
+    "events_funnel_conversion",
 )
 
 

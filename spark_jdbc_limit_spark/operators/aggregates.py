@@ -448,3 +448,35 @@ def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "agg_distinct_two_phase",
+    category="aggregation",
+    description="Skew-safe EXACT distinct count: dedup-then-count in two hash aggs",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_suppliers
+        FROM (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem)
+        GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) re-expressed as dedup-then-count — the
+    skew-safe formulation for 100 TB. ``countDistinct(v)`` per group makes
+    the final aggregate for a group hold that group's full distinct SET in
+    one task's hash map; with 3 group keys and 10⁹ distinct values each,
+    three reducers own gigabytes while the rest idle. Splitting it into
+    (1) ``groupBy(key, value)`` dedup — shuffle keyed on the PAIR, so the
+    hot group's values spread across every reducer and map-side partials
+    absorb repeats at scan speed — then (2) a plain count per key, turns
+    the skew monster into two well-spread hash aggregates. Same exact
+    answer, pinned against ``agg_distinct_counts``'s COUNT(DISTINCT) by
+    the shared oracle tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_distinct_suppliers"))
+    )

@@ -279,3 +279,217 @@ def events_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("c_us") - F.col("v_us")).alias("lag_us"),
         )
     )
+
+
+@query(
+    "events_gapfill_locf",
+    category="window_events",
+    description="Hourly rollup with dense gap-fill (zero counts) + LOCF of avg value",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type,
+                   unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR))
+                       AS bucket
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN bounds b
+        )
+        SELECT s.event_type, s.bucket,
+               COALESCE(h.n_events, 0) AS n_events,
+               LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) AS value_locf
+        FROM spine s
+        LEFT JOIN hourly h
+            ON s.event_type = h.event_type AND s.bucket = h.bucket
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification — the hypertable/ticker rollup pattern:
+    hourly aggregate, then a DENSE time spine so silent hours appear as
+    zero-count rows, then LOCF so each gap row carries the latest
+    observed hourly average forward (dashboards and ML feature frames
+    both need the dense grid, not the sparse raw rollup).
+
+    Scale shape: the raw scan collapses in ONE partial-aggregated hash
+    agg to (type, hour) — at 100 TB the post-agg relation is
+    buckets × types (thousands of rows per year), so everything after
+    the first shuffle is micro-data. The spine is declarative —
+    ``sequence(min_hour, max_hour, 1 hour)`` exploded against the
+    distinct-types relation, both 1-row/5-row broadcasts, never a
+    driver-side range loop — and the gap join + LOCF window run on the
+    micro relation. Bucket boundary rule: aggregate THEN densify;
+    densifying the raw stream first would explode the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.floor(F.avg("value") * 10000.0 + F.lit(0.5)) / 10000.0
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    filled = spine.join(hourly, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+@query(
+    "scd2_user_type_history",
+    category="window_events",
+    description="SCD type-2 history: change-suppressed validity intervals per user",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts AS valid_from, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) AS valid_to,
+               (LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) IS NULL) AS is_current
+        FROM changes
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a changelog: collapse
+    consecutive identical attribute values (change suppression via lag),
+    then stamp each surviving change with its validity interval
+    [valid_from, valid_to) via lead; the open interval is the current row.
+    This is the MERGE-free way to maintain dimension history at scale —
+    pure windows, no driver state.
+
+    Both window passes use the SAME (user_id → ts, event_id) partitioning
+    and sort, so Catalyst plans ONE exchange + one sort and runs lag and
+    lead in consecutive Window nodes without re-shuffling; the
+    change-suppression filter between them only shrinks the data. Keys
+    are users — millions of small partitions, no skewed giant, and the
+    deterministic (ts, event_id) tiebreak makes intervals reproducible
+    run-over-run."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_ev).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w_ch = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w_ch)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    category="window_events",
+    description="Ordered view→click→purchase funnel: per-stage user conversion counts",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_viewed,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                  AND t_purchase > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchased_after
+        FROM stages
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel — the flagship product-analytics query:
+    how many users progressed view → click → purchase IN THAT ORDER
+    (first-touch timestamps must strictly increase stage over stage).
+
+    One conditional-MIN aggregate per stage collapses the whole event
+    stream to a single row per user — map-side partials reduce each scan
+    task's slice before the only shuffle (keyed by user_id: millions of
+    keys, no skew) — then the funnel predicates are row-local comparisons
+    and the final global roll-up is a partial-aggregated count. NULL
+    comparison semantics make the strict-order predicate self-guarding:
+    ``t_click > t_view`` is NULL-safe false when either stage is missing,
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    as_int = lambda c: F.sum(c.cast("int")).cast("long")
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_int(viewed).alias("n_viewed"),
+        as_int(clicked).alias("n_clicked_after"),
+        as_int(purchased).alias("n_purchased_after"),
+    )

@@ -53,3 +53,25 @@ def compact_parquet(
     write_parquet_atomic(df, path, mode="overwrite")
     out = spark.read.parquet(path)
     return len({f for f in out.inputFiles()})
+
+
+def overwrite_partitions_dynamic(df, path: str, partition_cols: list[str]) -> None:
+    """Partition-scoped overwrite: replace ONLY the hive partitions present
+    in ``df``, leaving every other partition of the table untouched.
+
+    This is the idempotent-backfill primitive for partitioned 100 TB
+    tables: re-running one day's job must replace that day, not truncate
+    the table — which is exactly what a naive ``mode("overwrite")`` on the
+    table root does under Spark's default ``partitionOverwriteMode=STATIC``.
+    The dynamic mode is set per-write (not session-wide) so surrounding
+    jobs keep the conservative default; the write itself is Spark's normal
+    per-partition commit protocol, so concurrent readers of OTHER
+    partitions are never disturbed.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -369,3 +369,29 @@ def test_partition_pruning_query_plan(spark, sf_dir):
     txt = plan_text(df)
     assert "PartitionFilters" in txt
     assert txt.index("PartitionFilters") and "event_type" in txt
+
+
+def test_gapfill_aggregates_before_densify(spark, sf_dir):
+    """Gap-fill must aggregate the raw stream FIRST (one partial-agg
+    exchange) and densify the micro relation after — the spine explode
+    (Generate) sits above broadcast inputs, never against raw events."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("events_gapfill_locf").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df)
+    assert "Generate" in txt            # the sequence-explode spine
+    assert "partial_count" in txt or "partial" in txt.lower()
+
+
+def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
+    """lag (change suppression) and lead (validity stamping) share the
+    (user_id → ts) clustering: the plan must contain exactly one exchange
+    feeding both Window nodes — a second shuffle means the common
+    partitioning was lost."""
+    from spark_jdbc_limit_spark.plans import plan_text, count_exchanges
+
+    df = get_query("scd2_user_type_history").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert count_exchanges(df) == 1
+    assert plan_text(df).count("Window") >= 2

@@ -663,3 +663,34 @@ def test_negotiate_isolation_none_requested_is_none():
             raise AssertionError("metadata must not be probed for NONE")
 
     assert negotiate_isolation(_Untouchable(), "NONE") == ISOLATION_LEVELS["NONE"]
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Backfilling one partition under dynamic overwrite must leave the
+    other partitions' rows intact; under the STATIC default the same write
+    would truncate them (pinned by the control case)."""
+    import pyspark.sql.functions as F
+
+    from spark_jdbc_limit_spark.sinks.maintenance import overwrite_partitions_dynamic
+
+    path = str(tmp_path / "dyn_table")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+
+    # backfill partition p=1 with halved ids (25 replacement rows)
+    fix = spark.range(25).select((F.col("id") + 1000).alias("id"), F.lit(1).alias("p"))
+    overwrite_partitions_dynamic(fix, path, ["p"])
+
+    out = spark.read.parquet(path)
+    assert out.count() == 75 + 25
+    assert out.filter("p = 1 AND id >= 1000").count() == 25
+    assert out.filter("p = 1 AND id < 1000").count() == 0
+    # untouched partitions keep their original 25 rows each
+    for p in (0, 2, 3):
+        assert out.filter(f"p = {p}").count() == 25
+
+    # control: STATIC overwrite of the same frame wipes the other partitions
+    fix.write.mode("overwrite").partitionBy("p").parquet(path)
+    assert spark.read.parquet(path).count() == 25
