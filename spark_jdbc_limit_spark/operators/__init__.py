@@ -75,7 +75,7 @@ _NEW_R4 = (
     "dedup_passage_exact", "text_tfidf_topk", "global_rownum_two_phase",
     "source_parquet_partition_pruning", "events_gapfill_locf",
     "scd2_user_type_history", "agg_distinct_two_phase",
-    "events_funnel_conversion",
+    "events_funnel_conversion", "multimodal_audio_features",
 )
 
 

@@ -331,3 +331,159 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_and_resize,
         "doc_id long, orig_w long, orig_h long, out_w long, out_h long, resized_sum long",
     )
+
+
+WAV_RATE = 8000       # sample rate of the synthesized PCM
+WAV_CENTER = 77       # byte value mapped to amplitude 0 ('M'; ASCII 32..126 spans both signs)
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    """Deterministic per-document sample count (varying, 64..304) so the
+    chunk-length math is exercised on different payload sizes."""
+    return 64 + (doc_id % 16) * 16
+
+
+def render_wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas "microphone": render each document's text into a REAL
+    RIFF/WAVE file — canonical 44-byte header (PCM, mono, 16-bit,
+    WAV_RATE Hz) + little-endian int16 samples where sample i is
+    ``(text_byte[i mod n] - WAV_CENTER) * 256``. Deterministic, so the
+    oracle can recompute every sample from the source text."""
+    import struct
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_samples = _wav_n_samples(int(doc_id))
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            samples = (
+                (data[np.arange(n_samples) % len(data)].astype(np.int16) - WAV_CENTER)
+                * 256
+            ).astype("<i2")
+            body = samples.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(body))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(body))
+            )
+            payloads.append(hdr + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE payload: walk the chunk list for real (fmt may
+    be followed by LIST/fact chunks in the wild, so no fixed offsets),
+    accept PCM mono 16-bit, return the sample array.
+
+    Compressed codecs (MP3/AAC/Opus) need libraries this container
+    doesn't ship and raise NotImplementedError — in production that
+    branch hands the bytes to ffmpeg/soundfile inside the executor,
+    same return contract."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container; only RIFF/WAVE decodes without codec libraries"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise NotImplementedError("only PCM mono 16-bit supported without codec libraries")
+    return {"rate": rate, "samples": np.frombuffer(data, dtype="<i2")}
+
+
+def extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio featurizer: REAL decode (chunk walk, no trusted
+    offsets), then the classic cheap audio QA features — duration,
+    mean absolute amplitude proxy (abs sum), zero-crossing count (pitch
+    proxy), and peak — all integer arithmetic so the oracle matches
+    bit-for-bit."""
+    for pdf in batches:
+        rates, ns, durs, abss, zcs, peaks = [], [], [], [], [], []
+        for payload in pdf["payload"]:
+            wav = decode_wav(bytes(payload))
+            s = wav["samples"].astype(np.int64)
+            rates.append(wav["rate"])
+            ns.append(len(s))
+            durs.append(len(s) * 1000 // wav["rate"])
+            abss.append(int(np.abs(s).sum()))
+            zcs.append(int((s[:-1] * s[1:] < 0).sum()))
+            peaks.append(int(np.abs(s).max()) if len(s) else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": np.asarray(rates, dtype=np.int64),
+                "n_samples": np.asarray(ns, dtype=np.int64),
+                "duration_ms": np.asarray(durs, dtype=np.int64),
+                "abs_sum": np.asarray(abss, dtype=np.int64),
+                "n_zero_crossings": np.asarray(zcs, dtype=np.int64),
+                "peak": np.asarray(peaks, dtype=np.int64),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_features",
+    category="llm_multimodal",
+    description="Real WAV decode (RIFF chunk walk) + integer audio QA features",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   64 + (doc_id % 16) * 16 AS ns
+            FROM documents
+            WHERE n_chars >= 1
+        )
+        SELECT doc_id,
+               CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+               CAST(ns AS BIGINT) AS n_samples,
+               CAST(ns * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms,
+               CAST(list_sum(list_transform(range(0, ns), i ->
+                   abs((unicode(substring(text, (i % n) + 1, 1)) - {WAV_CENTER}) * 256)
+               )) AS BIGINT) AS abs_sum,
+               CAST(list_sum(list_transform(range(0, ns - 1), i ->
+                   CASE WHEN (unicode(substring(text, (i % n) + 1, 1)) - {WAV_CENTER})
+                           * (unicode(substring(text, ((i + 1) % n) + 1, 1)) - {WAV_CENTER}) < 0
+                        THEN 1 ELSE 0 END
+               )) AS BIGINT) AS n_zero_crossings,
+               CAST(list_max(list_transform(range(0, ns), i ->
+                   abs((unicode(substring(text, (i % n) + 1, 1)) - {WAV_CENTER}) * 256)
+               )) AS BIGINT) AS peak
+        FROM p
+        ORDER BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg of the multimodal quartet, REAL end to end: render
+    text into canonical RIFF/WAVE PCM16 payloads (varying sample counts),
+    decode via an actual chunk walk (fmt/data located by id, word-aligned
+    sizes — no trusted offsets), and emit the standard cheap audio QA
+    features. The corpus is ASCII, so the DuckDB twin recomputes every
+    int16 sample from the source text — container math, sample extraction,
+    and feature arithmetic are all value-verified. Both stages are
+    payload-local mapInPandas: no shuffle, blobs die in the stage that
+    reads them, and the output frame is 7 longs per clip no matter how
+    long the audio is."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    with_payload = d.select("doc_id", "text").mapInPandas(
+        render_wav_payloads, "doc_id long, payload binary"
+    )
+    return with_payload.mapInPandas(
+        extract_audio_features,
+        "doc_id long, sample_rate long, n_samples long, duration_ms long, "
+        "abs_sum long, n_zero_crossings long, peak long",
+    )

@@ -329,3 +329,44 @@ def test_pii_redaction_edges_and_idempotency(spark):
     for r in out.collect():
         assert r["once"] == r["expected"], (r["once"], r["expected"])
         assert r["twice"] == r["once"], "redaction must be idempotent"
+
+
+def test_decode_wav_chunk_walk_and_alignment():
+    """decode_wav must locate fmt/data by walking chunk ids (tolerating an
+    interposed LIST chunk with an ODD size, which forces the word-align
+    rule), not by fixed offsets."""
+    import struct
+
+    import numpy as np
+
+    from spark_jdbc_limit_spark.operators.multimodal import decode_wav
+
+    samples = np.array([-300, 0, 512, -77], dtype="<i2")
+    body = samples.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    odd_list = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + len(odd_list) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + odd_list
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+    wav = decode_wav(payload)
+    assert wav["rate"] == 8000
+    assert list(wav["samples"]) == [-300, 0, 512, -77]
+
+
+def test_decode_wav_rejects_unsupported():
+    import pytest as _pytest
+
+    from spark_jdbc_limit_spark.operators.multimodal import decode_wav
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x04...mp3 bytes")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
