@@ -755,7 +755,7 @@ PASSAGE_WORDS = 20     # words per exact-dedup passage window
 )
 def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sub-document (passage-level) deduplication: split every
-    document into fixed {PASSAGE}-word windows, dedup the windows
+    document into fixed PASSAGE_WORDS-word windows, dedup the windows
     EXACTLY across the whole corpus, first occurrence (lowest
     (doc_id, passage_idx)) wins. This is the corpus-level analogue of
     exact-substring training-data dedup — boilerplate headers, licence

@@ -316,7 +316,7 @@ def decode_and_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/resize leg of the multimodal quartet, now REAL end to
     end: render text into binary PGM images (varying per-doc dimensions),
-    decode via an actual header parse, box-downsample {RESIZE_FACTOR}×
+    decode via an actual header parse, box-downsample RESIZE_FACTOR×
     with integer floor-mean, and emit dimensions + pixel checksum. The
     corpus is ASCII, so the DuckDB twin recomputes every 2×2 block mean
     from the source text — decode, offset math, and filter arithmetic are
