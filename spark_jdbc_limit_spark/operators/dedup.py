@@ -605,8 +605,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     component's diameter exceeds the round budget, the query falls back to
     alternating small-star/large-star contraction
     (:func:`_star_contract_components`) whose round count is O(log² n)
-    regardless of diameter — no input can make this query raise or return
-    unconverged labels. The DuckDB oracle computes the same closure with a
+    regardless of diameter — no DIAMETER can defeat convergence; the
+    contraction itself still guards its fixpoint with STAR_MAX_ROUNDS and
+    raises rather than return unconverged labels if that bound is ever
+    hit. The DuckDB oracle computes the same closure with a
     recursive CTE — exact, since labels are integer mins."""
     # Checkpoint the verified pairs BEFORE the self-union: Spark performs
     # no common-subexpression elimination across union branches, so

@@ -204,13 +204,24 @@ def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
     ).csv(path)
     # cache (lazily) before referencing _corrupt_record alone: Spark
     # disallows queries whose only referenced column is the internal
-    # corrupt-record column on an un-materialized parse
+    # corrupt-record column on an un-materialized parse. The cached
+    # relation is this query's 28-row fixture, not user data — bounded,
+    # and evicted with the session (column pruning would defeat the
+    # add-a-dummy-column alternative).
     back = back.cache()
+    # coalesce: SUM over zero rows is NULL; an empty/unreadable input
+    # must report (0, 0), not (NULL, NULL)
     return back.agg(
-        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_good"),
-        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_corrupt"),
     )

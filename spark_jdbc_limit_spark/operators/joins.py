@@ -487,10 +487,23 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     fact table that is the difference between an exchange of the whole
     table per join and zero exchanged bytes, amortized over every
     downstream query — the reason warehouses bucket their biggest facts."""
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1])
+    import hashlib
+
+    # tag = basename + digest of the FULL path: two datasets that share a
+    # basename (…/a/sf0.01 vs …/b/sf0.01) must never collide on table
+    # names, or the memo would serve one dataset's buckets for the other
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_name = "".join(
+        ch if ch.isalnum() else "_" for ch in sf_dir.strip("/").split("/")[-1]
+    )
+    tag = f"{base_name}_{digest}"
     cust_tbl, ord_tbl = f"sjl_bucketed_customer_{tag}", f"sjl_bucketed_orders_{tag}"
-    key = f"{sf_dir}::{tag}"
-    if key in _BUCKETED_READY and spark.catalog.tableExists(cust_tbl):
+    key = sf_dir
+    if (
+        key in _BUCKETED_READY
+        and spark.catalog.tableExists(cust_tbl)
+        and spark.catalog.tableExists(ord_tbl)
+    ):
         return cust_tbl, ord_tbl
     base = f"/tmp/sjl_bucketed/{tag}"
     (
@@ -517,7 +530,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 @query(
     "join_bucketed_colocated",
-    category="joins",
+    category="join",
     description=f"Shuffle-free equi-join via {BUCKETS}-bucket co-located tables",
     oracle="""
         SELECT c.c_mktsegment AS mktsegment,

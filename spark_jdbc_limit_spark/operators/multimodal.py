@@ -232,6 +232,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RESIZE_FACTOR = 2  # box-downsample factor of the image resize
+# The resize oracle's checksum expression spells the 2x2 block offsets out
+# longhand (w//2, *2, //4 literals) — changing RESIZE_FACTOR requires
+# rewriting that expression to match, or the differential will (correctly)
+# fail. The guard makes the coupling explicit.
+assert RESIZE_FACTOR == 2, "multimodal_image_resize oracle is written for factor 2"
 
 
 def _img_dims(doc_id: int) -> tuple[int, int]:

@@ -243,9 +243,19 @@ def fit_ivf_centroids(embeddings: DataFrame) -> np.ndarray:
     from pyspark.ml.functions import array_to_vector
 
     v = _as_double(F.col("embedding"))
-    unit = embeddings.select(
-        array_to_vector(F.transform(v, lambda x: x / _norm(v))).alias("features")
-    )
+
+    # L2-normalize in ONE Arrow-batched numpy pass. The column-expression
+    # form `transform(v, x -> x / norm(v))` is the expression-re-evaluation
+    # trap text.grams3 documents: CollapseProject inlines a single-use
+    # `norm(v)` alias into the lambda, where it re-runs the O(d) aggregate
+    # per ELEMENT — O(d²) per row over the whole training input.
+    @F.pandas_udf("array<double>")
+    def unit_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(list(m))
+
+    unit = embeddings.select(array_to_vector(unit_udf(v)).alias("features"))
     model = KMeans(
         k=IVF_CENTROIDS, seed=_KMEANS_SEED, maxIter=_KMEANS_MAX_ITER
     ).fit(unit)

@@ -63,15 +63,16 @@ def overwrite_partitions_dynamic(df, path: str, partition_cols: list[str]) -> No
     tables: re-running one day's job must replace that day, not truncate
     the table — which is exactly what a naive ``mode("overwrite")`` on the
     table root does under Spark's default ``partitionOverwriteMode=STATIC``.
-    The dynamic mode is set per-write (not session-wide) so surrounding
-    jobs keep the conservative default; the write itself is Spark's normal
-    per-partition commit protocol, so concurrent readers of OTHER
-    partitions are never disturbed.
+    The mode is passed as a WRITER OPTION, scoped to exactly this write:
+    mutating the session conf instead would race any concurrent write in
+    the same session (their intended STATIC full-table overwrite would
+    silently stop truncating stale partitions). The write itself is
+    Spark's normal per-partition commit protocol, so concurrent readers
+    of OTHER partitions are never disturbed.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

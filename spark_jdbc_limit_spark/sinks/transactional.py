@@ -434,6 +434,12 @@ _MISSING_TABLE_SQLSTATES = frozenset({
     "42X05",  # Derby table/view does not exist
     "42704",  # DB2/Derby object not defined
 })
+# Known ambiguity: Oracle reports missing tables (ORA-00942) under the
+# GENERIC state 42000 — the same code MySQL uses for access-denied — so it
+# cannot be whitelisted without reintroducing the permissions misread. On
+# Oracle a vanished staging table therefore downgrades to the conservative
+# "fate unknown" RuntimeWarning instead of silence; parse the vendor code
+# (ORA-00942) here if that noise ever matters.
 
 
 def _is_missing_object_error(exc) -> bool:

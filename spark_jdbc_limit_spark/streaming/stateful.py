@@ -214,7 +214,10 @@ def _fold_latest_state(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        ts_us = pdf["ts"].astype("int64")
+        # normalize to MICROseconds regardless of the datetime64 unit
+        # pandas hands over (ns today; the int64 view of ns would be 1000x
+        # the last_ts_us contract)
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
         best = pdf.assign(__ts_us=ts_us).sort_values(["__ts_us", "event_id"]).iloc[-1]
         cand = (
             int(best["__ts_us"]),

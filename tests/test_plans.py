@@ -365,10 +365,16 @@ def test_partition_pruning_query_plan(spark, sf_dir):
     carry its event_type IN-list in PartitionFilters at planning time."""
     from spark_jdbc_limit_spark.plans import plan_text
 
+    import re
+
     df = get_query("source_parquet_partition_pruning").builder(spark, sf_dir)
     txt = plan_text(df)
-    assert "PartitionFilters" in txt
-    assert txt.index("PartitionFilters") and "event_type" in txt
+    # the IN-list must sit INSIDE the PartitionFilters clause itself —
+    # event_type elsewhere in the plan (a DataFilter, the aggregate)
+    # would mean pruning was silently lost
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", txt)
+    assert m, "scan node carries no PartitionFilters clause"
+    assert "event_type" in m.group(0)
 
 
 def test_gapfill_aggregates_before_densify(spark, sf_dir):

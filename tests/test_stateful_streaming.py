@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.sources.catalog import load_table
@@ -165,4 +166,8 @@ def test_latest_state_converges_to_batch_cdc(spark, sf_dir, tmp_path):
         assert final.loc[uid, "last_event_id"] == row["last_event_id"], uid
         assert final.loc[uid, "last_type"] == row["last_type"], uid
         assert final.loc[uid, "last_value"] == row["last_value"], uid
+        # the ts contract is MICROseconds since epoch (pandas delivers
+        # datetime64[ns] inside the state fold — a ns leak is 1000x off)
+        expect_us = pd.Timestamp(row["last_ts"]).value // 1000
+        assert final.loc[uid, "last_ts_us"] == expect_us, uid
     assert len(out) > len(final), "state must have crossed batch boundaries"
