@@ -76,7 +76,8 @@ _NEW_R4 = (
     "source_parquet_partition_pruning", "events_gapfill_locf",
     "scd2_user_type_history", "agg_distinct_two_phase",
     "events_funnel_conversion", "multimodal_audio_features",
-    "join_fuzzy_name_match",
+    "join_fuzzy_name_match", "events_retention_cohorts",
+    "events_view_click_unattributed",
 )
 
 

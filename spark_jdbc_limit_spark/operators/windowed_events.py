@@ -493,3 +493,114 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(clicked).alias("n_clicked_after"),
         as_int(purchased).alias("n_purchased_after"),
     )
+
+
+@query(
+    "events_retention_cohorts",
+    category="window_events",
+    description="Cohort retention matrix: first-activity week x active week user counts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(datediff('week', f.cohort_week, a.active_week) AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the product-analytics staple: bucket every user
+    by the week of their FIRST event, then count how many of each cohort
+    are active 0, 1, 2… weeks later. The (cohort_week, week_offset)
+    matrix is what retention curves and triangle charts are drawn from.
+
+    Three aggregates, all user-keyed so they reuse one clustering: first
+    touch per user (min — partial-aggregated), distinct active weeks per
+    user (dedup on the pair, same skew-safe shape as
+    ``agg_distinct_two_phase``), and the final cohort×offset roll-up over
+    user-level rows — at 100 TB the only full-data shuffle is the first
+    user_id one; everything after is per-user micro-data. The offset is
+    whole weeks between week-truncated stamps, so both engines compute
+    exact integer bucket arithmetic, no calendar edge cases."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id")
+    return joined.groupBy(
+        "cohort_week",
+        (
+            F.floor(
+                (
+                    F.unix_timestamp("active_week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / (7 * 24 * 3600)
+            )
+        ).alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@query(
+    "events_view_click_unattributed",
+    category="streaming",
+    description=f"Left-outer attribution: views with NO click within {ATTRIBUTION_WINDOW_MIN} min (batch twin)",
+    oracle=f"""
+        SELECT v.event_id AS view_id,
+               c.event_id AS click_id,
+               v.user_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts
+         AND c.ts <= v.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} minutes
+    """,
+)
+def events_view_click_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OUTER half of attribution — the rows the inner join hides:
+    every view appears, with NULL click columns when no click followed
+    within the window (funnel-drop measurement needs exactly these).
+    Same equi-key + time-range shape as the inner twin; the left-outer
+    is what the streaming version
+    (streaming/windows.py::stream_view_click_left_outer) emits once the
+    watermark proves no match can still arrive — stream == batch is
+    pinned in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    win_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    return (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_us") >= F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + win_us),
+            "left",
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.col("c_us") - F.col("v_us")).alias("lag_us"),
+        )
+    )

@@ -200,3 +200,53 @@ def stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def stream_view_click_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like stream_view_click_join, but a
+    view with no click inside the attribution window is still emitted —
+    with NULL click columns — once the click-side watermark passes the
+    window's end and Spark can PROVE no match is coming. That proof is
+    the whole trick: outer results are held back exactly one
+    watermark-horizon, then released; without both watermarks and the
+    two-sided time bound the unmatched rows could never be finalized.
+    The batch twin (events_view_click_unattributed) pins the row set."""
+    from spark_jdbc_limit_spark.operators.windowed_events import ATTRIBUTION_WINDOW_MIN
+
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{ATTRIBUTION_WINDOW_MIN} minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{ATTRIBUTION_WINDOW_MIN} minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user_id
+            AND c_ts >= v_ts
+            AND c_ts <= v_ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} minutes
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )

@@ -140,3 +140,60 @@ def test_checkpoint_restart_no_reprocessing(spark, sf_dir, tmp_path):
     assert first > 0
     second = run_once(f"ck_{_uuid.uuid4().hex[:8]}")
     assert second == 0, f"restart reprocessed {second} rows despite checkpoint"
+
+
+def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream attribution: matched pairs AND
+    watermark-finalized unmatched views must equal the batch left join's
+    row set — null click columns included.
+
+    A finite stream's TAIL can never be proven matchless (the watermark
+    stops short of the last events), so the source gets two far-future
+    SENTINEL punctuation events — one per join side, the streaming
+    equivalent of a heartbeat — that push both watermarks past every real
+    view's window; sentinel-derived rows are excluded from the compare."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.windowed_events import ATTRIBUTION_WINDOW_MIN
+    from spark_jdbc_limit_spark.sources.catalog import table_path
+    from spark_jdbc_limit_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_view_click_left_outer,
+    )
+
+    src = pq.read_table(table_path(sf_dir, "events"))
+    max_ts = max(src.column("ts").to_pylist())
+    far = max_ts + __import__("datetime").timedelta(minutes=3 * ATTRIBUTION_WINDOW_MIN)
+    sentinels = pa.table(
+        {
+            "event_id": [-1, -2],
+            "ts": [far, far],
+            "user_id": [-999, -998],
+            "event_type": ["view", "click"],
+            "value": [0.0, 0.0],
+            "props": ["", ""],
+        },
+        schema=src.schema,
+    )
+    stream_dir = tmp_path / "events_with_sentinels"
+    stream_dir.mkdir()
+    pq.write_table(pa.concat_tables([src, sentinels]), stream_dir / "events.parquet")
+
+    got = {
+        (r.view_id, r.click_id, r.user_id, r.lag_us)
+        for r in run_stream_to_memory(
+            stream_view_click_left_outer(spark, str(stream_dir)), "append"
+        ).collect()
+        if r.view_id >= 0
+    }
+    want = {
+        (r.view_id, r.click_id, r.user_id, r.lag_us)
+        for r in get_query("events_view_click_unattributed")
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    unmatched = {t for t in want if t[1] is None}
+    assert unmatched, "fixture must contain views with no click in window"
+    assert len(want) > len(unmatched), "and some attributed views"
