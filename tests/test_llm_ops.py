@@ -370,3 +370,66 @@ def test_decode_wav_rejects_unsupported():
         decode_wav(b"ID3\x04...mp3 bytes")
     with _pytest.raises(ValueError):
         decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_fuzzy_match_recovers_single_deletions(spark, sf_correct):
+    """Every probe is its source name with character 3 deleted, and the
+    deletion preserves the 2-char block key — so blocking cannot lose the
+    true match and every probe must resolve at distance ≤ 1 (0 when the
+    deletion is a no-op against another catalog name)."""
+    from spark_jdbc_limit_spark.operators import get_query
+
+    rows = get_query("join_fuzzy_name_match").builder(spark, sf_correct).collect()
+    names = {
+        r.p_name
+        for r in spark.read.parquet(f"{sf_correct}/part.parquet")
+        .select("p_name")
+        .distinct()
+        .collect()
+    }
+    probes = {n[:2] + n[3:] for n in names}
+    assert len(rows) == len(probes)  # every (distinct) probe resolves
+    for r in rows:
+        assert r.dist <= 1, (r.probe_name, r.matched_name, r.dist)
+        assert r.matched_name in names
+
+
+def test_passage_dedup_is_partition_of_distinct_passages(spark, sf_correct):
+    """Survivors must be exactly one row per DISTINCT passage digest, each
+    claimed by the lexicographically first (doc_id, passage_idx) holder."""
+    import pyspark.sql.functions as F
+
+    from spark_jdbc_limit_spark.operators import get_query
+
+    out = get_query("dedup_passage_exact").builder(spark, sf_correct)
+    n = out.count()
+    assert out.select("passage_md5").distinct().count() == n
+    # spot-check first-wins: no survivor may have a smaller-keyed duplicate
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet").filter(
+        F.length("text") > 0
+    )
+    words = F.split("text", " ")
+    passages = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.size(words) / F.lit(20.0)) - 1,
+                ),
+                lambda k: F.md5(
+                    F.array_join(
+                        F.slice(words, (k * 20 + 1).cast("int"), 20), " "
+                    )
+                ),
+            )
+        ).alias("passage_idx", "passage_md5"),
+    )
+    joined = passages.join(out.withColumnRenamed("doc_id", "s_doc")
+                              .withColumnRenamed("passage_idx", "s_idx"),
+                           "passage_md5")
+    earlier = joined.filter(
+        (F.col("doc_id") < F.col("s_doc"))
+        | ((F.col("doc_id") == F.col("s_doc")) & (F.col("passage_idx") < F.col("s_idx")))
+    )
+    assert earlier.count() == 0
