@@ -34,41 +34,35 @@ from spark_jdbc_limit_spark.operators import pipeline  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import file_sources  # noqa: E402,F401
 
 # Correctness-sampling rotation: the driver samples the first N registry
-# entries in iteration order each round. These names already received a
-# driver-side CORRECTNESS row in rounds 1-3, so they rotate to the back of
-# the catalog; the queries that have only ever been verified by the local
-# DuckDB differential (tests/test_oracle.py) move to the front and fill the
-# sampling window. Local tests cover all entries regardless of order.
-_DRIVER_SAMPLED_R1_R3 = (
-    "agg_approx_distinct", "agg_collect_sorted", "agg_conditional_filter",
-    "agg_cube", "agg_distinct_counts", "agg_grouping_sets",
-    "agg_hll_sketch_union", "agg_mode_argmax", "agg_pivot", "agg_rollup",
-    "agg_stats_by_segment", "count_star_filter", "dedup_exact",
-    "dedup_minhash_lsh_candidates", "dedup_minhash_verified",
-    "dedup_ngram_jaccard_exhaustive", "filter_null_safe_eq",
-    "filter_predicate_algebra", "join_anti", "join_asof_events_orders",
-    "join_broadcast_dim", "join_cross_product", "join_interval_overlap",
-    "join_multiway_star", "join_outer_coverage", "join_range_hybrid",
-    "join_salted_replicated", "join_semi", "join_sortmerge_facts",
-    "limit_semantics", "q1_pricing_summary", "scalar_array_funcs",
-    "scalar_bitwise_funcs", "scalar_conditional", "scalar_date_funcs",
-    "scalar_json_funcs", "scalar_map_funcs", "scalar_math_funcs",
-    "scalar_string_funcs", "scan_project_filter_topk",
-    "set_dropduplicates_subset", "set_except_all", "set_intersect",
-    "set_intersect_all", "set_union_all_counts", "set_union_distinct",
-    "text_fingerprint", "text_language_id", "text_quality_score",
-    "text_token_stats", "window_distribution", "window_lag_lead",
-    "window_locf_ignore_nulls", "window_ntile_quartiles",
-    "window_range_frame", "window_ranking_trio", "window_running_agg",
-    "window_topk_per_group",
-)
+# entries in iteration order each round and records their three-way
+# (rows/schema/hash) result in CORRECTNESS_r{k}.json. Queries that already
+# hold a driver-side row rotate to the BACK of the catalog; queries only
+# ever verified by the local DuckDB differential (tests/test_oracle.py —
+# which covers every entry regardless of order) move to the front and fill
+# the sampling window. The sampled set is derived from the recorded
+# CORRECTNESS files themselves, so each round's rotation is automatic — no
+# hand-maintained name list to fall out of date.
+
+def _driver_sampled_names() -> set[str]:
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                names |= set(json.load(f))
+        except Exception:
+            continue  # unreadable round file never blocks the catalog
+    return names
 
 
-#: Queries added in round 4 (never sampled either, but the 47 carried-over
-#: fresh queries have waited 3 rounds for a driver row — they keep priority
-#: for the sampling window; the round-4 additions queue directly behind
-#: them, strong-oracle entries first).
-_NEW_R4 = (
+#: Within the never-sampled set, carried-over queries outrank later
+#: additions (they have waited more rounds for a driver row); additions
+#: are queued behind them in the order listed here.
+_QUEUE_BEHIND = (
     "text_pii_redaction", "text_ngram_topk", "cdc_upsert_latest",
     "embedding_dim_stats", "join_bucketed_colocated", "ann_pq_topk",
     "mix_epochs_upsample", "text_unigram_logprob", "agg_histogram_prices",
@@ -77,19 +71,28 @@ _NEW_R4 = (
     "scd2_user_type_history", "agg_distinct_two_phase",
     "events_funnel_conversion", "multimodal_audio_features",
     "join_fuzzy_name_match", "events_retention_cohorts",
-    "events_view_click_unattributed",
+    "events_view_click_unattributed", "basket_pair_cooccurrence",
+    "events_anomaly_zscore",
 )
 
 
 def _rotate_registry() -> None:
-    sampled = set(_DRIVER_SAMPLED_R1_R3)
-    new = set(_NEW_R4)
-    fresh = {n: s for n, s in REGISTRY.items() if n not in sampled and n not in new}
-    added = {n: REGISTRY[n] for n in _NEW_R4 if n in REGISTRY}
+    sampled = _driver_sampled_names() & set(REGISTRY)
+    behind = set(_QUEUE_BEHIND)
+    fresh = {
+        n: s
+        for n, s in REGISTRY.items()
+        if n not in sampled and n not in behind
+    }
+    queued = {
+        n: REGISTRY[n]
+        for n in _QUEUE_BEHIND
+        if n in REGISTRY and n not in sampled
+    }
     seen = {n: s for n, s in REGISTRY.items() if n in sampled}
     REGISTRY.clear()
     REGISTRY.update(fresh)
-    REGISTRY.update(added)
+    REGISTRY.update(queued)
     REGISTRY.update(seen)
 
 

@@ -357,3 +357,57 @@ def global_rownum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rn")).cast("long").alias("rn"),
         )
     )
+
+
+BASKET_TOPK = 100
+
+
+@query(
+    "basket_pair_cooccurrence",
+    category="aggregation",
+    description=f"Market-basket part-pair co-occurrence, top {BASKET_TOPK} by support",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY support DESC, part_a, part_b
+        LIMIT {BASKET_TOPK}
+    """,
+)
+def basket_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis — pairwise co-occurrence support, the first
+    step of association-rule mining (and of "related items" retrieval).
+    The pair space is generated INSIDE each basket: a self-equi-join on
+    the order key whose quadratic blowup is bounded by basket size
+    (TPC-H baskets average ~4 items → ~6 pairs), never a cross join of
+    the item catalog. The dedup-first projection keeps quantity splits of
+    the same part from inflating support; the pair-keyed count partial-
+    aggregates map-side; top-k with the full (support, part_a, part_b)
+    tie-break plans as TakeOrderedAndProject — no global sort of the
+    pair space. At 100 TB the known skew risk is a mega-basket (one
+    order with 10⁶ items); production caps basket size or salts the
+    basket key — the shape here documents the bound."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )

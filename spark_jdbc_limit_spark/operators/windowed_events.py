@@ -604,3 +604,52 @@ def events_view_click_unattributed(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("c_us") - F.col("v_us")).alias("lag_us"),
         )
     )
+
+
+ZSCORE_CUTOFF = 3.0
+
+
+@query(
+    "events_anomaly_zscore",
+    category="window_events",
+    description=f"Per-type z-score outliers (|z| > {ZSCORE_CUTOFF}) against group stats",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   AVG(value) AS mu,
+                   STDDEV_SAMP(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               FLOOR(((e.value - s.mu) / s.sigma) * 10000.0 + 0.5) / 10000.0
+                   AS zscore
+        FROM events e JOIN stats s USING (event_type)
+        WHERE ABS((e.value - s.mu) / s.sigma) > {ZSCORE_CUTOFF}
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection — the data-QA gate every metrics
+    pipeline needs: flag readings more than ZSCORE_CUTOFF sample standard
+    deviations from their group mean. One partial-aggregated stats pass
+    (per-type mean and stddev — group-count rows), broadcast back onto
+    the scan, and the flag is a row-local predicate: at 100 TB the
+    stream is read twice but never shuffled (the stats relation is the
+    only exchanged data, and it is tiny). Sample stddev (n−1) is spelled
+    explicitly — engines disagree on the default. Not pushed into one
+    window pass on purpose: a global-window stddev would funnel each
+    type through one task; the aggregate+broadcast shape spreads it."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > ZSCORE_CUTOFF)
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(z * 10000.0 + F.lit(0.5)) / 10000.0).alias("zscore"),
+        )
+    )
