@@ -72,7 +72,7 @@ _QUEUE_BEHIND = (
     "events_funnel_conversion", "multimodal_audio_features",
     "join_fuzzy_name_match", "events_retention_cohorts",
     "events_view_click_unattributed", "basket_pair_cooccurrence",
-    "events_anomaly_zscore",
+    "events_anomaly_zscore", "udf_scalar_iter_model_scoring",
 )
 
 

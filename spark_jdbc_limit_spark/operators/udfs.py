@@ -16,6 +16,8 @@ the built-ins can't express. Rules encoded here:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -187,4 +189,67 @@ def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT b.doc_id, b.bigram FROM docs_for_udtf, "
         "LATERAL bigrams_udtf(doc_id, text) b ORDER BY doc_id, bigram"
+    )
+
+
+#: Deterministic "model": weight d = ((d*31 + 7) mod 13 - 6) / 13 — a
+#: fixed pseudo-random projection both engines can regenerate exactly.
+EMB_DIM = 64
+
+
+def _model_weights():
+    import numpy as np
+
+    d = np.arange(EMB_DIM, dtype=np.int64)
+    return ((d * 31 + 7) % 13 - 6) / 13.0
+
+
+def _make_iter_scorer():
+    """Iterator-of-series pandas UDF (SCALAR_ITER): the ML-inference shape.
+    The "model" loads ONCE per partition (before the batch loop), then
+    every Arrow batch reuses it — at 100 TB with a real checkpoint this
+    is the difference between one multi-GB model load per task and one
+    per 10k-row batch. The scalar form cannot express that amortization;
+    the iterator form is why it exists."""
+
+    @F.pandas_udf("double")
+    def iter_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        w = _model_weights()  # "expensive" init: once per partition
+        for emb in batches:
+            m = np.stack(emb.to_numpy()).astype(np.float64)
+            raw = m @ w
+            yield pd.Series(np.floor(raw * 10000.0 + 0.5) / 10000.0)
+
+    return iter_score
+
+
+@query(
+    "udf_scalar_iter_model_scoring",
+    category="udf",
+    description="Iterator pandas UDF: per-partition model load + batched inference",
+    oracle="""
+        SELECT vec_id,
+               FLOOR(list_sum(list_transform(range(0, 64), d ->
+                   CAST(embedding[d + 1] AS DOUBLE)
+                   * (((d * 31 + 7) % 13 - 6) / 13.0)
+               )) * 10000.0 + 0.5) / 10000.0 AS model_score
+        FROM embeddings
+    """,
+)
+def udf_scalar_iter_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over an embedding column — the canonical
+    LLM-pipeline scoring pass (quality classifier, reward model, toxicity
+    head), expressed with the iterator pandas UDF so model initialization
+    is amortized per PARTITION while scoring stays one numpy GEMV per
+    Arrow batch. The model here is a deterministic fixed projection, so
+    the DuckDB oracle regenerates the weights and recomputes every score
+    bit-for-bit (float32→double widening first, identical in both
+    engines); swap `_model_weights` for a real checkpoint load and the
+    Spark plumbing is production inference unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id", _make_iter_scorer()(emb_d).alias("model_score")
     )
