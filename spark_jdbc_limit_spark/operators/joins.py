@@ -634,3 +634,68 @@ def join_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.cand_name").alias("matched_name"),
         F.col("b.dist").alias("dist"),
     )
+
+
+ASOF_TOLERANCE_DAYS = 9000
+
+
+@query(
+    "join_asof_tolerance",
+    category="join",
+    description=f"As-of join with {ASOF_TOLERANCE_DAYS}-day staleness bound (PIT feature join)",
+    oracle=f"""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ), dedup AS (SELECT * FROM r WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               CASE WHEN d.o_orderdate >= e.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                    THEN d.o_orderkey END AS last_orderkey,
+               CASE WHEN d.o_orderdate >= e.ts - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                    THEN ROUND(d.o_totalprice, 2) END AS last_totalprice
+        FROM events e
+        ASOF LEFT JOIN dedup d
+          ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND — how point-in-time feature joins
+    are actually specified (a feature older than the tolerance is worse
+    than no feature: it silently encodes a different regime). Same
+    union-merge operator and single user_id shuffle as
+    ``join_asof_events_orders``; the bound rides along as a row-local
+    predicate on the matched right timestamp (carried in the payload), so
+    the tolerance costs ZERO extra plan structure — no second join, no
+    range blowup, nulls where the best match is too old. Matching DuckDB
+    has no native tolerance either; its oracle applies the identical
+    post-predicate to ASOF LEFT JOIN output."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    dedup = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        ev,
+        dedup,
+        on_left="ts",
+        on_right="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_payload=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    fresh = F.col("o_orderdate") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_DAYS} DAYS"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.round("o_totalprice", 2)).alias("last_totalprice"),
+    )
