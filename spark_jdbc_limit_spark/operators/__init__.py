@@ -73,7 +73,8 @@ _QUEUE_BEHIND = (
     "join_fuzzy_name_match", "events_retention_cohorts",
     "events_view_click_unattributed", "basket_pair_cooccurrence",
     "events_anomaly_zscore", "udf_scalar_iter_model_scoring",
-    "join_asof_tolerance",
+    "join_asof_tolerance", "sample_weighted_priority",
+    "dedup_ngram_containment",
 )
 
 

@@ -809,3 +809,65 @@ def dedup_passage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.doc_id").alias("doc_id"),
         F.col("s.passage_idx").alias("passage_idx"),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@query(
+    "dedup_ngram_containment",
+    category="llm_dedup",
+    description=f"Asymmetric containment pairs ≥ {CONTAINMENT_THRESHOLD} (excerpt/superset detection)",
+    oracle=f"""
+        WITH sh AS ({_sql_shingles()}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               {sql_round_dbl('GREATEST(CAST(n_common AS DOUBLE) / z1.n, CAST(n_common AS DOUBLE) / z2.n)', 4)}
+                   AS containment
+        FROM common
+        JOIN sizes z1 ON z1.doc_id = d1
+        JOIN sizes z2 ON z2.doc_id = d2
+        WHERE GREATEST(CAST(n_common AS DOUBLE) / z1.n,
+                       CAST(n_common AS DOUBLE) / z2.n) >= {CONTAINMENT_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection — the metric Jaccard is blind to:
+    an excerpt inside a 100× longer document has near-zero Jaccard but
+    containment ≈ 1 on the excerpt side, and quote/boilerplate/superset
+    dedup in training corpora needs exactly that signal (max of the two
+    directions, so either side being mostly-contained flags the pair).
+    Same shingle machinery and common-shingle join as the Jaccard
+    baseline — only the denominator changes (each side's OWN size, not
+    the union). Exhaustive over shingle-sharing pairs here so the oracle
+    is exact; at 100 TB the candidate stage would be an LSH tuned for
+    containment (size-stratified bands) rather than the symmetric
+    minhash bands, whose recall degrades as sizes diverge."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    common = (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    cont = F.greatest(
+        F.col("n_common").cast("double") / F.col("n1"),
+        F.col("n_common").cast("double") / F.col("n2"),
+    )
+    return (
+        common.join(z1, "d1")
+        .join(z2, "d2")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("d1", "d2", round_dbl(cont, 4).alias("containment"))
+    )

@@ -486,3 +486,56 @@ def mix_epochs_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return full.unionByName(frac)
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@query(
+    "sample_weighted_priority",
+    category="llm_pipeline",
+    description=f"Deterministic weighted sample: top {WEIGHTED_SAMPLE_K} by Efraimidis-Spirakis priority",
+    oracle=f"""
+        SELECT o_orderkey,
+               ROUND(o_totalprice, 2) AS weight
+        FROM (
+            SELECT o_orderkey, o_totalprice,
+                   FLOOR(
+                       LN( (((o_orderkey * {SAMPLE_MULT}) % {SAMPLE_MOD}) + 1)
+                           / {SAMPLE_MOD + 1}.0 )
+                       / o_totalprice * 1e12 + 0.5) / 1e12 AS es_key
+            FROM orders
+        )
+        ORDER BY es_key DESC, o_orderkey
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement — Efraimidis-
+    Spirakis priorities: each row gets key ``ln(u)/w`` (u a uniform
+    derived from the AFFINE HASH of the row key, w its weight) and the
+    top-k keys ARE a weighted sample. This is how "sample training docs
+    proportional to quality score" runs at corpus scale: one scan-speed
+    key computation — no shuffle, no state, no RNG — then top-k as
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Determinism does ALL the work the usual thread-local RNG can't:
+    re-runs, retries, and late-arriving shards select the same rows.
+    Keys are half-up rounded at 1e-12 before ranking (libm LN may differ
+    in the final ulp across engines) with the row key as tie-break, so
+    both engines rank identically."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        ((F.col("o_orderkey") * SAMPLE_MULT) % SAMPLE_MOD + 1)
+        / float(SAMPLE_MOD + 1)
+    )
+    es_key = F.floor(F.log(u) / F.col("o_totalprice") * 1e12 + F.lit(0.5)) / 1e12
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("weight"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "o_orderkey")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("o_orderkey", "weight")
+    )
