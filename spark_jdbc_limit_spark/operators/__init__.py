@@ -74,7 +74,8 @@ _QUEUE_BEHIND = (
     "events_view_click_unattributed", "basket_pair_cooccurrence",
     "events_anomaly_zscore", "udf_scalar_iter_model_scoring",
     "join_asof_tolerance", "sample_weighted_priority",
-    "dedup_ngram_containment",
+    "dedup_ngram_containment", "events_markov_transitions",
+    "text_char_entropy",
 )
 
 

@@ -553,3 +553,61 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOPK)
         .drop("rn")
     )
+
+
+@query(
+    "text_char_entropy",
+    category="llm_text",
+    description="Per-document character-distribution Shannon entropy (gibberish gate)",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+            FROM documents WHERE length(text) > 0
+        ),
+        freq AS (
+            SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+        ),
+        tot AS (
+            SELECT doc_id, SUM(n) AS total FROM freq GROUP BY doc_id
+        )
+        SELECT freq.doc_id,
+               CAST(tot.total AS BIGINT) AS n_chars_counted,
+               {sql_round_dbl(
+                   "-SUM((n / CAST(total AS DOUBLE))"
+                   " * LOG2(n / CAST(total AS DOUBLE)))", 4)}
+                   AS char_entropy_bits
+        FROM freq JOIN tot USING (doc_id)
+        GROUP BY freq.doc_id, tot.total
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    classic cheap gibberish/binary-junk gate (natural language sits
+    ~3.5–4.5 bits/char; base64 blobs and random bytes run higher,
+    repeated filler collapses toward 0). Shape: explode characters →
+    per-(doc, char) counts — map-side partials absorb the ~100-symbol
+    alphabet per document BEFORE the doc_id-keyed shuffle, so the
+    exchange carries ≈ alphabet-size rows per doc, not one per
+    character — then a per-doc sum of p·log₂p. The float sum's
+    addition ORDER differs between engines, but with ≲100 similar-
+    magnitude terms the reorder error is ~1e-14 — absorbed by the
+    half-up round at 1e-4, the same tolerance argument every LOG-based
+    score here uses."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)(?=.)")).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "total")
+        .agg(round_dbl(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"))
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars_counted"),
+            "char_entropy_bits",
+        )
+    )

@@ -653,3 +653,54 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 10000.0 + F.lit(0.5)) / 10000.0).alias("zscore"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    category="window_events",
+    description="First-order event-type transition matrix with per-state probabilities",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               FLOOR(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS p
+        FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — the prep step for behavioral sequence models and the
+    quickest sanity check on session data ("do purchases ever precede
+    views?"). One user-keyed window (lead) on the same clustering every
+    other per-user operator reuses, then a hash aggregate whose
+    cardinality is |types|² — after the first shuffle everything is
+    micro-data, and the row-probability normalization is a window over
+    that tiny matrix, not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("from_type")
+    p = F.col("n") / F.sum("n").over(w_row).cast("double")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.floor(p * 10000.0 + F.lit(0.5)) / 10000.0).alias("p"),
+    )
