@@ -75,7 +75,7 @@ _QUEUE_BEHIND = (
     "events_anomaly_zscore", "udf_scalar_iter_model_scoring",
     "join_asof_tolerance", "sample_weighted_priority",
     "dedup_ngram_containment", "events_markov_transitions",
-    "text_char_entropy",
+    "text_char_entropy", "source_text_lines", "source_binary_files",
 )
 
 

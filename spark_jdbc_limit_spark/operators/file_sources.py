@@ -318,3 +318,111 @@ def source_parquet_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_text_lines",
+    category="source",
+    description="Line-oriented text source (gzip): the rawest LLM-corpus ingest",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS total_words
+        FROM documents
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.text`` over gzip-compressed line files — the shape a
+    Common Crawl WET dump or any one-document-per-line corpus arrives
+    in. One column, no parsing, schema is fixed — the cheapest possible
+    ingest, and the oracle proves the line round-trip lost nothing
+    (counts, characters, whitespace tokenization all survive). Cost
+    posture worth knowing at 100 TB: gzip is NOT splittable — one file
+    = one task regardless of size — so raw-text corpora are staged as
+    many medium gzip files (or zstd/bzip2) before Spark ever reads
+    them; the multi-file write here models exactly that layout."""
+    path = _staging("source_text_lines", sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").option("compression", "gzip").text(path)
+    back = spark.read.text(path)
+    words = F.size(F.split(F.col("value"), " "))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(words).cast("long").alias("total_words"),
+    )
+
+
+@query(
+    "source_binary_files",
+    category="source",
+    description="binaryFile source: whole-file multimodal ingest + real decode",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(CAST(8 + (doc_id % 8) * 2 AS BIGINT)
+                        * CAST(8 + ((doc_id // 8) % 8) * 2 AS BIGINT))
+                    AS BIGINT) AS total_pixels,
+               CAST(MAX(8 + (doc_id % 8) * 2) AS BIGINT) AS max_width
+        FROM documents
+        WHERE doc_id < 64 AND n_chars >= 1
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("binaryFile")`` — how image/audio/video corpora
+    actually enter Spark: one row per FILE with (path, length, content),
+    no codec assumptions. The fixture renders 64 documents into real PGM
+    files on disk (one file per image, the object-store layout), the
+    binaryFile scan reads them whole, and the SAME decode_image used by
+    the resize operator parses dimensions from the bytes — proving the
+    disk round-trip preserved the rasters. Scale posture: binaryFile
+    ships whole files to tasks, so it pairs with
+    ``spark.sql.files.maxPartitionBytes`` and many small objects — for
+    millions of tiny files, production first packs them into a
+    sequence/tar-like format; this query is the per-object path."""
+    import os as _os
+
+    from spark_jdbc_limit_spark.operators.multimodal import (
+        decode_image,
+        render_pgm_payloads,
+    )
+
+    path = _staging("source_binary_files", sf_dir)
+    _os.makedirs(path, exist_ok=True)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 64) & (F.col("n_chars") >= 1))
+        .select("doc_id", "text")
+    )
+    rendered = d.mapInPandas(render_pgm_payloads, "doc_id long, payload binary")
+    # one real file per image. foreachPartition targets the shared local
+    # tmp dir — valid in local mode, where executors and driver share a
+    # filesystem; on a cluster the objects would already live in object
+    # storage and this fixture stage disappears entirely.
+    def _write_part(rows):
+        for r in rows:
+            with open(_os.path.join(path, f"img_{r.doc_id}.pgm"), "wb") as f:
+                f.write(bytes(r.payload))
+
+    rendered.foreachPartition(_write_part)
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def _dims(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            dims = [decode_image(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "w": [d["width"] for d in dims],
+                    "h": [d["height"] for d in dims],
+                }
+            )
+
+    decoded = files.select("content").mapInPandas(_dims, "w long, h long")
+    return decoded.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("w") * F.col("h")).cast("long").alias("total_pixels"),
+        F.max("w").cast("long").alias("max_width"),
+    )

@@ -171,3 +171,43 @@ def test_latest_state_converges_to_batch_cdc(spark, sf_dir, tmp_path):
         expect_us = pd.Timestamp(row["last_ts"]).value // 1000
         assert final.loc[uid, "last_ts_us"] == expect_us, uid
     assert len(out) > len(final), "state must have crossed batch boundaries"
+
+
+def test_running_totals_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """Same multi-batch state fold on the RocksDB state-store provider —
+    the 100 TB-grade backend (default HDFSBackedStateStore keeps every
+    key in executor HEAP; RocksDB spills state to local disk, which is
+    what makes billions of streaming keys survivable). The convergence
+    contract must be byte-identical to the default provider's."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = _split_events(spark, sf_dir, tmp_path)
+        out = run_stream_to_memory(
+            stream_user_running_totals(spark, src), "update"
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
+    final = out.groupby("user_id").last()
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(truth)
+    for uid, row in truth.iterrows():
+        assert final.loc[uid, "n_events_so_far"] == row["n"], uid
+        assert final.loc[uid, "total_value_cents"] == row["cents"], uid
+    assert len(out) > len(final)
