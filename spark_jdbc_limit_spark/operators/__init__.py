@@ -76,6 +76,7 @@ _QUEUE_BEHIND = (
     "join_asof_tolerance", "sample_weighted_priority",
     "dedup_ngram_containment", "events_markov_transitions",
     "text_char_entropy", "source_text_lines", "source_binary_files",
+    "q3_shipping_priority", "q6_forecast_revenue",
 )
 
 

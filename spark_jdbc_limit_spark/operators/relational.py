@@ -269,3 +269,110 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("a") == F.col("b")).alias("n_plain_eq"),
         F.count_if(F.col("a").isNull() & F.col("b").isNull()).alias("n_both_null"),
     )
+
+
+@query(
+    "q3_shipping_priority",
+    category="aggregation",
+    description="TPC-H Q3-style shipping priority: top-10 open orders by in-flight revenue",
+    oracle=f"""
+        SELECT l_orderkey,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')},
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (adapted to this schema: o_orderpriority stands in for
+    o_shippriority): revenue still in flight for BUILDING-segment orders
+    placed before the cutoff but shipped after it. Plan intent: both
+    date filters push to the scans; customer (segment-filtered) joins
+    orders first so lineitem — the big side — meets an already-reduced
+    key set; the aggregate partial-combines before the shuffle; top-10
+    with a total tie-break is TakeOrderedAndProject, never a global
+    sort of the group space."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    category="aggregation",
+    description="TPC-H Q6: forecast revenue change — pure scan-filter-aggregate",
+    oracle="""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                                   AS DECIMAL(28,8))), 2) AS DOUBLE)
+                   AS revenue_delta,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim: the canonical scan-dominated query — three
+    range predicates and one global sum, zero joins, zero group keys.
+    Every predicate reaches the parquet scan (PushedFilters) and the
+    projection prunes to three columns, so at 100 TB the job is pure
+    I/O + SIMD filtering with a single-row result; it is the query that
+    benchmarks a format's scan path and nothing else. Exact decimal
+    accumulation, rounded once at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -68,3 +68,43 @@ def test_csv_roundtrip_preserves_doubles_exactly(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_ignore_corrupt_files_survives_truncated_parquet(spark, tmp_path):
+    """A truncated parquet file among healthy ones must not kill the scan
+    when ignoreCorruptFiles is on: rows from every healthy file survive,
+    the torn file's rows are skipped. (Default posture — FAILFAST — is
+    also pinned: the same read without the flag raises.) At 100 TB a torn
+    file from a killed writer is a WHEN, not an IF."""
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "torn_table")
+    spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) == 4
+    healthy_rows = 1000
+    # count the victim's rows, then tear it mid-file
+    victim = files[0]
+    victim_rows = spark.read.parquet(victim).count()
+    with open(victim, "r+b") as f:
+        f.truncate(200)  # strip the footer and most of the data
+
+    # explicit schema on both reads: schema inference itself reads every
+    # footer (and would die on the torn one before the scan even plans) —
+    # the explicit-schema posture the module header mandates anyway
+    strict = spark.read.schema("id long, g long").parquet(path)
+    with pytest.raises(Exception):
+        strict.count()
+
+    lenient = (
+        spark.read.schema("id long, g long")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )
+    assert lenient.count() == healthy_rows - victim_rows
+    assert lenient.select("g").distinct().count() <= 7

@@ -401,3 +401,18 @@ def test_scd2_single_exchange_for_both_windows(spark, sf_dir):
     assert_no_python_udf_in_plan(df)
     assert count_exchanges(df) == 1
     assert plan_text(df).count("Window") >= 2
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the scan-path benchmark: every range predicate must reach the
+    parquet scan and the read schema must prune to the three referenced
+    columns — an unpushed filter or a wide schema makes it a different
+    query at 100 TB."""
+    df = get_query("q6_forecast_revenue").builder(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pushed_filters(df, "l_discount")
+    assert_pushed_filters(df, "l_quantity")
+    assert_read_schema_cols(
+        df, "lineitem", {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    )
+    assert_no_python_udf_in_plan(df)
