@@ -376,3 +376,62 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+Q18_MIN_QTY = 250
+
+
+@query(
+    "q18_large_volume_customers",
+    category="aggregation",
+    description=f"TPC-H Q18-style large-volume customers (HAVING sum qty > {Q18_MIN_QTY})",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(o.o_totalprice, 2) AS totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders o   ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: which customers placed the monster orders. Covers the
+    HAVING idiom — a post-aggregate filter, which in DataFrame terms is
+    just ``filter`` ABOVE the agg (Catalyst keeps it after the final
+    aggregation; nothing to push). Scale shape: the lineitem aggregate
+    runs first and the HAVING collapses it to the rare heavy orders, so
+    the joins back to orders/customer touch a tiny key set — Spark
+    broadcasts the filtered aggregate, never shuffling either dimension;
+    top-100 with total tie-break is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
