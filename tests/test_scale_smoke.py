@@ -1,0 +1,109 @@
+"""Env-gated scale smoke: run the heaviest operators on a synthetically
+10×-replicated corpus (documents ~5k rows → ~50k at sf0.01 gate scale;
+run against sf0.1 for ~5M events / 50k docs) and assert they complete
+with structure-level invariants intact.
+
+This is NOT a correctness gate (the DuckDB differential owns that) — it
+is the memory/convergence/plan-shape canary for the 100 TB story: hot
+paths that secretly buffer whole partitions, quadratic pair blowups, or
+non-converging loops fail HERE first, before any cluster sees them.
+
+Run with:  SPARK_GRAFT_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators import get_query
+
+_SMOKE = bool(os.environ.get("SPARK_GRAFT_SCALE_SMOKE"))
+REPLICAS = 10
+
+pytestmark = pytest.mark.skipif(
+    not _SMOKE, reason="set SPARK_GRAFT_SCALE_SMOKE=1 to run the 10x scale smoke"
+)
+
+
+@pytest.fixture(scope="module")
+def big_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """Replicate documents/events/embeddings REPLICAS× with shifted keys
+    and deterministically mutated text (replica tag words appended), so
+    replicas are near-dups of the originals — exactly the regime the
+    dedup family must handle without pair-space blowup."""
+    out = str(tmp_path_factory.mktemp("scale_smoke"))
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("*", reps)
+    d.select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("rep"), "rep")))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("*", reps)
+    e.select(
+        (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("*", reps)
+    v.select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # the relational tables ride through unreplicated (queries under test
+    # here are the documents/events/embeddings-heavy ones)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh_candidates",
+        "dedup_minhash_verified",
+        "dedup_connected_components",
+        "dedup_passage_exact",
+        "dedup_simhash",
+        "text_tfidf_topk",
+        "text_char_entropy",
+        "events_sessionize_gap",
+        "events_retention_cohorts",
+        "window_range_frame",
+        "ann_ivf_topk",
+        "udf_scalar_iter_model_scoring",
+    ],
+)
+def test_heavy_op_survives_10x(spark, big_dir, name):
+    df = get_query(name).builder(spark, big_dir)
+    n = df.count()
+    assert n > 0, f"{name} produced no rows at 10x"
+
+
+def test_replicated_dedup_finds_cross_replica_dups(spark, big_dir):
+    """Replicas ARE near-dups of their originals (one appended tag word on
+    a few-hundred-word doc → jaccard ≫ 0.5), so the verified near-dup set
+    at 10x must contain cross-replica pairs — the smoke that the LSH
+    bands actually bucket near-identical docs together at volume."""
+    pairs = get_query("dedup_minhash_verified").builder(spark, big_dir)
+    cross = pairs.filter(
+        (F.col("d1") % 10_000_000) == (F.col("d2") % 10_000_000)
+    ).count()
+    assert cross > 0

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.text import grams3
@@ -35,3 +37,31 @@ def test_grams3_matches_python_reference(spark):
     }
     for i, d in enumerate(docs):
         assert got[i] == py_grams3(d), f"doc {i}: {d!r} -> {got[i]} != {py_grams3(d)}"
+
+
+@given(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_dbl_formula_is_engine_portable(x, scale):
+    """The portability contract behind every float-bearing oracle: the
+    floor(x*10^n + 0.5)/10^n formula evaluated with IEEE double ops in
+    DuckDB must equal the same formula in python/numpy (both mirror what
+    Spark's codegen computes — pure double multiply/add/floor/divide, no
+    engine-specific decimal rounding)."""
+    import math
+
+    import duckdb
+
+    s = float(10**scale)
+    py = math.floor(x * s + 0.5) / s
+    (duck,) = duckdb.sql(
+        f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {s} + 0.5) / {s}"
+    ).fetchone()
+    assert py == duck, (x, scale, py, duck)
