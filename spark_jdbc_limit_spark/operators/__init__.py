@@ -77,7 +77,7 @@ _QUEUE_BEHIND = (
     "dedup_ngram_containment", "events_markov_transitions",
     "text_char_entropy", "source_text_lines", "source_binary_files",
     "q3_shipping_priority", "q6_forecast_revenue",
-    "q18_large_volume_customers",
+    "q18_large_volume_customers", "events_window_topk_users",
 )
 
 

@@ -704,3 +704,49 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.floor(p * 10000.0 + F.lit(0.5)) / 10000.0).alias("p"),
     )
+
+
+WINDOW_TOPK_USERS = 3
+
+
+@query(
+    "events_window_topk_users",
+    category="window_events",
+    description=f"Top-{WINDOW_TOPK_USERS} users per tumbling hour by event count",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket, user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT bucket, user_id, n_events
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY bucket ORDER BY n_events DESC, user_id
+            ) AS rn FROM hourly
+        )
+        WHERE rn <= {WINDOW_TOPK_USERS}
+    """,
+)
+def events_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed leaderboard — "who dominated each hour": tumbling-hour ×
+    user counts, then top-k per window. The aggregate FIRST discipline
+    again: the raw stream collapses to (bucket, user) counts with
+    map-side partials before any ranking, so the window operator ranks
+    the micro relation (users-per-hour rows), never raw events. Ties
+    break on user_id for engine-identical top-k. In streaming form this
+    is the same aggregate under a watermark with the ranking in
+    foreachBatch — the batch shape here is the per-microbatch plan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WINDOW_TOPK_USERS)
+        .drop("rn")
+    )
