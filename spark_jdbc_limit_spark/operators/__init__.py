@@ -78,6 +78,7 @@ _QUEUE_BEHIND = (
     "text_char_entropy", "source_text_lines", "source_binary_files",
     "q3_shipping_priority", "q6_forecast_revenue",
     "q18_large_volume_customers", "events_window_topk_users",
+    "customer_rfm_segmentation", "brand_abc_pareto",
 )
 
 

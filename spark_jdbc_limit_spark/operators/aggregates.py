@@ -480,3 +480,138 @@ def agg_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_distinct_suppliers"))
     )
+
+
+RFM_BINS = 5
+
+
+@query(
+    "customer_rfm_segmentation",
+    category="aggregation",
+    description=f"RFM segmentation: {RFM_BINS}-quantile recency/frequency/monetary scores per customer",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                       AS monetary
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT custkey, frequency,
+               CAST(monetary AS DOUBLE) AS monetary,
+               NTILE({RFM_BINS}) OVER (ORDER BY last_order, custkey) AS r_score,
+               NTILE({RFM_BINS}) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE({RFM_BINS}) OVER (ORDER BY monetary, custkey) AS m_score
+        FROM base
+    """,
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the marketing-analytics workhorse: per-customer
+    recency (last order), frequency (order count), monetary (total
+    spend), each quintile-scored with ntile. Aggregate-first discipline:
+    the orders stream collapses to one row per customer (map-side
+    partials, one shuffle), and the three ntile windows rank that
+    customer-level relation. The ntile windows order globally — at this
+    catalog's dimension scale (customers ≈ rows/10³) that single-task
+    rank is micro-data; at true 100 TB customer counts swap ntile for
+    the two-phase bucket ranking of ``global_rownum_two_phase`` or
+    approx-percentile cutoffs (both in this catalog). Unique (metric,
+    custkey) tie-breaks make every score engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).alias(
+            "monetary"
+        ),
+    )
+    return base.select(
+        "custkey",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(RFM_BINS)
+        .over(W.orderBy("last_order", "custkey"))
+        .alias("r_score"),
+        F.ntile(RFM_BINS)
+        .over(W.orderBy("frequency", "custkey"))
+        .alias("f_score"),
+        F.ntile(RFM_BINS)
+        .over(W.orderBy("monetary", "custkey"))
+        .alias("m_score"),
+    )
+
+
+@query(
+    "brand_abc_pareto",
+    category="aggregation",
+    description="ABC/Pareto classification of brands by cumulative revenue share",
+    oracle="""
+        WITH rev AS (
+            SELECT p_brand,
+                   ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,8))), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        ),
+        ranked AS (
+            SELECT p_brand, CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(SUM(revenue) OVER (ORDER BY revenue DESC, p_brand)
+                        AS DOUBLE)
+                     / CAST(SUM(revenue) OVER () AS DOUBLE) AS cum_share_raw
+            FROM rev
+        )
+        SELECT p_brand, revenue,
+               FLOOR(cum_share_raw * 10000.0 + 0.5) / 10000.0 AS cum_share,
+               CASE WHEN cum_share_raw <= 0.8 THEN 'A'
+                    WHEN cum_share_raw <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+)
+def brand_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) classification — which brands carry the
+    revenue. The fact stream reduces to one row per brand via a
+    broadcast dim join + partial-aggregated hash agg (the only
+    data-sized work); the cumulative-share window then runs over the
+    brand-cardinality micro relation, where a global ordered running
+    sum is a non-issue. Decimal accumulation keeps the revenue exact;
+    the share is rounded half-up at 1e-4 AFTER classification so the
+    A/B/C boundaries use the raw double in both engines identically."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w_run = W.orderBy(F.col("revenue").cast("double").desc(), "p_brand").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    share = (
+        F.sum(F.col("revenue").cast("double")).over(w_run)
+        / F.sum(F.col("revenue").cast("double")).over(w_all)
+    )
+    return rev.select(
+        "p_brand",
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.floor(share * 10000.0 + F.lit(0.5)) / 10000.0).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
