@@ -79,6 +79,7 @@ _QUEUE_BEHIND = (
     "q3_shipping_priority", "q6_forecast_revenue",
     "q18_large_volume_customers", "events_window_topk_users",
     "customer_rfm_segmentation", "brand_abc_pareto",
+    "dq_expectations_report", "incremental_reaggregation",
 )
 
 

@@ -615,3 +615,104 @@ def brand_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@query(
+    "dq_expectations_report",
+    category="aggregation",
+    description="Single-pass data-quality report: completeness/uniqueness/range/set checks",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               FLOOR(AVG(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                     * 10000.0 + 0.5) / 10000.0 AS shipdate_completeness,
+               CAST(COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT)
+                   AS n_distinct_line_ids,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                             THEN 0 ELSE 1 END) AS BIGINT) AS qty_range_violations,
+               CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS flag_domain_violations,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nonpositive_price_count
+        FROM lineitem
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification, Deequ-style: completeness,
+    key uniqueness, range, domain membership, and sign checks — ALL
+    computed in ONE scan as columns of a single aggregate. That
+    single-pass shape is the entire point at 100 TB: a naive
+    check-per-query expectations suite re-reads the table once per
+    constraint; folding every metric into one `agg` makes the whole
+    report cost one pass + one 1-row shuffle, and adding a constraint
+    is free. Uniqueness rides as an exact distinct count of the
+    composite line id (the one metric that shuffles more than a row —
+    swap for approx_count_distinct when tolerance allows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line_id = F.col("l_orderkey") * 16 + F.col("l_linenumber")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.floor(
+                F.avg(F.when(F.col("l_shipdate").isNotNull(), 1.0).otherwise(0.0))
+                * 10000.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("shipdate_completeness"),
+        F.countDistinct(line_id).alias("n_distinct_line_ids"),
+        F.sum(
+            F.when((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50), 0)
+            .otherwise(1)
+        ).cast("long").alias("qty_range_violations"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 0).otherwise(1)
+        ).cast("long").alias("flag_domain_violations"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_price_count"),
+    )
+
+
+@query(
+    "incremental_reaggregation",
+    category="aggregation",
+    description="Re-aggregatable rollup: weekly metrics merged FROM daily partials, no raw rescan",
+    oracle="""
+        SELECT date_trunc('week', o_orderdate) AS week, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def incremental_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-aggregation/OLAP-cube pattern: weekly metrics are computed
+    by MERGING daily partial aggregates — count via sum-of-counts,
+    sum via sum-of-sums (decimal partials, rounded once at the end),
+    max via max-of-maxes — never by rescanning raw orders. The oracle
+    aggregates the raw table directly, so a pass proves the chosen
+    metrics are genuinely re-aggregatable (the reason incremental
+    rollups must avoid AVG/DISTINCT partials and carry sums + counts
+    instead). At 100 TB this is the difference between a weekly report
+    that reads 7 daily summary rows per key and one that re-reads a
+    week of raw data."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"), "o_orderstatus"
+    ).agg(
+        F.count(F.lit(1)).alias("d_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("d_sum"),
+        F.max("o_totalprice").alias("d_max"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", "day").alias("week"), "o_orderstatus"
+        )
+        .agg(
+            F.sum("d_n").cast("long").alias("n_orders"),
+            F.round(F.sum("d_sum"), 2).cast("double").alias("total_price"),
+            F.max("d_max").cast("double").alias("max_price"),
+        )
+    )
