@@ -47,15 +47,31 @@ def _driver_sampled_names() -> set[str]:
     import glob
     import json
     import os
+    import warnings
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     names: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    for path in files:
         try:
             with open(path) as f:
                 names |= set(json.load(f))
-        except Exception:
-            continue  # unreadable round file never blocks the catalog
+        except Exception as exc:  # unreadable round file never blocks import...
+            # ...but silence here would let already-verified queries creep
+            # back into the sampling window unnoticed
+            warnings.warn(
+                f"rotation: could not read {path!r} ({exc}); its queries may "
+                "re-enter the correctness sampling window",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if files and not names:
+        warnings.warn(
+            "rotation: CORRECTNESS files present but no sampled names parsed; "
+            "registry order will not rotate this round",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return names
 
 

@@ -325,11 +325,15 @@ def source_parquet_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     category="source",
     description="Line-oriented text source (gzip): the rawest LLM-corpus ingest",
     oracle="""
+        WITH clean AS (
+            SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS text
+            FROM documents
+        )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
                     AS BIGINT) AS total_words
-        FROM documents
+        FROM clean
     """,
 )
 def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,7 +348,13 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; the multi-file write here models exactly that layout."""
     path = _staging("source_text_lines", sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    d.select("text").write.mode("overwrite").option("compression", "gzip").text(path)
+    # line protocol: a payload newline would split one document into two
+    # lines — sanitize on write (the oracle applies the same transform),
+    # the posture every line-oriented exporter needs
+    clean = F.regexp_replace(F.col("text"), "[\r\n]", " ")
+    d.select(clean.alias("text")).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(path)
     back = spark.read.text(path)
     words = F.size(F.split(F.col("value"), " "))
     return back.agg(
@@ -387,7 +397,13 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_pgm_payloads,
     )
 
+    import shutil as _shutil
+
     path = _staging("source_binary_files", sf_dir)
+    # clear stale staging first (the file-per-object layout has no
+    # mode("overwrite"): orphans from an older run or a changed doc
+    # filter would otherwise inflate the scan versus the oracle)
+    _shutil.rmtree(path, ignore_errors=True)
     _os.makedirs(path, exist_ok=True)
     d = (
         load_table(spark, sf_dir, "documents")

@@ -236,7 +236,8 @@ RESIZE_FACTOR = 2  # box-downsample factor of the image resize
 # longhand (w//2, *2, //4 literals) — changing RESIZE_FACTOR requires
 # rewriting that expression to match, or the differential will (correctly)
 # fail. The guard makes the coupling explicit.
-assert RESIZE_FACTOR == 2, "multimodal_image_resize oracle is written for factor 2"
+if RESIZE_FACTOR != 2:  # not assert: must survive python -O
+    raise RuntimeError("multimodal_image_resize oracle is written for factor 2")
 
 
 def _img_dims(doc_id: int) -> tuple[int, int]:

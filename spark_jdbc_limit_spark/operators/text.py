@@ -561,7 +561,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Per-document character-distribution Shannon entropy (gibberish gate)",
     oracle=f"""
         WITH chars AS (
-            SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       regexp_replace(text, '[\r\n]', '', 'g'), '.')) AS c
             FROM documents WHERE length(text) > 0
         ),
         freq AS (
@@ -594,9 +596,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-up round at 1e-4, the same tolerance argument every LOG-based
     score here uses."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # strip CR/LF in BOTH engines first: Spark's zero-width split would
+    # glue 'x\n' into one 2-char token while the oracle's '.' drops the
+    # newline — newline-free input makes the tokenizers provably agree
+    stripped = F.regexp_replace(F.col("text"), "[\r\n]", "")
     chars = d.select(
         "doc_id",
-        F.explode(F.split(F.col("text"), "(?!^)(?=.)")).alias("c"),
+        F.explode(F.split(stripped, "(?!^)(?=.)")).alias("c"),
     )
     freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
     tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
