@@ -96,6 +96,7 @@ _QUEUE_BEHIND = (
     "q18_large_volume_customers", "events_window_topk_users",
     "customer_rfm_segmentation", "brand_abc_pareto",
     "dq_expectations_report", "incremental_reaggregation",
+    "dedup_exact_provenance", "orders_duplicate_payment_check",
 )
 
 

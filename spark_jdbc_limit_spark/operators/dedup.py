@@ -871,3 +871,41 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("d1", "d2", round_dbl(cont, 4).alias("containment"))
     )
+
+
+@query(
+    "dedup_exact_provenance",
+    category="llm_dedup",
+    description="Dedup with provenance: per duplicate cluster, the sources and span it came from",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS keeper_doc_id,
+               MAX(doc_id) AS last_doc_id,
+               list_sort(list_distinct(list(source))) AS sources
+        FROM documents
+        GROUP BY md5(text)
+        HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GOVERNANCE: removing a duplicate is easy — explaining it
+    later is what audits need. For every multi-copy content cluster,
+    record how many copies existed, which doc survived, and the SORTED
+    set of sources the copies came from (the cross-source contamination
+    signal: one page syndicated across N crawls). Still one shuffle on
+    the digest; collect_set is bounded by the distinct-source count (20
+    here; small in any real corpus), so the aggregate state stays tiny
+    even for a boilerplate cluster with 10⁹ copies — the reason this
+    aggregates sources as a SET, never as a list of rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.array_sort(F.collect_set("source")).alias("sources"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

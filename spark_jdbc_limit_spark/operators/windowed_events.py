@@ -750,3 +750,77 @@ def events_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= WINDOW_TOPK_USERS)
         .drop("rn")
     )
+
+
+DUP_PAYMENT_WINDOW_DAYS = 7
+
+
+@query(
+    "orders_duplicate_payment_check",
+    category="window_events",
+    description=f"Duplicate-payment screen: same customer+amount within {DUP_PAYMENT_WINDOW_DAYS} days",
+    oracle=f"""
+        WITH seq AS (
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                   LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey, o_totalprice
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_date,
+                   LAG(o_orderkey) OVER (
+                       PARTITION BY o_custkey, o_totalprice
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_orderkey
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 2) AS amount,
+               prev_orderkey,
+               CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+                   AS days_apart
+        FROM seq
+        WHERE prev_date IS NOT NULL
+          AND o_orderdate <= prev_date + INTERVAL {DUP_PAYMENT_WINDOW_DAYS} DAY
+    """,
+)
+def orders_duplicate_payment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounts-payable duplicate screen: two orders from the same
+    customer for the IDENTICAL amount within a short window are retried
+    charges, double submissions, or fraud — the audit query every
+    payments pipeline runs. Formulated as a lag window over
+    (customer, amount) — candidate pairs exist only INSIDE those
+    partitions, so there is no self-join and no pair blowup: one
+    shuffle keyed by (custkey, totalprice), linear work per partition,
+    skew bounded by how often one customer repeats one exact amount.
+    (ts, orderkey) tie-breaks make the flagged pair deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_totalprice").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+    return (
+        seq.filter(
+            F.col("prev_date").isNotNull()
+            & (
+                F.col("o_orderdate")
+                <= F.col("prev_date")
+                + F.expr(f"INTERVAL {DUP_PAYMENT_WINDOW_DAYS} DAYS")
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("amount"),
+            "prev_orderkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.col("prev_date").cast("date"),
+            ).cast("long").alias("days_apart"),
+        )
+    )

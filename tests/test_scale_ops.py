@@ -71,3 +71,56 @@ def test_scd2_intervals_tile_each_user_timeline(spark, sf_correct):
         .count()
     )
     assert same_neighbor == 0
+
+
+def test_rotation_moves_sampled_names_to_back(monkeypatch, tmp_path):
+    """The automatic correctness-sampling rotation must push every name
+    recorded in a CORRECTNESS_r*.json to the back of the registry and
+    keep never-sampled names (carried-over first, then _QUEUE_BEHIND
+    order) at the front — exercised against a synthetic round file so
+    the mechanism is pinned independently of the real repo history."""
+    import importlib
+    import json
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    names = list(ops.REGISTRY)
+    fake_sampled = names[:3] + names[-3:]
+    f = tmp_path / "CORRECTNESS_r99.json"
+    f.write_text(json.dumps({n: {} for n in fake_sampled}))
+
+    real_glob = importlib.import_module("glob").glob
+    monkeypatch.setattr(
+        "glob.glob", lambda pattern: [str(f)] if "CORRECTNESS_r" in pattern else real_glob(pattern)
+    )
+    assert ops._driver_sampled_names() == set(fake_sampled)
+
+    before = dict(ops.REGISTRY)
+    try:
+        ops._rotate_registry()
+        rotated = list(ops.REGISTRY)
+        assert set(rotated) == set(names), "rotation must not drop entries"
+        assert rotated[-len(fake_sampled):] == [
+            n for n in rotated if n in set(fake_sampled)
+        ], "sampled names must all sit at the back"
+        assert all(n not in set(fake_sampled) for n in rotated[: len(rotated) - len(fake_sampled)])
+    finally:
+        ops.REGISTRY.clear()
+        ops.REGISTRY.update(before)
+
+
+def test_rotation_warns_on_unreadable_round_file(monkeypatch, tmp_path):
+    import warnings
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    bad = tmp_path / "CORRECTNESS_r98.json"
+    bad.write_text("{not json")
+    monkeypatch.setattr(
+        "glob.glob", lambda pattern: [str(bad)] if "CORRECTNESS_r" in pattern else []
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        names = ops._driver_sampled_names()
+    assert names == set()
+    assert any("sampling window" in str(w.message) for w in caught)
