@@ -416,3 +416,36 @@ def test_q6_all_predicates_pushed(spark, sf_dir):
         df, "lineitem", {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
     )
     assert_no_python_udf_in_plan(df)
+
+
+def test_null_key_join_isolation_pattern(spark):
+    """Null join keys never match, but a naive outer join still SHUFFLES
+    them — and every null hashes to ONE reducer (the canonical silent
+    skew at 100 TB). The isolation pattern splits null-key rows out
+    before the join and unions them back with null payload; pinned here:
+    identical results to the naive left join, on data where 40% of keys
+    are null."""
+    import pyspark.sql.functions as F
+
+    left = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 < 2, None).otherwise(F.col("id") % 50).alias("k"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+
+    naive = left.join(dim, "k", "left").select("id", "k", "payload")
+
+    with_key = left.filter(F.col("k").isNotNull()).join(dim, "k", "left")
+    null_side = left.filter(F.col("k").isNull()).withColumn(
+        "payload", F.lit(None).cast("long")
+    )
+    isolated = with_key.select("id", "k", "payload").unionByName(
+        null_side.select("id", "k", "payload")
+    )
+
+    a = {tuple(r) for r in naive.collect()}
+    b = {tuple(r) for r in isolated.collect()}
+    assert a == b
+    assert left.filter(F.col("k").isNull()).count() == 4_000

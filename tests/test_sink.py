@@ -694,3 +694,38 @@ def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp
     # control: STATIC overwrite of the same frame wipes the other partitions
     fix.write.mode("overwrite").partitionBy("p").parquet(path)
     assert spark.read.parquet(path).count() == 25
+
+
+def test_observation_metrics_ride_the_write_pass(spark, tmp_path):
+    """DQ metrics WITHOUT a second scan: df.observe() accumulates metrics
+    on the SAME pass that writes the data — at 100 TB this is the
+    difference between 'write + audit = one read' and 'write then
+    re-read everything to count nulls'. Pinned: the observed counters
+    must equal what a separate aggregation computes, and they must be
+    collected from the write action itself."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    src = spark.range(10_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.col("id") % 7)
+        .alias("bucket"),
+        (F.col("id") * 2.5).alias("amount"),
+    )
+    obs = Observation("write_audit")
+    audited = src.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("bucket").isNull().cast("long")).alias("null_buckets"),
+        F.sum("amount").alias("total_amount"),
+    )
+    out = str(tmp_path / "audited_write")
+    audited.write.mode("overwrite").parquet(out)
+
+    got = obs.get
+    assert got["n_rows"] == 10_000
+    assert got["null_buckets"] == 100
+    assert got["total_amount"] == sum(i * 2.5 for i in range(10_000))
+    # and the data really landed, matching the audited counters
+    assert spark.read.parquet(out).count() == got["n_rows"]
