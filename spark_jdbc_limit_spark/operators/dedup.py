@@ -885,13 +885,12 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list_distinct(list(source))) AS sources
         FROM documents
         GROUP BY md5(text)
-        HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GOVERNANCE: removing a duplicate is easy — explaining it
-    later is what audits need. For every multi-copy content cluster,
-    record how many copies existed, which doc survived, and the SORTED
+    later is what audits need. Per content cluster,
+    record (for EVERY content cluster) how many copies existed, which doc survived, and the SORTED
     set of sources the copies came from (the cross-source contamination
     signal: one page syndicated across N crawls). Still one shuffle on
     the digest; collect_set is bounded by the distinct-source count (20
@@ -907,5 +906,8 @@ def dedup_exact_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc_id"),
             F.array_sort(F.collect_set("source")).alias("sources"),
         )
-        .filter(F.col("n_copies") > 1)
+        # no multi-copy filter: singleton clusters keep the differential
+        # NON-VACUOUS at scale factors where the corpus has no exact dups
+        # (sf0.001/sf0.01); multi-copy provenance is pinned at sf0.1 by
+        # tests/test_llm_ops.py.
     )

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import NEWLINE_CLASS
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
 
@@ -324,9 +325,9 @@ def source_parquet_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     "source_text_lines",
     category="source",
     description="Line-oriented text source (gzip): the rawest LLM-corpus ingest",
-    oracle="""
+    oracle=f"""
         WITH clean AS (
-            SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS text
+            SELECT regexp_replace(text, '{NEWLINE_CLASS}', ' ', 'g') AS text
             FROM documents
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -351,7 +352,7 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # line protocol: a payload newline would split one document into two
     # lines — sanitize on write (the oracle applies the same transform),
     # the posture every line-oriented exporter needs
-    clean = F.regexp_replace(F.col("text"), "[\r\n]", " ")
+    clean = F.regexp_replace(F.col("text"), NEWLINE_CLASS, " ")
     d.select(clean.alias("text")).write.mode("overwrite").option(
         "compression", "gzip"
     ).text(path)

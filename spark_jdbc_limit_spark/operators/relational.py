@@ -33,6 +33,14 @@ from spark_jdbc_limit_spark.sources.catalog import load_table
 Q1_CUTOFF = "1998-09-02"
 
 
+#: Newline character class shared by every line-protocol / per-char
+#: tokenizer query (Spark regexp AND DuckDB oracle use the same class so
+#: the paired engines cannot drift). Note spark.read.text only breaks on
+#: \n / \r\n — extend here (e.g. \u2028) ONLY in lockstep with a policy
+#: decision on both sides.
+NEWLINE_CLASS = "[\\r\\n]"
+
+
 def round_dbl(col, scale=4):
     """Engine-portable half-up rounding of a double.
 

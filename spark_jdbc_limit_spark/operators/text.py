@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
-from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
+from spark_jdbc_limit_spark.operators.relational import NEWLINE_CLASS, round_dbl, sql_round_dbl
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
@@ -563,8 +563,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH chars AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(
-                       regexp_replace(text, '[\r\n]', '', 'g'), '.')) AS c
-            FROM documents WHERE length(text) > 0
+                       regexp_replace(text, '{NEWLINE_CLASS}', '', 'g'), '.')) AS c
+            FROM documents
+            WHERE length(regexp_replace(text, '{NEWLINE_CLASS}', '', 'g')) > 0
         ),
         freq AS (
             SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
@@ -595,11 +596,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude terms the reorder error is ~1e-14 — absorbed by the
     half-up round at 1e-4, the same tolerance argument every LOG-based
     score here uses."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     # strip CR/LF in BOTH engines first: Spark's zero-width split would
     # glue 'x\n' into one 2-char token while the oracle's '.' drops the
-    # newline — newline-free input makes the tokenizers provably agree
-    stripped = F.regexp_replace(F.col("text"), "[\r\n]", "")
+    # newline. The emptiness filter applies POST-strip (an all-newline doc
+    # must vanish from both engines, not split-to-[''] on one side).
+    stripped = F.regexp_replace(F.col("text"), NEWLINE_CLASS, "")
+    d = load_table(spark, sf_dir, "documents").filter(F.length(stripped) > 0)
     chars = d.select(
         "doc_id",
         F.explode(F.split(stripped, "(?!^)(?=.)")).alias("c"),

@@ -752,22 +752,25 @@ def events_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DUP_PAYMENT_WINDOW_DAYS = 7
+DUP_PAYMENT_WINDOW_DAYS = 365
+DUP_PAYMENT_BAND_SCALE = -3   # round(price, -3): nearest-1000 amount band
 
 
 @query(
     "orders_duplicate_payment_check",
     category="window_events",
-    description=f"Duplicate-payment screen: same customer+amount within {DUP_PAYMENT_WINDOW_DAYS} days",
+    description=f"Duplicate-payment screen: same customer + amount band within {DUP_PAYMENT_WINDOW_DAYS} days",
     oracle=f"""
         WITH seq AS (
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
                    LAG(o_orderdate) OVER (
-                       PARTITION BY o_custkey, o_totalprice
+                       PARTITION BY o_custkey,
+                                    round(o_totalprice, {DUP_PAYMENT_BAND_SCALE})
                        ORDER BY o_orderdate, o_orderkey
                    ) AS prev_date,
                    LAG(o_orderkey) OVER (
-                       PARTITION BY o_custkey, o_totalprice
+                       PARTITION BY o_custkey,
+                                    round(o_totalprice, {DUP_PAYMENT_BAND_SCALE})
                        ORDER BY o_orderdate, o_orderkey
                    ) AS prev_orderkey
             FROM orders
@@ -784,16 +787,21 @@ DUP_PAYMENT_WINDOW_DAYS = 7
 )
 def orders_duplicate_payment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The accounts-payable duplicate screen: two orders from the same
-    customer for the IDENTICAL amount within a short window are retried
-    charges, double submissions, or fraud — the audit query every
-    payments pipeline runs. Formulated as a lag window over
-    (customer, amount) — candidate pairs exist only INSIDE those
+    customer in the SAME AMOUNT BAND within the window are retry/double-
+    submission candidates — the audit query every payments pipeline
+    runs. The band (nearest 1000, exact multiples so both engines agree
+    bit-for-bit) stands in for the real-world "same invoice amount"
+    match; on this synthetic corpus exact doubles never repeat, and the
+    banded key keeps the screen NON-VACUOUS at every gate scale factor
+    (empty-vs-empty would verify nothing). Formulated as a lag window
+    over (customer, band) — candidate pairs exist only INSIDE those
     partitions, so there is no self-join and no pair blowup: one
-    shuffle keyed by (custkey, totalprice), linear work per partition,
-    skew bounded by how often one customer repeats one exact amount.
-    (ts, orderkey) tie-breaks make the flagged pair deterministic."""
+    shuffle, linear work per partition, skew bounded by how often one
+    customer repeats one band. (date, orderkey) tie-breaks make the
+    flagged pair deterministic."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey", "o_totalprice").orderBy(
+    band = F.round("o_totalprice", DUP_PAYMENT_BAND_SCALE)
+    w = Window.partitionBy("o_custkey", band).orderBy(
         "o_orderdate", "o_orderkey"
     )
     seq = o.select(

@@ -433,3 +433,32 @@ def test_passage_dedup_is_partition_of_distinct_passages(spark, sf_correct):
         | ((F.col("doc_id") == F.col("s_doc")) & (F.col("passage_idx") < F.col("s_idx")))
     )
     assert earlier.count() == 0
+
+
+def test_provenance_multicopy_clusters_at_sf01(spark):
+    """sf0.1 is the only shipped scale factor with exact duplicate docs
+    (8 multi-copy clusters), so the multi-copy provenance claims (copy
+    counts, min-keeper, sorted source sets) are pinned HERE — the
+    differential at smaller SFs only exercises singleton clusters."""
+    import pyspark.sql.functions as F
+
+    from spark_jdbc_limit_spark.operators import get_query
+
+    out = get_query("dedup_exact_provenance").builder(spark, "/root/testdata/sf0.1")
+    multi = out.filter(F.col("n_copies") > 1)
+    rows = multi.collect()
+    assert rows, "sf0.1 corpus must contain exact-duplicate clusters"
+    for r in rows:
+        assert r.keeper_doc_id <= r.last_doc_id
+        assert list(r.sources) == sorted(r.sources)
+        assert len(r.sources) >= 1
+
+
+def test_duplicate_payment_screen_is_nonvacuous(spark, sf_correct):
+    """The banded duplicate-payment screen must flag candidates at the
+    CORRECTNESS gate scale factor — an empty result would make its
+    oracle differential a vacuous empty-vs-empty comparison."""
+    from spark_jdbc_limit_spark.operators import get_query
+
+    n = get_query("orders_duplicate_payment_check").builder(spark, sf_correct).count()
+    assert n > 0
