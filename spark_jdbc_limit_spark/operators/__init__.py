@@ -55,7 +55,23 @@ def _driver_sampled_names() -> set[str]:
     for path in files:
         try:
             with open(path) as f:
-                names |= set(json.load(f))
+                data = json.load(f)
+            # A record whose driver check CRASHED (non-null err other than
+            # the by-design 'no_oracle' rows-only marker) is NOT verified:
+            # leave it out of the sampled set so it re-enters the next
+            # round's window once fixed, instead of rotating to the back
+            # unverified. A rows-only 'no_oracle' record likewise goes
+            # STALE once the query has since gained an oracle pair — the
+            # stronger three-way check hasn't run, so re-queue it. A clean
+            # record in ANY round marks the query sampled.
+            for n, rec in data.items():
+                if isinstance(rec, dict) and rec.get("err"):
+                    if rec["err"] != "no_oracle":
+                        continue  # crashed check — unverified
+                    spec = REGISTRY.get(n)
+                    if spec is not None and spec.oracle is not None:
+                        continue  # rows-only record, oracle now exists
+                names.add(n)
         except Exception as exc:  # unreadable round file never blocks import...
             # ...but silence here would let already-verified queries creep
             # back into the sampling window unnoticed

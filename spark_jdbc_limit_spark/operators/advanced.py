@@ -171,19 +171,39 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_quantiles",
     category="aggregation",
     description="approx_percentile sketch (scale path for quantiles)",
-    oracle=None,  # sketch internals are engine-specific; rows-only check
+    oracle="""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.50) AS p50,
+               quantile_disc(l_extendedprice, 0.95) AS p95,
+               quantile_disc(l_extendedprice, 0.99) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
 )
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-digest-style sketch: mergeable partial state, one shuffle row per
+    """GK-sketch percentiles: mergeable partial state, one shuffle row per
     group — the 100 TB path where exact percentile's full sort/collect of
-    the group is impossible."""
+    the group is impossible. Oracle pairing: with accuracy >= the group
+    row count the sketch keeps every sample and answers EXACTLY the
+    discrete quantile DuckDB's ``quantile_disc`` defines (both return the
+    smallest element covering rank ceil(p*n)), so the differential is
+    byte-exact at test scale; production would dial accuracy down to
+    ~10^4 and accept rank error n/accuracy. Output is one scalar column
+    per percentile (never an array column — the driver's canonicalizer
+    compares scalars)."""
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000000)"
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)").alias(
-                "p50_95_99"
-            )
+        .agg(q.alias("q"))
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
         )
         .orderBy("l_returnflag")
     )

@@ -484,12 +484,8 @@ def agg_distinct_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RFM_BINS = 5
 
-
-@query(
-    "customer_rfm_segmentation",
-    category="aggregation",
-    description=f"RFM segmentation: {RFM_BINS}-quantile recency/frequency/monetary scores per customer",
-    oracle=f"""
+#: Shared by the ntile and two-phase variants — both compute EXACTLY this.
+_RFM_ORACLE = f"""
         WITH base AS (
             SELECT o_custkey AS custkey,
                    MAX(o_orderdate) AS last_order,
@@ -505,7 +501,28 @@ RFM_BINS = 5
                NTILE({RFM_BINS}) OVER (ORDER BY frequency, custkey) AS f_score,
                NTILE({RFM_BINS}) OVER (ORDER BY monetary, custkey) AS m_score
         FROM base
-    """,
+    """
+
+
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per customer: (custkey, last_order, frequency, monetary).
+    Map-side partials, one shuffle — the only data-sized work in either
+    RFM variant."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).alias(
+            "monetary"
+        ),
+    )
+
+
+@query(
+    "customer_rfm_segmentation",
+    category="aggregation",
+    description=f"RFM segmentation: {RFM_BINS}-quantile recency/frequency/monetary scores per customer",
+    oracle=_RFM_ORACLE,
 )
 def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the marketing-analytics workhorse: per-customer
@@ -515,20 +532,15 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, one shuffle), and the three ntile windows rank that
     customer-level relation. The ntile windows order globally — at this
     catalog's dimension scale (customers ≈ rows/10³) that single-task
-    rank is micro-data; at true 100 TB customer counts swap ntile for
-    the two-phase bucket ranking of ``global_rownum_two_phase`` or
-    approx-percentile cutoffs (both in this catalog). Unique (metric,
+    rank is micro-data; at true 100 TB customer counts use
+    ``customer_rfm_segmentation_scalable`` below — the two-phase
+    bucket-ranked twin of THIS query (pinned exactly equal by
+    tests/test_scale_ops.py), which replaces each global sort with a
+    bucket-partitioned rank + micro offset join. Unique (metric,
     custkey) tie-breaks make every score engine-deterministic."""
     from pyspark.sql import Window as W
 
-    o = load_table(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).alias(
-            "monetary"
-        ),
-    )
+    base = _rfm_base(spark, sf_dir)
     return base.select(
         "custkey",
         "frequency",
@@ -542,6 +554,88 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(RFM_BINS)
         .over(W.orderBy("monetary", "custkey"))
         .alias("m_score"),
+    )
+
+
+@query(
+    "customer_rfm_segmentation_scalable",
+    category="aggregation",
+    description=f"RFM segmentation, 100 TB path: two-phase bucket-ranked ntile, no global sort",
+    oracle=_RFM_ORACLE,
+)
+def customer_rfm_segmentation_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``customer_rfm_segmentation`` without the single-task global
+    sorts: EXACTLY the same scores (same oracle), computed scalably.
+
+    Per metric: (1) a MONOTONE value-derived bucket (month index for
+    recency, the count itself for frequency, a fixed-width band for
+    monetary) — order-preserving, so global order = (bucket, local
+    order); (2) ``row_number`` partitioned by bucket — one hash shuffle,
+    every bucket ranked in parallel; (3) per-bucket counts → running
+    offsets via a window over the #buckets-row MICRO relation →
+    broadcast-join back, giving the exact global rank; (4) ntile's
+    arithmetic applied to that rank (first n%B buckets get
+    floor(n/B)+1 rows) — bit-identical to the window function without
+    ever sorting the relation in one task. Three metric rankings join
+    back on custkey; each join input is the customer micro-relation.
+    Same unique (metric, custkey) tie-breaks as the ntile twin."""
+    from pyspark.sql import Window as W
+
+    base = _rfm_base(spark, sf_dir)
+
+    def two_phase_score(bucket, order_cols, out: str) -> DataFrame:
+        b = base.withColumn("bucket", bucket)
+        local = b.withColumn(
+            "local_rn",
+            F.row_number().over(W.partitionBy("bucket").orderBy(*order_cols)),
+        )
+        counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        offsets = counts.withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select("bucket", "offset")
+        total = counts.agg(F.sum("cnt").alias("n_total"))
+        ranked = (
+            local.join(F.broadcast(offsets), "bucket")
+            .withColumn("rank", F.col("offset") + F.col("local_rn"))
+            .crossJoin(F.broadcast(total))  # one-row relation
+        )
+        # ntile(B) over n rows: the first n%B buckets hold floor(n/B)+1
+        # rows, the rest floor(n/B) — the standard-SQL definition both
+        # Spark and DuckDB implement.
+        q = F.floor(F.col("n_total") / RFM_BINS)
+        r = F.col("n_total") % RFM_BINS
+        big = r * (q + 1)  # rows covered by the size-(q+1) buckets
+        score = F.when(
+            F.col("rank") <= big, F.floor((F.col("rank") - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((F.col("rank") - big - 1) / q) + 1)
+        return ranked.select("custkey", score.cast("int").alias(out))
+
+    r_scores = two_phase_score(
+        F.year("last_order") * 12 + F.month("last_order"),
+        ["last_order", "custkey"],
+        "r_score",
+    )
+    f_scores = two_phase_score(
+        F.col("frequency"), ["frequency", "custkey"], "f_score"
+    )
+    m_scores = two_phase_score(
+        F.floor(F.col("monetary").cast("double") / 100000.0),
+        ["monetary", "custkey"],
+        "m_score",
+    )
+    return (
+        base.select(
+            "custkey", "frequency", F.col("monetary").cast("double").alias("monetary")
+        )
+        .join(r_scores, "custkey")
+        .join(f_scores, "custkey")
+        .join(m_scores, "custkey")
     )
 
 
@@ -564,12 +658,15 @@ def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(SUM(revenue) OVER () AS DOUBLE) AS cum_share_raw
             FROM rev
         )
-        SELECT p_brand, revenue,
-               FLOOR(cum_share_raw * 10000.0 + 0.5) / 10000.0 AS cum_share,
-               CASE WHEN cum_share_raw <= 0.8 THEN 'A'
-                    WHEN cum_share_raw <= 0.95 THEN 'B'
+        SELECT p_brand, revenue, cum_share,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
                     ELSE 'C' END AS abc_class
-        FROM ranked
+        FROM (
+            SELECT p_brand, revenue,
+                   FLOOR(cum_share_raw * 10000.0 + 0.5) / 10000.0 AS cum_share
+            FROM ranked
+        )
     """,
 )
 def brand_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,8 +676,11 @@ def brand_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized work); the cumulative-share window then runs over the
     brand-cardinality micro relation, where a global ordered running
     sum is a non-issue. Decimal accumulation keeps the revenue exact;
-    the share is rounded half-up at 1e-4 AFTER classification so the
-    A/B/C boundaries use the raw double in both engines identically."""
+    the share is rounded half-up at 1e-4 FIRST and the A/B/C label is
+    derived from that ROUNDED value in both engines — classifying from
+    the raw running double would let a share within ~1 ulp of the
+    0.8/0.95 boundary flip class between Spark's per-row double running
+    sum and DuckDB's decimal-then-cast accumulation."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -607,13 +707,15 @@ def brand_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("revenue").cast("double")).over(w_run)
         / F.sum(F.col("revenue").cast("double")).over(w_all)
     )
+    cum_share = F.floor(share * 10000.0 + F.lit(0.5)) / 10000.0
     return rev.select(
         "p_brand",
         F.col("revenue").cast("double").alias("revenue"),
-        (F.floor(share * 10000.0 + F.lit(0.5)) / 10000.0).alias("cum_share"),
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
-            "abc_class"
-        ),
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.8, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
 
 

@@ -882,7 +882,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_copies,
                MIN(doc_id) AS keeper_doc_id,
                MAX(doc_id) AS last_doc_id,
-               list_sort(list_distinct(list(source))) AS sources
+               array_to_string(list_sort(list_distinct(list(source))), ',')
+                   AS sources
         FROM documents
         GROUP BY md5(text)
     """,
@@ -904,7 +905,11 @@ def dedup_exact_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("keeper_doc_id"),
             F.max("doc_id").alias("last_doc_id"),
-            F.array_sort(F.collect_set("source")).alias("sources"),
+            # serialized CSV, not array<string>: the driver's canonicalizer
+            # cannot hash list cells (it sort_values every output column)
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+                "sources"
+            ),
         )
         # no multi-copy filter: singleton clusters keep the differential
         # NON-VACUOUS at scale factors where the corpus has no exact dups

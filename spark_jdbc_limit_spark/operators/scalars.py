@@ -326,7 +326,8 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS s_price,
                len(list_transform(range(1, 4),
                    i -> {'k': i, 'v': o_orderkey * i})) AS n_pairs,
-               list_transform(range(1, 4), i -> o_orderkey * i) AS key_multiples
+               array_to_string(list_transform(range(1, 4), i -> o_orderkey * i),
+                               ',') AS key_multiples
         FROM orders
         WHERE o_orderkey < 500
     """,
@@ -351,7 +352,11 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("status").alias("s_status"),
         round_dbl(s.getField("price"), 2).alias("s_price"),
         F.size(pairs).alias("n_pairs"),
-        F.transform(pairs, lambda p: p.getField("v")).alias("key_multiples"),
+        # serialized, not array-typed: the driver's pandas canonicalizer
+        # sorts output columns and cannot hash list cells
+        F.concat_ws(
+            ",", F.transform(pairs, lambda p: p.getField("v").cast("string"))
+        ).alias("key_multiples"),
     )
 
 

@@ -90,14 +90,37 @@ def _make_weighted_avg():
     "udaf_grouped_weighted_avg",
     category="udf",
     description="pandas_udf grouped-aggregate UDAF: qty-weighted avg price",
-    oracle=None,  # float accumulation order inside the UDAF is pandas-defined;
-    # correctness is pinned by tests vs an exact-decimal built-in twin.
+    oracle="""
+        SELECT l_returnflag,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * l_quantity
+                                   AS DECIMAL(28,6)))
+                          / SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                          AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS w_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
 )
 def udaf_grouped_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF accumulates float64 in pandas (pairwise summation) while
+    the oracle sums exact decimals; at these magnitudes the relative gap
+    is ~1e-14, so a half-up round at 1e-4 on BOTH sides makes the pair
+    deterministic. The exact-decimal twin below stays as the tighter
+    in-suite bound."""
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(_make_weighted_avg()(F.col("l_extendedprice"), F.col("l_quantity")).alias("w_avg_price"))
+        .agg(
+            round_dbl(
+                _make_weighted_avg()(
+                    F.col("l_extendedprice"), F.col("l_quantity")
+                ),
+                4,
+            ).alias("w_avg_price")
+        )
         .orderBy("l_returnflag")
     )
 

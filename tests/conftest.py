@@ -34,3 +34,14 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def sf_correct() -> str:
     return SF_CORRECT
+
+
+@pytest.fixture(scope="session")
+def sf_large() -> str:
+    """The biggest shipped scale factor (the only one with exact-duplicate
+    documents); tests needing it skip rather than error where the corpus
+    isn't generated."""
+    path = "/root/testdata/sf0.1"
+    if not os.path.isdir(path):
+        pytest.skip(f"{path} not generated on this machine")
+    return path

@@ -435,7 +435,7 @@ def test_passage_dedup_is_partition_of_distinct_passages(spark, sf_correct):
     assert earlier.count() == 0
 
 
-def test_provenance_multicopy_clusters_at_sf01(spark):
+def test_provenance_multicopy_clusters_at_sf01(spark, sf_large):
     """sf0.1 is the only shipped scale factor with exact duplicate docs
     (8 multi-copy clusters), so the multi-copy provenance claims (copy
     counts, min-keeper, sorted source sets) are pinned HERE — the
@@ -444,14 +444,15 @@ def test_provenance_multicopy_clusters_at_sf01(spark):
 
     from spark_jdbc_limit_spark.operators import get_query
 
-    out = get_query("dedup_exact_provenance").builder(spark, "/root/testdata/sf0.1")
+    out = get_query("dedup_exact_provenance").builder(spark, sf_large)
     multi = out.filter(F.col("n_copies") > 1)
     rows = multi.collect()
     assert rows, "sf0.1 corpus must contain exact-duplicate clusters"
     for r in rows:
         assert r.keeper_doc_id <= r.last_doc_id
-        assert list(r.sources) == sorted(r.sources)
-        assert len(r.sources) >= 1
+        srcs = r.sources.split(",")  # serialized sorted source set
+        assert srcs == sorted(srcs)
+        assert len(srcs) >= 1
 
 
 def test_duplicate_payment_screen_is_nonvacuous(spark, sf_correct):

@@ -109,6 +109,62 @@ def test_rotation_moves_sampled_names_to_back(monkeypatch, tmp_path):
         ops.REGISTRY.update(before)
 
 
+def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_path):
+    """A CORRECTNESS record whose driver check CRASHED (non-null err other
+    than 'no_oracle') is unverified and must NOT count as sampled; a
+    rows-only 'no_oracle' record goes stale (re-queued) once the query
+    has since gained an oracle, and stays sampled while it hasn't."""
+    import importlib
+    import json
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    names = list(ops.REGISTRY)
+    with_oracle = next(n for n in names if ops.REGISTRY[n].oracle is not None)
+    without_oracle = next(n for n in names if ops.REGISTRY[n].oracle is None)
+    clean = next(
+        n for n in names if n not in (with_oracle, without_oracle)
+    )
+    f = tmp_path / "CORRECTNESS_r99.json"
+    f.write_text(
+        json.dumps(
+            {
+                clean: {"rows_match": True, "err": None},
+                with_oracle: {"err": "no_oracle"},  # stale: oracle exists now
+                without_oracle: {"err": "no_oracle"},  # still rows-only by design
+                names[0]: {"err": "TypeError: unhashable type: 'list'"},
+            }
+        )
+    )
+    real_glob = importlib.import_module("glob").glob
+    monkeypatch.setattr(
+        "glob.glob",
+        lambda pattern: [str(f)] if "CORRECTNESS_r" in pattern else real_glob(pattern),
+    )
+    sampled = ops._driver_sampled_names()
+    assert clean in sampled
+    assert without_oracle in sampled
+    assert with_oracle not in sampled, "rows-only record must go stale once an oracle exists"
+    assert names[0] not in sampled, "crashed check must re-enter the window"
+
+
+def test_rfm_scalable_twin_matches_ntile_exactly(spark, sf_correct):
+    """The two-phase bucket-ranked RFM variant is pinned BIT-IDENTICAL to
+    the ntile window version — the scale path claims the same answer,
+    not an approximation — and its physical plan contains no ntile and
+    ranks via bucket-partitioned windows (no single-task sort of the
+    customer relation)."""
+    a = get_query("customer_rfm_segmentation").builder(spark, sf_correct)
+    b = get_query("customer_rfm_segmentation_scalable").builder(spark, sf_correct)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "hashpartitioning(bucket" in plan
+
+
 def test_rotation_warns_on_unreadable_round_file(monkeypatch, tmp_path):
     import warnings
 
