@@ -1,0 +1,157 @@
+"""Graph analytics over relation-derived graphs (SURVEY.md §2B addendum):
+triangle counting / clustering coefficient on the supplier co-occurrence
+graph, using the degree-ordered orientation that keeps the wedge space
+O(m^1.5) at any scale.
+
+The graph: suppliers are nodes; an (undirected, canonical s1 < s2) edge
+exists when two suppliers co-appear in at least ``TRIANGLE_MIN_CO``
+distinct orders. Edge generation is the basket-pair pattern (self
+equi-join WITHIN each order — bounded by basket size, never a catalog
+cross join); the reference engine has no graph surface at all, so this is
+pure new-engine capability (SURVEY.md §2B "beyond the reference").
+
+Scale design (the part that matters at 100 TB):
+- Naive triangle enumeration joins the edge list to itself on a shared
+  endpoint; a celebrity node with degree d contributes d² wedges — the
+  classic blow-up. Orienting every edge from its (degree, id)-SMALLER
+  endpoint to its larger one makes every node's out-degree O(sqrt(m)),
+  so the oriented wedge join materializes at most O(m^1.5) candidate
+  wedges total (Suri & Vassilvitskii's MapReduce bound) regardless of
+  skew.
+- Each triangle {a, b, c} (ordered by (degree, id)) is generated exactly
+  once as the wedge a→b, a→c closed by the oriented edge b→c — counting
+  needs no dedup pass.
+- Degrees live in a node-cardinality relation, broadcast onto the edge
+  list; at web scale that broadcast becomes a shuffle join on the
+  endpoint — both forms are one line here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+#: Two suppliers are connected when they co-appear in at least this many
+#: distinct orders. Calibrated so the sf0.01 correctness gate sees a
+#: non-trivial graph (~1.8k edges, ~8.6k triangles).
+TRIANGLE_MIN_CO = 25
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (s1 < s2, weight = #co-orders) supplier edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1"))
+    b = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TRIANGLE_MIN_CO)
+        .select("s1", "s2")
+    )
+
+
+@query(
+    "graph_triangle_stats",
+    category="graph",
+    description=f"Triangle count + clustering coeff of the supplier co-order graph (>= {TRIANGLE_MIN_CO} co-orders)",
+    oracle=f"""
+        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        e AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+            FROM os a JOIN os b USING (l_orderkey)
+            WHERE a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TRIANGLE_MIN_CO}
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.s2 = e2.s1
+            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        )
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles,
+               {sql_round_dbl(
+                   "3.0 * (SELECT n_triangles FROM tri)"
+                   " / NULLIF((SELECT SUM(d * (d - 1) / 2.0) FROM deg), 0)", 6
+               )} AS global_clustering
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting (module docstring has the scale
+    argument). The oracle counts the same triangles with the naive
+    canonical 3-way join — feasible at oracle scale, and a definitionally
+    independent formulation, so agreement pins the orientation logic.
+    Global clustering coefficient = closed wedges / all wedges
+    (3·triangles / Σ d·(d−1)/2)."""
+    edges = _supplier_edges(spark, sf_dir).cache()
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge from its (degree, id)-smaller endpoint to the
+    # larger: out-degrees become O(sqrt(m)), bounding the wedge join.
+    d1 = F.broadcast(deg).alias("d1")
+    d2 = F.broadcast(deg).alias("d2")
+    e = (
+        edges.join(d1, F.col("s1") == F.col("d1.node"))
+        .join(d2, F.col("s2") == F.col("d2.node"))
+        .select(
+            F.when(
+                (F.col("d1.d") < F.col("d2.d"))
+                | ((F.col("d1.d") == F.col("d2.d")) & (F.col("s1") < F.col("s2"))),
+                F.struct(F.col("s1").alias("u"), F.col("s2").alias("v")),
+            )
+            .otherwise(F.struct(F.col("s2").alias("u"), F.col("s1").alias("v")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+    )
+    # Wedges u→v, u→w (v before w in orientation order) closed by v→w.
+    w1 = e.alias("w1")
+    w2 = e.select(F.col("u").alias("u2"), F.col("v").alias("w")).alias("w2")
+    wedges = w1.join(w2, F.col("w1.u") == F.col("w2.u2")).filter(
+        F.col("w1.v") != F.col("w2.w")
+    )
+    closing = e.select(F.col("u").alias("cv"), F.col("v").alias("cw"))
+    triangles = wedges.join(
+        closing,
+        (F.col("w1.v") == F.col("cv")) & (F.col("w2.w") == F.col("cw")),
+        "left_semi",
+    )
+    n_tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedge_total = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("wedges"),
+    )
+    return (
+        wedge_total.crossJoin(n_edges)  # three one-row relations
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            round_dbl(
+                3.0
+                * F.col("n_triangles")
+                / F.nullif(F.col("wedges"), F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

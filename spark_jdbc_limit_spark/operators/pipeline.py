@@ -539,3 +539,59 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WEIGHTED_SAMPLE_K)
         .select("o_orderkey", "weight")
     )
+
+
+MIX_ALPHA = 0.7
+MIX_TARGET_DOCS = 100_000
+
+
+@query(
+    "mix_temperature_weights",
+    category="llm_pipeline",
+    description=f"Temperature-scaled (alpha={MIX_ALPHA}) corpus mixing weights per (lang, source)",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents
+            GROUP BY lang, source
+        ),
+        powed AS (
+            SELECT *, POWER(n_docs, {MIX_ALPHA}) AS p FROM counts
+        )
+        SELECT lang, source, n_docs,
+               FLOOR(p / SUM(p) OVER () * 1000000.0 + 0.5) / 1000000.0
+                   AS mix_weight,
+               CAST(FLOOR(p / SUM(p) OVER () * {MIX_TARGET_DOCS} + 0.5)
+                    AS BIGINT) AS target_docs
+        FROM powed
+    """,
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing — the standard multilingual /
+    multi-source rebalancing (weight ∝ n^alpha, alpha < 1 upsamples the
+    tail, alpha=1 is proportional, alpha=0 uniform): per (lang, source)
+    stratum, its sampling weight and the document quota out of a
+    {MIX_TARGET_DOCS}-doc budget. The corpus collapses to stratum
+    cardinality in ONE map-side-combined aggregate (the only data-sized
+    work); the normalizing window then runs over that micro relation.
+    Downstream, the quota feeds the deterministic hash sampler
+    (``sample_deterministic_hash``) per stratum — making the whole mix
+    reproducible run-to-run. Weight rounded half-up at 1e-6 on both
+    sides (POWER on bigint counts is ulp-stable across engines at these
+    magnitudes)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    p = F.pow(F.col("n_docs"), F.lit(MIX_ALPHA))
+    tot = F.sum(p).over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    share = p / tot
+    return counts.select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.floor(share * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("mix_weight"),
+        F.floor(share * MIX_TARGET_DOCS + F.lit(0.5))
+        .cast("long")
+        .alias("target_docs"),
+    )

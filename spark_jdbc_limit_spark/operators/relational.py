@@ -443,3 +443,289 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q4_order_priority",
+    category="aggregation",
+    description="TPC-H Q4-style order-priority count with EXISTS(late lineitem) semi join",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (lateness adapted to this schema: shipped >60 days after
+    order date stands in for receipt-after-commit, which needs columns
+    the corpus lacks). The EXISTS becomes a LEFT SEMI join — lineitem is
+    never widened into the result, duplicates never inflate the count,
+    and the quarter filter pushes to the orders scan so the semi join
+    probes with an already-small build side. One shuffle on the order
+    key, then a 5-group aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    category="aggregation",
+    description="TPC-H Q5: revenue by nation where customer and supplier share the nation",
+    oracle="""
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 verbatim: the canonical star-with-a-twist — six relations,
+    and the supplier join carries the EXTRA equi-condition
+    c_nationkey = s_nationkey (local supplier only). Plan intent: the
+    region→nation→supplier dimension chain collapses via broadcasts to a
+    filtered supplier set before touching facts; orders is date-pruned at
+    the scan; the only data-sized shuffles are fact-fact (orders ⋈
+    lineitem on the order key). The nation-match condition rides ON the
+    supplier join rather than as a post-filter so rows never survive the
+    join only to be dropped."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q10_returned_items",
+    category="aggregation",
+    description="TPC-H Q10: top-20 customers by revenue lost to returns",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (projection trimmed to this schema's columns): which
+    customers returned the most revenue last quarter. The returnflag
+    and quarter predicates both push to the fact scans, the nation dim
+    broadcasts, and top-20 by revenue with a key tie-break compiles to
+    TakeOrderedAndProject — the full ranked customer list never
+    materializes."""
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    category="aggregation",
+    description="TPC-H Q14: promo revenue share — conditional aggregate over a dim join",
+    oracle=f"""
+        SELECT {sql_round_dbl(
+            "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
+            "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)) "
+            "ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) "
+            "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(28,8))) AS DOUBLE)", 4)} AS promo_revenue_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (p_type here is a flat category, so = 'PROMO' replaces
+    the prefix LIKE): share of one month's revenue from promo parts.
+    The month filter pushes to the lineitem scan, part broadcasts, and
+    both the conditional and total sums come out of ONE aggregate over
+    one pass — never two scans. Decimal accumulation on both numerator
+    branches keeps the ratio engine-exact before the final rounded
+    double division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,8)"
+    )
+    zero = F.lit(0).cast("decimal(28,8)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ratio = (
+        F.lit(100.0)
+        * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).cast(
+            "double"
+        )
+        / F.sum(disc).cast("double")
+    )
+    return joined.agg(
+        round_dbl(ratio, 4).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    category="aggregation",
+    description="TPC-H Q19: OR-of-ANDs brand/size/quantity predicate revenue",
+    oracle="""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (container/shipmode clauses dropped — columns absent):
+    the classic disjunction-of-conjunctions predicate. Catalyst's
+    pushdown win here: from the OR it INFERS the common implied
+    conjuncts — l_quantity <= 30 on the fact scan and the brand/size
+    disjunction on the part scan — so both scans prune even though the
+    full predicate can only resolve post-join; the residual OR then
+    filters the broadcast-joined rows. Writing it as one filter over the
+    join (not three unioned branches) lets the optimizer do that
+    inference while scanning each table once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & q.between(q_lo, q_hi)
+    )
+    cond = (
+        branch("Brand#9", 5, 1, 11)
+        | branch("Brand#13", 10, 10, 20)
+        | branch("Brand#20", 15, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

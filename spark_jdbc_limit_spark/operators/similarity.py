@@ -521,3 +521,115 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_ADC_CANDIDATES)
     )
     return cosine_topk(shortlist.select("vec_id", "embedding"), qv, TOP_K)
+
+
+KNN_K = 5
+KNN_BLOCKS = 8
+
+
+@query(
+    "ann_knn_join",
+    category="llm_similarity",
+    description=f"Exact k-NN JOIN: top-{KNN_K} cosine neighbors for EVERY vector, blocked GEMM",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_cosine_similarity(a.emb, b.emb) AS cos_raw
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id,
+               {sql_round_dbl('cos_raw', 4)} AS cos_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked
+        WHERE rank <= {KNN_K}
+    """,
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN (every vector gets its top-k neighbors), the batch
+    primitive under near-dup mining, retrieval-index bootstrap, and
+    label propagation. Exact-but-blocked: candidates are sharded into
+    {KNN_BLOCKS} hash blocks, queries are replicated once per block
+    (a broadcast of the tiny block-id grid — shuffle volume is
+    blocks x |Q| rows, NEVER the |Q| x |C| pair space), and each
+    (query-shard, candidate-block) cogroup runs ONE vectorized float64
+    GEMM emitting only its block-local top-k; a final window over
+    blocks x k rows per query keeps the global top-k. Exactness: every
+    global neighbor is in some block and survives its block's top-k, so
+    the union provably contains the answer. At 100 TB the same shape
+    holds — block count scales with corpus size and the per-task GEMM
+    stays cache-sized; when even blocks x |Q| replication is too much,
+    the IVF/LSH entries in this module are the approximate fallbacks.
+    Ranking ties break by neighbor_id in BOTH engines; cosines are
+    compared raw for ranking and rounded only for display."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    blocks = F.broadcast(
+        spark.range(KNN_BLOCKS).select(F.col("id").alias("blk"))
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("blk", F.pmod(F.col("cand_id"), F.lit(KNN_BLOCKS)).cast("long"))
+    queries = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).crossJoin(blocks)
+
+    def block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos_raw": pd.Series(dtype="float64")}
+            )
+        q = np.stack(left["q_emb"].to_numpy()).astype(np.float64)
+        c = np.stack(right["c_emb"].to_numpy()).astype(np.float64)
+        sims = (q @ c.T) / np.outer(
+            np.linalg.norm(q, axis=1), np.linalg.norm(c, axis=1)
+        )
+        qids = left["query_id"].to_numpy()
+        cids = right["cand_id"].to_numpy()
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # no self-match
+        k = min(KNN_K, sims.shape[1])
+        # block-local top-k by (cos desc, neighbor_id asc): lexsort is
+        # stable, primary key last
+        order = np.lexsort((cids[None, :].repeat(len(q), 0), -sims), axis=1)[:, :k]
+        rows = {
+            "query_id": np.repeat(qids, k),
+            "neighbor_id": cids[order].ravel(),
+            "cos_raw": np.take_along_axis(sims, order, axis=1).ravel(),
+        }
+        out = pd.DataFrame(rows)
+        return out[np.isfinite(out["cos_raw"])]
+
+    partial = (
+        queries.groupBy("blk")
+        .cogroup(cand.groupBy("blk"))
+        .applyInPandas(block_topk, "query_id long, neighbor_id long, cos_raw double")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_dbl(F.col("cos_raw"), 4).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -619,3 +619,68 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy_bits",
         )
     )
+
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunk_sliding",
+    category="llm_text",
+    description=f"RAG chunking: {CHUNK_WORDS}-word sliding chunks, stride {CHUNK_STRIDE}, keyed by md5",
+    oracle=f"""
+        WITH exploded AS (
+            SELECT doc_id, words,
+                   UNNEST(range(0, CAST(floor((len(words) - 1) / {CHUNK_STRIDE})
+                                        AS BIGINT) + 1)) AS chunk_idx
+            FROM (SELECT doc_id, string_split(text, ' ') AS words
+                  FROM documents)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(list_slice(words, chunk_idx * {CHUNK_STRIDE} + 1,
+                                   chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}))
+                    AS BIGINT) AS n_words,
+               md5(array_to_string(
+                   list_slice(words, chunk_idx * {CHUNK_STRIDE} + 1,
+                              chunk_idx * {CHUNK_STRIDE} + {CHUNK_WORDS}), ' '))
+                   AS chunk_md5
+        FROM exploded
+    """,
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-corpus chunking — the indexing-side twin of RAG: every
+    document becomes overlapping {CHUNK_WORDS}-word windows every
+    {CHUNK_STRIDE} words (the overlap keeps answers that straddle a
+    boundary findable), each chunk addressed by (doc_id, chunk_idx) and
+    content-keyed by md5 for downstream chunk-level dedup / embedding
+    joins. Pure codegen: split → sequence → explode → slice —
+    per-row work proportional to document length, no shuffle at all
+    (the explode is pipelined into the scan), so at 100 TB this runs at
+    scan speed and partitions inherit the input's layout. The md5 chunk
+    key makes chunk-level exact dedup a groupBy away (the
+    ``dedup_passage_exact`` pattern at a different granularity)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", words.alias("words"), F.size(words).alias("n")
+    )
+    last_idx = F.floor((F.col("n") - 1) / CHUNK_STRIDE).cast("int")
+    chunk = F.slice(
+        F.col("words"),
+        F.col("chunk_idx") * CHUNK_STRIDE + 1,
+        F.lit(CHUNK_WORDS),
+    )
+    return (
+        base.select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_words"),
+            F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+        )
+    )
