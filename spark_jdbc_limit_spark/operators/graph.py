@@ -35,24 +35,44 @@ from spark_jdbc_limit_spark.operators.registry import query
 from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
-#: Two suppliers are connected when they co-appear in at least this many
-#: distinct orders. Calibrated so the sf0.01 correctness gate sees a
-#: non-trivial graph (~1.8k edges, ~8.6k triangles).
-TRIANGLE_MIN_CO = 25
+#: Keep the strongest co-occurrence pairs: weight >= the exact
+#: interpolated TRIANGLE_PCTL-quantile of the pair-weight distribution
+#: (floored at TRIANGLE_MIN_W). A fixed absolute cutoff would not
+#: survive scale-up — pair weights DILUTE as the supplier population
+#: grows (more pairs share the same co-order mass), so any constant
+#: threshold that is selective at one scale factor is empty at 10x.
+#: The quantile is computed over the pair-cardinality relation (bounded
+#: by distinct-supplier-pairs, micro relative to the fact table).
+TRIANGLE_PCTL = 0.97
+TRIANGLE_MIN_W = 2
 
 
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (s1 < s2, weight = #co-orders) supplier edge list."""
+    """Canonical (s1 < s2) supplier edge list: pairs whose co-order count
+    clears the adaptive weight threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     os_ = li.select("l_orderkey", "l_suppkey").distinct()
     a = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1"))
     b = os_.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2"))
-    return (
+    # The fact-sized work happens exactly once: everything downstream
+    # (threshold quantile, edge filter, degrees, orientation, wedges)
+    # re-reads this cached pair-cardinality relation.
+    pairs = (
         a.join(b, "k")
         .filter(F.col("s1") < F.col("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= TRIANGLE_MIN_CO)
+        .cache()
+    )
+    thr = pairs.agg(
+        F.greatest(
+            F.lit(float(TRIANGLE_MIN_W)),
+            F.expr(f"percentile(w, {TRIANGLE_PCTL})"),
+        ).alias("thr")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))  # one-row threshold relation
+        .filter(F.col("w").cast("double") >= F.col("thr"))
         .select("s1", "s2")
     )
 
@@ -60,15 +80,22 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_stats",
     category="graph",
-    description=f"Triangle count + clustering coeff of the supplier co-order graph (>= {TRIANGLE_MIN_CO} co-orders)",
+    description=f"Triangle count + clustering coeff of the supplier co-order graph (top-{100 - int(TRIANGLE_PCTL * 100)}% pair weights)",
     oracle=f"""
         WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        e AS (
-            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        pairs AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
             FROM os a JOIN os b USING (l_orderkey)
             WHERE a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
-            HAVING COUNT(*) >= {TRIANGLE_MIN_CO}
+        ),
+        e AS (
+            SELECT s1, s2 FROM pairs
+            WHERE CAST(w AS DOUBLE) >= (
+                SELECT GREATEST({float(TRIANGLE_MIN_W)},
+                                quantile_cont(w, {TRIANGLE_PCTL}))
+                FROM pairs
+            )
         ),
         deg AS (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d
@@ -97,7 +124,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent formulation, so agreement pins the orientation logic.
     Global clustering coefficient = closed wedges / all wedges
     (3·triangles / Σ d·(d−1)/2)."""
-    edges = _supplier_edges(spark, sf_dir).cache()
+    # Eager lineage cut: the edge list is graph-cardinality (micro next
+    # to the fact table), but SIX downstream branches consume it
+    # (threshold, degrees, orientation, two wedge sides, closure). A
+    # lazy cache leaves each branch carrying the full fact-scan lineage
+    # through the planner; materializing the edges once collapses the
+    # DAG to small-relation joins — the same discipline the
+    # connected-components loop uses (dedup.py) for iterative reuse.
+    edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     deg = (
         edges.select(F.col("s1").alias("node"))
         .unionAll(edges.select(F.col("s2").alias("node")))
