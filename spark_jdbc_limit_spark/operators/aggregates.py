@@ -818,3 +818,55 @@ def incremental_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d_max").cast("double").alias("max_price"),
         )
     )
+
+
+@query(
+    "dq_join_key_skew_report",
+    category="aggregation",
+    description="Join-key skew diagnostics: cardinality, hottest key, skew ratio in one pass",
+    oracle="""
+        WITH c AS (
+            SELECT l_suppkey AS key, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_freq,
+               FLOOR(CAST(SUM(cnt) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5)
+                   / 10000.0 AS avg_freq,
+               FLOOR(CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE)
+                     / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS skew_ratio,
+               FLOOR(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS top1_share,
+               (SELECT key FROM c ORDER BY cnt DESC, key LIMIT 1)
+                   AS hottest_key
+        FROM c
+    """,
+)
+def dq_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew screening — the diagnostic you run BEFORE deciding
+    between a plain shuffle join, a salted join, or AQE skew handling
+    (all three live in this catalog): key cardinality, the hottest key
+    and its share, and max/mean frequency, from ONE pass over the fact
+    table plus one micro aggregate over the key-cardinality relation.
+    The hottest key comes from a lexicographic max over (count, -key) —
+    deterministic under count ties without a sort. At 100 TB this is two
+    map-side-combined hash aggregates; nothing is ever collected or
+    globally sorted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    avg = F.sum("cnt").cast("double") / F.count(F.lit(1))
+    mx = F.max("cnt").cast("double")
+    hottest = F.max(F.struct(F.col("cnt"), (-F.col("key")).alias("nk")))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_freq"),
+        (F.floor(avg * 10000.0 + F.lit(0.5)) / 10000.0).alias("avg_freq"),
+        (F.floor(mx / avg * 10000.0 + F.lit(0.5)) / 10000.0).alias("skew_ratio"),
+        (
+            F.floor(mx / F.sum("cnt").cast("double") * 1000000.0 + F.lit(0.5))
+            / 1000000.0
+        ).alias("top1_share"),
+        (-hottest.getField("nk")).alias("hottest_key"),
+    )

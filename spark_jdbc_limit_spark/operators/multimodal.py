@@ -493,3 +493,71 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_samples long, duration_ms long, "
         "abs_sum long, n_zero_crossings long, peak long",
     )
+
+
+#: dHash window: DHASH_ROWS x (DHASH_COLS+1) pixels -> DHASH_ROWS*DHASH_COLS
+#: gradient bits. 8x8 fits every synthesized image (dims are >= 8).
+DHASH_ROWS = 8
+DHASH_COLS = 7
+
+
+def compute_dhash(batches):
+    """mapInPandas: decode each image payload (REAL netpbm parse) and emit
+    its difference hash — bit k set iff pixel(r, c+1) > pixel(r, c) over
+    the top-left DHASH_ROWS x (DHASH_COLS+1) window, k = r*DHASH_COLS+c."""
+    weights = np.int64(1) << np.arange(DHASH_ROWS * DHASH_COLS, dtype=np.int64)
+    for pdf in batches:
+        ids, hashes = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_image(bytes(payload))["pixels"]
+            win = img[:DHASH_ROWS, : DHASH_COLS + 1].astype(np.int64)
+            bits = (win[:, 1:] > win[:, :-1]).ravel()
+            ids.append(doc_id)
+            hashes.append(int((bits * weights).sum()))
+        yield pd.DataFrame(
+            {"doc_id": np.asarray(ids, dtype=np.int64),
+             "dhash": np.asarray(hashes, dtype=np.int64)}
+        )
+
+
+@query(
+    "multimodal_image_dhash",
+    category="llm_multimodal",
+    description=f"Perceptual image hash (dHash, {DHASH_ROWS}x{DHASH_COLS} gradient bits) off the real decode path",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   8 + (doc_id % 8) * 2 AS w
+            FROM documents
+            WHERE n_chars >= 1
+        )
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, {DHASH_ROWS * DHASH_COLS}), k ->
+                   CASE WHEN unicode(substring(text,
+                                 (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS}) + 1) % n) + 1, 1))
+                          > unicode(substring(text,
+                                 (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS})) % n) + 1, 1))
+                        THEN CAST(1 AS BIGINT) << k ELSE 0 END
+               )) AS BIGINT) AS dhash
+        FROM p
+        ORDER BY doc_id
+    """,
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprinting — the visual sibling of SimHash:
+    render -> REAL netpbm decode -> horizontal-gradient difference hash.
+    dHash is the standard cheap perceptual hash (robust to brightness /
+    scale shifts; here computed on the raw window since the synthetic
+    corpus is already uniform). Pipeline shape is the 100 TB one: both
+    stages are payload-local mapInPandas (no shuffle), the 56-bit hash
+    replaces the image in every downstream join, and exact/banded
+    Hamming dedup on it reuses the SimHash machinery in dedup.py
+    verbatim. The DuckDB twin recomputes every gradient bit from the
+    source text (the renderer's pixel (r, c) is text byte (r*w+c) mod n),
+    value-verifying decode, offset math, and bit packing."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    with_payload = d.select("doc_id", "text").mapInPandas(
+        render_pgm_payloads, "doc_id long, payload binary"
+    )
+    return with_payload.mapInPandas(compute_dhash, "doc_id long, dhash long")
