@@ -115,6 +115,14 @@ _QUEUE_BEHIND = (
     "customer_rfm_segmentation", "brand_abc_pareto",
     "dq_expectations_report", "incremental_reaggregation",
     "dedup_exact_provenance", "orders_duplicate_payment_check",
+    # round-5 additions: queued BEHIND the round-4 carry-overs above —
+    # those have waited longer for a driver row
+    "q4_order_priority", "q5_local_supplier_volume", "q10_returned_items",
+    "q14_promo_revenue", "q19_discounted_revenue", "graph_triangle_stats",
+    "doc_chunk_sliding", "mix_temperature_weights", "ann_knn_join",
+    "customer_rfm_segmentation_scalable", "dq_join_key_skew_report",
+    "multimodal_image_dhash", "sql_shared_text_rollup",
+    "sql_recursive_year_spine", "sql_shared_text_window",
 )
 
 
