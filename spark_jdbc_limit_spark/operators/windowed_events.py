@@ -832,3 +832,53 @@ def orders_duplicate_payment_check(spark: SparkSession, sf_dir: str) -> DataFram
             ).cast("long").alias("days_apart"),
         )
     )
+
+
+PATH_TOPK = 20
+
+
+@query(
+    "events_top_paths_3step",
+    category="windowed_events",
+    description=f"Top-{PATH_TOPK} 3-step user journey paths (sequence mining via lead windows)",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER w AS e2,
+                   LEAD(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM seq
+        WHERE e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n_occurrences DESC, path
+        LIMIT {PATH_TOPK}
+    """,
+)
+def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey/path mining one order up from ``events_markov_transitions``
+    (pairs → 3-grams): per user timeline (lead windows partitioned by
+    user — one shuffle on user_id, sequences never leave their
+    partition), every consecutive 3-step path, counted corpus-wide with
+    map-side partials, top-{PATH_TOPK} as TakeOrderedAndProject with a
+    path tie-break. The n-gram-over-sessions shape generalizes: swap
+    event_type for page/SKU/prompt-template ids unchanged. Ordering ties
+    inside a user timeline break on event_id in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(PATH_TOPK)
+    )

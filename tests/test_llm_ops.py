@@ -463,3 +463,49 @@ def test_duplicate_payment_screen_is_nonvacuous(spark, sf_correct):
 
     n = get_query("orders_duplicate_payment_check").builder(spark, sf_correct).count()
     assert n > 0
+
+
+def test_knn_join_agrees_with_bruteforce_query(spark, sf_correct):
+    """The kNN JOIN row for the brute-force query's vector must list the
+    same neighbors in the same order as ann_cosine_topk_bruteforce's
+    top rows — two independent formulations (blocked cogroup GEMM vs
+    codegen'd aggregate scan) of one answer."""
+    import pyspark.sql.functions as F
+
+    from spark_jdbc_limit_spark.operators.similarity import KNN_K, QUERY_VEC_ID
+
+    knn = (
+        get_query("ann_knn_join").builder(spark, sf_correct)
+        .filter(F.col("query_id") == QUERY_VEC_ID)
+        .orderBy("rank")
+        .collect()
+    )
+    brute = get_query("ann_cosine_topk_bruteforce").builder(spark, sf_correct).collect()
+    assert [r.neighbor_id for r in knn] == [r.vec_id for r in brute[:KNN_K]]
+    for k_row, b_row in zip(knn, brute):
+        assert abs(k_row.cos_sim - b_row.cos_sim) < 1e-9
+
+
+def test_image_dhash_clusters_match_exact_text_dups(spark, sf_large):
+    """Images are rendered deterministically from text, so exact-duplicate
+    DOCUMENTS must land in the same dhash bucket — the perceptual hash
+    can only merge clusters (same image => same hash), never split them."""
+    import pyspark.sql.functions as F
+
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    hashes = get_query("multimodal_image_dhash").builder(spark, sf_large)
+    docs = load_table(spark, sf_large, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h"),
+        (F.col("doc_id") % 8).alias("wbucket"),
+        (F.floor(F.col("doc_id") / 8) % 8).alias("hbucket"),
+    )
+    joined = docs.join(hashes, "doc_id")
+    # same text AND same rendered dimensions => identical image => identical dhash
+    n_split = (
+        joined.groupBy("h", "wbucket", "hbucket")
+        .agg(F.countDistinct("dhash").alias("n_hashes"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n_hashes") > 1))
+        .count()
+    )
+    assert n_split == 0

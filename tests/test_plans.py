@@ -449,3 +449,70 @@ def test_null_key_join_isolation_pattern(spark):
     b = {tuple(r) for r in isolated.collect()}
     assert a == b
     assert left.filter(F.col("k").isNull()).count() == 4_000
+
+
+def test_q19_or_predicate_pushdown_inference(spark, sf_dir):
+    """Q19's OR-of-ANDs can only fully resolve post-join, but Catalyst
+    must still push the disjunction's per-table projections to each
+    scan: the quantity bounds to lineitem, the brand/size disjunction to
+    part — and the join must broadcast the dim, never a cartesian."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("q19_discounted_revenue").builder(spark, sf_dir)
+    assert_pushed_filters(df, "l_quantity")
+    assert_pushed_filters(df, "p_brand")
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert_no_python_udf_in_plan(df)
+
+
+def test_q5_dim_chain_broadcast_no_cartesian(spark, sf_dir):
+    """Q5's region->nation->supplier chain must collapse via broadcasts
+    with the date filter pushed to the orders scan; six relations, zero
+    cartesian products."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("q5_local_supplier_volume").builder(spark, sf_dir)
+    assert_pushed_filters(df, "o_orderdate")
+    assert_pushed_filters(df, "r_name")
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert_no_python_udf_in_plan(df)
+
+
+def test_knn_join_shuffles_grid_not_pair_space(spark, sf_dir):
+    """The kNN join's only nested-loop join is the queries x block-grid
+    replication (a broadcast of the KNN_BLOCKS-row relation); the
+    query x candidate pair space must never appear as a join."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("ann_knn_join").builder(spark, sf_dir)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan
+    # simple mode prints each operator once (formatted repeats them in
+    # the detail section)
+    simple = plan_text(df, mode="simple")
+    assert simple.count("BroadcastNestedLoopJoin") == 1  # the tiny grid only
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
+def test_triangle_stats_no_cartesian_and_semi_closure(spark, sf_dir):
+    """Triangle counting must close wedges with a LEFT SEMI join (count,
+    not materialize) and contain no cartesian product; the only
+    nested-loop joins are the one-row stat assemblies."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("graph_triangle_stats").builder(spark, sf_dir)
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert_no_python_udf_in_plan(df)
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """RAG chunking must pipeline explode into the scan: zero exchanges."""
+    df = get_query("doc_chunk_sliding").builder(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert_no_python_udf_in_plan(df)

@@ -104,3 +104,36 @@ def test_zorder_skips_on_combined_box(spark, zorder_layouts):
         f"z-order fell too far behind the leading-dim layout on its own "
         f"best case: z {z_hit}/{z_total} vs linear {l_hit}/{l_total}"
     )
+
+
+def test_interleave_bits_properties(spark):
+    """Property-pin the Morton key: injective over the domain, and
+    monotone along each axis when the other is fixed."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    def morton_py(x, y, bits=10):
+        z = 0
+        for j in range(bits):
+            z |= ((x >> j) & 1) << (2 * j) | ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 1023), st.integers(0, 1023), st.integers(0, 1023))
+    def check(x, y, y2):
+        zx = morton_py(x, y)
+        assert morton_py(x, y) == zx  # deterministic
+        if y2 > y:
+            assert morton_py(x, y2) > zx  # monotone in y for fixed x
+    check()
+
+    # spark expression agrees with the reference python bit-twiddle
+    import pyspark.sql.functions as F
+    from spark_jdbc_limit_spark.sources.zorder import interleave_bits
+
+    rows = [(x, y) for x in (0, 1, 7, 512, 1023) for y in (0, 3, 8, 700, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", interleave_bits([F.col("x"), F.col("y")], bits=10).alias("z")).collect()
+    for r in got:
+        assert r.z == morton_py(r.x, r.y), (r.x, r.y)
