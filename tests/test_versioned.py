@@ -1,0 +1,110 @@
+"""Versioned snapshot store: time travel, zero-copy append, commit
+atomicity (manifest presence IS visibility), and reference-safe vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_jdbc_limit_spark.sinks.transactional import AtomicWriteError
+from spark_jdbc_limit_spark.sinks.versioned import (
+    list_versions,
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
+
+
+def _range(spark, start, n):
+    return spark.range(start, start + n).selectExpr("id", "id * 2 AS v")
+
+
+def test_time_travel_across_overwrite_and_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert write_snapshot(_range(spark, 0, 10), t, "overwrite") == 1
+    assert write_snapshot(_range(spark, 100, 5), t, "append") == 2
+    assert write_snapshot(_range(spark, 200, 3), t, "overwrite") == 3
+    assert list_versions(spark, t) == [1, 2, 3]
+    assert read_snapshot(spark, t, 1).count() == 10
+    assert read_snapshot(spark, t, 2).count() == 15
+    assert read_snapshot(spark, t, 3).count() == 3
+    assert read_snapshot(spark, t).count() == 3  # latest
+    # v2 really is v1 ∪ delta
+    ids = {r.id for r in read_snapshot(spark, t, 2).collect()}
+    assert ids == set(range(10)) | set(range(100, 105))
+
+
+def test_append_is_zero_copy(spark, tmp_path):
+    """An append's manifest must REFERENCE the parent's files, not copy
+    them: v2 lists v1/ paths verbatim."""
+    import json
+    import glob
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")
+    write_snapshot(_range(spark, 100, 5), t, "append")
+    with open(os.path.join(t, "v2", "_manifest.json")) as f:
+        man = json.load(f)
+    v1_refs = [f for f in man["files"] if f.startswith("v1/")]
+    v2_own = [f for f in man["files"] if f.startswith("v2/")]
+    assert v1_refs and v2_own, man["files"]
+    # no data file was duplicated into v2
+    v1_names = {os.path.basename(p) for p in glob.glob(os.path.join(t, "v1", "*.parquet"))}
+    v2_names = {os.path.basename(p) for p in glob.glob(os.path.join(t, "v2", "*.parquet"))}
+    assert v1_names.isdisjoint(v2_names) or not (v1_names & v2_names)
+
+
+def test_uncommitted_version_dir_is_invisible_and_swept(spark, tmp_path):
+    """A crashed writer leaves a manifest-less v-dir: readers must not see
+    it, list_versions must skip it, vacuum must reclaim it."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")
+    # simulate a writer that died after the data write, before commit
+    _range(spark, 900, 4).write.parquet(f"{t}/v7")
+    assert list_versions(spark, t) == [1]
+    assert read_snapshot(spark, t).count() == 10
+    report = vacuum(spark, t, retain_last=2)
+    assert report["swept_uncommitted_dirs"] == 1
+    import os
+
+    assert not os.path.exists(os.path.join(t, "v7"))
+    assert read_snapshot(spark, t).count() == 10
+
+
+def test_vacuum_keeps_files_referenced_by_retained_appends(spark, tmp_path):
+    """Dropping v1 must NOT delete v1's data files while the retained v2
+    (an append) still references them — manifests die before data."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")
+    write_snapshot(_range(spark, 100, 5), t, "append")
+    report = vacuum(spark, t, retain_last=1)
+    assert report["dropped_versions"] == [1]
+    assert report["dropped_files"] == 0  # every v1 file inherited by v2
+    assert list_versions(spark, t) == [2]
+    assert read_snapshot(spark, t, 2).count() == 15  # fully readable
+    with pytest.raises(AtomicWriteError, match="no committed v1"):
+        read_snapshot(spark, t, 1)
+
+
+def test_vacuum_drops_files_of_dead_overwrites(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")
+    write_snapshot(_range(spark, 200, 3), t, "overwrite")  # v1 unreferenced
+    report = vacuum(spark, t, retain_last=1)
+    assert report["dropped_versions"] == [1]
+    assert report["dropped_files"] > 0
+    import os
+
+    assert not os.path.exists(os.path.join(t, "v1"))
+    assert read_snapshot(spark, t).count() == 3
+
+
+def test_read_errors(spark, tmp_path):
+    t = str(tmp_path / "empty")
+    with pytest.raises(AtomicWriteError, match="no committed snapshots"):
+        read_snapshot(spark, t)
+    write_snapshot(_range(spark, 0, 2), t, "overwrite")
+    with pytest.raises(AtomicWriteError, match="no committed v9"):
+        read_snapshot(spark, t, 9)
+    with pytest.raises(ValueError):
+        write_snapshot(_range(spark, 0, 2), t, "merge")

@@ -111,8 +111,6 @@ def test_interleave_bits_properties(spark):
     monotone along each axis when the other is fixed."""
     from hypothesis import given, settings, strategies as st
 
-    import numpy as np
-
     def morton_py(x, y, bits=10):
         z = 0
         for j in range(bits):
