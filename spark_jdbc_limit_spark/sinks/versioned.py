@@ -209,3 +209,73 @@ def vacuum(spark: SparkSession, table: str, retain_last: int = 2) -> dict:
         "swept_uncommitted_dirs": swept_dirs,
         "retained": sorted(keep),
     }
+
+
+def read_incremental(
+    spark: SparkSession, table: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED between two snapshots: the files in ``to_version``'s
+    manifest that ``from_version``'s manifest does not reference —
+    pure manifest diff, no data comparison, no re-read of the base.
+
+    This is the incremental-consumption leg of the snapshot store: a
+    downstream job that processed v_k resumes by reading exactly the
+    delta files of v_k+1..v_n (appends are consumed natively; an
+    OVERWRITE in the range makes "added rows" ill-defined for the whole
+    range, so it raises — the consumer must re-baseline, which is also
+    what Delta/Iceberg CDC requires without a changelog).
+    """
+    jvm, fs, table_path = _hadoop_fs(spark, table)
+    committed = _list_committed(jvm, fs, table_path)
+    if to_version is None:
+        to_version = max(committed) if committed else 0
+    for v in (from_version, to_version):
+        if v not in committed:
+            raise AtomicWriteError(
+                f"{table} has no committed v{v}; versions: {sorted(committed)}"
+            )
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    for v in range(from_version + 1, to_version + 1):
+        if v in committed and _read_manifest(jvm, fs, committed[v])["mode"] != "append":
+            raise AtomicWriteError(
+                f"v{v} is an overwrite: incremental reads across it are "
+                "ill-defined; re-baseline from read_snapshot"
+            )
+    base = set(_read_manifest(jvm, fs, committed[from_version])["files"])
+    head = _read_manifest(jvm, fs, committed[to_version])["files"]
+    delta = [f for f in head if f not in base]
+    root = table.rstrip("/")
+    if not delta:
+        return read_snapshot(spark, table, to_version).limit(0)
+    return spark.read.parquet(*[posixpath.join(root, f) for f in delta])
+
+
+def merge_snapshot(updates: DataFrame, table: str, key_cols: list[str]) -> int:
+    """Copy-on-write upsert: commit a new snapshot equal to the latest
+    snapshot with ``updates`` rows replacing any existing row sharing the
+    same key (and new keys appended) — MERGE INTO semantics without a
+    table format.
+
+    Shape: latest LEFT ANTI updates (one shuffle join on the key — the
+    same plan MERGE compiles to) unioned with updates, committed through
+    the ordinary overwrite protocol. Copy-on-write rewrites the full
+    snapshot, which is the correct default for bulk upserts; the
+    file-pruned variant (rewrite only files containing touched keys) is
+    the Delta/Iceberg optimization this layout supports but does not
+    implement. Updates must carry the full schema of the table.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    spark = updates.sparkSession
+    current = read_snapshot(spark, table)
+    if set(current.columns) != set(updates.columns):
+        raise AtomicWriteError(
+            f"merge schema mismatch: table {sorted(current.columns)} vs "
+            f"updates {sorted(updates.columns)}"
+        )
+    survivors = current.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.select(*current.columns).unionByName(
+        updates.select(*current.columns)
+    )
+    return write_snapshot(merged, table, "overwrite")

@@ -108,3 +108,56 @@ def test_read_errors(spark, tmp_path):
         read_snapshot(spark, t, 9)
     with pytest.raises(ValueError):
         write_snapshot(_range(spark, 0, 2), t, "merge")
+
+
+def test_incremental_read_is_exact_delta(spark, tmp_path):
+    from spark_jdbc_limit_spark.sinks.versioned import read_incremental
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")
+    write_snapshot(_range(spark, 100, 5), t, "append")
+    write_snapshot(_range(spark, 200, 2), t, "append")
+    inc12 = read_incremental(spark, t, 1, 2)
+    assert {r.id for r in inc12.collect()} == set(range(100, 105))
+    inc13 = read_incremental(spark, t, 1, 3)
+    assert {r.id for r in inc13.collect()} == set(range(100, 105)) | {200, 201}
+    assert read_incremental(spark, t, 3, 3).count() == 0
+
+
+def test_incremental_read_refuses_overwrite_boundary(spark, tmp_path):
+    from spark_jdbc_limit_spark.sinks.versioned import read_incremental
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")
+    write_snapshot(_range(spark, 200, 3), t, "overwrite")
+    with pytest.raises(AtomicWriteError, match="re-baseline"):
+        read_incremental(spark, t, 1, 2)
+
+
+def test_merge_snapshot_upserts_by_key(spark, tmp_path):
+    from spark_jdbc_limit_spark.sinks.versioned import merge_snapshot
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 10), t, "overwrite")  # v = id*2
+    updates = spark.createDataFrame(
+        [(3, 999), (4, 888), (50, 777)], "id long, v long"
+    )
+    v = merge_snapshot(updates, t, ["id"])
+    assert v == 2
+    rows = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert len(rows) == 11  # 10 originals, one new key
+    assert rows[3] == 999 and rows[4] == 888 and rows[50] == 777
+    assert rows[5] == 10  # untouched rows survive
+    # time travel still sees the pre-merge state
+    old = {r.id: r.v for r in read_snapshot(spark, t, 1).collect()}
+    assert old[3] == 6 and 50 not in old
+
+
+def test_merge_snapshot_schema_mismatch_raises(spark, tmp_path):
+    from spark_jdbc_limit_spark.sinks.versioned import merge_snapshot
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_range(spark, 0, 5), t, "overwrite")
+    bad = spark.createDataFrame([(1, 2, 3)], "id long, v long, extra long")
+    with pytest.raises(AtomicWriteError, match="schema mismatch"):
+        merge_snapshot(bad, t, ["id"])
