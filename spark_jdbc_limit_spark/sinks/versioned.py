@@ -84,12 +84,15 @@ def _read_manifest(jvm, fs, vdir) -> dict:
     )
 
 
-def write_snapshot(df: DataFrame, table: str, mode: str = "overwrite") -> int:
+def write_snapshot(
+    df: DataFrame, table: str, mode: str = "overwrite", meta: dict | None = None
+) -> int:
     """Commit ``df`` as a new snapshot of ``table``; returns its version.
 
     ``overwrite`` → the snapshot is exactly ``df``. ``append`` → the
     snapshot is the parent snapshot plus ``df`` (zero-copy: parent files
-    are referenced, not rewritten).
+    are referenced, not rewritten). ``meta`` rides in the manifest —
+    writers use it for idempotence markers (e.g. streaming epoch ids).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -122,6 +125,7 @@ def write_snapshot(df: DataFrame, table: str, mode: str = "overwrite") -> int:
         "parent": parent or None,
         "mode": mode,
         "files": inherited + own,
+        "meta": meta or {},
     }
     from spark_jdbc_limit_spark.sinks.transactional import _fs_write_text
 
@@ -279,3 +283,57 @@ def merge_snapshot(updates: DataFrame, table: str, key_cols: list[str]) -> int:
         updates.select(*current.columns)
     )
     return write_snapshot(merged, table, "overwrite")
+
+
+def snapshot_manifest(spark: SparkSession, table: str, version: int | None = None) -> dict:
+    """The committed manifest of a snapshot (latest by default)."""
+    jvm, fs, table_path = _hadoop_fs(spark, table)
+    committed = _list_committed(jvm, fs, table_path)
+    if not committed:
+        raise AtomicWriteError(f"{table} has no committed snapshots")
+    if version is None:
+        version = max(committed)
+    if version not in committed:
+        raise AtomicWriteError(f"{table} has no committed v{version}")
+    return _read_manifest(jvm, fs, committed[version])
+
+
+def append_snapshot_epoch(batch_df: DataFrame, table: str, epoch_id: int) -> int | None:
+    """Idempotently append one streaming micro-batch as a snapshot.
+
+    foreachBatch MAY replay an epoch after a crash between the sink
+    commit and the checkpoint commit; the epoch id recorded in the
+    manifest makes the replay a no-op — exactly-once OUTPUT from
+    at-least-once delivery, the standard epoch-keyed idempotent-sink
+    contract. Returns the committed version, or None when skipped."""
+    spark = batch_df.sparkSession
+    jvm, fs, table_path = _hadoop_fs(spark, table)
+    committed = _list_committed(jvm, fs, table_path)
+    if committed:
+        last = _read_manifest(jvm, fs, committed[max(committed)])
+        last_epoch = last.get("meta", {}).get("epoch")
+        if last_epoch is not None and last_epoch >= epoch_id:
+            return None  # replayed epoch — already committed
+    if batch_df.isEmpty():
+        return None
+    return write_snapshot(batch_df, table, "append", meta={"epoch": epoch_id})
+
+
+def run_stream_snapshot_appends(stream_df: DataFrame, table: str, checkpoint: str) -> None:
+    """Drive a (finite) stream into the snapshot store: each micro-batch
+    commits one append version, so the table is simultaneously the live
+    sink AND a time-travelable history of every batch boundary — and
+    ``read_incremental`` hands downstream consumers exactly the new rows
+    of any epoch range. Exactly-once end to end: source offsets live in
+    the checkpoint, output idempotence in the manifest epoch ids."""
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        append_snapshot_epoch(batch_df, table, epoch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -161,3 +161,35 @@ def test_merge_snapshot_schema_mismatch_raises(spark, tmp_path):
     bad = spark.createDataFrame([(1, 2, 3)], "id long, v long, extra long")
     with pytest.raises(AtomicWriteError, match="schema mismatch"):
         merge_snapshot(bad, t, ["id"])
+
+
+def test_stream_appends_snapshots_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming into the snapshot store: every micro-batch is one append
+    version; the union of versions equals the source; a restart over the
+    unchanged source adds nothing; a forced epoch replay is a no-op."""
+    from spark_jdbc_limit_spark.sinks.versioned import (
+        append_snapshot_epoch,
+        run_stream_snapshot_appends,
+        snapshot_manifest,
+    )
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+    from spark_jdbc_limit_spark.streaming.stateful import events_file_stream
+    from test_stateful_streaming import _split_events
+
+    src = _split_events(spark, sf_dir, tmp_path)
+    t, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    stream = events_file_stream(spark, src).select("event_id", "user_id", "value")
+    run_stream_snapshot_appends(stream, t, ckpt)
+    versions = list_versions(spark, t)
+    assert versions, "stream produced no snapshots"
+    total = load_table(spark, sf_dir, "events").count()
+    assert read_snapshot(spark, t).count() == total
+    # restart over the same source: checkpoint offsets → nothing new
+    run_stream_snapshot_appends(stream, t, ckpt)
+    assert list_versions(spark, t) == versions
+    # forced replay of the last epoch: idempotent no-op
+    last_epoch = snapshot_manifest(spark, t)["meta"]["epoch"]
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value").limit(5)
+    assert append_snapshot_epoch(batch, t, last_epoch) is None
+    assert list_versions(spark, t) == versions
+    assert read_snapshot(spark, t).count() == total
