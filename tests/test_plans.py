@@ -516,3 +516,42 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     df = get_query("doc_chunk_sliding").builder(spark, sf_dir)
     assert count_exchanges(df) == 0
     assert_no_python_udf_in_plan(df)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The OTHER skew weapon (besides the manual salted join in this
+    catalog): AQE's runtime skew-join split. With a 90%-hot key and
+    test-scale thresholds, the finalized adaptive plan must mark the
+    sort-merge join skew=true — i.e. the hot partition was split into
+    advisory-sized reader slices instead of serializing one task."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    import pyspark.sql.functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("p"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # finalize the adaptive plan
+        assert len(rows) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
