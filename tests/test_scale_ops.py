@@ -180,3 +180,12 @@ def test_rotation_warns_on_unreadable_round_file(monkeypatch, tmp_path):
         names = ops._driver_sampled_names()
     assert names == set()
     assert any("sampling window" in str(w.message) for w in caught)
+
+
+def test_queue_behind_names_all_exist_in_registry():
+    """A typo in _QUEUE_BEHIND silently drops the query from its intended
+    queue slot — pin every listed name to a real registry entry."""
+    import spark_jdbc_limit_spark.operators as ops
+
+    missing = [n for n in ops._QUEUE_BEHIND if n not in ops.REGISTRY]
+    assert not missing, f"_QUEUE_BEHIND names not in registry: {missing}"

@@ -193,3 +193,44 @@ def test_stream_appends_snapshots_exactly_once(spark, sf_dir, tmp_path):
     assert append_snapshot_epoch(batch, t, last_epoch) is None
     assert list_versions(spark, t) == versions
     assert read_snapshot(spark, t).count() == total
+
+
+def test_snapshot_store_matches_model_over_random_histories(spark, tmp_path):
+    """Model-based check: run seeded random op sequences
+    (overwrite/append/merge) against the store AND a plain in-memory
+    model; every committed version must replay to the model's state at
+    that point, and time travel must keep ALL of history readable."""
+    import random
+
+    from spark_jdbc_limit_spark.sinks.versioned import merge_snapshot
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        t = str(tmp_path / f"tbl{case}")
+        model: dict[int, int] = {}
+        history: list[dict[int, int]] = []
+        next_id = 0
+        for step in range(4):
+            op = rng.choice(["overwrite", "append", "merge"] if history else ["overwrite"])
+            n = rng.randint(1, 6)
+            rows = {next_id + i: rng.randint(0, 99) for i in range(n)}
+            if op == "merge":  # touch some existing keys too
+                for k in rng.sample(sorted(model), min(2, len(model))):
+                    rows[k] = rng.randint(100, 199)
+            next_id += n
+            df = spark.createDataFrame(
+                [(k, v) for k, v in rows.items()], "id long, v long"
+            )
+            if op == "overwrite":
+                model = dict(rows)
+                write_snapshot(df, t, "overwrite")
+            elif op == "append":
+                model = {**model, **rows}  # ids are fresh → pure addition
+                write_snapshot(df, t, "append")
+            else:
+                model = {**model, **rows}
+                merge_snapshot(df, t, ["id"])
+            history.append(dict(model))
+        for version, expected in zip(list_versions(spark, t), history):
+            got = {r.id: r.v for r in read_snapshot(spark, t, version).collect()}
+            assert got == expected, (case, version, op)
