@@ -123,7 +123,7 @@ _QUEUE_BEHIND = (
     "customer_rfm_segmentation_scalable", "dq_join_key_skew_report",
     "multimodal_image_dhash", "sql_shared_text_rollup",
     "sql_recursive_year_spine", "sql_shared_text_window",
-    "events_top_paths_3step",
+    "events_top_paths_3step", "dedup_cluster_best_representative",
 )
 
 

@@ -916,3 +916,86 @@ def dedup_exact_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (sf0.001/sf0.01); multi-copy provenance is pinned at sf0.1 by
         # tests/test_llm_ops.py.
     )
+
+
+@query(
+    "dedup_cluster_best_representative",
+    category="llm_dedup",
+    description="Per near-dup cluster: keep the LONGEST copy (survivor policy over CC clusters)",
+    oracle=f"""
+        WITH RECURSIVE {_sql_minhash_bands()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.d1, c.d2, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.d1
+            JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+            GROUP BY c.d1, c.d2
+        ),
+        verified AS (
+            SELECT common.d1, common.d2
+            FROM common
+            JOIN sizes z1 ON z1.doc_id = common.d1
+            JOIN sizes z2 ON z2.doc_id = common.d2
+            WHERE CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT d1 AS a, d2 AS b FROM verified
+                  UNION SELECT d2, d1 FROM verified),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT rr.id, e.b FROM reach rr JOIN edges e ON e.a = rr.r
+        ),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+        SELECT component, cluster_size, rep_doc_id, rep_n_chars
+        FROM (
+            SELECT c.component,
+                   CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+                       AS cluster_size,
+                   d.doc_id AS rep_doc_id,
+                   d.n_chars AS rep_n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                                      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        )
+        WHERE rn = 1
+    """,
+)
+def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor DECISION on top of the near-dup clusters: per
+    connected component, keep the longest copy (least-truncated — the
+    policy real pipelines prefer over first-seen; swap the struct's
+    first field for a quality score to change policy in one line), with
+    the cluster size for the audit trail. Built as ONE aggregate over
+    clusters x document metadata — a lexicographic max(struct(n_chars,
+    -doc_id)) per component, no window over the corpus, so the reduction
+    is map-side-combined and skew-proof even for a boilerplate cluster
+    with millions of members. The oracle recomputes clusters with its
+    recursive-CTE closure and picks representatives with a ranked
+    window — an independent formulation of both steps."""
+    comp = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    )
+    return (
+        comp.join(d, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            best.alias("best"),
+        )
+        .select(
+            "component",
+            "cluster_size",
+            (-F.col("best.neg_id")).alias("rep_doc_id"),
+            F.col("best.n_chars").alias("rep_n_chars"),
+        )
+    )
