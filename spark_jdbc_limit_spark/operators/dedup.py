@@ -999,3 +999,167 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
             F.col("best.n_chars").alias("rep_n_chars"),
         )
     )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{NUM_HASHES-1}): the full minhash signature as
+    scalar columns — shuffle-free mapInPandas, same integer arithmetic
+    as minhash_band_buckets (and the oracle's sig CTE) bit-for-bit."""
+
+    cols = [f"m{j}" for j in range(NUM_HASHES)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            sigs: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ss = _shingle_set(text)
+                if not ss:
+                    continue
+                hs = np.fromiter(ss, dtype=np.int64, count=len(ss))
+                sigs.append(((_MH_A * hs + _MH_B) % FP_MOD).min(axis=1))
+                ids.append(doc_id)
+            mat = (
+                np.stack(sigs) if sigs else np.empty((0, NUM_HASHES), dtype=np.int64)
+            )
+            out = {"doc_id": np.asarray(ids, dtype=np.int64)}
+            for j, c in enumerate(cols):
+                out[c] = mat[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in cols)
+    return _spread(docs.select("doc_id", "text")).mapInPandas(gen, schema)
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    category="llm_dedup",
+    description=f"Sketch-accuracy audit: minhash Jaccard estimate vs exact, per LSH candidate pair",
+    oracle=f"""
+        WITH {_sql_minhash_bands()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        agree AS (
+            SELECT c.d1, c.d2,
+                   ({" + ".join(f"(s1.m{j} = s2.m{j})::BIGINT" for j in range(NUM_HASHES))})
+                       AS n_agree
+            FROM cand c
+            JOIN sig s1 ON s1.doc_id = c.d1
+            JOIN sig s2 ON s2.doc_id = c.d2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.d1, c.d2, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.d1
+            JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+            GROUP BY c.d1, c.d2
+        )
+        SELECT a.d1, a.d2, a.n_agree,
+               {sql_round_dbl(f'CAST(a.n_agree AS DOUBLE) / {NUM_HASHES}', 4)}
+                   AS est_jaccard,
+               {sql_round_dbl(
+                   'CAST(COALESCE(common.n_common, 0) AS DOUBLE)'
+                   ' / (z1.n + z2.n - COALESCE(common.n_common, 0))', 4)}
+                   AS exact_jaccard,
+               {sql_round_dbl(
+                   f'ABS(CAST(a.n_agree AS DOUBLE) / {NUM_HASHES}'
+                   ' - CAST(COALESCE(common.n_common, 0) AS DOUBLE)'
+                   ' / (z1.n + z2.n - COALESCE(common.n_common, 0)))', 4)}
+                   AS abs_err
+        FROM agree a
+        LEFT JOIN common ON common.d1 = a.d1 AND common.d2 = a.d2
+        JOIN sizes z1 ON z1.doc_id = a.d1
+        JOIN sizes z2 ON z2.doc_id = a.d2
+    """,
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy AUDITING — the op you run before trusting a sketch
+    at 100 TB: per LSH candidate pair, the minhash Jaccard estimate
+    (signature agreement / {NUM_HASHES}), the exact Jaccard recomputed
+    from shingle sets, and the absolute error. In production this runs
+    on a small sample to choose the signature length; here the full
+    candidate set is audited and the oracle reproduces estimate AND
+    truth bit-for-bit (pure integer hashing; ratios are exact IEEE
+    divisions in both engines). Candidate generation is the banded
+    bucket join; exact verification touches candidate docs only — the
+    same scale shape as dedup_minhash_verified."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d).localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                (
+                    (F.col(f"m{b * LSH_ROWS}") * FP_BASE + F.col(f"m{b * LSH_ROWS + 1}"))
+                    % FP_MOD
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("band_id").alias("band_id2"),
+        F.col("band_hash").alias("band_hash2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("band_hash") == F.col("band_hash2"))
+            & (F.col("doc_id") < F.col("doc_id2")),
+        )
+        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(NUM_HASHES)])
+    s2 = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(NUM_HASHES)])
+    n_agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(NUM_HASHES)
+    )
+    agree = cand.join(s1, "d1").join(s2, "d2").select("d1", "d2", n_agree.alias("n_agree"))
+    # exact truth from shingle sets of candidate docs only
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_hashes(
+        d.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = sh.select(F.col("doc_id").alias("d1"), F.col("h").alias("h1"))
+    t2 = sh.select(F.col("doc_id").alias("d2b"), F.col("h").alias("h2"))
+    common = (
+        cand.join(t1, "d1")
+        .join(t2, (F.col("d2") == F.col("d2b")) & (F.col("h1") == F.col("h2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc.cast("double") / (F.col("n1") + F.col("n2") - nc)
+    est = F.col("n_agree").cast("double") / NUM_HASHES
+    return (
+        agree.join(common, ["d1", "d2"], "left")
+        .join(z1, "d1")
+        .join(z2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_agree",
+            round_dbl(est, 4).alias("est_jaccard"),
+            round_dbl(exact, 4).alias("exact_jaccard"),
+            round_dbl(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
