@@ -124,7 +124,7 @@ _QUEUE_BEHIND = (
     "multimodal_image_dhash", "sql_shared_text_rollup",
     "sql_recursive_year_spine", "sql_shared_text_window",
     "events_top_paths_3step", "dedup_cluster_best_representative",
-    "dedup_minhash_estimate_audit",
+    "dedup_minhash_estimate_audit", "source_python_datasource",
 )
 
 

@@ -443,3 +443,41 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("h")).cast("long").alias("total_pixels"),
         F.max("w").cast("long").alias("max_width"),
     )
+
+
+@query(
+    "source_python_datasource",
+    category="source",
+    description="Custom Python DataSource (Spark 4 V2 API) with key-range + flag pushdown",
+    oracle="""
+        SELECT i AS id, i % 32 AS bucket,
+               CAST((i * 7919) % 10000 AS DOUBLE) / 100.0 AS amount,
+               ['A','N','R'][(i % 3) + 1] AS flag
+        FROM range(0, 5000) t(i)
+        WHERE i >= 1000 AND i < 4000
+          AND ['A','N','R'][(i % 3) + 1] = 'A'
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole identity — a custom relation provider with
+    partitioned, pushdown-aware scans (JDBCRDDWithLimit.scala:45-63) —
+    rebuilt on Spark 4's native Python DataSource API
+    (sources/pydatasource.py): the id-range and flag filters below are
+    ACCEPTED by LedgerReader.pushFilters, so they prune row GENERATION
+    inside each of the 4 partition slices; the oracle regenerates the
+    same rows from pure arithmetic. sf_dir is unused — the source IS the
+    external system."""
+    from spark_jdbc_limit_spark.sources.pydatasource import register
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("ledger")
+        .option("numRows", 5000)
+        .option("numPartitions", 4)
+        .load()
+        .filter((F.col("id") >= 1000) & (F.col("id") < 4000) & (F.col("flag") == "A"))
+    )
