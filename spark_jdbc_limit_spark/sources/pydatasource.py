@@ -43,6 +43,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    SimpleDataSourceStreamReader,
     DataSourceReader,
     DataSourceWriter,
     EqualTo,
@@ -198,6 +199,40 @@ class LedgerDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> LedgerWriter:
         return LedgerWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema: StructType) -> "LedgerStreamReader":
+        return LedgerStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(LedgerDataSource)
+
+
+class LedgerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg of the ledger source (SimpleDataSourceStreamReader):
+    the offset is the high-watermark row id; every micro-batch serves the
+    next ``rowsPerBatch`` ids (bounded by ``numRows``). Offsets are plain
+    dicts checkpointed by Spark — replay of a committed range goes
+    through ``readBetweenOffsets``, which regenerates EXACTLY the same
+    rows (deterministic generation = free exactly-once), the same
+    offset/replay contract a Kafka-like source implements with seeks."""
+
+    def __init__(self, options):
+        self.num_rows = int(options.get("numRows", 1000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"watermark": 0}
+
+    def read(self, start: dict):
+        lo = int(start["watermark"])
+        hi = min(lo + self.rows_per_batch, self.num_rows)
+        # iter(list), not a generator: the simple-reader runtime needs a
+        # COPYABLE iterator (copy.copy) to cache the prefetched batch for
+        # replay; generators aren't copyable, list iterators are
+        return iter(list(_gen(lo, hi, None))), {"watermark": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_gen(int(start["watermark"]), int(end["watermark"]), None)))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge — generation is replayable
