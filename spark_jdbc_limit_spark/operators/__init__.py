@@ -125,6 +125,7 @@ _QUEUE_BEHIND = (
     "sql_recursive_year_spine", "sql_shared_text_window",
     "events_top_paths_3step", "dedup_cluster_best_representative",
     "dedup_minhash_estimate_audit", "source_python_datasource",
+    "events_anomaly_robust_mad", "orders_benford_first_digit",
 )
 
 

@@ -870,3 +870,60 @@ def dq_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top1_share"),
         (-hottest.getField("nk")).alias("hottest_key"),
     )
+
+
+@query(
+    "orders_benford_first_digit",
+    category="aggregation",
+    description="Benford's-law fraud screen: first-digit distribution of order totals",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(FLOOR(o_totalprice
+                              / POWER(10, FLOOR(LOG10(o_totalprice))))
+                        AS BIGINT) AS digit
+            FROM orders
+            WHERE o_totalprice > 0
+        )
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               FLOOR(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER () * 1000000.0 + 0.5) / 1000000.0
+                   AS obs_share,
+               FLOOR(LOG10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0
+                   AS benford_share,
+               FLOOR(ABS(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()
+                         - LOG10(1.0 + 1.0 / digit)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS abs_dev
+        FROM digits
+        GROUP BY digit
+        ORDER BY digit
+    """,
+)
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screening — the forensic-accounting classic: natural
+    multiplicative amounts put ~30.1% of first digits at 1; fabricated
+    numbers don't. One map-side-combined 9-group aggregate over the
+    orders scan (digit extraction is pure arithmetic in codegen), the
+    share window over the 9-row micro relation; observed vs expected
+    share and absolute deviation per digit. (This synthetic corpus draws
+    totals near-uniformly, so the screen CORRECTLY reports a strong
+    Benford violation — the operator's job is the measurement, which the
+    oracle reproduces to 1e-6.)"""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_orders"))
+    total = F.sum("n_orders").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    obs = F.col("n_orders").cast("double") / total
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return counts.select(
+        "digit",
+        "n_orders",
+        r6(obs).alias("obs_share"),
+        r6(benford).alias("benford_share"),
+        r6(F.abs(obs - benford)).alias("abs_dev"),
+    ).orderBy("digit")

@@ -882,3 +882,66 @@ def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant for MAD-based z-scores
+MAD_CUTOFF = 3.5
+
+
+@query(
+    "events_anomaly_robust_mad",
+    category="windowed_events",
+    description=f"Robust anomaly screen: |x-median| / (MAD*{MAD_K}) > {MAD_CUTOFF} per event type",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type,
+               FLOOR(e.value * 10000.0 + 0.5) / 10000.0 AS value,
+               FLOOR(ABS(e.value - m.med) / ({MAD_K} * d.mad)
+                     * 10000.0 + 0.5) / 10000.0 AS robust_z
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0
+          AND ABS(e.value - m.med) / ({MAD_K} * d.mad) > {MAD_CUTOFF}
+    """,
+)
+def events_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust twin of ``events_anomaly_zscore``: mean/stddev z-scores
+    are THEMSELVES dragged by the outliers they hunt (masking), so
+    production screens score against median and MAD. Two aggregate
+    passes over the fact stream (median, then median absolute
+    deviation) — each a map-side-combined exact percentile per type —
+    then one broadcast join of the type-cardinality stats back onto
+    events; no window over the raw stream. Exact interpolated medians
+    agree across engines (percentile == quantile_cont), and the flagged
+    set is rounding-insensitive at this cutoff."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    stats = med.join(mad, "event_type")
+    rz = F.abs(F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("mad") > 0) & (rz > MAD_CUTOFF))
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(F.col("value") * 10000.0 + F.lit(0.5)) / 10000.0).alias("value"),
+            (F.floor(rz * 10000.0 + F.lit(0.5)) / 10000.0).alias("robust_z"),
+        )
+    )
