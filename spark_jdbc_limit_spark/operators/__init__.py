@@ -126,6 +126,8 @@ _QUEUE_BEHIND = (
     "events_top_paths_3step", "dedup_cluster_best_representative",
     "dedup_minhash_estimate_audit", "source_python_datasource",
     "events_anomaly_robust_mad", "orders_benford_first_digit",
+    "q13_customer_order_distribution", "q17_small_quantity_revenue",
+    "q22_dormant_high_balance",
 )
 
 

@@ -729,3 +729,159 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q13_customer_order_distribution",
+    category="aggregation",
+    description="TPC-H Q13: distribution of per-customer order counts incl. zero",
+    oracle="""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (the comment-filter becomes a priority filter — this
+    schema has no o_comment): how many customers placed how many
+    qualifying orders. The LEFT join is the load-bearing part —
+    customers with ZERO qualifying orders must survive into the c_count=0
+    bucket, which an inner join silently drops (COUNT(o_orderkey), not
+    COUNT(*), so null matches count as zero). Double aggregation: the
+    first groupBy collapses to customer cardinality, the second to the
+    distinct-count cardinality; both map-side combined."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    category="aggregation",
+    description="TPC-H Q17: revenue in orders below 20% of the part's average quantity",
+    oracle="""
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,8))), 2)
+                    AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#9'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (container filter dropped — column absent): revenue
+    locked in below-20%-of-average-quantity lines of one brand. The
+    correlated scalar subquery de-correlates into a per-part average
+    relation joined back — and the average is computed ONLY over parts
+    that survive the brand broadcast semi-join, so the fact shuffle
+    carries the brand's slice, not the catalog. Quantities are integral
+    doubles, so the per-part AVG is exact in both engines and the 0.2x
+    threshold comparison cannot flip on accumulation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    brand_lines = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        brand_lines.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(28,8)")), 2)
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q22_DORMANT_SINCE = "2000-01-01"
+
+
+@query(
+    "q22_dormant_high_balance",
+    category="aggregation",
+    description=f"TPC-H Q22-style: above-average-balance customers with no orders since {Q22_DORMANT_SINCE}",
+    oracle=f"""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS totacctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE} 00:00:00'
+        )
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (phone-prefix cohorts become nations — no phone column;
+    'never ordered' becomes 'no order since {Q22_DORMANT_SINCE}', which
+    is non-vacuous on this corpus): wealthy-but-dormant accounts, the
+    sales-outreach classic. Three canonical shapes in one query: a
+    scalar aggregate subquery (exact decimal sum / count, so the
+    threshold is engine-identical), a LEFT ANTI join against the
+    date-pruned orders scan (NOT EXISTS), and a broadcast dim join for
+    the nation rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_DORMANT_SINCE).cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))  # one-row threshold relation
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -40,3 +40,21 @@ _SWEEP = bool(os.environ.get("SPARK_GRAFT_SF_SWEEP"))
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
 def test_oracle_differential_sf0001_sweep(spark, spec):
     run_differential(spark, spec, "/root/testdata/sf0.001")
+
+
+def test_no_registry_query_emits_complex_typed_columns(spark, sf_dir):
+    """Guardrail for the round-4 failure class: the correctness harness
+    canonicalizes with pandas sort_values/hashing and CANNOT compare
+    array/map/struct cells — every registered query must emit scalar
+    columns only (serialize arrays with concat_ws and mirror with
+    array_to_string in the oracle). Schema-only: nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from spark_jdbc_limit_spark.operators import REGISTRY
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        for field in spec.builder(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, field.name, field.dataType.simpleString()))
+    assert not offenders, f"complex-typed output columns: {offenders}"
