@@ -127,7 +127,8 @@ _QUEUE_BEHIND = (
     "dedup_minhash_estimate_audit", "source_python_datasource",
     "events_anomaly_robust_mad", "orders_benford_first_digit",
     "q13_customer_order_distribution", "q17_small_quantity_revenue",
-    "q22_dormant_high_balance",
+    "q22_dormant_high_balance", "q7_volume_shipping", "q8_market_share",
+    "q15_top_supplier", "q21_sole_late_supplier",
 )
 
 

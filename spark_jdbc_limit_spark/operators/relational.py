@@ -885,3 +885,300 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q7_volume_shipping",
+    category="aggregation",
+    description="TPC-H Q7: bilateral trade volume between two nations by year",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                   l_extendedprice, l_discount
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 verbatim: two-nation trade flows, both directions, by
+    ship year. The nation-pair DISJUNCTION lives on the joined n1/n2
+    names — Catalyst pushes the implied IN('NATION_2','NATION_7') to
+    BOTH nation scans, so the two broadcasted dims are two rows each and
+    the supplier/customer joins reduce the facts before the fact-fact
+    shuffle. Ship-date range pushes to the lineitem scan."""
+    two = ["NATION_2", "NATION_7"]
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    n2 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = s.join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    category="aggregation",
+    description="TPC-H Q8: one nation's share of a region's PROMO-part market by year",
+    oracle="""
+        SELECT o_year,
+               FLOOR(nation_vol / total_vol * 1000000.0 + 0.5) / 1000000.0
+                   AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                        THEN CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(28,8))
+                        ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+                       AS nation_vol,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(28,8))) AS DOUBLE) AS total_vol
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            GROUP BY o_year
+        )
+        ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (type prefix → exact category, date window widened so
+    every corpus year reports): NATION_2's share of ASIA's PROMO market.
+    The share is ONE conditional aggregate over one pass — numerator and
+    denominator never scan twice — and every dimension (part-type,
+    customer-nation-region, supplier-nation) broadcasts onto the fact
+    chain. Decimal sums make the ratio engine-exact before the 1e-6
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_dim = (
+        c.join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup_dim = s.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+    zero = F.lit(0).cast("decimal(28,8)")
+    grouped = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(sup_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", disc).otherwise(zero))
+            .cast("double")
+            .alias("nation_vol"),
+            F.sum(disc).cast("double").alias("total_vol"),
+        )
+    )
+    return grouped.select(
+        "o_year",
+        (F.floor(F.col("nation_vol") / F.col("total_vol") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+@query(
+    "q15_top_supplier",
+    category="aggregation",
+    description="TPC-H Q15: the quarter's top revenue supplier(s) via scalar MAX subquery",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))), 2) AS DOUBLE)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (the CREATE VIEW becomes a reused DataFrame): suppliers
+    hitting the quarter's maximum revenue. The scalar MAX re-reads the
+    same aggregate — ONE shuffle builds the supplier-cardinality revenue
+    relation, the max is a one-row aggregate of that micro relation
+    broadcast back, and ties survive (equality on the exact rounded
+    decimal, engine-identical). Supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)  # reused by the max and the join
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))  # one-row relation
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q21_LATE_DAYS = 90
+Q21_TOPK = 20
+
+
+@query(
+    "q21_sole_late_supplier",
+    category="aggregation",
+    description=f"TPC-H Q21-style: suppliers solely responsible for late multi-supplier orders",
+    oracle=f"""
+        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        multi AS (
+            SELECT l_orderkey FROM os GROUP BY l_orderkey HAVING COUNT(*) > 1
+        ),
+        late AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late la
+        JOIN multi USING (l_orderkey)
+        JOIN supplier ON s_suppkey = la.l_suppkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM late lb
+            WHERE lb.l_orderkey = la.l_orderkey
+              AND lb.l_suppkey <> la.l_suppkey
+        )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT {Q21_TOPK}
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (lateness adapted: shipped >{Q21_LATE_DAYS} days after
+    the order date replaces receipt-after-commit — columns absent):
+    suppliers who were the ONLY late supplier on a multi-supplier order,
+    the classic semi-PLUS-anti double correlation. Shapes: the
+    multi-supplier set is a HAVING aggregate used as a semi join; the
+    'no OTHER late supplier' NOT EXISTS becomes an anti join of the late
+    set against itself on (order, supplier<>supplier); top-{Q21_TOPK} is
+    TakeOrderedAndProject. Every derived relation is order-cardinality
+    or smaller — the raw lineitem is scanned once for os, once for
+    late."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    multi = (
+        os_.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by the anti self-join
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    sole = late.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_anti",
+    )
+    return (
+        sole.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(Q21_TOPK)
+    )
