@@ -555,3 +555,47 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime filtering — the third join weapon next to salting and AQE
+    skew-split: with a selective build side, the optimizer injects a
+    bloom filter from the filtered orders into the lineitem scan side
+    (might_contain below the join), so most probe rows die before the
+    shuffle. This is what replaces 'broadcast the dim' when neither side
+    broadcasts at 100 TB."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from spark_jdbc_limit_spark.sources.catalog import load_table
+        import pyspark.sql.functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter was not injected"
+        # and the filtered join is still correct
+        want = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 450000)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .count()
+        )
+        assert len(rows) == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

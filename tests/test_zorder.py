@@ -135,3 +135,11 @@ def test_interleave_bits_properties(spark):
     got = df.select("x", "y", interleave_bits([F.col("x"), F.col("y")], bits=10).alias("z")).collect()
     for r in got:
         assert r.z == morton_py(r.x, r.y), (r.x, r.y)
+
+
+# NOTE: parquet column bloom filters were evaluated here and dropped:
+# parquet-mr skips bloom writing for dictionary-encoded columns, and every
+# candidate column of the synthetic corpus dictionary-encodes (measured:
+# zero byte delta with parquet.bloom.filter.enabled). Point-lookup
+# skipping below min/max stats on this corpus therefore comes from the
+# runtime bloom-filter JOIN pruning pinned in test_plans.py.
