@@ -129,6 +129,7 @@ _QUEUE_BEHIND = (
     "q13_customer_order_distribution", "q17_small_quantity_revenue",
     "q22_dormant_high_balance", "q7_volume_shipping", "q8_market_share",
     "q15_top_supplier", "q21_sole_late_supplier",
+    "dedup_semantic_semdedup",
 )
 
 

@@ -1163,3 +1163,114 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_dbl(F.abs(est - exact), 4).alias("abs_err"),
         )
     )
+
+SEMDEDUP_EPS = 0.3     # within-bucket cosine above this = semantic duplicate
+
+
+def _semdedup_oracle() -> str:
+    # deferred import keeps dedup importable standalone; similarity.py has
+    # no back-edge to dedup so this is cycle-free under the registry's
+    # import order (dedup before similarity)
+    from spark_jdbc_limit_spark.operators.similarity import _sql_bucket_expr
+
+    prior_max = (
+        "(SELECT MAX(list_cosine_similarity(a.v, b.v)) FROM e b "
+        "WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {_sql_bucket_expr()} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id, a.bucket,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM e b
+                   WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id
+                     AND list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_EPS}
+               ) THEN 0 ELSE 1 END AS kept,
+               COALESCE({sql_round_dbl(prior_max, 4)}, -2.0) AS max_prior_sim
+        FROM e a
+        ORDER BY a.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_semdedup",
+    category="llm_dedup",
+    description=f"SemDeDup-style retention: drop vectors with an earlier same-LSH-bucket neighbor at cosine ≥ {SEMDEDUP_EPS}",
+    oracle=_semdedup_oracle(),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup in the SemDeDup (Abbas et al. 2023, public) shape:
+    block the corpus by a coarse cluster key, then inside each block drop
+    every item that has a near-duplicate neighbor, keeping one canonical
+    representative per duplicate group. The cluster key here is the same
+    deterministic 16-plane hyperplane LSH bucket the ANN stack uses
+    (similarity.hyperplane_bucket_udf) — unlike the paper's k-means it is
+    reproducible in ANSI SQL, so the retention DECISION itself is
+    oracle-verifiable, not just spot-checked. The keep rule is
+    order-deterministic and non-transitive by construction: a vector is
+    DROPPED iff some STRICTLY EARLIER (lower vec_id) vector in its bucket
+    has cosine ≥ eps to it — i.e. first occurrence wins, mirroring the
+    exact-dedup survivor policy. (The greedy transitive variant — compare
+    only against previously KEPT vectors — needs a sequential scan per
+    bucket; this EXISTS form is the set-parallel version that a single
+    SQL predicate can express, and for disjoint duplicate PAIRS the two
+    coincide.)
+
+    Physical plan: one scan, one shuffle on the bucket key, then a
+    per-bucket Arrow batch in ``applyInPandas`` doing the pairwise cosine
+    as one normalized GEMM and a masked row-max over the strict lower
+    triangle — no pair relation is ever materialized. At 100 TB: widen
+    the LSH to more planes so bucket sizes stay executor-bounded (bucket
+    count grows 2^planes), or substitute the IVF KMeans assignment
+    (similarity.ivf_assignments) as the block key offline; the retention
+    pass itself is embarrassingly parallel across buckets. Decision
+    soundness at the float boundary is pinned by
+    tests/test_llm_ops.py::test_semdedup_margins (min |cos − eps| ≈ 2e-4
+    on all shipped SFs, ~9 orders above GEMM-vs-sequential accumulation
+    error). Reference parity: the reference has no semantic-dedup
+    operator; this extends its dedup family (SURVEY.md §2B) along the
+    training-data-pipeline axis."""
+    from spark_jdbc_limit_spark.operators.similarity import hyperplane_bucket_udf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", hyperplane_bucket_udf()("embedding").alias("bucket")
+    )
+
+    def keep_rule(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        bucket = pdf["bucket"].to_numpy()
+        if n == 1:
+            return pd.DataFrame(
+                {"vec_id": ids, "bucket": bucket, "kept": [1], "max_prior_sim": [-2.0]}
+            ).astype({"vec_id": "int64", "bucket": "int64", "kept": "int32"})
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        u = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = u @ u.T
+        # row-max over strictly-earlier columns; first row has none
+        lower = np.where(
+            np.arange(n)[:, None] > np.arange(n)[None, :], sims, -np.inf
+        )
+        prior_max = lower.max(axis=1)
+        kept = (prior_max < SEMDEDUP_EPS).astype(np.int32)
+        # same half-up rounding as round_dbl; −2.0 sentinel (outside cosine range) = no earlier vector
+        out_sim = np.where(
+            np.isneginf(prior_max), -2.0, np.floor(prior_max * 10000.0 + 0.5) / 10000.0
+        )
+        return pd.DataFrame(
+            {"vec_id": ids, "bucket": bucket, "kept": kept, "max_prior_sim": out_sim}
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(
+            keep_rule, "vec_id long, bucket long, kept int, max_prior_sim double"
+        )
+        .orderBy("vec_id")
+    )

@@ -509,3 +509,71 @@ def test_image_dhash_clusters_match_exact_text_dups(spark, sf_large):
         .count()
     )
     assert n_split == 0
+
+
+def test_semdedup_margins():
+    """dedup_semantic_semdedup decides kept/dropped by comparing a GEMM
+    cosine against SEMDEDUP_EPS while the oracle uses DuckDB's sequential
+    list_cosine_similarity — sound only if no within-bucket pair sits at
+    the threshold (or at a round-to-4 half-up boundary for the reported
+    max_prior_sim) on any shipped scale factor."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.dedup import SEMDEDUP_EPS
+    from spark_jdbc_limit_spark.operators.similarity import _PLANES, _PLANE_WEIGHTS
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path).to_pandas()
+        v = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        buckets = ((v @ _PLANES.T) > 0) @ _PLANE_WEIGHTS
+        u = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = []
+        for b in np.unique(buckets):
+            m = buckets == b
+            if m.sum() < 2:
+                continue
+            s = u[m] @ u[m].T
+            i, j = np.triu_indices(int(m.sum()), k=1)
+            sims.append(s[i, j])
+        block = np.concatenate(sims)
+        assert np.abs(block - SEMDEDUP_EPS).min() > 1e-6, f"{sf}: pair at eps"
+        scaled = block * 10000.0
+        assert np.abs(scaled - np.floor(scaled) - 0.5).min() > 1e-6, (
+            f"{sf}: pair at a round-to-4 boundary"
+        )
+        checked += 1
+    assert checked, "no shipped scale factor found"
+
+
+def test_semdedup_retention_invariants(spark, sf_dir):
+    """Structural invariants of the SemDeDup keep rule: the first vector
+    of every bucket is kept with the −2 sentinel (outside the cosine
+    range — a genuine prior max can be negative), and kept/dropped is
+    exactly max_prior_sim ≥ eps; some rows actually drop on this corpus
+    (the operator is non-vacuous)."""
+    from spark_jdbc_limit_spark.operators.dedup import (
+        SEMDEDUP_EPS,
+        dedup_semantic_semdedup,
+    )
+
+    rows = dedup_semantic_semdedup(spark, sf_dir).collect()
+    assert rows, "empty result"
+    first_by_bucket: dict[int, int] = {}
+    for r in rows:  # rows are vec_id-ordered
+        first_by_bucket.setdefault(r.bucket, r.vec_id)
+    n_dropped = 0
+    for r in rows:
+        if r.vec_id == first_by_bucket[r.bucket]:
+            assert r.kept == 1 and r.max_prior_sim == -2.0, r
+        else:
+            assert -1.0 <= r.max_prior_sim <= 1.0, r
+            assert r.kept == (0 if r.max_prior_sim >= SEMDEDUP_EPS else 1), r
+        n_dropped += 1 - r.kept
+    assert n_dropped > 0, "vacuous: nothing dropped at this SF"
