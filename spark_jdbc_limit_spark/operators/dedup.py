@@ -1220,14 +1220,26 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL predicate can express, and for disjoint duplicate PAIRS the two
     coincide.)
 
-    Physical plan: one scan, one shuffle on the bucket key, then a
-    per-bucket Arrow batch in ``applyInPandas`` doing the pairwise cosine
-    as one normalized GEMM and a masked row-max over the strict lower
-    triangle — no pair relation is ever materialized. At 100 TB: widen
-    the LSH to more planes so bucket sizes stay executor-bounded (bucket
-    count grows 2^planes), or substitute the IVF KMeans assignment
-    (similarity.ivf_assignments) as the block key offline; the retention
-    pass itself is embarrassingly parallel across buckets. Decision
+    Physical plan: one scan, one shuffle on the bucket key
+    (``repartition(bucket) + sortWithinPartitions``), then ONE
+    ``mapInPandas`` pass per PARTITION that walks its buckets in numpy,
+    doing each bucket's pairwise cosine as a normalized GEMM and a masked
+    row-max over the strict lower triangle — no pair relation is ever
+    materialized. mapInPandas (not per-group ``applyInPandas``) matters
+    here: hyperplane buckets are numerous and small (~1.9k buckets of
+    1-13 vectors at sf0.1), and applyInPandas pays a per-GROUP Arrow
+    serialization round-trip (~4 ms × groups ≈ 8 s); batching a whole
+    partition of buckets through one Arrow exchange makes the same
+    computation ~40× cheaper. The partition's batches are concatenated
+    first because Arrow splits a partition at maxRecordsPerBatch and a
+    bucket must not straddle the split; memory is bounded by the
+    partition, which the bucket-hash repartition keeps balanced. At
+    100 TB: widen the LSH to more planes so bucket sizes stay
+    executor-bounded (bucket count grows 2^planes) and raise the
+    partition count so each holds a memory-sized slice of buckets, or
+    substitute the IVF KMeans assignment (similarity.ivf_assignments) as
+    the block key offline; the retention pass itself is embarrassingly
+    parallel across buckets. Decision
     soundness at the float boundary is pinned by
     tests/test_llm_ops.py::test_semdedup_margins (min |cos − eps| ≈ 2e-4
     on all shipped SFs, ~9 orders above GEMM-vs-sequential accumulation
@@ -1241,35 +1253,47 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", hyperplane_bucket_udf()("embedding").alias("bucket")
     )
 
-    def keep_rule(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
+    def keep_rule(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        # partition arrives bucket-sorted; vec_id order within bucket is
+        # what the keep rule is defined over
+        pdf = pdf.sort_values(["bucket", "vec_id"], kind="mergesort")
+        buckets = pdf["bucket"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        bucket = pdf["bucket"].to_numpy()
-        if n == 1:
-            return pd.DataFrame(
-                {"vec_id": ids, "bucket": bucket, "kept": [1], "max_prior_sim": [-2.0]}
-            ).astype({"vec_id": "int64", "bucket": "int64", "kept": "int32"})
-        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        u = v / np.linalg.norm(v, axis=1, keepdims=True)
-        sims = u @ u.T
-        # row-max over strictly-earlier columns; first row has none
-        lower = np.where(
-            np.arange(n)[:, None] > np.arange(n)[None, :], sims, -np.inf
-        )
-        prior_max = lower.max(axis=1)
+        emb = pdf["embedding"].to_numpy()
+        # contiguous [start, end) runs of equal bucket
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        prior_max = np.full(len(buckets), -np.inf)
+        for s, t in zip(starts, ends):
+            n = t - s
+            if n == 1:
+                continue
+            v = np.stack(emb[s:t]).astype(np.float64)
+            u = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = u @ u.T
+            # row-max over strictly-earlier columns; first row has none
+            lower = np.where(
+                np.arange(n)[:, None] > np.arange(n)[None, :], sims, -np.inf
+            )
+            prior_max[s:t] = lower.max(axis=1)
         kept = (prior_max < SEMDEDUP_EPS).astype(np.int32)
-        # same half-up rounding as round_dbl; −2.0 sentinel (outside cosine range) = no earlier vector
+        # same half-up rounding as round_dbl; −2.0 sentinel (outside
+        # cosine range) = no earlier vector in the bucket
         out_sim = np.where(
             np.isneginf(prior_max), -2.0, np.floor(prior_max * 10000.0 + 0.5) / 10000.0
         )
-        return pd.DataFrame(
-            {"vec_id": ids, "bucket": bucket, "kept": kept, "max_prior_sim": out_sim}
+        yield pd.DataFrame(
+            {"vec_id": ids, "bucket": buckets, "kept": kept, "max_prior_sim": out_sim}
         )
 
     return (
-        bucketed.groupBy("bucket")
-        .applyInPandas(
+        bucketed.repartition("bucket")
+        .sortWithinPartitions("bucket", "vec_id")
+        .mapInPandas(
             keep_rule, "vec_id long, bucket long, kept int, max_prior_sim double"
         )
         .orderBy("vec_id")
