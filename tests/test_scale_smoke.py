@@ -88,6 +88,7 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "events_retention_cohorts",
         "window_range_frame",
         "ann_ivf_topk",
+        "dedup_semantic_semdedup",
         "udf_scalar_iter_model_scoring",
     ],
 )
@@ -107,3 +108,23 @@ def test_replicated_dedup_finds_cross_replica_dups(spark, big_dir):
         (F.col("d1") % 10_000_000) == (F.col("d2") % 10_000_000)
     ).count()
     assert cross > 0
+
+
+def test_semdedup_drops_cross_replica_copies(spark, big_dir):
+    """Embedding replicas are bit-identical vectors under shifted vec_ids,
+    so every replica lands in its original's LSH bucket at cosine exactly
+    1.0 ≥ eps — the keep rule must retain at most one row per distinct
+    vector (the original can itself be dropped by a true neighbor, never
+    kept in duplicate). Also the many-tiny-buckets × replication shape is
+    the per-group-overhead regime the mapInPandas batching exists for."""
+    from spark_jdbc_limit_spark.operators.dedup import dedup_semantic_semdedup
+
+    res = dedup_semantic_semdedup(spark, big_dir)
+    agg = res.agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept")
+    ).head()
+    assert agg.n_total % REPLICAS == 0, "replication fixture changed shape"
+    n_originals = agg.n_total // REPLICAS
+    assert 0 < agg.n_kept <= n_originals, (
+        f"kept {agg.n_kept} of {agg.n_total}: replica copies must all drop"
+    )
