@@ -599,3 +599,21 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_char_entropy_zero_shuffle(spark, sf_dir):
+    """Per-document entropy is partition-local: the plan must be scan →
+    one Arrow exchange (mapInPandas) with ZERO shuffles and only the two
+    needed columns read — the explode-per-character formulation this
+    replaced shuffled one row per character."""
+    df = get_query("text_char_entropy").builder(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert_read_schema_cols(df, "documents", {"doc_id", "text"})
+
+
+def test_semdedup_single_shuffle(spark, sf_dir):
+    """SemDeDup retention shuffles ONCE on the bucket key (the orderBy
+    range exchange on the micro per-vector result is the only other
+    exchange); the pairwise GEMM itself adds none."""
+    df = get_query("dedup_semantic_semdedup").builder(spark, sf_dir)
+    assert count_exchanges(df) <= 2
