@@ -57,6 +57,7 @@ def main() -> None:
     # back-to-back reps is robust to one bad window while staying cheap.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     for name, spec in REGISTRY.items():
         samples = []
@@ -66,8 +67,14 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         all_reps[name] = samples
         timings[name] = round(statistics.median(samples), 3)
+        # MIN across reps is the contention-free estimate: a shared-VM
+        # noise window inflates individual reps but never deflates one,
+        # so min is the robust round-over-round comparison stat while
+        # median remains the expected-latency headline.
+        mins[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    total_min = round(sum(mins.values()), 3)
     full = {
         "metric": "total_sec_all_queries",
         "value": total,
@@ -75,6 +82,8 @@ def main() -> None:
         "queries": timings,
         "reps": reps,
         "rep_stat": "median",
+        "value_min": total_min,
+        "queries_min": mins,
         "queries_reps": all_reps,
         "sf": sf_val,
         "n_queries": len(timings),
@@ -90,7 +99,9 @@ def main() -> None:
     # whose "queries" holds the SLOWEST queries that fit a 1700-byte
     # budget — they carry the optimization signal — and point at
     # BENCH_FULL.json for the complete per-query map.
-    compact_base = {k: v for k, v in full.items() if k != "queries_reps"}
+    compact_base = {
+        k: v for k, v in full.items() if k not in ("queries_reps", "queries_min")
+    }
     head: dict[str, float] = {}
     line = json.dumps({**compact_base, "queries": {}, "queries_full": "BENCH_FULL.json"})
     for name in sorted(timings, key=lambda k: timings[k], reverse=True):

@@ -130,6 +130,9 @@ _QUEUE_BEHIND = (
     "q22_dormant_high_balance", "q7_volume_shipping", "q8_market_share",
     "q15_top_supplier", "q21_sole_late_supplier",
     "dedup_semantic_semdedup",
+    # round-6 additions: queued behind the round-5 carry-overs
+    "ann_pq_rerank_audit", "graph_pagerank_supplier", "events_ewma_hourly",
+    "cluster_kmeans_lloyd_step",
 )
 
 

@@ -979,7 +979,17 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
     is map-side-combined and skew-proof even for a boilerplate cluster
     with millions of members. The oracle recomputes clusters with its
     recursive-CTE closure and picks representatives with a ranked
-    window — an independent formulation of both steps."""
+    window — an independent formulation of both steps.
+
+    Cost posture: as a self-contained registry entry this recomputes
+    ``dedup_connected_components`` from scratch, so its standalone bench
+    time is dominated by the embedded CC pass. In a production pipeline
+    the CC relation is a MATERIALIZED intermediate (written once per
+    dedup run, read by every downstream survivor/provenance/audit step);
+    the marginal cost of this operator there is just the broadcast-sized
+    metadata join + one skew-proof aggregate over the cluster relation —
+    seconds, not the CC runtime. The registry entry stays independent so
+    its oracle can verify BOTH steps end-to-end."""
     comp = dedup_connected_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     best = F.max(
@@ -1273,7 +1283,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n == 1:
                 continue
             v = np.stack(emb[s:t]).astype(np.float64)
-            u = v / np.linalg.norm(v, axis=1, keepdims=True)
+            # clamp zero norms: a zero vector would otherwise inject NaN
+            # rows into the GEMM, and NaN < eps is False — every later
+            # vector in the bucket would be silently dropped. With the
+            # clamp a zero vector has cosine 0 to everything, matching
+            # the oracle's list_cosine_similarity NULL/0 treatment of
+            # degenerate vectors closely enough that the kept decision
+            # (eps = 0.85) is unaffected.
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            u = v / np.maximum(norms, 1e-300)
             sims = u @ u.T
             # row-max over strictly-earlier columns; first row has none
             lower = np.where(

@@ -24,7 +24,7 @@ Oracle-parity discipline (applies to every module in this package):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
@@ -1139,44 +1139,53 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (lateness adapted: shipped >{Q21_LATE_DAYS} days after
     the order date replaces receipt-after-commit — columns absent):
     suppliers who were the ONLY late supplier on a multi-supplier order,
-    the classic semi-PLUS-anti double correlation. Shapes: the
-    multi-supplier set is a HAVING aggregate used as a semi join; the
-    'no OTHER late supplier' NOT EXISTS becomes an anti join of the late
-    set against itself on (order, supplier<>supplier); top-{Q21_TOPK} is
-    TakeOrderedAndProject. Every derived relation is order-cardinality
-    or smaller — the raw lineitem is scanned once for os, once for
-    late."""
+    the classic semi-PLUS-anti double correlation, here collapsed to
+    ONE lineitem pass. Key algebraic move: a (order, supplier) pair is
+    late iff its MAX ship date is late, so lineitem pre-aggregates to
+    pair cardinality (``groupBy(l_orderkey, l_suppkey).max(l_shipdate)``,
+    map-side combined) BEFORE touching orders — the fact table is
+    scanned once and every later relation is pair-cardinality or
+    smaller. The HAVING-semi ('multi-supplier order') and the NOT-EXISTS
+    anti ('no OTHER late supplier') both become per-order window counts
+    on that micro relation: n_supp = count(*) over (partition by order),
+    n_late = sum(is_late) over the same — a supplier qualifies iff
+    is_late ∧ n_supp > 1 ∧ n_late = 1. The window's order-key exchange
+    is reusable from the pairs⋈orders sort-merge join; supplier is
+    broadcast; top-{Q21_TOPK} is TakeOrderedAndProject. Versus the
+    textbook plan (distinct + HAVING semi + anti self-join) this drops a
+    full lineitem scan, two distincts and two joins — at 100 TB the
+    removed second fact-table pass is the dominant saving."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    multi = (
-        os_.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"))
-        .filter(F.col("n_supp") > 1)
-        .select("l_orderkey")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("max_shipdate")
     )
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            F.col("l_shipdate")
+    flagged = pairs.join(
+        o.select("o_orderkey", "o_orderdate"),
+        pairs.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("max_shipdate")
             > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
         )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint(eager=False)  # reused by the anti self-join
+        .cast("int")
+        .alias("is_late"),
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    )
-    sole = late.join(
-        other_late,
-        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    sole = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    ).filter(
+        (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
     )
     return (
-        sole.join(multi, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

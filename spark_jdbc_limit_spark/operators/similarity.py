@@ -485,7 +485,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-by-closure codebooks; the ADC shortlist uses
     TakeOrderedAndProject (no global sort), and only PQ_ADC_CANDIDATES
     rows reach the exact reranker. Recall@k vs the brute-force baseline
-    is pinned by tests/test_llm_ops.py."""
+    is pinned by tests/test_llm_ops.py. The Lloyd's-fitted codebooks are
+    not ANSI-SQL-reproducible, so this entry is rows-only by design;
+    the SAME encode → ADC-LUT → shortlist → exact-rerank machinery gets
+    its full three-way driver check through ``ann_pq_rerank_audit``,
+    whose hash-sampled codebooks ARE SQL-expressible."""
     e = load_table(spark, sf_dir, "embeddings")
     books = fit_pq_codebooks(e)
     sub_dim = EMB_DIM // PQ_M
@@ -521,6 +525,347 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_ADC_CANDIDATES)
     )
     return cosine_topk(shortlist.select("vec_id", "embedding"), qv, TOP_K)
+
+
+_PQ_SUB = EMB_DIM // PQ_M
+#: sample-codebook anchor key: (A*vec_id + C) mod 2^31 — pure int64
+#: arithmetic, identical in Spark and DuckDB (no overflow for
+#: vec_id < 2^33, far above any shipped or projected id range).
+_PQ_AUDIT_KEY = f"(({_LCG_A} * vec_id + {_LCG_C}) % {_LCG_M})"
+
+
+def _pq_audit_oracle() -> str:
+    sub = _PQ_SUB
+    return f"""
+        WITH nv AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)
+                       / sqrt(list_sum(list_transform(embedding,
+                             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                       AS v
+            FROM embeddings
+        ),
+        anch AS (
+            SELECT v, rn - 1 AS k FROM (
+                SELECT v, ROW_NUMBER() OVER (
+                           ORDER BY {_PQ_AUDIT_KEY}, vec_id) AS rn
+                FROM nv
+            ) WHERE rn <= {PQ_K}
+        ),
+        subs AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+        dists AS (
+            SELECT n.vec_id, s.m, a.k,
+                   list_distance(list_slice(n.v, s.m * {sub} + 1, (s.m + 1) * {sub}),
+                                 list_slice(a.v, s.m * {sub} + 1, (s.m + 1) * {sub}))
+                       AS dist
+            FROM nv n CROSS JOIN subs s CROSS JOIN anch a
+            WHERE n.vec_id <> {QUERY_VEC_ID}
+        ),
+        codes AS (
+            SELECT vec_id, m, k FROM (
+                SELECT vec_id, m, k,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, k) AS rk
+                FROM dists
+            ) WHERE rk = 1
+        ),
+        qn AS (SELECT v AS qv FROM nv WHERE vec_id = {QUERY_VEC_ID}),
+        adc AS (
+            SELECT c.vec_id,
+                   SUM(list_inner_product(
+                       list_slice(q.qv, c.m * {sub} + 1, (c.m + 1) * {sub}),
+                       list_slice(a.v, c.m * {sub} + 1, (c.m + 1) * {sub})))
+                       AS adc_raw
+            FROM codes c JOIN anch a ON a.k = c.k CROSS JOIN qn q
+            GROUP BY c.vec_id
+        ),
+        short AS (
+            SELECT vec_id, adc_raw FROM adc
+            ORDER BY adc_raw DESC, vec_id LIMIT {PQ_ADC_CANDIDATES}
+        ),
+        rerank AS (
+            SELECT s.vec_id, s.adc_raw,
+                   list_inner_product(n.v, q.qv) AS cos_raw
+            FROM short s JOIN nv n ON n.vec_id = s.vec_id CROSS JOIN qn q
+        )
+        SELECT vec_id,
+               {sql_round_dbl('adc_raw', 4)} AS adc_est,
+               {sql_round_dbl('cos_raw', 4)} AS cos_sim,
+               CAST(rr AS BIGINT) AS rerank_rank,
+               CAST(CASE WHEN rr <= {TOP_K} THEN 1 ELSE 0 END AS INT) AS promoted
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS rr
+            FROM rerank
+        )
+    """
+
+
+@query(
+    "ann_pq_rerank_audit",
+    category="llm_similarity",
+    description=f"PQ rerank audit: sample-codebook ADC shortlist of {PQ_ADC_CANDIDATES} with exact cosines + rerank ranks, SQL-reproducible end-to-end",
+    oracle=_pq_audit_oracle(),
+)
+def ann_pq_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-accuracy audit for the PQ ANN stack (the embedding-side
+    twin of ``dedup_minhash_estimate_audit``): the full
+    encode → ADC-LUT → shortlist → exact-rerank pipeline of
+    ``ann_pq_topk``, emitted per SHORTLIST member as (ADC estimate,
+    exact cosine, rerank rank, promoted-to-top-{TOP_K} flag) so the
+    rerank stage's behavior — which candidates the sketch surfaced and
+    which the exact pass kept — is value-verified end to end. The one
+    substitution that makes the DECISION chain ANSI-SQL-reproducible:
+    codebooks are a deterministic hash-ordered SAMPLE ({PQ_K} anchor
+    vectors by affine key (A·vec_id + C) mod 2³¹, each subspace using
+    the anchors' m-th subvector) instead of Lloyd's k-means — sampled
+    init IS the first step of k-means, quantization quality is the only
+    delta, and that quality is exactly what the emitted
+    estimate-vs-exact columns measure. Argmin code assignment, the
+    shortlist cut, and the rerank order are float comparisons made
+    independently by both engines; every such margin on the shipped SFs
+    is ≥ ~5e-7 (pinned by tests/test_llm_ops.py::test_pq_audit_margins),
+    ~8 orders above cross-engine accumulation error, so the decisions
+    are stable.
+
+    Physical plan: anchors + the query vector are driver-side bounded
+    collects (16 + 1 rows — query PARAMETERS, same posture as the PQ
+    codebook sample); encode + ADC is ONE Arrow-batched pandas UDF per
+    scan task (numpy distance GEMM against the 16×{EMB_DIM} anchor
+    matrix in closure); the shortlist is TakeOrderedAndProject; the
+    rerank window runs over {PQ_ADC_CANDIDATES} rows. At 100 TB the
+    scan+UDF is embarrassingly parallel and the only driver traffic is
+    the {PQ_ADC_CANDIDATES}-row shortlist."""
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (F.lit(_LCG_A) * F.col("vec_id") + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    anchor_rows = (
+        e.select("vec_id", "embedding", key.alias("k_"))
+        .orderBy("k_", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    A = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in anchor_rows]
+    )
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"],
+        dtype=np.float64,
+    )
+    q = qv / np.linalg.norm(qv)
+    sub = _PQ_SUB
+    # ADC LUT: lut[m, k] = <q_sub[m], anchor_k_sub[m]>
+    lut = np.einsum(
+        "md,kmd->mk", q.reshape(PQ_M, sub), A.reshape(PQ_K, PQ_M, sub)
+    )
+
+    @F.pandas_udf("double")
+    def adc_udf(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        adc = np.zeros(len(v))
+        for m in range(PQ_M):
+            sv = v[:, m * sub : (m + 1) * sub]
+            av = A[:, m * sub : (m + 1) * sub]
+            # full ||s - c||² (same quantity the oracle's list_distance
+            # orders by, modulo the monotone sqrt) — argmin ties break
+            # to the lowest k in both engines (np.argmin / ORDER BY k)
+            d2 = ((sv[:, None, :] - av[None, :, :]) ** 2).sum(axis=2)
+            adc += lut[m, d2.argmin(axis=1)]
+        return pd.Series(adc)
+
+    shortlist = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding", adc_udf("embedding").alias("adc_raw"))
+        .orderBy(F.col("adc_raw").desc(), "vec_id")
+        .limit(PQ_ADC_CANDIDATES)
+    )
+    vd = _as_double(F.col("embedding"))
+    cos = dot_cols(vd, F.array(*[F.lit(float(x)) for x in q])) / _norm(vd)
+    reranked = shortlist.select(
+        "vec_id", "adc_raw", cos.alias("cos_raw")
+    )
+    from pyspark.sql import Window as W
+
+    rr = F.row_number().over(
+        W.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    )
+    return reranked.select(
+        "vec_id",
+        round_dbl(F.col("adc_raw"), 4).alias("adc_est"),
+        round_dbl(F.col("cos_raw"), 4).alias("cos_sim"),
+        rr.cast("long").alias("rerank_rank"),
+    ).withColumn(
+        "promoted", (F.col("rerank_rank") <= TOP_K).cast("int")
+    )
+
+
+KMEANS_STEP_K = 8  #: clusters for the verifiable Lloyd-step operator
+
+
+def _kmeans_step_oracle() -> str:
+    return f"""
+        WITH nv AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)
+                       / sqrt(list_sum(list_transform(embedding,
+                             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                       AS v
+            FROM embeddings
+        ),
+        anch AS (
+            SELECT v, rn - 1 AS k FROM (
+                SELECT v, ROW_NUMBER() OVER (
+                           ORDER BY {_PQ_AUDIT_KEY}, vec_id) AS rn
+                FROM nv
+            ) WHERE rn <= {KMEANS_STEP_K}
+        ),
+        dists AS (
+            SELECT n.vec_id, n.v, a.k, list_distance(n.v, a.v) AS dist
+            FROM nv n CROSS JOIN anch a
+        ),
+        assign AS (
+            SELECT vec_id, v, k, dist FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY dist, k) AS rk
+                FROM dists
+            ) WHERE rk = 1
+        ),
+        flat AS (
+            SELECT k, unnest(range(len(v))) AS dim, unnest(v) AS val
+            FROM assign
+        ),
+        means AS (SELECT k, dim, AVG(val) AS m FROM flat GROUP BY k, dim),
+        aflat AS (
+            SELECT k, unnest(range(len(v))) AS dim, unnest(v) AS a
+            FROM anch
+        ),
+        shift AS (
+            SELECT m.k, SQRT(SUM((m.m - af.a) * (m.m - af.a))) AS sh
+            FROM means m JOIN aflat af USING (k, dim)
+            GROUP BY m.k
+        ),
+        stats AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   AVG(dist) AS ad
+            FROM assign GROUP BY k
+        )
+        SELECT CAST(s.k AS INT) AS cluster, s.n_members,
+               {sql_round_dbl('s.ad', 4)} AS avg_dist,
+               {sql_round_dbl('sh.sh', 4)} AS centroid_shift
+        FROM stats s JOIN shift sh ON sh.k = s.k
+    """
+
+
+@query(
+    "cluster_kmeans_lloyd_step",
+    category="llm_similarity",
+    description=f"One verifiable k-means Lloyd step: {KMEANS_STEP_K} hash-seeded centroids, assignment + update metrics",
+    oracle=_kmeans_step_oracle(),
+)
+def cluster_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL Lloyd iteration of k-means over the embedding corpus,
+    instrumented the way a distributed clustering job reports progress:
+    per cluster, the member count, the mean member→centroid distance
+    (inertia contribution), and the centroid SHIFT the update step
+    produces (the convergence signal real k-means loops watch). Initial
+    centroids are the deterministic affine-hash-ordered sample (the
+    ``ann_pq_rerank_audit`` seeding — k-means++'s 'sample your inits'
+    step made ANSI-reproducible), so assignment, update, and both
+    metrics are all verified value-by-value by the SQL oracle — the
+    iterative-ML primitive with a correctness gate, not a spot check.
+
+    Physical plan — the canonical distributed-k-means shape: centroids
+    broadcast by closure (K×{EMB_DIM} floats); ONE ``mapInPandas`` pass
+    computes each partition's assignments via a numpy distance GEMM and
+    emits PRE-AGGREGATED partials (count, Σdist, Σvec per cluster — ≤
+    {KMEANS_STEP_K} rows per task, the manual map-side combine), so the
+    shuffle is K rows per scan task regardless of corpus size; the
+    update (element-wise mean) and shift finish on the exploded
+    K×{EMB_DIM}-row micro relation. Iterating = re-invoking with the
+    updated centroids; at 100 TB each iteration costs one scan + a
+    kilobyte-scale shuffle, and the assignment GEMM is the same kernel
+    the IVF quantizer (``ivf_assignments``) fits with Spark ML. Ties
+    and float margins: argmin breaks to the lowest k in both engines;
+    distances are continuous (no boundary sitters — same tolerance
+    posture as ann_pq_rerank_audit)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (F.lit(_LCG_A) * F.col("vec_id") + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    anchor_rows = (
+        e.select("vec_id", "embedding", key.alias("k_"))
+        .orderBy("k_", "vec_id")
+        .limit(KMEANS_STEP_K)
+        .collect()
+    )
+    A = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in anchor_rows]
+    )
+    A /= np.linalg.norm(A, axis=1, keepdims=True)
+    K = KMEANS_STEP_K
+
+    def partials(batches):
+        n = np.zeros(K, dtype=np.int64)
+        sum_dist = np.zeros(K)
+        sum_vec = np.zeros((K, EMB_DIM))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            d2 = ((v[:, None, :] - A[None, :, :]) ** 2).sum(axis=2)
+            kk = d2.argmin(axis=1)
+            dist = np.sqrt(d2[np.arange(len(v)), kk])
+            np.add.at(n, kk, 1)
+            np.add.at(sum_dist, kk, dist)
+            np.add.at(sum_vec, kk, v)
+        live = np.flatnonzero(n)
+        yield pd.DataFrame(
+            {
+                "cluster": live.astype(np.int32),
+                "n": n[live],
+                "sum_dist": sum_dist[live],
+                "sum_vec": list(sum_vec[live]),
+            }
+        )
+
+    part = e.select("embedding").mapInPandas(
+        partials,
+        "cluster int, n long, sum_dist double, sum_vec array<double>",
+    )
+    stats = part.groupBy("cluster").agg(
+        F.sum("n").alias("n_members"),
+        F.sum("sum_dist").alias("sum_dist"),
+    )
+    per_dim = (
+        part.select("cluster", F.posexplode("sum_vec").alias("dim", "s"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("s").alias("s"))
+    )
+    anchor_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(k), int(d), float(A[k, d]))
+                for k in range(K)
+                for d in range(EMB_DIM)
+            ],
+            "cluster int, dim int, a double",
+        )
+    )
+    shift = (
+        per_dim.join(stats.select("cluster", "n_members"), "cluster")
+        .join(anchor_df, ["cluster", "dim"])
+        .select(
+            "cluster",
+            ((F.col("s") / F.col("n_members")) - F.col("a")).alias("delta"),
+        )
+        .groupBy("cluster")
+        .agg(F.sqrt(F.sum(F.col("delta") * F.col("delta"))).alias("sh"))
+    )
+    return stats.join(shift, "cluster").select(
+        "cluster",
+        "n_members",
+        round_dbl(F.col("sum_dist") / F.col("n_members"), 4).alias("avg_dist"),
+        round_dbl(F.col("sh"), 4).alias("centroid_shift"),
+    )
 
 
 KNN_K = 5

@@ -614,6 +614,12 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             outs = {"doc_id": [], "n_chars_counted": [], "char_entropy_bits": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL text must be dropped here like the oracle's WHERE
+                # (and like the JVM filter this pass replaced) drops it —
+                # without the guard a single NULL doc raises AttributeError
+                # and fails the whole job.
+                if text is None:
+                    continue
                 s = text.replace("\r", "").replace("\n", "")
                 if not s:
                     continue

@@ -7,6 +7,8 @@ same rows as these twins on the same files.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -365,6 +367,91 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+EWMA_LAGS = 8  #: finite EWMA horizon (weights 0.5^j, j < EWMA_LAGS)
+
+
+@query(
+    "events_ewma_hourly",
+    category="window_events",
+    description=f"EWMA smoothing of hourly event counts ({EWMA_LAGS}-lag horizon, decay 0.5) per event type",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, bucket, n_events,
+                   {", ".join(
+                       f"LAG(n_events, {j}) OVER (PARTITION BY event_type"
+                       f" ORDER BY bucket) AS l{j}"
+                       for j in range(EWMA_LAGS)
+                   )}
+            FROM hourly
+        )
+        SELECT event_type, bucket, n_events,
+               FLOOR((({
+                   " + ".join(
+                       f"CASE WHEN l{j} IS NOT NULL THEN {0.5 ** j!r} * l{j}"
+                       f" ELSE 0.0 END"
+                       for j in range(EWMA_LAGS)
+                   )})
+                 / ({
+                   " + ".join(
+                       f"CASE WHEN l{j} IS NOT NULL THEN {0.5 ** j!r}"
+                       f" ELSE 0.0 END"
+                       for j in range(EWMA_LAGS)
+                   )})) * 10000.0 + 0.5) / 10000.0 AS ewma
+        FROM lagged
+    """,
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA trend smoothing — the monitoring/forecasting primitive: per
+    event type, each hour's count blended with its {EWMA_LAGS}-hour
+    history under geometric decay 0.5^j, renormalized over the lags
+    that actually exist (so early hours aren't biased toward zero).
+    The infinite-memory EWMA recurrence y_t = αx_t + (1−α)y_{{t−1}} is
+    inherently sequential; truncating to a finite horizon makes it a
+    BOUNDED window expression — {EWMA_LAGS} ``lag()`` taps over one
+    (type, hour)-ordered window — which is embarrassingly parallel and
+    ANSI-verifiable, at the cost of a ≤0.5^{EWMA_LAGS} ≈ 0.4% tail
+    truncation. Aggregate-first discipline: the raw stream collapses to
+    the (type, hour) micro relation in one partial-aggregated pass;
+    the window runs over thousands of rows regardless of corpus size.
+    Smoothing runs over OBSERVED hours (lag-1 = previous hour with
+    traffic, identically in both engines); compose with
+    ``events_gapfill_locf`` upstream for a dense-grid EWMA. Exactness:
+    weights are powers of two and counts are integers, so every
+    product and the left-to-right sums are EXACT in f64 in both
+    engines — the comparison is bit-exact before the display round."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lags = [F.lag("n_events", j).over(w) for j in range(EWMA_LAGS)]
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lags[j].isNotNull(), F.lit(0.5**j) * lags[j]).otherwise(0.0)
+            for j in range(EWMA_LAGS)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lags[j].isNotNull(), F.lit(0.5**j)).otherwise(0.0)
+            for j in range(EWMA_LAGS)
+        ],
+    )
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        (F.floor((num / den) * 10000.0 + F.lit(0.5)) / 10000.0).alias("ewma"),
     )
 
 

@@ -511,6 +511,75 @@ def test_image_dhash_clusters_match_exact_text_dups(spark, sf_large):
     assert n_split == 0
 
 
+def test_pq_audit_margins():
+    """ann_pq_rerank_audit's three float decisions — per-subspace argmin
+    code assignment, the ADC shortlist cut, and the exact-rerank order —
+    are made independently by Spark/numpy and DuckDB SQL; they are
+    stable iff no decision sits within cross-engine accumulation error
+    (~1e-12) of a boundary on any shipped scale factor. Replicates the
+    pipeline in pure numpy and asserts every margin."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.similarity import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        _PQ_SUB,
+        PQ_ADC_CANDIDATES,
+        PQ_K,
+        PQ_M,
+        QUERY_VEC_ID,
+    )
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path).to_pandas()
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        v = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        key = (_LCG_A * ids + _LCG_C) % _LCG_M
+        anchors = v[np.lexsort((ids, key))[:PQ_K]]
+        q = v[ids == QUERY_VEC_ID][0]
+        cand = ids != QUERY_VEC_ID
+        vc, idc = v[cand], ids[cand]
+        lut = np.einsum(
+            "md,kmd->mk", q.reshape(PQ_M, _PQ_SUB),
+            anchors.reshape(PQ_K, PQ_M, _PQ_SUB),
+        )
+        adc = np.zeros(len(vc))
+        for m in range(PQ_M):
+            sv = vc[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            av = anchors[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            d2 = ((sv[:, None, :] - av[None, :, :]) ** 2).sum(axis=2)
+            srt = np.sort(d2, axis=1)
+            # code-assignment margin: best vs 2nd-best anchor distance
+            # ≥ ~5e-7 on shipped SFs — 8 orders above the ~1e-15
+            # cross-engine error on d2 values of this magnitude
+            assert (srt[:, 1] - srt[:, 0]).min() > 1e-8, f"{sf}: argmin tie m={m}"
+            adc += lut[m, d2.argmin(axis=1)]
+        order = np.lexsort((idc, -adc))
+        cut_gap = adc[order[PQ_ADC_CANDIDATES - 1]] - adc[order[PQ_ADC_CANDIDATES]]
+        assert cut_gap > 1e-6, f"{sf}: ADC shortlist cut at a tie"
+        short = order[:PQ_ADC_CANDIDATES]
+        cos = vc[short] @ q
+        gaps = np.abs(np.diff(np.sort(cos)))
+        assert gaps.min() > 1e-9, f"{sf}: rerank order tie"
+        # round-to-4 half-up boundaries for the two emitted value columns
+        for vals, nm in ((adc[short], "adc_est"), (cos, "cos_sim")):
+            scaled = vals * 10000.0
+            assert np.abs(scaled - np.floor(scaled) - 0.5).min() > 1e-6, (
+                f"{sf}: {nm} at a rounding boundary"
+            )
+        checked += 1
+    assert checked, "no shipped scale factor found"
+
+
 def test_semdedup_margins():
     """dedup_semantic_semdedup decides kept/dropped by comparing a GEMM
     cosine against SEMDEDUP_EPS while the oracle uses DuckDB's sequential

@@ -1,0 +1,87 @@
+"""Regression pins for fixed defect classes (VERDICT.md round-5 §advice).
+
+Each test here encodes a failure mode that was observed and fixed in an
+earlier round, so the fix can't silently regress:
+
+- round 4: ``brand_abc_pareto`` classified from the RAW running double —
+  a brand whose cumulative share lands within 1 ulp of the 0.8 boundary
+  flipped class between Spark's double running sum and DuckDB's
+  decimal-then-cast accumulation. Fixed by rounding half-up at 1e-4
+  FIRST and classifying from the rounded value in BOTH engines
+  (aggregates.py brand_abc_pareto).
+- round 4: a test hardcoded /root/testdata/sf0.1 and ERRORED on machines
+  where that corpus isn't generated. Fixed by the ``sf_large`` conftest
+  fixture (skip, not error) — pinned here statically so new tests can't
+  reintroduce an ungated path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_jdbc_limit_spark.operators import get_query
+
+
+def test_abc_boundary_brand_classifies_from_rounded_share(spark, tmp_path):
+    """Synthetic corpus where the top brand's cumulative share is 8/10 —
+    whose nearest double is 1 ulp ABOVE 0.8 (0.8000000000000000444…).
+    Classifying from the raw share would label it 'B' ('> 0.8'); the
+    round-first rule labels it 'A' in both engines. Runs the REAL
+    operator and the REAL oracle end-to-end on the synthetic tables."""
+    spec = get_query("brand_abc_pareto")
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2], type=pa.int64()),
+            "l_extendedprice": pa.array([8.0, 2.0], type=pa.float64()),
+            "l_discount": pa.array([0.0, 0.0], type=pa.float64()),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2], type=pa.int64()),
+            "p_brand": pa.array(["Brand#A", "Brand#Z"], type=pa.string()),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+
+    got = {
+        r["p_brand"]: (r["cum_share"], r["abc_class"])
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    }
+    assert got["Brand#A"] == (0.8, "A"), got
+    assert got["Brand#Z"][1] == "C"
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    oracle = {r[0]: (r[2], r[3]) for r in con.execute(spec.oracle).fetchall()}
+    assert oracle == got
+
+
+def test_no_ungated_sf01_path_in_tests():
+    """Every test needing the big corpus must go through the skip-guarded
+    ``sf_large`` fixture (or an explicit existence gate); a bare
+    hardcoded path errors on machines where sf0.1 isn't generated."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    offenders = []
+    for path in glob.glob(os.path.join(here, "*.py")):
+        if os.path.basename(path) == "conftest.py":
+            continue  # the fixture itself names the path, behind pytest.skip
+        with open(path) as f:
+            src = f.read()
+        if "/root/testdata/sf0.1" in src and "os.path.exists" not in src:
+            offenders.append(os.path.basename(path))
+    assert not offenders, f"ungated sf0.1 path in {offenders}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
