@@ -132,7 +132,9 @@ _QUEUE_BEHIND = (
     "dedup_semantic_semdedup",
     # round-6 additions: queued behind the round-5 carry-overs
     "ann_pq_rerank_audit", "graph_pagerank_supplier", "events_ewma_hourly",
-    "cluster_kmeans_lloyd_step",
+    "cluster_kmeans_lloyd_step", "multimodal_dhash_near_dup",
+    "dq_referential_integrity", "text_zipf_fit", "basket_lift_rules",
+    "events_decayed_value", "supplier_hhi_by_nation",
 )
 
 

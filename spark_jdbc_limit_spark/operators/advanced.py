@@ -403,31 +403,143 @@ BASKET_TOPK = 100
 def basket_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket analysis — pairwise co-occurrence support, the first
     step of association-rule mining (and of "related items" retrieval).
-    The pair space is generated INSIDE each basket: a self-equi-join on
-    the order key whose quadratic blowup is bounded by basket size
-    (TPC-H baskets average ~4 items → ~6 pairs), never a cross join of
-    the item catalog. The dedup-first projection keeps quantity splits of
-    the same part from inflating support; the pair-keyed count partial-
-    aggregates map-side; top-k with the full (support, part_a, part_b)
-    tie-break plans as TakeOrderedAndProject — no global sort of the
-    pair space. At 100 TB the known skew risk is a mega-basket (one
-    order with 10⁶ items); production caps basket size or salts the
-    basket key — the shape here documents the bound."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    The pair space is generated INSIDE each basket with ONE fact
+    shuffle: each order's distinct parts are grouped into a sorted set
+    (``collect_set`` absorbs the quantity-split dedup), then a codegen
+    slice/transform expansion emits the C(|basket|, 2) ordered pairs
+    in-row — the supplier co-order edge builder's shape (graph.py). At
+    sf0.1 this times even with the distinct + self-equi-join
+    formulation (Catalyst reuses the distinct's exchange for the
+    self-join, so that plan is also effectively single-shuffle) — the
+    set form is kept because its shuffle budget is guaranteed by
+    construction, not by an optimizer exchange-reuse that a second
+    consumer of `items` would silently break. The per-order set is
+    basket-bounded (TPC-H baskets average ~4 items → ~6 pairs); the
+    pair-keyed count partial-aggregates map-side; top-k with the full
+    (support, part_a, part_b) tie-break plans as
+    TakeOrderedAndProject — no global sort of the pair space. At
+    100 TB the known skew risk is a mega-basket (one order with 10⁶
+    items); production caps basket size or salts the basket key — the
+    shape here documents the bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    a = items.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
-    b = items.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
     return (
-        pairs.groupBy("part_a", "part_b")
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(BASKET_TOPK)
+    )
+
+
+LIFT_TOPK = 50
+
+
+@query(
+    "basket_lift_rules",
+    category="aggregation",
+    description=f"Association rules for the top-{LIFT_TOPK} part pairs: support, confidence both ways, lift",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n
+               FROM items),
+        isup AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+            FROM items GROUP BY l_partkey
+        ),
+        psup AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS supp_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY supp_ab DESC, part_a, part_b
+            LIMIT {LIFT_TOPK}
+        )
+        SELECT p.part_a, p.part_b, p.supp_ab,
+               {sql_round_dbl('CAST(p.supp_ab AS DOUBLE) / sa.s', 4)}
+                   AS conf_a_to_b,
+               {sql_round_dbl('CAST(p.supp_ab AS DOUBLE) / sb.s', 4)}
+                   AS conf_b_to_a,
+               {sql_round_dbl(
+                   'CAST(p.supp_ab AS DOUBLE) * nb.n / (sa.s * sb.s)', 4)}
+                   AS lift
+        FROM psup p
+        JOIN isup sa ON sa.l_partkey = p.part_a
+        JOIN isup sb ON sb.l_partkey = p.part_b
+        CROSS JOIN nb
+    """,
+)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining finished end to end: for the strongest
+    co-occurring part pairs, the rule metrics that decide whether the
+    pattern is real — confidence in both directions (P(b|a), P(a|b))
+    and LIFT (observed co-support over the independence expectation;
+    lift ≈ 1 means the pair co-occurs by popularity alone). Scale
+    shape: ONE fact shuffle total — the per-order ``collect_set``
+    basket relation feeds all three statistics (in-row pair expansion
+    for pair supports, explode for item supports, a count for the
+    basket total; the distinct + self-join formulation would shuffle
+    the fact relation twice more); the top-{LIFT_TOPK} cut is
+    TakeOrderedAndProject; item supports are a part-cardinality
+    relation (dimension-scale → broadcast); the basket total is a
+    one-row relation cross-joined in. Every metric is an exact integer
+    ratio computed identically in both engines, rounded for display."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)  # feeds pairs, item supports, N
+    )
+    nb = sets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    isup = sets.select(F.explode("ps").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("s"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice("ps", i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    psup = (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .orderBy(F.col("supp_ab").desc(), "part_a", "part_b")
+        .limit(LIFT_TOPK)
+    )
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    return (
+        psup.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(nb))  # one-row basket total
+        .select(
+            "part_a",
+            "part_b",
+            "supp_ab",
+            round_dbl(F.col("supp_ab") / F.col("s_a"), 4).alias("conf_a_to_b"),
+            round_dbl(F.col("supp_ab") / F.col("s_b"), 4).alias("conf_b_to_a"),
+            round_dbl(
+                F.col("supp_ab") * F.col("n") / (F.col("s_a") * F.col("s_b")), 4
+            ).alias("lift"),
+        )
     )

@@ -26,6 +26,7 @@ from spark_jdbc_limit_spark.operators.relational import (
     round_dbl,
     sql_dec_avg,
     sql_dec_sum,
+    sql_round_dbl,
 )
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
@@ -773,6 +774,160 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nonpositive_price_count"),
     )
+
+
+@query(
+    "supplier_hhi_by_nation",
+    category="aggregation",
+    description="Market concentration per nation: supplier revenue HHI + top share",
+    oracle=f"""
+        WITH rev AS (
+            SELECT s_nationkey, l_suppkey,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(28,8))), 2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT s_nationkey, SUM(revenue) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM rev GROUP BY s_nationkey
+        )
+        SELECT n_name, t.n_suppliers,
+               {sql_round_dbl(
+                   'SUM((r.revenue / t.total) * (r.revenue / t.total))', 4)}
+                   AS hhi,
+               {sql_round_dbl('MAX(r.revenue / t.total)', 4)} AS top_share
+        FROM rev r
+        JOIN tot t USING (s_nationkey)
+        JOIN nation ON n_nationkey = r.s_nationkey
+        GROUP BY n_name, t.n_suppliers
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation — 'is this
+    market a monopoly': the sum of squared supplier revenue shares
+    (1/n for perfect competition → 1.0 for a single supplier), plus the
+    largest single share. The fact-sized work is ONE decimal-exact
+    (nation, supplier) revenue aggregate — map-side combined; nation
+    totals, shares, squares, and the final per-nation rollup all run on
+    the supplier-cardinality micro relation. The per-supplier revenue
+    is rounded to cents BEFORE share division in both engines (the same
+    decimal-then-round discipline as brand_abc_pareto) so the share
+    ratios start from identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("revenue").alias("total"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("revenue") / F.col("total")
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "n_suppliers")
+        .agg(
+            round_dbl(F.sum(share * share), 4).alias("hhi"),
+            round_dbl(F.max(share), 4).alias("top_share"),
+        )
+        .select("n_name", "n_suppliers", "hhi", "top_share")
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    category="aggregation",
+    description="FK orphan audit across the star schema: distinct dangling keys per relationship, one row",
+    oracle="""
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT DISTINCT l_orderkey FROM lineitem) f
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_orderkey = f.l_orderkey))
+              AS orphan_lineitem_orders,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT DISTINCT o_custkey FROM orders) f
+           WHERE NOT EXISTS (SELECT 1 FROM customer
+                             WHERE c_custkey = f.o_custkey))
+              AS orphan_orders_customer,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT DISTINCT l_partkey FROM lineitem) f
+           WHERE NOT EXISTS (SELECT 1 FROM part
+                             WHERE p_partkey = f.l_partkey))
+              AS orphan_lineitem_part,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT DISTINCT l_suppkey FROM lineitem) f
+           WHERE NOT EXISTS (SELECT 1 FROM supplier
+                             WHERE s_suppkey = f.l_suppkey))
+              AS orphan_lineitem_supplier,
+          (SELECT CAST(COUNT(*) AS BIGINT)
+           FROM (SELECT DISTINCT c_nationkey FROM customer) f
+           WHERE NOT EXISTS (SELECT 1 FROM nation
+                             WHERE n_nationkey = f.c_nationkey))
+              AS orphan_customer_nation
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the pre-join data-quality gate a
+    pipeline runs before trusting a star schema: for each FK→PK
+    relationship, the count of DISTINCT dangling foreign keys (keys, not
+    rows: a hot orphan key would otherwise dominate the count AND the
+    runtime; the key-level number is what you fix). Scale shape: each
+    fact column first collapses to its distinct-key micro relation
+    (partial-aggregated — the only fact-sized work), then anti-joins its
+    PK side: broadcast for the bounded dims (part/supplier/customer/
+    nation), shuffle anti-join of two key-cardinality relations for
+    lineitem→orders. The five one-row counts cross-join into a single
+    report row — the dq_expectations_report posture extended across
+    relations. On a healthy corpus every count is 0; the check is the
+    contract, and the oracle recomputes each via NOT EXISTS."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(fk_df, fk, pk_df, pk, name, broadcast_pk):
+        pks = pk_df.select(pk)
+        if broadcast_pk:
+            pks = F.broadcast(pks)
+        return (
+            fk_df.select(fk)
+            .distinct()
+            .join(pks, F.col(fk) == F.col(pk), "left_anti")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    checks = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "orphan_lineitem_orders", False),
+        orphans(o, "o_custkey", c, "c_custkey", "orphan_orders_customer", True),
+        orphans(li, "l_partkey", p, "p_partkey", "orphan_lineitem_part", True),
+        orphans(li, "l_suppkey", s, "s_suppkey", "orphan_lineitem_supplier", True),
+        orphans(c, "c_nationkey", n, "n_nationkey", "orphan_customer_nation", True),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.crossJoin(chk)  # five one-row relations
+    return out
 
 
 @query(

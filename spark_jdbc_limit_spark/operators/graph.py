@@ -163,19 +163,27 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (rank onto out-edges, pre-divided by out-degree) + one
     aggregation (sum of inbound mass per destination) — exactly the
     Pregel step expressed relationally, so Catalyst handles partial
-    aggregation and AQE handles any celebrity-node skew. Lineage is cut
-    with a lazy ``localCheckpoint`` per iteration (the CC-loop
-    discipline — without it the plan doubles each round and the 5th
-    iteration plans 2^5 joins). No dangling-node term is needed: the
-    bidirectional edge relation gives every node out-degree ≥ 1 by
-    construction. The single driver-side scalar is N (node count — a
-    graph-cardinality count, bounded at any corpus scale). At 100 TB
-    the rank and edge relations shuffle-join on node id per iteration —
-    the standard distributed PageRank shape; the fact-table pass
-    happens exactly once inside the edge derivation. The oracle unrolls
-    the same {PAGERANK_ITERS} iterations as chained CTEs — recursion-free
-    and ANSI, so the fixpoint trajectory itself is verified value-by-
-    value (round 1e-6; reorder error ~1e-15/iteration on ~1e-2 ranks).
+    aggregation and AQE handles any celebrity-node skew. Plan shape:
+    the rank relation feeds each next iteration exactly ONCE, so the
+    DAG is LINEAR and the whole {PAGERANK_ITERS}-step fixpoint compiles
+    into a single job — no per-iteration checkpoint is needed (that
+    discipline is for loops that reference their result twice, like
+    CC's star contraction; here a per-iteration cut was measured 4×
+    slower at sf0.1 from per-job scheduling alone). The ONE lineage cut
+    that matters is the edge relation: it feeds five branches (degrees,
+    N, both join sides via bi, the final report join), so it is
+    materialized eagerly and the iteration-invariant (edge ⋈ degree)
+    contribution frame is checkpointed lazily once. No dangling-node
+    term is needed: the bidirectional edge relation gives every node
+    out-degree ≥ 1 by construction. The single driver-side scalar is N
+    (node count — a graph-cardinality count, bounded at any corpus
+    scale). At 100 TB the rank and edge relations shuffle-join on node
+    id per iteration — the standard distributed PageRank shape; the
+    fact-table pass happens exactly once inside the edge derivation.
+    The oracle unrolls the same {PAGERANK_ITERS} iterations as chained
+    CTEs — recursion-free and ANSI, so the fixpoint trajectory itself
+    is verified value-by-value (round 1e-6; reorder error
+    ~1e-15/iteration on ~1e-2 ranks).
 
     Reference parity: the reference engine has no graph surface
     (SURVEY.md §2B 'beyond the reference'); this extends the graph
@@ -186,12 +194,22 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
     deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
     n = float(deg.count())  # graph-cardinality scalar: bounded driver traffic
+    # Iteration-invariant contribution frame, computed once and
+    # PRE-PARTITIONED on the destination key: every iteration's
+    # per-destination sum then reuses this exchange, and the rank
+    # relation — node-cardinality, i.e. supplier-dimension-sized, hence
+    # broadcastable at any corpus scale by the same argument as the
+    # supplier table itself (catalog.BROADCAST_TABLES) — rides in as a
+    # broadcast join. Net shuffle cost of the whole fixpoint: ONE
+    # exchange of the edge frame, total, regardless of iteration count.
+    # 8 partitions, not the session default: the frame is
+    # graph-cardinality (micro), and every iteration schedules one task
+    # per partition — at real scale raise this with graph size.
+    cdf = bi.join(deg, "u").repartition(8, "v").localCheckpoint(eager=False)
     pr = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("r"))
     for _ in range(PAGERANK_ITERS):
-        contrib = (
-            bi.join(deg, "u")
-            .join(pr, F.col("u") == F.col("node"))
-            .select(F.col("v"), (F.col("r") / F.col("dg")).alias("c"))
+        contrib = cdf.join(F.broadcast(pr), F.col("u") == F.col("node")).select(
+            F.col("v"), (F.col("r") / F.col("dg")).alias("c")
         )
         pr = (
             contrib.groupBy(F.col("v").alias("node"))
@@ -203,9 +221,8 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(PAGERANK_DAMPING) * F.col("mass")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
-    return pr.join(deg, pr.node == deg.u).select(
+    return pr.join(F.broadcast(deg), pr.node == deg.u).select(
         "node", F.col("dg").cast("long").alias("degree"), round_dbl(F.col("r"), 6).alias("pagerank")
     )
 

@@ -561,3 +561,112 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_pgm_payloads, "doc_id long, payload binary"
     )
     return with_payload.mapInPandas(compute_dhash, "doc_id long, dhash long")
+
+
+DHASH_HAMMING_T = 3  #: near-dup radius (bits)
+DHASH_BANDS = 4  #: 4 bands x 14 bits over the 56 dHash bits
+_DHASH_BAND_BITS = (DHASH_ROWS * DHASH_COLS) // DHASH_BANDS
+_DHASH_BAND_MASK = (1 << _DHASH_BAND_BITS) - 1
+
+_DHASH_SQL = f"""
+            CAST(list_sum(list_transform(range(0, {DHASH_ROWS * DHASH_COLS}), k ->
+                CASE WHEN unicode(substring(text,
+                              (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS}) + 1) % n) + 1, 1))
+                       > unicode(substring(text,
+                              (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS})) % n) + 1, 1))
+                     THEN CAST(1 AS BIGINT) << k ELSE 0 END
+            )) AS BIGINT)
+"""
+
+
+@query(
+    "multimodal_dhash_near_dup",
+    category="llm_multimodal",
+    description=f"Image near-dup PAIRS: banded dHash blocking + exact Hamming ≤ {DHASH_HAMMING_T} verify (provably lossless)",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   8 + (doc_id % 8) * 2 AS w
+            FROM documents
+            WHERE n_chars >= 1
+        ),
+        h AS (SELECT doc_id, {_DHASH_SQL} AS dhash FROM p)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_HAMMING_T}
+    """,
+)
+def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOIN that makes the perceptual hash useful: every image pair
+    within Hamming distance {DHASH_HAMMING_T} of each other's dHash —
+    near-duplicate visual content (re-encodes, small crops/edits) that
+    exact payload dedup misses. Candidate generation is banded
+    blocking, and for this radius it is PROVABLY LOSSLESS, not
+    approximate: the 56 hash bits split into {DHASH_BANDS} disjoint
+    14-bit bands, and ≤ {DHASH_HAMMING_T} differing bits can touch at
+    most {DHASH_HAMMING_T} < {DHASH_BANDS} bands (pigeonhole), so every
+    qualifying pair shares at least one intact band and survives the
+    band-bucket equi-join. Exact ``bit_count(xor)`` verification then
+    filters candidates — the same band-then-verify shape as the
+    minhash-LSH and SimHash text dedups (dedup.py), never an all-pairs
+    comparison. Physical plan: hashes are payload-local mapInPandas (no
+    shuffle; blobs die in the scan stage), the band explode is codegen
+    ({DHASH_BANDS} rows/doc), candidates shuffle on (band, value) —
+    bucket-bounded — and the verify join touches candidate hashes only.
+    At 100 TB a hot bucket (boilerplate images) is an AQE-splittable
+    skew key, and the radius/bands trade recall lossless-ness for
+    bucket size exactly like LSH bands do. The oracle brute-forces ALL
+    pairs (feasible at oracle scale) — an independent formulation, so
+    agreement proves the blocking lost nothing."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    hashes = (
+        d.select("doc_id", "text")
+        .mapInPandas(render_pgm_payloads, "doc_id long, payload binary")
+        .mapInPandas(compute_dhash, "doc_id long, dhash long")
+        .localCheckpoint(eager=False)  # reused by both candidate sides + verify
+    )
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("dhash", b * _DHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(_DHASH_BAND_MASK))
+                        .alias("band_val"),
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_val")
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("band_id").alias("band_id2"),
+        F.col("band_val").alias("band_val2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band_id") == F.col("band_id2"))
+            & (F.col("band_val") == F.col("band_val2"))
+            & (F.col("doc_id") < F.col("doc_id2")),
+        )
+        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
+        .distinct()
+    )
+    h1 = hashes.select(F.col("doc_id").alias("d1"), F.col("dhash").alias("h1"))
+    h2 = hashes.select(F.col("doc_id").alias("d2"), F.col("dhash").alias("h2"))
+    return (
+        cand.join(h1, "d1")
+        .join(h2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DHASH_HAMMING_T)
+    )

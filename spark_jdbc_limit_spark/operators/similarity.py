@@ -827,10 +827,13 @@ def cluster_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Lineage cut: the partial relation (≤K rows per task) feeds THREE
+    # branches (stats, per-dim sums, the n_members re-join); without it
+    # each branch re-runs the corpus scan + Arrow pass.
     part = e.select("embedding").mapInPandas(
         partials,
         "cluster int, n long, sum_dist double, sum_vec array<double>",
-    )
+    ).localCheckpoint(eager=False)
     stats = part.groupBy("cluster").agg(
         F.sum("n").alias("n_members"),
         F.sum("sum_dist").alias("sum_dist"),

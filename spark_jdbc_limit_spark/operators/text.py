@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
@@ -644,6 +644,72 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         entropy_batches,
         "doc_id long, n_chars_counted long, char_entropy_bits double",
+    )
+
+
+ZIPF_TOP = 1000  #: vocabulary head the log-log fit runs over
+
+
+@query(
+    "text_zipf_fit",
+    category="llm_text",
+    description=f"Zipf's-law fit: OLS slope of log-freq vs log-rank over the top-{ZIPF_TOP} tokens",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(LOWER(text), ' ')) AS t
+            FROM documents
+        ),
+        freq AS (
+            SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t
+        ),
+        head AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+            FROM freq
+            ORDER BY c DESC, t LIMIT {ZIPF_TOP}
+        ),
+        pts AS (SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+                FROM head)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+               {sql_round_dbl('COVAR_POP(x, y) / VAR_POP(x)', 4)} AS zipf_slope,
+               {sql_round_dbl('AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x)', 4)}
+                   AS intercept,
+               {sql_round_dbl('CORR(x, y)', 4)} AS corr_loglog
+        FROM pts
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics health check: natural-language corpora follow
+    Zipf's law (token frequency ∝ rank^s with s ≈ −1); machine-generated
+    boilerplate, template spam, and over-deduplicated corpora bend the
+    log-log line, so the fitted slope + correlation is a one-row
+    distribution fingerprint worth tracking per ingest batch. Computed
+    as closed-form OLS on (ln rank, ln freq) over the top-{ZIPF_TOP}
+    vocabulary head: slope = covar_pop/var_pop, intercept from the
+    means, fit quality as Pearson r — all built-in JVM aggregates, no
+    UDF. Scale shape: the fact-sized work is ONE partial-aggregated
+    token count (explode → hash agg); the head cut is
+    TakeOrderedAndProject over the vocabulary relation ((count, token)
+    tie-break makes the cut deterministic in both engines), and the
+    regression runs over {ZIPF_TOP} rows. At 100 TB the vocabulary
+    relation is heavy-tailed but the aggregate is map-side combined and
+    the head cut never materializes a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    head = freq.orderBy(F.col("c").desc(), "t").limit(ZIPF_TOP)
+    w = Window.orderBy(F.col("c").desc(), "t")
+    pts = head.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        round_dbl(slope, 4).alias("zipf_slope"),
+        round_dbl(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        round_dbl(F.corr("x", "y"), 4).alias("corr_loglog"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
+from spark_jdbc_limit_spark.operators.relational import round_dbl, sql_round_dbl
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -367,6 +368,62 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+DECAY_HALFLIFE_DAYS = 7.0  #: recency half-life for the decayed-value score
+
+
+@query(
+    "events_decayed_value",
+    category="window_events",
+    description=f"Per-user exponentially time-decayed value ({DECAY_HALFLIFE_DAYS:g}-day half-life) vs raw total",
+    oracle=f"""
+        WITH ref AS (SELECT MAX(ts) AS tmax FROM events)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_round_dbl('SUM(value)', 4)} AS raw_value,
+               {sql_round_dbl(
+                   'SUM(value * POWER(0.5,'
+                   ' (epoch(ref.tmax) - epoch(ts)) / 86400.0'
+                   f' / {DECAY_HALFLIFE_DAYS}))', 4)} AS decayed_value
+        FROM events CROSS JOIN ref
+        GROUP BY user_id
+    """,
+)
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value — the time-decay aggregate behind
+    engagement scores, decayed LTV, and freshness-weighted training
+    mixes: each event's value contributes value · 0.5^(age/half-life),
+    with age measured in days back from the corpus watermark (MAX ts —
+    a one-row broadcast, so the score is reproducible rather than
+    wall-clock-dependent). One scan, one partial-aggregated hash
+    aggregate per user; the decay factor is computed per row in codegen
+    (no window, no self-join), so at 100 TB this costs exactly what a
+    plain SUM does, plus a pow() per row. Epoch seconds are extracted
+    with fractional precision in BOTH engines (timestamp→double cast /
+    epoch()), so decay exponents are identical doubles; libm pow may
+    differ in the last ulp across engines, absorbed by the 1e-4 display
+    round like every float score here."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("tmax"))
+    age_days = (
+        F.col("tmax").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_dbl(F.sum("value"), 4).alias("raw_value"),
+            round_dbl(
+                F.sum(
+                    F.col("value")
+                    * F.pow(F.lit(0.5), age_days / DECAY_HALFLIFE_DAYS)
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
     )
 
 

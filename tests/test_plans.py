@@ -617,3 +617,53 @@ def test_semdedup_single_shuffle(spark, sf_dir):
     exchange); the pairwise GEMM itself adds none."""
     df = get_query("dedup_semantic_semdedup").builder(spark, sf_dir)
     assert count_exchanges(df) <= 2
+
+
+def test_kmeans_step_partials_shape(spark, sf_dir):
+    """The Lloyd step's fact-sized stage (scan → Arrow partials) must run
+    exactly ONCE: the partial relation is lazily checkpointed because
+    three finishing branches consume it — without the cut the plan
+    re-scans the corpus per branch (observed 3× before the fix). In the
+    final plan the corpus scan therefore appears at most once (zero
+    when the checkpoint shows as an ExistingRDD scan)."""
+    df = get_query("cluster_kmeans_lloyd_step").builder(spark, sf_dir)
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    txt = plan_text(df, "simple")
+    assert txt.count("embeddings.parquet") <= 1, "corpus scanned per branch"
+    assert txt.count("MapInPandas") <= 1, "Arrow partial pass duplicated"
+
+
+def test_q21_single_fact_pass(spark, sf_dir):
+    """The rewritten Q21 pre-aggregates lineitem to pair cardinality and
+    must scan the fact table exactly ONCE (the textbook plan scanned it
+    twice); supplier stays broadcast."""
+    df = get_query("q21_sole_late_supplier").builder(spark, sf_dir)
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    txt = plan_text(df, "simple")
+    assert txt.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert_broadcast_hash_join(df)
+
+
+def test_dhash_near_dup_no_allpairs(spark, sf_dir):
+    """The Hamming join must come from band-bucket equi-joins — the plan
+    may contain no cartesian/nested-loop join (the oracle brute-forces;
+    the engine must not)."""
+    df = get_query("multimodal_dhash_near_dup").builder(spark, sf_dir)
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    txt = plan_text(df, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_zipf_fit_no_global_sort(spark, sf_dir):
+    """The vocabulary head cut must be TakeOrderedAndProject (no global
+    sort of the vocabulary relation), and the token count must be a
+    partial-aggregated hash agg."""
+    df = get_query("text_zipf_fit").builder(spark, sf_dir)
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    txt = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in txt
