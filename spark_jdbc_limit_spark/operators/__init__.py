@@ -134,7 +134,7 @@ _QUEUE_BEHIND = (
     "ann_pq_rerank_audit", "graph_pagerank_supplier", "events_ewma_hourly",
     "cluster_kmeans_lloyd_step", "multimodal_dhash_near_dup",
     "dq_referential_integrity", "text_zipf_fit", "basket_lift_rules",
-    "events_decayed_value", "supplier_hhi_by_nation",
+    "events_decayed_value", "supplier_hhi_by_nation", "source_xml_roundtrip",
 )
 
 

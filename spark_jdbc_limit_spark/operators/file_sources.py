@@ -164,6 +164,53 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_xml_roundtrip",
+    category="source",
+    description="XML write→read round-trip (Spark 4 built-in XML source), explicit schema",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(SUM(length(n_name)) AS BIGINT) AS total_name_chars
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip on the data source Spark 4 absorbed into core
+    (the spark-xml package upstreamed — SPARK-44265): nation → XML rows
+    → read back with an EXPLICIT schema and ``rowTag`` → aggregate.
+    Same ingest discipline as the CSV/JSONL twins: no schema inference
+    (a second full scan), explicit row tag so the reader streams
+    row-elements without materializing documents, and the distributed
+    parse shards by file split exactly like text sources. XML earns its
+    slot in the source matrix because enterprise feeds (finance, legal,
+    healthcare — prime LLM training material) still arrive as XML; at
+    100 TB the rowTag streaming parse is the only shape that works.
+    The aggregate proves values and string content survive the
+    serialization round-trip byte-for-byte."""
+    path = _staging("source_xml_roundtrip", sf_dir)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").format("xml").option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(F.length("n_name")).alias("total_name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 N_CORRUPT_LINES = 3
 
 

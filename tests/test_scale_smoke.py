@@ -90,6 +90,13 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "ann_ivf_topk",
         "dedup_semantic_semdedup",
         "udf_scalar_iter_model_scoring",
+        # round-6 additions: quadratic-risk / iterative / Arrow-partial ops
+        "ann_pq_rerank_audit",
+        "cluster_kmeans_lloyd_step",
+        "graph_pagerank_supplier",
+        "multimodal_dhash_near_dup",
+        "events_decayed_value",
+        "text_zipf_fit",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
