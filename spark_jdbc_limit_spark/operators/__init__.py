@@ -135,6 +135,8 @@ _QUEUE_BEHIND = (
     "cluster_kmeans_lloyd_step", "multimodal_dhash_near_dup",
     "dq_referential_integrity", "text_zipf_fit", "basket_lift_rules",
     "events_decayed_value", "supplier_hhi_by_nation", "source_xml_roundtrip",
+    "embedding_pca_power_iteration", "text_readability_flesch",
+    "events_bot_rate_screen", "orders_weekly_trend_forecast",
 )
 
 

@@ -777,6 +777,71 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_weekly_trend_forecast",
+    category="aggregation",
+    description="OLS trend over weekly revenue + next-week forecast, one row",
+    oracle=f"""
+        WITH weekly AS (
+            SELECT date_trunc('week', o_orderdate) AS wk,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS rev
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT (epoch(wk) - (SELECT epoch(MIN(wk)) FROM weekly))
+                       / 604800.0 AS x,
+                   rev AS y
+            FROM weekly
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               {sql_round_dbl('COVAR_POP(x, y) / VAR_POP(x)', 4)} AS slope,
+               {sql_round_dbl(
+                   'AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x)', 4)}
+                   AS intercept,
+               {sql_round_dbl(
+                   '(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x))'
+                   ' + COVAR_POP(x, y) / VAR_POP(x) * (MAX(x) + 1.0)', 4)}
+                   AS next_week_forecast
+        FROM idx
+    """,
+)
+def orders_weekly_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear trend + one-step forecast over weekly revenue —
+    the canonical capacity/demand-planning query (and the baseline any
+    fancier forecaster must beat). The fact stream collapses to the
+    week-cardinality micro relation in one decimal-exact pass; the week
+    index is epoch arithmetic against the min week (an exact multiple
+    of 604800 s → integer-valued doubles, so x is bit-identical in both
+    engines); slope/intercept are covar_pop/var_pop built-ins and the
+    forecast extrapolates one index step past MAX(x). Everything after
+    the first shuffle runs on ~weeks rows at any corpus scale. Same OLS
+    shape as text_zipf_fit — one regression primitive, two domains."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(F.date_trunc("week", "o_orderdate").alias("wk")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("y")
+    )
+    wmin = weekly.agg(F.min("wk").alias("w0"))
+    idx = weekly.crossJoin(F.broadcast(wmin)).select(
+        (
+            (F.col("wk").cast("double") - F.col("w0").cast("double")) / 604800.0
+        ).alias("x"),
+        "y",
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    intercept = F.avg("y") - slope * F.avg("x")
+    return idx.agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        round_dbl(slope, 4).alias("slope"),
+        round_dbl(intercept, 4).alias("intercept"),
+        round_dbl(intercept + slope * (F.max("x") + 1.0), 4).alias(
+            "next_week_forecast"
+        ),
+    )
+
+
+@query(
     "supplier_hhi_by_nation",
     category="aggregation",
     description="Market concentration per nation: supplier revenue HHI + top share",

@@ -647,6 +647,70 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Flesch-style readability constants (the public formula's weights).
+FLESCH_BASE, FLESCH_SENT_W, FLESCH_SYL_W = 206.835, 1.015, 84.6
+SYL_RE = "[aeiouyAEIOUY]+"  #: vowel-group syllable approximation
+SENT_RE = "[.!?]+"
+
+
+@query(
+    "text_readability_flesch",
+    category="llm_text",
+    description="Flesch reading-ease per document (vowel-group syllable approximation)",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                   CAST(GREATEST(len(regexp_extract_all(text, '{SENT_RE}')), 1)
+                        AS DOUBLE) AS n_sents,
+                   CAST(len(regexp_extract_all(text, '{SYL_RE}'))
+                        AS DOUBLE) AS n_syl
+            FROM documents
+            WHERE length(text) > 0
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sents AS BIGINT) AS n_sentences,
+               CAST(n_syl AS BIGINT) AS n_syllables,
+               {sql_round_dbl(
+                   f'{FLESCH_BASE} - {FLESCH_SENT_W} * (n_words / n_sents)'
+                   f' - {FLESCH_SYL_W} * (n_syl / n_words)', 4)}
+                   AS flesch_score
+        FROM m
+        WHERE n_words > 0
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease — the classic document-quality/complexity
+    gate (curricula filters bucket training text by it): {FLESCH_BASE}
+    − {FLESCH_SENT_W}·(words/sentence) − {FLESCH_SYL_W}·(syllables/word),
+    with syllables approximated by vowel GROUPS (the standard cheap
+    estimator — exact syllabification needs a dictionary) and sentence
+    count floored at 1 so fragments don't divide by zero. Pure codegen:
+    three regexp counts + arithmetic per row, zero shuffles, scan-speed
+    at any corpus size. Counts are integers and the formula is a fixed
+    dag of exact products/divisions, so both engines agree to ~1e-13
+    before the display round."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.split(F.col("text"), " ")).cast("double")
+    n_sents = F.greatest(
+        F.regexp_count("text", F.lit(SENT_RE)), F.lit(1)
+    ).cast("double")
+    n_syl = F.regexp_count("text", F.lit(SYL_RE)).cast("double")
+    return d.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+        round_dbl(
+            F.lit(FLESCH_BASE)
+            - F.lit(FLESCH_SENT_W) * (n_words / n_sents)
+            - F.lit(FLESCH_SYL_W) * (n_syl / n_words),
+            4,
+        ).alias("flesch_score"),
+    )
+
+
 ZIPF_TOP = 1000  #: vocabulary head the log-log fit runs over
 
 

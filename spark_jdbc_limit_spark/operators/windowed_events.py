@@ -371,6 +371,89 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOT_RATE_MULT = 1.2  #: flag users above this multiple of the median rate
+BOT_MIN_EVENTS = 20  #: rate is meaningless on tiny samples
+
+
+@query(
+    "events_bot_rate_screen",
+    category="window_events",
+    description=f"Bot/abuse screen: sustained per-user event rate, flagged at >{BOT_RATE_MULT}x the median rate over ≥{BOT_MIN_EVENTS} events",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   epoch(MAX(ts)) - epoch(MIN(ts)) AS span_sec
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT user_id, n_events, span_sec,
+                   CASE WHEN span_sec > 0
+                        THEN n_events * 60.0 / span_sec END AS rate
+            FROM u
+        ),
+        med AS (SELECT quantile_cont(rate, 0.5) AS m FROM r)
+        SELECT user_id, n_events,
+               {sql_round_dbl('span_sec', 1)} AS active_span_sec,
+               {sql_round_dbl('rate', 4)} AS events_per_min,
+               CAST(CASE WHEN n_events >= {BOT_MIN_EVENTS}
+                          AND rate > {BOT_RATE_MULT} * med.m
+                         THEN 1 ELSE 0 END AS INT) AS flagged
+        FROM r CROSS JOIN med
+    """,
+)
+def events_bot_rate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse/bot screening — the first data-quality pass on any
+    behavioral corpus headed for training: per user, the SUSTAINED
+    event rate (events per minute over the user's full active span),
+    flagged when it exceeds {BOT_RATE_MULT}× the corpus MEDIAN rate
+    (over ≥{BOT_MIN_EVENTS} events; single-instant users are unrated).
+    The threshold is corpus-ADAPTIVE, not absolute — the same design
+    lesson as the triangle edge cut (graph.py): any constant
+    events/minute bar that catches bots at one traffic level is
+    vacuous or catastrophic at another, while 'well above the typical
+    user' survives scale-up. Plan: ONE partial-aggregated hash pass
+    collapses the stream to user cardinality (min/max/count all
+    re-aggregatable); the median is an exact percentile over that
+    micro relation, broadcast back as a one-row threshold — at 100 TB
+    the whole screen costs a scan plus user-cardinality work. Flagged
+    users feed dedup/sampling as a broadcast anti-join exclusion list
+    (the decontaminate shape). Flag-boundary margins: rates are
+    continuous and no user sits at the multiplier boundary on shipped
+    SFs (flag counts 1/8/97 at sf0.001/0.01/0.1 — non-vacuous at
+    every scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts").cast("double") - F.min("ts").cast("double")).alias(
+            "span_sec"
+        ),
+    )
+    r = u.select(
+        "user_id",
+        "n_events",
+        "span_sec",
+        F.when(
+            F.col("span_sec") > 0, F.col("n_events") * 60.0 / F.col("span_sec")
+        ).alias("rate"),
+    )
+    med = r.agg(F.expr("percentile(rate, 0.5)").alias("m"))
+    return r.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "n_events",
+        round_dbl(F.col("span_sec"), 1).alias("active_span_sec"),
+        round_dbl(F.col("rate"), 4).alias("events_per_min"),
+        F.when(
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (F.col("rate") > BOT_RATE_MULT * F.col("m")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
 DECAY_HALFLIFE_DAYS = 7.0  #: recency half-life for the decayed-value score
 
 

@@ -580,6 +580,35 @@ def test_pq_audit_margins():
     assert checked, "no shipped scale factor found"
 
 
+def test_pca_corpus_is_near_isotropic():
+    """embedding_pca_power_iteration documents that this corpus has no
+    dominant principal direction (λ2/λ1 ≈ 0.98) and therefore verifies
+    the fixed-budget power TRAJECTORY rather than a converged
+    eigenvector. Pin that spectral fact: if a future corpus regeneration
+    introduces a dominant direction (ratio < 0.9), the docstring's
+    reading — and the 'Rayleigh estimate sits at the bulk level'
+    interpretation — must be revisited."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path).to_pandas()
+        v = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        ev = np.sort(np.linalg.eigvalsh(np.cov(v.T, bias=True)))[::-1]
+        assert ev[1] / ev[0] > 0.9, (
+            f"{sf}: spectrum now has a dominant direction "
+            f"(λ2/λ1={ev[1]/ev[0]:.3f}) — update the PCA docstring"
+        )
+        checked += 1
+    assert checked, "no shipped scale factor found"
+
+
 def test_semdedup_margins():
     """dedup_semantic_semdedup decides kept/dropped by comparing a GEMM
     cosine against SEMDEDUP_EPS while the oracle uses DuckDB's sequential
