@@ -1,0 +1,103 @@
+"""Property tests for the round-6 numeric operators: the distributed
+formulation must agree with an obvious single-process reference over
+adversarial random inputs — including partition splits and series
+lengths the shipped corpus never exercises.
+
+- PCA one-pass moment accumulation: summing (n, Σx, Σxxᵀ) partials over
+  ANY partitioning of the rows must reproduce the direct covariance.
+- Bounded-lag EWMA: the lag-window formulation must equal the explicit
+  per-series Python loop for every series length (0 < L < LAGS and
+  L ≥ LAGS both matter: the renormalization over existing lags is the
+  part a naive implementation gets wrong at series heads).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spark_jdbc_limit_spark.operators.windowed_events import EWMA_LAGS
+
+
+def test_pca_moment_partials_match_direct_covariance():
+    """Covariance from merged per-partition (n, Σx, Σxxᵀ) partials must
+    equal numpy's direct biased covariance for ANY split of the rows —
+    the algebraic fact the one-pass distributed phase relies on."""
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = rng.integers(2, 200)
+        d = rng.integers(1, 12)
+        x = rng.normal(size=(n, d)) * rng.uniform(0.1, 10)
+        # random partitioning into 1..6 chunks (some possibly empty)
+        cuts = np.sort(rng.integers(0, n + 1, size=rng.integers(0, 5)))
+        chunks = np.split(x, cuts)
+        tot_n, tot_s, tot_ss = 0, np.zeros(d), np.zeros((d, d))
+        for c in chunks:
+            if not len(c):
+                continue  # empty partitions contribute nothing
+            tot_n += len(c)
+            tot_s += c.sum(axis=0)
+            tot_ss += c.T @ c
+        mu = tot_s / tot_n
+        cov = tot_ss / tot_n - np.outer(mu, mu)
+        direct = np.cov(x.T, bias=True).reshape(d, d)
+        assert np.allclose(cov, direct, atol=1e-9), f"trial {trial}"
+
+
+def _py_ewma(series: list[int]) -> list[float]:
+    out = []
+    for t in range(len(series)):
+        num = den = 0.0
+        for j in range(EWMA_LAGS):
+            if t - j < 0:
+                break
+            w = 0.5**j
+            num += w * series[t - j]
+            den += w
+        out.append(num / den)
+    return out
+
+
+def test_ewma_window_formulation_matches_python_loop(spark):
+    """events_ewma_hourly's lag-tap expression vs the obvious sequential
+    loop, over series of every length around the horizon — verifies the
+    head-of-series renormalization (missing lags must shrink the
+    DENOMINATOR, not contribute zeros)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from functools import reduce
+
+    rng = np.random.default_rng(11)
+    rows = []
+    series = {}
+    for sid in range(12):
+        length = [0, 1, 2, EWMA_LAGS - 1, EWMA_LAGS, EWMA_LAGS + 5, 40][
+            sid % 7
+        ]
+        vals = [int(v) for v in rng.integers(0, 1000, size=length)]
+        series[str(sid)] = vals
+        rows += [(str(sid), t, v) for t, v in enumerate(vals)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "sid string, t int, n_events long")
+    w = Window.partitionBy("sid").orderBy("t")
+    lags = [F.lag("n_events", j).over(w) for j in range(EWMA_LAGS)]
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lags[j].isNotNull(), F.lit(0.5**j) * lags[j]).otherwise(0.0)
+            for j in range(EWMA_LAGS)
+        ],
+    )
+    den = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(lags[j].isNotNull(), F.lit(0.5**j)).otherwise(0.0)
+            for j in range(EWMA_LAGS)
+        ],
+    )
+    got = df.select("sid", "t", (num / den).alias("e")).toPandas()
+    for sid, vals in series.items():
+        want = _py_ewma(vals)
+        g = got[got.sid == sid].sort_values("t")["e"].tolist()
+        assert np.allclose(g, want, atol=1e-12), f"series {sid}"
