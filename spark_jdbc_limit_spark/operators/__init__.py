@@ -137,6 +137,7 @@ _QUEUE_BEHIND = (
     "events_decayed_value", "supplier_hhi_by_nation", "source_xml_roundtrip",
     "embedding_pca_power_iteration", "text_readability_flesch",
     "events_bot_rate_screen", "orders_weekly_trend_forecast",
+    "pipeline_quality_gate_report",
 )
 
 

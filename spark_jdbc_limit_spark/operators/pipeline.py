@@ -595,3 +595,153 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("target_docs"),
     )
+
+
+#: adaptive quality-gate percentile bounds
+GATE_SIG_LO, GATE_SIG_HI, GATE_LEN_LO = 0.05, 0.95, 0.10
+
+
+def _quality_gate_oracle() -> str:
+    from spark_jdbc_limit_spark.operators.relational import (
+        NEWLINE_CLASS,
+        sql_round_dbl,
+    )
+
+    flesch = (
+        "206.835 - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        " / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)"
+        " AS DOUBLE))"
+        " - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))"
+        " AS DOUBLE)"
+        " / CAST(len(string_split(text, ' ')) AS DOUBLE))"
+    )
+    return f"""
+        WITH chars AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(
+                       regexp_replace(text, '{NEWLINE_CLASS}', '', 'g'), '.')) AS c
+            FROM documents
+            WHERE length(regexp_replace(text, '{NEWLINE_CLASS}', '', 'g')) > 0
+        ),
+        freq AS (SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, SUM(n) AS total FROM freq GROUP BY doc_id),
+        ent AS (
+            SELECT freq.doc_id,
+                   {sql_round_dbl(
+                       "-SUM((n / CAST(total AS DOUBLE))"
+                       " * LOG2(n / CAST(total AS DOUBLE)))", 4)} AS e
+            FROM freq JOIN tot USING (doc_id)
+            GROUP BY freq.doc_id, tot.total
+        ),
+        fl AS (
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+                   {sql_round_dbl(flesch, 4)} AS f
+            FROM documents
+            WHERE length(text) > 0 AND len(string_split(text, ' ')) > 0
+        ),
+        sig AS (
+            SELECT fl.doc_id, fl.n_chars, fl.f, ent.e
+            FROM fl JOIN ent ON ent.doc_id = fl.doc_id
+        ),
+        thr AS (
+            SELECT quantile_cont(f, {GATE_SIG_LO}) AS f_lo,
+                   quantile_cont(f, {GATE_SIG_HI}) AS f_hi,
+                   quantile_cont(e, {GATE_SIG_LO}) AS e_lo,
+                   quantile_cont(e, {GATE_SIG_HI}) AS e_hi,
+                   quantile_cont(n_chars, {GATE_LEN_LO}) AS len_lo
+            FROM sig
+        )
+        SELECT s.doc_id, s.f AS flesch_score, s.e AS char_entropy_bits,
+               CAST(s.n_chars AS BIGINT) AS n_chars,
+               CAST(CASE WHEN s.f BETWEEN t.f_lo AND t.f_hi
+                         THEN 1 ELSE 0 END AS INT) AS pass_readability,
+               CAST(CASE WHEN s.e BETWEEN t.e_lo AND t.e_hi
+                         THEN 1 ELSE 0 END AS INT) AS pass_entropy,
+               CAST(CASE WHEN s.n_chars >= t.len_lo
+                         THEN 1 ELSE 0 END AS INT) AS pass_length,
+               CAST(CASE WHEN s.f BETWEEN t.f_lo AND t.f_hi
+                          AND s.e BETWEEN t.e_lo AND t.e_hi
+                          AND s.n_chars >= t.len_lo
+                         THEN 1 ELSE 0 END AS INT) AS kept
+        FROM sig s CROSS JOIN thr t
+    """
+
+
+@query(
+    "pipeline_quality_gate_report",
+    category="llm_pipeline",
+    description="Adaptive corpus quality gate: readability + entropy + length vs corpus percentiles, per-doc verdict",
+    oracle=_quality_gate_oracle(),
+)
+def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone that CHAINS the quality signals: every
+    document is scored on readability (Flesch), character-distribution
+    entropy (gibberish gate), and length, then passed/failed against
+    corpus-ADAPTIVE bounds — signals inside the [p05, p95] band (length
+    ≥ p10) pass; absolute thresholds would be vacuous or catastrophic
+    at a different corpus mix (the bot-screen/triangle-cut lesson
+    applied to text quality). The per-doc verdict row carries each
+    signal and each flag, so downstream sampling can weight by
+    failure REASON, not just drop.
+
+    Decision stability across engines: every signal is rounded half-up
+    at 1e-4 BEFORE the percentile thresholds are computed, so both
+    engines interpolate percentiles over bit-identical inputs and
+    compare bit-identical doubles — the threshold arithmetic then
+    agrees exactly (the brand_abc_pareto round-before-classify
+    discipline extended to derived thresholds). Plan shape: entropy is
+    the zero-shuffle Arrow histogram pass (text_char_entropy), Flesch
+    is pure codegen, the join keys doc-cardinality relations, and the
+    five thresholds are ONE percentile aggregate over the signal micro
+    relation broadcast back as a one-row relation. At 100 TB: one scan
+    for each signal pass, doc-cardinality work after."""
+    from spark_jdbc_limit_spark.operators.text import (
+        text_char_entropy,
+        FLESCH_BASE,
+        FLESCH_SENT_W,
+        FLESCH_SYL_W,
+        SENT_RE,
+        SYL_RE,
+    )
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    ent = text_char_entropy(spark, sf_dir).select(
+        "doc_id", F.col("char_entropy_bits").alias("e")
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.split(F.col("text"), " ")).cast("double")
+    n_sents = F.greatest(
+        F.regexp_count("text", F.lit(SENT_RE)), F.lit(1)
+    ).cast("double")
+    n_syl = F.regexp_count("text", F.lit(SYL_RE)).cast("double")
+    fl = d.filter(n_words > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        round_dbl(
+            F.lit(FLESCH_BASE)
+            - F.lit(FLESCH_SENT_W) * (n_words / n_sents)
+            - F.lit(FLESCH_SYL_W) * (n_syl / n_words),
+            4,
+        ).alias("f"),
+    )
+    sig = fl.join(ent, "doc_id").localCheckpoint(eager=False)  # feeds thr + verdicts
+    thr = sig.agg(
+        F.expr(f"percentile(f, {GATE_SIG_LO})").alias("f_lo"),
+        F.expr(f"percentile(f, {GATE_SIG_HI})").alias("f_hi"),
+        F.expr(f"percentile(e, {GATE_SIG_LO})").alias("e_lo"),
+        F.expr(f"percentile(e, {GATE_SIG_HI})").alias("e_hi"),
+        F.expr(f"percentile(n_chars, {GATE_LEN_LO})").alias("len_lo"),
+    )
+    pass_f = F.col("f").between(F.col("f_lo"), F.col("f_hi"))
+    pass_e = F.col("e").between(F.col("e_lo"), F.col("e_hi"))
+    pass_l = F.col("n_chars") >= F.col("len_lo")
+    return sig.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        F.col("f").alias("flesch_score"),
+        F.col("e").alias("char_entropy_bits"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        pass_f.cast("int").alias("pass_readability"),
+        pass_e.cast("int").alias("pass_entropy"),
+        pass_l.cast("int").alias("pass_length"),
+        (pass_f & pass_e & pass_l).cast("int").alias("kept"),
+    )
