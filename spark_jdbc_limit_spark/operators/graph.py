@@ -168,8 +168,9 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAG is LINEAR and the whole {PAGERANK_ITERS}-step fixpoint compiles
     into a single job — no per-iteration checkpoint is needed (that
     discipline is for loops that reference their result twice, like
-    CC's star contraction; here a per-iteration cut was measured 4×
-    slower at sf0.1 from per-job scheduling alone). The ONE lineage cut
+    CC's star contraction; here a per-iteration cut measured ~1.6×
+    slower at sf0.1, 5.4 s vs 3.4 s, from per-job scheduling alone).
+    The ONE lineage cut
     that matters is the edge relation: it feeds five branches (degrees,
     N, both join sides via bi, the final report join), so it is
     materialized eagerly and the iteration-invariant (edge ⋈ degree)
