@@ -1316,3 +1316,97 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+INCR_BATCH_MOD = 5  #: doc_id % MOD == 0 plays the "newly ingested batch"
+
+
+@query(
+    "dedup_incremental_new_batch",
+    category="llm_dedup",
+    description=f"Incremental ingest dedup: new batch (doc_id%{INCR_BATCH_MOD}==0) screened against the standing corpus only",
+    oracle=f"""
+        WITH {_sql_minhash_bands()},
+        batch AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {INCR_BATCH_MOD} = 0
+        ),
+        corpus_hash AS (
+            SELECT DISTINCT md5(text) AS h FROM documents
+            WHERE doc_id % {INCR_BATCH_MOD} <> 0
+        ),
+        exact AS (
+            SELECT doc_id FROM batch
+            WHERE md5(text) IN (SELECT h FROM corpus_hash)
+        ),
+        cbands AS (
+            SELECT DISTINCT band_id, band_hash FROM bands
+            WHERE doc_id % {INCR_BATCH_MOD} <> 0
+        ),
+        near AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands b JOIN cbands c USING (band_id, band_hash)
+            WHERE b.doc_id % {INCR_BATCH_MOD} = 0
+        )
+        SELECT b.doc_id,
+               CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS is_exact_dup,
+               CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                   AS has_near_dup_candidate
+        FROM batch b
+        LEFT JOIN exact e USING (doc_id)
+        LEFT JOIN near n USING (doc_id)
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the shape that makes dedup affordable
+    at 100 TB: a newly arrived batch (here the deterministic
+    doc_id % {INCR_BATCH_MOD} == 0 slice) is screened against the
+    STANDING corpus without ever re-deduplicating the corpus against
+    itself. Two asymmetric probes per new document:
+
+    - exact: the batch's content digests semi-join the corpus digest
+      set — at scale that set is a materialized, bucketed relation the
+      ingest job probes, not recomputes;
+    - near: the batch's minhash band buckets semi-join the DISTINCT
+      corpus bucket keys (band_id, band_hash) — candidate generation
+      cost is batch_bands × matching buckets, proportional to the NEW
+      data, never to corpus² (and never even to corpus × batch: only
+      bucket keys of the corpus participate, a relation bounded by the
+      corpus's distinct-bucket count that an ingest pipeline keeps
+      materialized exactly like the digest set).
+
+    Each flag is an independent LEFT-join marker so downstream policy
+    can admit, reject, or route to exact verification per reason. The
+    oracle reproduces both probes bit-for-bit (md5 + pure-integer
+    minhash). Flag counts are non-vacuous on shipped data (near
+    candidates at every SF; exact hits at sf0.1, the only SF shipping
+    exact duplicate documents — FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == 0
+    batch = d.filter(is_batch)
+    corpus = d.filter(~is_batch)
+    bmd5 = batch.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    cmd5 = corpus.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    exact_ids = bmd5.join(cmd5, "h", "left_semi").select("doc_id")
+    bands_b = minhash_band_buckets(batch.select("doc_id", "text"))
+    cbands = (
+        minhash_band_buckets(corpus.select("doc_id", "text"))
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    near_ids = (
+        bands_b.join(cbands, ["band_id", "band_hash"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", F.lit(0)).cast("int").alias("is_exact_dup"),
+            F.coalesce("n", F.lit(0)).cast("int").alias("has_near_dup_candidate"),
+        )
+    )
