@@ -95,7 +95,10 @@ def test_pipeline_ops_shuffle_budget(spark, sf_dir):
     assert_no_python_udf_in_plan(sample)
 
     assert count_exchanges(get_query("sample_quota_per_source").builder(spark, sf_dir)) == 1
-    assert count_exchanges(get_query("pack_tokens_sequential").builder(spark, sf_dir)) == 1
+    # packing is two-phase (r7): one DATA-sized exchange on (source, bucket)
+    # plus two micro exchanges over the per-bucket totals relation; the data
+    # exchange is REUSED across branches (test_pack_tokens_no_bare_source_window)
+    assert count_exchanges(get_query("pack_tokens_sequential").builder(spark, sf_dir)) == 3
     assert count_exchanges(get_query("dedup_survivor_policy").builder(spark, sf_dir)) == 1
 
 
@@ -667,3 +670,33 @@ def test_zipf_fit_no_global_sort(spark, sf_dir):
 
     txt = plan_text(df, "simple")
     assert "TakeOrderedAndProject" in txt
+
+
+def test_pack_tokens_no_bare_source_window(spark, sf_dir):
+    """Two-phase sequence packing: the data-sized running-sum window must
+    be partitioned by (source, bucket) — a window on bare `source` sorts
+    ~1/20th of the corpus in ONE task at 100 TB (round-6 verdict's one
+    scale-killer). The only per-source-without-bucket window allowed is
+    the offsets pass over the micro per-bucket totals relation, which
+    must sit above an aggregate."""
+    import re
+
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("pack_tokens_sequential").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df, "extended")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", txt)
+    assert specs, "expected window specs in the packing plan"
+    data_specs = [s for s in specs if "doc_id" in s]
+    assert data_specs, "expected the doc-level running-sum window"
+    for s in data_specs:
+        assert "bucket" in s, f"doc-level window not bucketed: {s}"
+    # offsets come from an aggregate below the micro window
+    assert "partial" in txt.lower()
+    assert "BroadcastHashJoin" in plan_text(df, "simple")
+    # runtime: both branches must share ONE exchange of the tokenized data
+    # (AQE ReuseExchange) so text is scanned and split exactly once
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, "data exchange not reused across branches"
