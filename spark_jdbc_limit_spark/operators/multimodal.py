@@ -520,26 +520,36 @@ def compute_dhash(batches):
         )
 
 
-@query(
-    "multimodal_image_dhash",
-    category="llm_multimodal",
-    description=f"Perceptual image hash (dHash, {DHASH_ROWS}x{DHASH_COLS} gradient bits) off the real decode path",
-    oracle=f"""
+#: shared oracle fragments — ONE definition of the decoded-image relation
+#: and the dhash bit-packing expression, interpolated into BOTH dhash
+#: oracles so they cannot drift apart on a future edit (ADVICE r6).
+_DHASH_P_CTE = """
         WITH p AS (
             SELECT doc_id, text,
                    octet_length(encode(text)) AS n,
                    8 + (doc_id % 8) * 2 AS w
             FROM documents
             WHERE n_chars >= 1
-        )
-        SELECT doc_id,
-               CAST(list_sum(list_transform(range(0, {DHASH_ROWS * DHASH_COLS}), k ->
-                   CASE WHEN unicode(substring(text,
-                                 (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS}) + 1) % n) + 1, 1))
-                          > unicode(substring(text,
-                                 (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS})) % n) + 1, 1))
-                        THEN CAST(1 AS BIGINT) << k ELSE 0 END
-               )) AS BIGINT) AS dhash
+        )"""
+
+_DHASH_SQL = f"""
+            CAST(list_sum(list_transform(range(0, {DHASH_ROWS * DHASH_COLS}), k ->
+                CASE WHEN unicode(substring(text,
+                              (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS}) + 1) % n) + 1, 1))
+                       > unicode(substring(text,
+                              (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS})) % n) + 1, 1))
+                     THEN CAST(1 AS BIGINT) << k ELSE 0 END
+            )) AS BIGINT)
+"""
+
+
+@query(
+    "multimodal_image_dhash",
+    category="llm_multimodal",
+    description=f"Perceptual image hash (dHash, {DHASH_ROWS}x{DHASH_COLS} gradient bits) off the real decode path",
+    oracle=f"""
+        {_DHASH_P_CTE}
+        SELECT doc_id, {_DHASH_SQL} AS dhash
         FROM p
         ORDER BY doc_id
     """,
@@ -568,29 +578,13 @@ DHASH_BANDS = 4  #: 4 bands x 14 bits over the 56 dHash bits
 _DHASH_BAND_BITS = (DHASH_ROWS * DHASH_COLS) // DHASH_BANDS
 _DHASH_BAND_MASK = (1 << _DHASH_BAND_BITS) - 1
 
-_DHASH_SQL = f"""
-            CAST(list_sum(list_transform(range(0, {DHASH_ROWS * DHASH_COLS}), k ->
-                CASE WHEN unicode(substring(text,
-                              (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS}) + 1) % n) + 1, 1))
-                       > unicode(substring(text,
-                              (((k // {DHASH_COLS}) * w + (k % {DHASH_COLS})) % n) + 1, 1))
-                     THEN CAST(1 AS BIGINT) << k ELSE 0 END
-            )) AS BIGINT)
-"""
-
 
 @query(
     "multimodal_dhash_near_dup",
     category="llm_multimodal",
     description=f"Image near-dup PAIRS: banded dHash blocking + exact Hamming ≤ {DHASH_HAMMING_T} verify (provably lossless)",
     oracle=f"""
-        WITH p AS (
-            SELECT doc_id, text,
-                   octet_length(encode(text)) AS n,
-                   8 + (doc_id % 8) * 2 AS w
-            FROM documents
-            WHERE n_chars >= 1
-        ),
+        {_DHASH_P_CTE},
         h AS (SELECT doc_id, {_DHASH_SQL} AS dhash FROM p)
         SELECT a.doc_id AS d1, b.doc_id AS d2,
                CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming

@@ -81,3 +81,87 @@ def test_survivor_policy_prefers_high_priority_sources(spark, sf_correct):
 
     for h, members in groups.items():
         assert keepers[h] == min(members, key=prio)
+
+
+def test_quality_gate_threshold_margins():
+    """pipeline_quality_gate_report compares rounded signals against
+    PERCENTILE-INTERPOLATED thresholds computed independently by Spark
+    (percentile) and DuckDB (quantile_cont). The decisions are stable
+    across engines only if no signal sits within last-ulp interpolation
+    error of a threshold — mirror of test_pq_audit_margins, asked for by
+    ADVICE r6. Replicates all three signals and the five thresholds in
+    pure numpy on every shipped SF and asserts a ≥1e-9 margin."""
+    import os
+    import re as _re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.pipeline import (
+        GATE_LEN_LO,
+        GATE_SIG_HI,
+        GATE_SIG_LO,
+    )
+    from spark_jdbc_limit_spark.operators.text import (
+        FLESCH_BASE,
+        FLESCH_SENT_W,
+        FLESCH_SYL_W,
+        SENT_RE,
+        SYL_RE,
+    )
+
+    def r4(x):  # round_dbl's half-up at 1e-4
+        return np.floor(np.asarray(x, dtype=np.float64) * 1e4 + 0.5) / 1e4
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["doc_id", "text", "n_chars"]).to_pandas()
+        f_sig, e_sig, l_sig = [], [], []
+        for text, n_chars in zip(t["text"], t["n_chars"]):
+            if text is None or len(text) == 0:
+                continue
+            words = text.split(" ")
+            n_words = len(words)
+            n_sents = max(len(_re.findall(SENT_RE, text)), 1)
+            n_syl = len(_re.findall(SYL_RE, text))
+            f = FLESCH_BASE - FLESCH_SENT_W * (n_words / n_sents) - FLESCH_SYL_W * (n_syl / n_words)
+            s = text.replace("\r", "").replace("\n", "")
+            if not s:
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            counts = np.unique(cp, return_counts=True)[1]
+            p = counts / counts.sum()
+            ent = float(-(p * np.log2(p)).sum())
+            f_sig.append(float(r4(f)))
+            e_sig.append(float(r4(ent)))
+            l_sig.append(float(n_chars))
+        f_sig, e_sig, l_sig = map(np.asarray, (f_sig, e_sig, l_sig))
+        thresholds = [
+            (f_sig, GATE_SIG_LO, np.percentile(f_sig, GATE_SIG_LO * 100, method="linear")),
+            (f_sig, GATE_SIG_HI, np.percentile(f_sig, GATE_SIG_HI * 100, method="linear")),
+            (e_sig, GATE_SIG_LO, np.percentile(e_sig, GATE_SIG_LO * 100, method="linear")),
+            (e_sig, GATE_SIG_HI, np.percentile(e_sig, GATE_SIG_HI * 100, method="linear")),
+            (l_sig, GATE_LEN_LO, np.percentile(l_sig, GATE_LEN_LO * 100, method="linear")),
+        ]
+        for sig, q, thr in thresholds:
+            srt = np.sort(sig)
+            idx = (len(srt) - 1) * q
+            lo, hi = srt[int(np.floor(idx))], srt[int(np.ceil(idx))]
+            dist = np.abs(sig - thr)
+            if lo == hi:
+                # threshold IS a (repeated) order statistic — every engine's
+                # interpolation between equal neighbors returns it exactly,
+                # so signals EQUAL to it compare identically (inclusive
+                # bounds both sides); only near-misses are a flip risk
+                margin = dist[dist > 0].min() if (dist > 0).any() else np.inf
+            else:
+                margin = dist.min()
+            assert margin > 1e-9, (
+                f"{sf}: signal within {margin:.2e} of threshold {thr!r} — "
+                "cross-engine pass/fail flip risk"
+            )
+            checked += 1
+    assert checked >= 5, "no shipped SF was checked"
