@@ -991,6 +991,17 @@ def dedup_cluster_best_representative(spark: SparkSession, sf_dir: str) -> DataF
     seconds, not the CC runtime. The registry entry stays independent so
     its oracle can verify BOTH steps end-to-end."""
     comp = dedup_connected_components(spark, sf_dir)
+    return best_representative_frame(spark, sf_dir, comp)
+
+
+def best_representative_frame(
+    spark: SparkSession, sf_dir: str, comp: DataFrame
+) -> DataFrame:
+    """The survivor-decision step alone, over a given (doc_id, component)
+    cluster relation — the production shape, where CC is a materialized
+    intermediate shared by every downstream step. bench.py times this
+    against a checkpointed CC to report the operator's MARGINAL pipeline
+    cost next to the registry entry's self-contained cost."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     best = F.max(
         F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))

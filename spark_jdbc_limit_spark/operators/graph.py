@@ -189,6 +189,29 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference engine has no graph surface
     (SURVEY.md §2B 'beyond the reference'); this extends the graph
     family beyond triangle counting to iterative propagation."""
+    return pagerank_frame(spark, sf_dir, broadcast_ranks=True)
+
+
+def pagerank_frame(
+    spark: SparkSession, sf_dir: str, broadcast_ranks: bool = True
+) -> DataFrame:
+    """The PageRank fixpoint with a selectable rank-propagation join.
+
+    ``broadcast_ranks=True`` (the registered query's path): the rank
+    relation is node-cardinality — supplier-dimension-sized here, hence
+    broadcastable at any corpus scale by the same argument as the
+    supplier table itself (catalog.BROADCAST_TABLES) — so each
+    iteration broadcasts ranks onto the pre-partitioned contribution
+    frame and the whole fixpoint costs ONE edge exchange, total.
+
+    ``broadcast_ranks=False``: the web-graph posture, for graphs whose
+    NODE relation does not fit an executor (billions of nodes). Each
+    iteration shuffle-joins ranks to contributions on the source node
+    id — the standard distributed PageRank step; because the
+    contribution frame is hash-partitioned once and reused, only the
+    (small-per-node) rank relation moves each iteration. A plan test
+    pins that this path plans no broadcast of the rank relation, and a
+    value test pins that both variants agree exactly."""
     edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = edges.select(
         F.col("s1").alias("u"), F.col("s2").alias("v")
@@ -196,20 +219,19 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
     n = float(deg.count())  # graph-cardinality scalar: bounded driver traffic
     # Iteration-invariant contribution frame, computed once and
-    # PRE-PARTITIONED on the destination key: every iteration's
-    # per-destination sum then reuses this exchange, and the rank
-    # relation — node-cardinality, i.e. supplier-dimension-sized, hence
-    # broadcastable at any corpus scale by the same argument as the
-    # supplier table itself (catalog.BROADCAST_TABLES) — rides in as a
-    # broadcast join. Net shuffle cost of the whole fixpoint: ONE
-    # exchange of the edge frame, total, regardless of iteration count.
+    # PRE-PARTITIONED: on the destination key in broadcast mode (every
+    # iteration's per-destination sum reuses this exchange), on the
+    # SOURCE key in shuffle mode (every iteration's rank join reuses it
+    # instead, and the exchange moves to the per-destination sum).
     # 8 partitions, not the session default: the frame is
     # graph-cardinality (micro), and every iteration schedules one task
     # per partition — at real scale raise this with graph size.
-    cdf = bi.join(deg, "u").repartition(8, "v").localCheckpoint(eager=False)
+    part_key = "v" if broadcast_ranks else "u"
+    cdf = bi.join(deg, "u").repartition(8, part_key).localCheckpoint(eager=False)
     pr = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("r"))
     for _ in range(PAGERANK_ITERS):
-        contrib = cdf.join(F.broadcast(pr), F.col("u") == F.col("node")).select(
+        rank_side = F.broadcast(pr) if broadcast_ranks else pr.repartition(8, "node")
+        contrib = cdf.join(rank_side, F.col("u") == F.col("node")).select(
             F.col("v"), (F.col("r") / F.col("dg")).alias("c")
         )
         pr = (
@@ -223,7 +245,8 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return pr.join(F.broadcast(deg), pr.node == deg.u).select(
+    report_deg = F.broadcast(deg) if broadcast_ranks else deg
+    return pr.join(report_deg, pr.node == deg.u).select(
         "node", F.col("dg").cast("long").alias("degree"), round_dbl(F.col("r"), 6).alias("pagerank")
     )
 

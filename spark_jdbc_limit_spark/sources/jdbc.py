@@ -198,11 +198,42 @@ def connect_with_retry(
             time.sleep(interval_s)
 
 
+def dialect_supports_array_write(spark: SparkSession, url: str) -> bool:
+    """Whether Spark's JDBC dialect for ``url`` maps ArrayType to a JDBC
+    column type (today only the Postgres dialect does). Asked from the
+    dialect registry itself — the same source of truth the writer uses —
+    so this predicate cannot drift from actual writer behavior."""
+    jvm = spark._jvm
+    arr = jvm.org.apache.spark.sql.types.DataTypes.createArrayType(
+        jvm.org.apache.spark.sql.types.DataTypes.IntegerType
+    )
+    return jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url).getJDBCType(arr).isDefined()
+
+
 def write_extjdbc(df: DataFrame, url: str, table: str, mode: str = "error", **options: Any) -> None:
     """API-sugar parity with the reference's implicit writer
     ``df.write.extjdbc(url, table, props)`` (reference: package.scala:8-17).
     Uses Spark's native JDBC writer; for all-or-nothing semantics see
     :func:`spark_jdbc_limit_spark.sinks.transactional.write_jdbc_atomic`.
+
+    ArrayType delegation boundary (reference: ExtJdbcUtils.scala:165-173
+    wrote array columns via ``conn.createArrayOf``): Spark's writer makes
+    the SAME ``createArrayOf`` call, but only for dialects whose
+    ``getJDBCType`` maps ArrayType (Postgres). For any other dialect this
+    function fails FAST with a clear boundary error instead of surfacing
+    Spark's mid-write getJdbcType exception after partitions have begun
+    committing (pinned by tests/test_jdbc_integration.py).
     """
+    from pyspark.sql.types import ArrayType
+
+    array_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)]
+    if array_cols and not dialect_supports_array_write(df.sparkSession, url):
+        raise ValueError(
+            f"array column(s) {array_cols} cannot be written over JDBC to {url.split(':', 2)[1]}: "
+            "only dialects mapping ArrayType (e.g. Postgres, via the same "
+            "java.sql.Connection.createArrayOf path the reference used) support "
+            "array writes. Serialize the column (e.g. to_json) or use a "
+            "Postgres-dialect target."
+        )
     opts = map_reference_options({"url": url, "table": table, **options})
     df.write.format("jdbc").options(**opts).mode(mode).save()

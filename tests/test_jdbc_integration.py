@@ -237,3 +237,32 @@ def test_dialect_matrix_limit_and_quoting(spark):
     assert jvm.get("jdbc:postgresql://h/db").quoteIdentifier('c') == '"c"'
     assert jvm.get("jdbc:mysql://h/db").quoteIdentifier('c') == '`c`'
     assert jvm.get("jdbc:derby:memory:x").quoteIdentifier('c') == '"c"'
+
+
+def test_array_write_delegation_boundary(spark, derby):
+    """Reference parity fine print (ExtJdbcUtils.scala:165-173 wrote array
+    columns via conn.createArrayOf): our writer delegates array support to
+    Spark's dialect registry. Postgres maps ArrayType (the same
+    createArrayOf path); Derby does not — so an array write to Derby must
+    fail FAST with the boundary error, before any partition starts
+    committing, and the predicate itself must match the registry."""
+    import pytest
+
+    from spark_jdbc_limit_spark.sources.jdbc import (
+        dialect_supports_array_write,
+        write_extjdbc,
+    )
+
+    assert dialect_supports_array_write(spark, "jdbc:postgresql://h/db")
+    assert not dialect_supports_array_write(spark, derby)
+
+    arr_df = spark.range(3).select(
+        F.col("id"), F.array(F.col("id"), F.col("id") + 1).alias("vals")
+    )
+    with pytest.raises(ValueError, match="vals.*createArrayOf"):
+        write_extjdbc(arr_df, derby, "arr_tgt", mode="overwrite", driver=DRIVER)
+    # non-array writes on the same connection keep working
+    write_extjdbc(arr_df.select("id"), derby, "arr_ok", mode="overwrite", driver=DRIVER)
+    from spark_jdbc_limit_spark.sources.jdbc import jdbc_reader
+
+    assert jdbc_reader(spark, url=derby, table="arr_ok", driver=DRIVER).load().count() == 3

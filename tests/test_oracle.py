@@ -42,6 +42,49 @@ def test_oracle_differential_sf0001_sweep(spark, spec):
     run_differential(spark, spec, "/root/testdata/sf0.001")
 
 
+#: Queries added or materially reworked in the last two rounds. These run
+#: the sf0.001 sweep UNGATED (round-6 verdict #6): a scale-tuned constant
+#: in a NEW operator must not hide behind the opt-in env var until the
+#: next full sweep; entries graduate out once they have survived one.
+RECENT_ADDITIONS = [
+    # round 6
+    "ann_pq_rerank_audit",
+    "cluster_kmeans_lloyd_step",
+    "graph_pagerank_supplier",
+    "embedding_pca_power_iteration",
+    "events_ewma_hourly",
+    "events_decayed_value",
+    "multimodal_image_dhash",
+    "multimodal_dhash_near_dup",
+    "dq_referential_integrity",
+    "text_zipf_fit",
+    "text_readability_flesch",
+    "events_bot_rate_screen",
+    "basket_lift_rules",
+    "supplier_hhi_by_nation",
+    "orders_weekly_trend_forecast",
+    "source_xml_roundtrip",
+    # round 7 (sketch audits oracle-paired; packing restructured; shared SQL cast)
+    "agg_approx_distinct",
+    "agg_hll_sketch_union",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "pack_tokens_sequential",
+    "sql_shared_text_rollup",
+]
+_RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
+
+
+def test_recent_additions_all_registered():
+    missing = [n for n in RECENT_ADDITIONS if n not in REGISTRY]
+    assert not missing, f"RECENT_ADDITIONS names drifted from the registry: {missing}"
+
+
+@pytest.mark.parametrize("spec", _RECENT_SPECS, ids=RECENT_ADDITIONS)
+def test_recent_additions_sf0001(spark, spec):
+    run_differential(spark, spec, "/root/testdata/sf0.001")
+
+
 def test_no_registry_query_emits_complex_typed_columns(spark, sf_dir):
     """Guardrail for the round-4 failure class: the correctness harness
     canonicalizes with pandas sort_values/hashing and CANNOT compare

@@ -700,3 +700,41 @@ def test_pack_tokens_no_bare_source_window(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, "data exchange not reused across branches"
+
+
+def test_pagerank_shuffle_variant_agrees_and_skips_broadcast(spark, sf_dir):
+    """pagerank_frame(broadcast_ranks=False) is the web-graph posture
+    (node relation too big for one executor): the rank relation must be
+    shuffle-joined, never planned as an explicit broadcast, and the
+    fixpoint it computes must agree with the broadcast variant exactly
+    (same graph, same iteration count, 1e-6-rounded ranks)."""
+    from spark_jdbc_limit_spark.operators.graph import pagerank_frame
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    bc = pagerank_frame(spark, sf_dir, broadcast_ranks=True)
+    sh = pagerank_frame(spark, sf_dir, broadcast_ranks=False)
+    # At test SF Spark's size estimator auto-broadcasts the rank join in
+    # BOTH variants, hiding the difference; disabling auto-broadcast
+    # leaves only EXPLICIT hints standing — exactly the 100 TB situation
+    # the shuffle variant exists for (rank relation above the threshold).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bc_joins = plan_text(
+            pagerank_frame(spark, sf_dir, broadcast_ranks=True), "simple"
+        ).count("BroadcastHashJoin")
+        sh_txt = plan_text(
+            pagerank_frame(spark, sf_dir, broadcast_ranks=False), "simple"
+        )
+        assert bc_joins > 0, "broadcast variant lost its explicit rank hint"
+        assert "BroadcastHashJoin" not in sh_txt, (
+            "shuffle variant still plans a broadcast join — the rank join "
+            "would OOM on a non-broadcastable node relation"
+        )
+        assert "SortMergeJoin" in sh_txt or "ShuffledHashJoin" in sh_txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got_bc = {r["node"]: (r["degree"], r["pagerank"]) for r in bc.collect()}
+    got_sh = {r["node"]: (r["degree"], r["pagerank"]) for r in sh.collect()}
+    assert got_bc == got_sh
+    assert len(got_bc) > 0

@@ -114,6 +114,7 @@ def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_
     than 'no_oracle') is unverified and must NOT count as sampled; a
     rows-only 'no_oracle' record goes stale (re-queued) once the query
     has since gained an oracle, and stays sampled while it hasn't."""
+    import dataclasses
     import importlib
     import json
 
@@ -121,10 +122,11 @@ def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_
 
     names = list(ops.REGISTRY)
     with_oracle = next(n for n in names if ops.REGISTRY[n].oracle is not None)
-    without_oracle = next(n for n in names if ops.REGISTRY[n].oracle is None)
-    clean = next(
-        n for n in names if n not in (with_oracle, without_oracle)
-    )
+    # every registry entry is oracle-paired as of round 7, so synthesize a
+    # rows-only spec (the rotation logic must keep handling the case — a
+    # future genuinely-non-SQL-expressible op would reintroduce it)
+    without_oracle = "_synthetic_rows_only"
+    clean = next(n for n in names if n != with_oracle)
     f = tmp_path / "CORRECTNESS_r99.json"
     f.write_text(
         json.dumps(
@@ -141,11 +143,19 @@ def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_
         "glob.glob",
         lambda pattern: [str(f)] if "CORRECTNESS_r" in pattern else real_glob(pattern),
     )
-    sampled = ops._driver_sampled_names()
-    assert clean in sampled
-    assert without_oracle in sampled
-    assert with_oracle not in sampled, "rows-only record must go stale once an oracle exists"
-    assert names[0] not in sampled, "crashed check must re-enter the window"
+    before = dict(ops.REGISTRY)
+    try:
+        ops.REGISTRY[without_oracle] = dataclasses.replace(
+            ops.REGISTRY[with_oracle], name=without_oracle, oracle=None
+        )
+        sampled = ops._driver_sampled_names()
+        assert clean in sampled
+        assert without_oracle in sampled
+        assert with_oracle not in sampled, "rows-only record must go stale once an oracle exists"
+        assert names[0] not in sampled, "crashed check must re-enter the window"
+    finally:
+        ops.REGISTRY.clear()
+        ops.REGISTRY.update(before)
 
 
 def test_rfm_scalable_twin_matches_ntile_exactly(spark, sf_correct):
