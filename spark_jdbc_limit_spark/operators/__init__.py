@@ -34,6 +34,7 @@ from spark_jdbc_limit_spark.operators import pipeline  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import file_sources  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import graph  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import sqltext  # noqa: E402,F401
+from spark_jdbc_limit_spark.operators import sketches  # noqa: E402,F401
 
 # Correctness-sampling rotation: the driver samples the first N registry
 # entries in iteration order each round and records their three-way

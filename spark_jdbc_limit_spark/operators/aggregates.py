@@ -272,14 +272,21 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the same two-level rewrite as ``agg_cube``: aggregate
+    to the finest (flag, status) grouping first so the rollup EXPAND
+    (×3 here) touches the micro relation, not the fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("s"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        fine.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").cast("long").alias("g_flag"),
             F.grouping("l_linestatus").cast("long").alias("g_status"),
-            F.count(F.lit(1)).alias("n_rows"),
-            dec_sum(F.col("l_quantity"), "sum_qty"),
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_qty"),
         )
         .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
     )
@@ -301,14 +308,26 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with the two-level rewrite: a naive ``o.cube(a, b)`` EXPANDs
+    every fact row ×4 (one copy per grouping set) before the shuffle —
+    at 100 TB the expand quadruples exchange volume. Aggregating to the
+    FINEST grouping first (status × priority — a few dozen groups,
+    map-side combined) and cubing the micro relation computes the
+    identical result (counts and decimal sums are re-aggregable; the
+    rounding still happens once, after the outer sum) with the expand
+    touching only the micro rows."""
     o = load_table(spark, sf_dir, "orders")
+    fine = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+    )
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        fine.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.grouping("o_orderpriority").cast("long").alias("g_prio"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dec_sum(F.col("o_totalprice"), "sum_price"),
+            F.sum("n").alias("n_orders"),
+            F.round(F.sum("s"), 2).cast("double").alias("sum_price"),
         )
         .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
     )
@@ -327,11 +346,19 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with the two-level rewrite (see ``agg_cube``): the
+    inner subquery collapses the fact rows to the finest grouping with
+    ordinary map-side-combined aggregation; the grouping-sets EXPAND
+    (×3) then runs over the micro relation."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
-        FROM lineitem_gs
+        SELECT l_returnflag, l_linestatus, SUM(n) AS n_rows
+        FROM (
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem_gs
+            GROUP BY l_returnflag, l_linestatus
+        )
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """

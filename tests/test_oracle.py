@@ -71,6 +71,11 @@ RECENT_ADDITIONS = [
     "ann_pq_topk",
     "pack_tokens_sequential",
     "sql_shared_text_rollup",
+    "agg_approx_percentile_audit",
+    "agg_approx_topk_audit",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 
