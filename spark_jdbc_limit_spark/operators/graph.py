@@ -363,3 +363,119 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    base = f"""
+        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+            FROM os a JOIN os b USING (l_orderkey)
+            WHERE a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT s1, s2 FROM pairs
+            WHERE CAST(w AS DOUBLE) >= (
+                SELECT GREATEST({float(TRIANGLE_MIN_W)},
+                                quantile_cont(w, {TRIANGLE_PCTL}))
+                FROM pairs
+            )
+        ),
+        bi AS (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        lab0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
+    steps = "".join(
+        f""",
+        lab{k} AS (
+            SELECT node, lbl FROM (
+                SELECT t.node, t.lbl,
+                       ROW_NUMBER() OVER (PARTITION BY t.node
+                                          ORDER BY COUNT(*) DESC, t.lbl) AS rn
+                FROM (
+                    SELECT b.v AS node, l.lbl
+                    FROM bi b JOIN lab{k - 1} l ON l.node = b.u
+                    UNION ALL
+                    SELECT node, lbl FROM lab{k - 1}
+                ) t
+                GROUP BY t.node, t.lbl
+            ) WHERE rn = 1
+        )"""
+        for k in range(1, LPA_ITERS + 1)
+    )
+    return (
+        base
+        + steps
+        + f"""
+        SELECT node, lbl AS community,
+               CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+        FROM lab{LPA_ITERS}
+        ORDER BY node
+    """
+    )
+
+
+@query(
+    "graph_label_propagation",
+    category="graph",
+    description=f"Label-propagation communities ({LPA_ITERS} synchronous iterations) on the supplier co-order graph",
+    oracle=_lpa_oracle(),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation: start every
+    node at its own id; each iteration adopts the label most frequent
+    among neighbors AND itself (the self-vote), ties to the SMALLEST
+    label — the determinism that makes an iterative heuristic
+    value-verifiable across engines (the textbook async/random-order
+    LPA is irreproducible by design; fixed iteration count +
+    deterministic tie-break is the differential-testable variant, same
+    trade the PageRank entry makes with its fixed fixpoint). The
+    self-vote matters for correctness, not just determinism: pure
+    synchronous LPA OSCILLATES on bipartite structures (two connected
+    nodes swap labels forever); with the self-vote each node of a pair
+    sees one vote for each label, ties resolve to min(a, b) on both
+    sides — converged in one step.
+
+    Plan shape per iteration: one join of the label relation onto the
+    bidirectional edge list + one grouped count + one argmax — and the
+    argmax is the max(struct(cnt, -lbl)) AGGREGATE, not a ranked
+    window, so the per-node reduction is map-side combined and a
+    celebrity node's neighbor list never funnels through one task's
+    sort. Labels are node-cardinality (broadcastable here; at web
+    scale the same loop shuffle-joins on node id — the
+    ``pagerank_frame`` posture switch applies verbatim). The DAG is
+    linear in iterations, one job, no checkpoint needed; the edge
+    relation is the single eager lineage cut, shared with every other
+    graph entry. The oracle unrolls the same {LPA_ITERS} iterations as
+    chained CTEs with a ranked window — an independent argmax
+    formulation, so tie-breaks are cross-checked value-by-value."""
+    edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    labels = bi.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ITERS):
+        nbr = bi.join(
+            F.broadcast(labels), F.col("u") == F.col("node")
+        ).select("v", "lbl")
+        votes = nbr.unionAll(labels.select(F.col("node").alias("v"), "lbl"))
+        counted = votes.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        best = F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("b")
+        labels = counted.groupBy("v").agg(best).select(
+            F.col("v").alias("node"), (-F.col("b.neg")).alias("lbl")
+        )
+    from pyspark.sql.window import Window as W
+
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("lbl"))
+        .cast("long")
+        .alias("community_size"),
+    ).orderBy("node")

@@ -73,6 +73,7 @@ RECENT_ADDITIONS = [
     "sql_shared_text_rollup",
     "agg_approx_percentile_audit",
     "agg_approx_topk_audit",
+    "graph_label_propagation",
     "agg_cube",
     "agg_rollup",
     "agg_grouping_sets",

@@ -738,3 +738,25 @@ def test_pagerank_shuffle_variant_agrees_and_skips_broadcast(spark, sf_dir):
     got_sh = {r["node"]: (r["degree"], r["pagerank"]) for r in sh.collect()}
     assert got_bc == got_sh
     assert len(got_bc) > 0
+
+
+def test_label_propagation_argmax_not_window(spark, sf_dir):
+    """LPA's per-node label choice must be the max(struct) AGGREGATE —
+    a ranked window over neighbor-label counts would sort a celebrity
+    node's whole neighborhood in one task. Also: communities must be a
+    coarsening (every node keeps a label, count preserved) and at least
+    one multi-node community must form on the shipped graph."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("graph_label_propagation").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df, "extended")
+    # the only row_number/rank windows allowed are none — label argmax is
+    # an aggregate; the single window is the final community-size count
+    assert "row_number" not in txt.lower()
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len({r["node"] for r in rows}) == len(rows)
+    sizes = {r["community"]: r["community_size"] for r in rows}
+    assert sum(sizes.values()) == len(rows)
+    assert max(sizes.values()) >= 2, "no community formed — LPA degenerated"
