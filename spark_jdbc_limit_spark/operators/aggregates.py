@@ -102,8 +102,9 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: rel-error tolerance for the HLL++ in-query audit booleans. Measured max
-#: rel error across sf0.001/0.01/0.1 is 0.033 (rsd=0.02, sf0.1 suppkey) —
-#: 0.10 gives 3× headroom while still asserting the sketch is a sketch.
+#: rel error across sf0.001/0.01/0.1 for suppkey+partkey is 0.0103
+#: (rsd=0.02, sf0.1) — 0.10 gives ~10× headroom while still asserting
+#: the sketch is a sketch.
 APPROX_CD_TOL = 0.10
 
 
@@ -114,9 +115,9 @@ APPROX_CD_TOL = 0.10
     oracle=f"""
         SELECT l_returnflag,
                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
-               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
                TRUE AS suppliers_within_tol,
-               TRUE AS orders_within_tol
+               TRUE AS parts_within_tol
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -143,7 +144,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit path measures exactly the production estimate while paying
     a distinct-pair shuffle instead of the expand a combined
     countDistinct+approx aggregate would plan (measured 4.7 s vs 1.0 s
-    at sf0.1 — the expand quadruples shuffle rows)."""
+    at sf0.1 — the expand quadruples shuffle rows). Audited keys are
+    suppkey + PARTKEY: their distinct-pair relations are dimension-
+    bounded (suppliers + parts), so the exact comparand's shuffle stays
+    micro at any fact-table scale — an orderkey audit would shuffle a
+    near-fact-cardinality pair relation (measured 1.6 s vs 0.83 s at
+    sf0.1, and unboundedly worse at 100 TB)."""
     li = load_table(spark, sf_dir, "lineitem")
 
     def two_level(key: str, out: str) -> DataFrame:
@@ -154,7 +160,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     agg = two_level("l_suppkey", "suppliers").join(
-        two_level("l_orderkey", "orders"), "l_returnflag"
+        two_level("l_partkey", "parts"), "l_returnflag"
     )
 
     def within(approx: str, exact: str):
@@ -164,9 +170,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "exact_suppliers",
-        "exact_orders",
+        "exact_parts",
         within("approx_suppliers", "exact_suppliers").alias("suppliers_within_tol"),
-        within("approx_orders", "exact_orders").alias("orders_within_tol"),
+        within("approx_parts", "exact_parts").alias("parts_within_tol"),
     ).orderBy("l_returnflag")
 
 
