@@ -193,7 +193,10 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_frame(
-    spark: SparkSession, sf_dir: str, broadcast_ranks: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_ranks: bool = True,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """The PageRank fixpoint with a selectable rank-propagation join.
 
@@ -211,8 +214,16 @@ def pagerank_frame(
     contribution frame is hash-partitioned once and reused, only the
     (small-per-node) rank relation moves each iteration. A plan test
     pins that this path plans no broadcast of the rank relation, and a
-    value test pins that both variants agree exactly."""
-    edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    value test pins that both variants agree exactly.
+
+    ``edges`` (optional): a precomputed (s1, s2) edge relation — the
+    production pipeline posture, where the thresholded edge list is a
+    materialized intermediate shared by every graph analytic; bench.py
+    times this path as ``pipeline_marginal``. Default derives edges
+    self-contained so the registry entry stays oracle-verifiable
+    end-to-end."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = edges.select(
         F.col("s1").alias("u"), F.col("s2").alias("v")
     ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
@@ -291,7 +302,9 @@ def pagerank_frame(
                )} AS global_clustering
     """,
 )
-def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangle_stats(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Degree-ordered triangle counting (module docstring has the scale
     argument). The oracle counts the same triangles with the naive
     canonical 3-way join — feasible at oracle scale, and a definitionally
@@ -305,7 +318,10 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the planner; materializing the edges once collapses the
     # DAG to small-relation joins — the same discipline the
     # connected-components loop uses (dedup.py) for iterative reuse.
-    edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    # ``edges`` may be passed precomputed (materialized-intermediate
+    # pipeline posture, timed as pipeline_marginal by bench.py).
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     deg = (
         edges.select(F.col("s1").alias("node"))
         .unionAll(edges.select(F.col("s2").alias("node")))
@@ -424,7 +440,9 @@ def _lpa_oracle() -> str:
     description=f"Label-propagation communities ({LPA_ITERS} synchronous iterations) on the supplier co-order graph",
     oracle=_lpa_oracle(),
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Community detection by synchronous label propagation: start every
     node at its own id; each iteration adopts the label most frequent
     among neighbors AND itself (the self-vote), ties to the SMALLEST
@@ -452,7 +470,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph entry. The oracle unrolls the same {LPA_ITERS} iterations as
     chained CTEs with a ranked window — an independent argmax
     formulation, so tie-breaks are cross-checked value-by-value."""
-    edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = edges.select(
         F.col("s1").alias("u"), F.col("s2").alias("v")
     ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))

@@ -97,6 +97,11 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "multimodal_dhash_near_dup",
         "events_decayed_value",
         "text_zipf_fit",
+        # round-7 additions: iterative LPA, two-phase packing, the ANN
+        # recall audits (brute-force arm + sketch arm in one plan)
+        "graph_label_propagation",
+        "pack_tokens_sequential",
+        "ann_pq_topk",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
