@@ -139,6 +139,10 @@ _QUEUE_BEHIND = (
     "embedding_pca_power_iteration", "text_readability_flesch",
     "events_bot_rate_screen", "orders_weekly_trend_forecast",
     "pipeline_quality_gate_report",
+    # round-7 additions: queued behind the round-6 carry-overs
+    "agg_approx_percentile_audit", "agg_approx_topk_audit",
+    "graph_label_propagation", "join_bloom_prefilter",
+    "sample_stratified_exact", "graph_connected_components",
 )
 
 

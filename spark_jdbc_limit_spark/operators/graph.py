@@ -498,3 +498,127 @@ def graph_label_propagation(
         .cast("long")
         .alias("community_size"),
     ).orderBy("node")
+
+
+CC_ITERS = 6
+
+
+def _cc_oracle() -> str:
+    base = f"""
+        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        pairs AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
+            FROM os a JOIN os b USING (l_orderkey)
+            WHERE a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT s1, s2 FROM pairs
+            WHERE CAST(w AS DOUBLE) >= (
+                SELECT GREATEST({float(TRIANGLE_MIN_W)},
+                                quantile_cont(w, {TRIANGLE_PCTL}))
+                FROM pairs
+            )
+        ),
+        bi AS (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        cc0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
+    steps = "".join(
+        f""",
+        cc{k} AS (
+            SELECT node, MIN(lbl) AS lbl FROM (
+                SELECT b.v AS node, l.lbl
+                FROM bi b JOIN cc{k - 1} l ON l.node = b.u
+                UNION ALL
+                SELECT node, lbl FROM cc{k - 1}
+            ) GROUP BY node
+        )"""
+        for k in range(1, CC_ITERS + 1)
+    )
+    return (
+        base
+        + steps
+        + f"""
+        SELECT prev.lbl AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MAX(prev.node) AS max_node,
+               CAST(SUM(CASE WHEN prev.lbl <> last.lbl THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unsettled
+        FROM cc{CC_ITERS} last JOIN cc{CC_ITERS - 1} prev USING (node)
+        GROUP BY prev.lbl
+        ORDER BY component
+    """
+    )
+
+
+@query(
+    "graph_connected_components",
+    category="graph",
+    description=f"Connected components by {CC_ITERS}-step synchronous min-label propagation, with per-component settlement audit",
+    oracle=_cc_oracle(),
+)
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Connected components of the supplier co-order graph by synchronous
+    min-label propagation: every node starts at its own id; each step
+    takes the min over itself and its neighbors. After d steps (d =
+    graph diameter) every node carries its component's smallest id.
+
+    A FIXED step count is what makes an iterative fixpoint
+    differentially testable (the trade ``graph_pagerank_supplier`` and
+    ``graph_label_propagation`` already make): both engines unroll the
+    same {CC_ITERS} steps, so results are value-identical even on a
+    pathological input where propagation hasn't settled. The query
+    AUDITS its own convergence instead of assuming it: ``n_unsettled``
+    counts the nodes per component whose label still changed on the
+    final step — 0 everywhere proves the fixpoint was reached ON THIS
+    DATA in-query (the discipline the sketch audits use for
+    approximation error, [[sketch-audit-discipline]]-style), and
+    ``tests/test_plans.py`` pins it to 0 against a union-find
+    ground truth at the shipped SFs.
+
+    Plan shape per step: one shuffle join of the label relation onto the
+    bidirectional edge list + one map-side-combined MIN agg — no window,
+    no single-task sort anywhere. The label relation is node-cardinality
+    and broadcastable here; at web scale flip the same join to a shuffle
+    join on node id (the ``pagerank_frame`` posture switch). Min-prop
+    needs O(diameter) rounds — fine for the short-diameter graphs
+    relational data yields; a production CC on a web graph swaps this
+    loop for the large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce"), which converges in
+    O(log² n) rounds with the SAME per-round plan shape, so the swap is
+    the loop body, not the architecture. The final step joins labels at
+    step {CC_ITERS}-1 and {CC_ITERS} to emit the settlement audit; the
+    extra join is against the micro label relation, not the corpus."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    labels = bi.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    prev = labels
+    for _ in range(CC_ITERS):
+        prev = labels
+        nbr = bi.join(
+            F.broadcast(labels), F.col("u") == F.col("node")
+        ).select("v", "lbl")
+        votes = nbr.unionAll(labels.select(F.col("node").alias("v"), "lbl"))
+        labels = votes.groupBy("v").agg(F.min("lbl").alias("lbl")).select(
+            F.col("v").alias("node"), "lbl"
+        )
+    return (
+        prev.alias("p")
+        .join(labels.alias("l"), "node")
+        .groupBy(F.col("p.lbl").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("node").alias("max_node"),
+            F.sum(
+                (F.col("p.lbl") != F.col("l.lbl")).cast("long")
+            ).alias("n_unsettled"),
+        )
+        .orderBy("component")
+    )

@@ -699,3 +699,95 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("o_orderkey")).alias("last_orderkey"),
         F.when(fresh, F.round("o_totalprice", 2)).alias("last_totalprice"),
     )
+
+
+#: Coarse membership filter: number of hash buckets in the build-side
+#: bitmap. The bitmap relation is AT MOST this many rows no matter how
+#: large the build side grows — that bounded size, not the build side's
+#: cardinality, is what the probe-side broadcast pays for. 4096 buckets
+#: ≈ 32 KiB as a bitset; production runtime filters (Spark's own
+#: spark.sql.optimizer.runtime.bloomFilter) size up to ~67M bits the
+#: same way.
+BLOOM_BUCKETS = 4096
+
+#: Build-side predicate: finished orders above this total. Selective
+#: enough that most probe rows miss every occupied bucket and are
+#: dropped BEFORE the exact join's shuffle.
+BLOOM_MIN_TOTAL = 400_000.0
+
+
+@query(
+    "join_bloom_prefilter",
+    category="join",
+    description="Runtime-filter semi join: broadcast hash-bucket bitmap prunes the probe side before the exact shuffle",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey
+                        AND o_orderstatus = 'F'
+                        AND o_totalprice > {BLOOM_MIN_TOTAL})
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a RUNTIME-FILTER pre-prune — the manual form of the
+    bloom-filter pushdown Spark's optimizer applies under
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (and the pattern
+    behind every "build a filter from the dim, ship it to the fact scan"
+    engine feature; the reference engine has no runtime-filter surface).
+
+    Two joins, two very different costs:
+
+    1. COARSE: hash the build side's keys into ``BLOOM_BUCKETS`` buckets
+       and keep one row per OCCUPIED bucket — a relation bounded at 4096
+       rows whatever the build side's cardinality, so it broadcasts even
+       when the dim itself never could. A broadcast left-semi on
+       ``pmod(xxhash64(key), B)`` drops every probe row whose bucket is
+       empty — map-side, before any exchange, touching only the join key
+       column (Parquet scan stays pruned to the columns the query needs).
+    2. EXACT: the surviving rows go through the real shuffle semi join
+       (pinned sort-merge — at 100 TB neither fact side broadcasts). False
+       positives from bucket collisions die here, so the RESULT is
+       engine-independent pure semi-join semantics; the oracle is a plain
+       EXISTS with no hash anywhere, which is exactly the point — the
+       coarse layer may only ever change cost, never the answer.
+
+    At selectivity s and bucket occupancy p, the exact join shuffles
+    ~max(s, p) of the probe side instead of all of it; here the build
+    side occupies ~¼ of 4096 buckets, so ~75% of lineitem never reaches
+    the exchange. The plan pin in ``tests/test_plans.py`` asserts both
+    layers: a broadcast semi on the bucket column under a sort-merge
+    semi on the key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > BLOOM_MIN_TOTAL)
+        )
+        .select("o_orderkey")
+    )
+    occupied = keys.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_BUCKETS)).alias("bkt")
+    ).distinct()
+    pruned = li.join(
+        F.broadcast(occupied),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_BUCKETS)) == F.col("bkt"),
+        "left_semi",
+    )
+    return (
+        pruned.hint("merge")
+        .join(keys, pruned.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

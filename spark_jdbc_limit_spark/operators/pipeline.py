@@ -794,3 +794,109 @@ def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_l.cast("int").alias("pass_length"),
         (pass_f & pass_e & pass_l).cast("int").alias("kept"),
     )
+
+
+#: Exact sample size per stratum. Corpus mixing specs are phrased as
+#: "exactly K documents per source" — Bernoulli `sample()` only hits K
+#: in expectation, and `sampleBy` shares the same problem.
+STRAT_K = 10
+#: Deterministic priority: a Knuth multiplicative hash of doc_id modulo
+#: a prime. Pure int64 arithmetic both engines evaluate identically
+#: (doc_id * MULT stays < 2^63 up to doc_id ~3.4e9; shard the id space
+#: before hashing beyond that).
+STRAT_MULT = 2654435761
+STRAT_MOD = 1_000_000_007
+#: Histogram resolution for the pre-prune. The cutoff histogram is at
+#: most ``sources × STRAT_BUCKETS`` rows — a micro relation. Bucket
+#: width (MOD / B) bounds the survivor overshoot per stratum; at 100 TB
+#: (~1e10 docs/source) raise B to 2^20 so the final per-stratum sort
+#: sees ~K + corpus/B ≈ 1e4 rows, not 1e10.
+STRAT_BUCKETS = 4096
+_STRAT_BW = STRAT_MOD // STRAT_BUCKETS + 1
+
+
+@query(
+    "sample_stratified_exact",
+    category="llm_pipeline",
+    description=f"Exactly {STRAT_K} docs per source by deterministic hash priority, histogram-pruned before the per-stratum sort",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   (doc_id * {STRAT_MULT}) % {STRAT_MOD} AS priority
+            FROM documents
+        )
+        SELECT source, doc_id, priority,
+               CAST(rn AS BIGINT) AS sample_rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY priority, doc_id) AS rn
+              FROM d)
+        WHERE rn <= {STRAT_K}
+        ORDER BY source, sample_rank
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K stratified sample per source — the balanced-mixture draw a
+    training-data pipeline makes when the spec says "10k docs per
+    domain", reproducible across runs and engines because the draw order
+    is a deterministic hash priority, not an RNG.
+
+    The naive form is one window: ``row_number() OVER (PARTITION BY
+    source ORDER BY priority)`` — and with 20 sources at 100 TB that
+    sorts ~5 TB per partition in ONE task, the exact shape this repo
+    rejected for ``pack_tokens_sequential``. The scale-safe form here is
+    the histogram-prune + tiny-sort two-phase (same family as
+    ``global_rownum_two_phase``, ``operators/advanced.py``):
+
+    1. Bucket each doc's priority into ``STRAT_BUCKETS`` coarse ranges
+       and count per (source, bucket) — a partially-aggregated shuffle of
+       at most sources × B rows.
+    2. Per source, the running bucket total finds the FIRST bucket where
+       the cumulative count reaches K (window over the micro histogram,
+       ≤ B rows per stratum). Everything past that bucket cannot be in
+       the top-K by priority.
+    3. Broadcast the per-source cutoffs back onto the corpus: the
+       map-side filter keeps ~K + corpus/B rows per stratum, and only
+       those survivors pay the exact ``row_number`` sort. A stratum with
+       fewer than K docs has no cutoff bucket — its NULL cutoff
+       coalesces to the last bucket, keeping every row, and the final
+       rank filter degrades to "take all", which IS the correct exact
+       sample for an underfull stratum.
+
+    The coarse layer (like ``join_bloom_prefilter``'s bitmap) can only
+    change cost, never the answer: the oracle is the naive single window
+    in DuckDB, so the differential check proves prune-then-sort ≡ sort."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(STRAT_MULT)) % F.lit(STRAT_MOD)).alias("priority"),
+    )
+    d = d.withColumn("bkt", (F.col("priority") / F.lit(_STRAT_BW)).cast("long"))
+    hist = d.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    running = F.sum("c").over(
+        W.partitionBy("source").orderBy("bkt").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cutoff = (
+        hist.withColumn("cum", running)
+        .filter(F.col("cum") >= STRAT_K)
+        .groupBy("source")
+        .agg(F.min("bkt").alias("cut"))
+    )
+    survivors = d.join(F.broadcast(cutoff), "source", "left").filter(
+        F.col("bkt") <= F.coalesce(F.col("cut"), F.lit(STRAT_BUCKETS - 1))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy("priority", "doc_id")
+    )
+    return (
+        survivors.withColumn("rn", rn)
+        .filter(F.col("rn") <= STRAT_K)
+        .select(
+            "source",
+            "doc_id",
+            "priority",
+            F.col("rn").cast("long").alias("sample_rank"),
+        )
+        .orderBy("source", "sample_rank")
+    )

@@ -77,6 +77,9 @@ RECENT_ADDITIONS = [
     "agg_cube",
     "agg_rollup",
     "agg_grouping_sets",
+    "join_bloom_prefilter",
+    "sample_stratified_exact",
+    "graph_connected_components",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

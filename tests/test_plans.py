@@ -760,3 +760,115 @@ def test_label_propagation_argmax_not_window(spark, sf_dir):
     sizes = {r["community"]: r["community_size"] for r in rows}
     assert sum(sizes.values()) == len(rows)
     assert max(sizes.values()) >= 2, "no community formed — LPA degenerated"
+
+
+def test_bloom_prefilter_two_layer_plan_and_equivalence(spark, sf_dir):
+    """join_bloom_prefilter must show BOTH layers in the physical plan —
+    a broadcast left-semi on the bucket bitmap (the runtime filter) and
+    a sort-merge left-semi on the key (the exact join) — and the
+    pre-prune must be a pure optimization: result identical to the
+    exact semi join alone."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.joins import BLOOM_MIN_TOTAL
+    from spark_jdbc_limit_spark.plans import plan_text
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    df = get_query("join_bloom_prefilter").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    assert re.search(r"SortMergeJoin .*LeftSemi", plan), plan
+    # scan stays pruned: only the columns the query touches
+    assert_read_schema_cols(
+        df,
+        "lineitem",
+        {"l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"},
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > BLOOM_MIN_TOTAL)
+        )
+        .select("o_orderkey")
+    )
+    exact = (
+        li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+    got = {r["l_returnflag"]: (r["n_items"], r["sum_qty"]) for r in df.collect()}
+    want = {r["l_returnflag"]: (r["n_items"], r["sum_qty"]) for r in exact.collect()}
+    assert got == want
+
+
+def test_stratified_sample_exact_k_and_prune_layer(spark, sf_dir):
+    """sample_stratified_exact: every stratum yields min(K, stratum size)
+    rows, ranks are 1..k dense, and the histogram-prune layer is present
+    (a broadcast join of the per-source cutoffs) so the exact sort never
+    sees the whole corpus."""
+    from collections import Counter
+
+    from spark_jdbc_limit_spark.operators.pipeline import STRAT_K
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    df = get_query("sample_stratified_exact").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    rows = df.collect()
+    sizes = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    per_src = Counter(r["source"] for r in rows)
+    assert set(per_src) == set(sizes)
+    for src, n in sizes.items():
+        assert per_src[src] == min(STRAT_K, n), (src, n, per_src[src])
+    for src in per_src:
+        ranks = sorted(r["sample_rank"] for r in rows if r["source"] == src)
+        assert ranks == list(range(1, per_src[src] + 1))
+
+
+def test_connected_components_settled_and_match_union_find(spark, sf_dir):
+    """graph_connected_components at the shipped SF: the in-query
+    settlement audit reads 0 everywhere (CC_ITERS covers the diameter)
+    and component count/sizes match a driver-side union-find over the
+    same edge list."""
+    from spark_jdbc_limit_spark.operators.graph import _supplier_edges
+
+    df = get_query("graph_connected_components").builder(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "edge graph unexpectedly empty"
+    assert all(r["n_unsettled"] == 0 for r in rows)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in _supplier_edges(spark, sf_dir).collect():
+        a, b = find(e["s1"]), find(e["s2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    truth: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        truth[r] = truth.get(r, 0) + 1
+    assert sorted(truth.values()) == sorted(r["n_nodes"] for r in rows)
+    # component label is the smallest member id — union-find roots agree
+    assert sorted(truth) == sorted(r["component"] for r in rows)
