@@ -85,6 +85,7 @@ def main() -> None:
 
     from spark_jdbc_limit_spark.operators.graph import (
         _supplier_edges,
+        graph_connected_components,
         graph_label_propagation,
         graph_triangle_stats,
         pagerank_frame,
@@ -103,6 +104,9 @@ def main() -> None:
             spark, sf_dir, edges=edges
         ),
         "graph_triangle_stats": lambda: graph_triangle_stats(
+            spark, sf_dir, edges=edges
+        ),
+        "graph_connected_components": lambda: graph_connected_components(
             spark, sf_dir, edges=edges
         ),
     }
