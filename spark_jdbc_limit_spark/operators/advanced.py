@@ -543,3 +543,100 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: Equi-depth range buckets for the global-sort audit. At a real 100 TB
+#: sort this is the number of RANGE PARTITIONS (Spark's orderBy computes
+#: the same cutpoints by sampling inside RangePartitioner); 8 keeps the
+#: oracle's cross-join of cutoff columns readable — the shape is
+#: identical at 10,000.
+RANGE_SORT_BUCKETS = 8
+_RANGE_FRACS = [i / RANGE_SORT_BUCKETS for i in range(1, RANGE_SORT_BUCKETS)]
+
+
+@query(
+    "sort_range_equidepth_audit",
+    category="sort",
+    description=f"Global sort as {RANGE_SORT_BUCKETS} exact equi-depth range buckets, with disjointness audit",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT {', '.join(
+                f'quantile_cont(l_extendedprice, {f}) AS c{i}'
+                for i, f in enumerate(_RANGE_FRACS, 1)
+            )}
+            FROM lineitem
+        ),
+        b AS (
+            SELECT l_extendedprice AS p,
+                   CAST({' + '.join(
+                       f'(CASE WHEN l_extendedprice > c{i} THEN 1 ELSE 0 END)'
+                       for i in range(1, RANGE_SORT_BUCKETS)
+                   )} AS BIGINT) AS bucket
+            FROM lineitem CROSS JOIN cuts
+        ),
+        s AS (
+            SELECT bucket, COUNT(*) AS n_rows,
+                   ROUND(MIN(p), 2) AS min_price,
+                   ROUND(MAX(p), 2) AS max_price
+            FROM b GROUP BY bucket
+        )
+        SELECT bucket, n_rows, min_price, max_price,
+               CAST(COALESCE(min_price >= LAG(max_price) OVER (ORDER BY bucket),
+                             TRUE) AS INT) AS monotone_ok
+        FROM s ORDER BY bucket
+    """,
+)
+def sort_range_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a global ORDER BY actually is at 100 TB: range-partition on
+    exact distribution cutpoints, sort each partition locally, and rely
+    on partition ranges being DISJOINT for global order — no single-task
+    sort anywhere (Spark's own ``orderBy`` does exactly this via
+    RangePartitioner, but with SAMPLED cutpoints it neither exposes nor
+    audits). This entry makes the contract inspectable: exact
+    equi-depth cutoffs (one percentile pass, a 1-row broadcast), a
+    codegen bucket assignment (sum of comparisons — no per-row UDF, no
+    binary search needed at 8 buckets), and per-bucket (count, min, max)
+    where ``monotone_ok`` PROVES bucket i's minimum clears bucket i-1's
+    maximum — the disjointness a downstream merge-read depends on. The
+    final window runs over {RANGE_SORT_BUCKETS} rows, micro by
+    construction (the corpus-sized work is one partial-aggregated
+    shuffle). Equi-depth (not equi-width) is what survives skew: every
+    bucket holds ~N/B rows whatever the value distribution, so no
+    sort-task straggles. Cross-engine determinism rides on
+    percentile ≡ quantile_cont exact interpolation, the agreement the
+    quality gate already margin-pins (`tests/test_pipeline_ops.py`);
+    rows exactly AT a cutpoint land below it in both engines (strict
+    `>`)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cuts = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {f})").alias(f"c{i}")
+            for i, f in enumerate(_RANGE_FRACS, 1)
+        ]
+    )
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"c{i}")).cast("long")
+        for i in range(1, RANGE_SORT_BUCKETS)
+    ).alias("bucket")
+    stats = (
+        li.crossJoin(F.broadcast(cuts))  # one-row cutoff relation
+        .select(F.col("l_extendedprice").alias("p"), bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("p"), 2).alias("min_price"),
+            F.round(F.max("p"), 2).alias("max_price"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    prev_max = F.lag("max_price").over(W.orderBy("bucket"))
+    return stats.select(
+        "bucket",
+        "n_rows",
+        "min_price",
+        "max_price",
+        F.coalesce(F.col("min_price") >= prev_max, F.lit(True))
+        .cast("int")
+        .alias("monotone_ok"),
+    ).orderBy("bucket")

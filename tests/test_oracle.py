@@ -80,6 +80,7 @@ RECENT_ADDITIONS = [
     "join_bloom_prefilter",
     "sample_stratified_exact",
     "graph_connected_components",
+    "sort_range_equidepth_audit",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

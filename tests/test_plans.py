@@ -872,3 +872,39 @@ def test_connected_components_settled_and_match_union_find(spark, sf_dir):
     assert sorted(truth.values()) == sorted(r["n_nodes"] for r in rows)
     # component label is the smallest member id — union-find roots agree
     assert sorted(truth) == sorted(r["component"] for r in rows)
+
+
+def test_range_sort_audit_margins_and_plan(spark, sf_dir):
+    """sort_range_equidepth_audit's cross-engine determinism rides on
+    percentile == quantile_cont: replicate the cutoffs in numpy on every
+    shipped SF and assert no price sits within 1e-9 of a cutoff unless
+    it IS the cutoff (integral-index percentiles land exactly on data
+    values — engine-independent). Plan: the cutoff relation must arrive
+    broadcast, and every bucket must be monotone and non-empty."""
+    import numpy as np
+
+    from spark_jdbc_limit_spark.operators.advanced import (
+        _RANGE_FRACS,
+        RANGE_SORT_BUCKETS,
+    )
+    from spark_jdbc_limit_spark.sources.catalog import table_path
+
+    df = get_query("sort_range_equidepth_audit").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+    rows = df.collect()
+    assert len(rows) == RANGE_SORT_BUCKETS
+    assert all(r["monotone_ok"] == 1 for r in rows)
+    assert all(r["n_rows"] > 0 for r in rows)
+
+    import pandas as pd
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        prices = pd.read_parquet(table_path(sf, "lineitem"))[
+            "l_extendedprice"
+        ].to_numpy()
+        cuts = np.quantile(prices, _RANGE_FRACS, method="linear")
+        for c in cuts:
+            d = np.abs(prices - c)
+            near = d[(d > 0) & (d < 1e-9)]
+            assert near.size == 0, (sf, c, near[:5])

@@ -102,6 +102,7 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "graph_label_propagation",
         "pack_tokens_sequential",
         "ann_pq_topk",
+        "graph_connected_components",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
