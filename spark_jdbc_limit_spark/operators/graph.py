@@ -582,7 +582,7 @@ def graph_connected_components(
     counts the nodes per component whose label still changed on the
     final step — 0 everywhere proves the fixpoint was reached ON THIS
     DATA in-query (the discipline the sketch audits use for
-    approximation error, [[sketch-audit-discipline]]-style), and
+    approximation error), and
     ``tests/test_plans.py`` pins it to 0 against a union-find
     ground truth at the shipped SFs.
 
