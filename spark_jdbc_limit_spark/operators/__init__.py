@@ -143,7 +143,7 @@ _QUEUE_BEHIND = (
     "agg_approx_percentile_audit", "agg_approx_topk_audit",
     "graph_label_propagation", "join_bloom_prefilter",
     "sample_stratified_exact", "graph_connected_components",
-    "sort_range_equidepth_audit",
+    "sort_range_equidepth_audit", "dedup_winnowing_fingerprints",
 )
 
 

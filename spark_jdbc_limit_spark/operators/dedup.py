@@ -1421,3 +1421,139 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("int").alias("has_near_dup_candidate"),
         )
     )
+
+
+#: Winnowing window width, in shingle positions: every window of
+#: WINNOW_W consecutive k-gram hashes contributes its minimum to the
+#: document's fingerprint set (Schleimer/Wilkerson/Aiken, "Winnowing:
+#: Local Algorithms for Document Fingerprinting", SIGMOD'03). Guarantee:
+#: any shared run of at least WINNOW_W + SHINGLE_K - 1 words between two
+#: documents yields at least one SHARED selected fingerprint — the
+#: detection floor is tunable, unlike sampling "every n-th shingle"
+#: (positional, breaks under any insertion) or "hash % p == 0" (no floor
+#: at all). Density of selected prints is ~2/(W+1) of all shingles.
+WINNOW_W = 4
+
+
+def _winnow_set(text: str, k: int = SHINGLE_K, w: int = WINNOW_W) -> set[int]:
+    """Distinct winnowed fingerprints of one document: sliding-window
+    minima over the ORDERED k-gram hash sequence (contrast
+    ``_shingle_set``, which keeps every distinct shingle). A doc with
+    fewer than ``w`` shingles contributes its single global minimum.
+    O(n·w) here — fine at document scale (w=4); a deque makes it O(n)
+    if w ever grows."""
+    wh = _word_hashes(text)
+    n = len(wh) - k + 1
+    if n <= 0:
+        return set()
+    seq = []
+    for i in range(n):
+        h = wh[i]
+        for j in range(1, k):
+            h = (h * FP_BASE + wh[i + j]) % FP_MOD
+        seq.append(h)
+    if n <= w:
+        return {min(seq)}
+    return {min(seq[i : i + w]) for i in range(n - w + 1)}
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = SHINGLE_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fp): distinct winnowed fingerprints per document.
+    Payload-local like ``shingle_hashes`` — one Arrow pass, shuffle-free,
+    scales with scan bandwidth."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            fs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ss = _winnow_set(text, k, w)
+                ids.extend([doc_id] * len(ss))
+                fs.extend(ss)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "fp": np.asarray(fs, dtype=np.int64),
+                }
+            )
+
+    return _spread(docs.select("doc_id", "text")).mapInPandas(gen, "doc_id long, fp long")
+
+
+def _sql_winnow_fps(k: int = SHINGLE_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin of ``winnow_fingerprints``: ordered k-gram hashes via
+    the same base-131 arithmetic, sliding minima as a ROWS window, full
+    windows only (short docs keep their final running min = global min)."""
+    word_hash = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(regexp_extract_all(x, '.'), c -> unicode(c)::BIGINT)), "
+        f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD})"
+    )
+    combine = "wh[i]"
+    for j in range(1, k):
+        combine = f"(({combine}) * {FP_BASE} + wh[i+{j}]) % {FP_MOD}"
+    return f"""
+        SELECT DISTINCT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS fp
+        FROM (
+            SELECT doc_id, i, {combine} AS h,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+            FROM (SELECT doc_id,
+                         list_transform(string_split(text, ' '), x -> {word_hash}) AS wh
+                  FROM documents) d,
+                 UNNEST(range(1, len(wh) - {k - 2})) AS t(i)
+            WHERE len(wh) >= {k}
+        )
+        QUALIFY (cnt >= {w} AND i >= {w}) OR (cnt < {w} AND i = cnt)
+    """
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    category="llm_dedup",
+    description=f"Winnowed document fingerprints (window {WINNOW_W} over {SHINGLE_K}-gram hashes): per-doc density and cross-doc sharing",
+    oracle=f"""
+        WITH fps AS ({_sql_winnow_fps()}),
+        freq AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp)
+        SELECT f.doc_id,
+               COUNT(*) AS n_fingerprints,
+               CAST(SUM(CASE WHEN q.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM fps f JOIN freq q USING (fp)
+        GROUP BY f.doc_id
+        ORDER BY f.doc_id
+    """,
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS fingerprinting algorithm): select the minimum
+    k-gram hash of every {WINNOW_W}-wide window, so a shared word run of
+    at least {WINNOW_W}+{SHINGLE_K}-1 words between two documents is
+    GUARANTEED to surface as a shared stored fingerprint — the
+    containment-detection floor MinHash cannot promise (minhash bounds
+    expected Jaccard error; winnowing bounds the shortest detectable
+    overlap). Storage is ~2/(W+1) of the full shingle set, which is the
+    practical point at 100 TB: an index over winnowed prints is ~2.5×
+    smaller than the full-shingle index of ``dedup_passage_exact``-style
+    lookups at a known detection floor.
+
+    Plan: fingerprint selection is payload-local (one Arrow pass per
+    input split, ordered hashes never leave their document), so the only
+    corpus shuffle is the fingerprint-frequency aggregate + the
+    fan-back join keyed on fp — both partial-aggregated, no windows over
+    the corpus, skew bounded by the hottest fingerprint (a boilerplate
+    phrase), which the verify-stage joins of the MinHash family already
+    tolerate. Reports per doc: fingerprints stored and how many of them
+    are shared with at least one other document (the slice a plagiarism
+    / near-dup triage reads first)."""
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        fps.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )

@@ -81,6 +81,7 @@ RECENT_ADDITIONS = [
     "sample_stratified_exact",
     "graph_connected_components",
     "sort_range_equidepth_audit",
+    "dedup_winnowing_fingerprints",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

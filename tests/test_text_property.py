@@ -65,3 +65,48 @@ def test_round_dbl_formula_is_engine_portable(x, scale):
         f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {s} + 0.5) / {s}"
     ).fetchone()
     assert py == duck, (x, scale, py, duck)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    st.lists(st.integers(0, 30), min_size=0, max_size=40),
+    st.lists(st.integers(0, 30), min_size=9, max_size=25),
+)
+def test_winnowing_detection_floor(pre, post, shared):
+    """The winnowing guarantee (SIGMOD'03): two documents sharing a run
+    of >= WINNOW_W + SHINGLE_K - 1 words always share at least one
+    selected fingerprint, regardless of what surrounds the run. `shared`
+    is drawn at min_size 9 = WINNOW_W + SHINGLE_K - 1 for the shipped
+    constants (4 + 6 - 1)."""
+    from spark_jdbc_limit_spark.operators.dedup import (
+        SHINGLE_K,
+        WINNOW_W,
+        _winnow_set,
+    )
+
+    assert len(shared) >= WINNOW_W + SHINGLE_K - 1
+    words = lambda ints, tag: [f"{tag}{i}" for i in ints]
+    run = " ".join(words(shared, "s"))
+    doc_a = " ".join(filter(None, [" ".join(words(pre, "a")), run]))
+    doc_b = " ".join(filter(None, [run, " ".join(words(post, "b"))]))
+    fa, fb = _winnow_set(doc_a), _winnow_set(doc_b)
+    assert fa & fb, (doc_a, doc_b)
+
+
+def test_winnowing_density_and_subset():
+    """Selected fingerprints are a subset of the full shingle set, and a
+    short document (< WINNOW_W shingles) contributes exactly its global
+    minimum."""
+    from spark_jdbc_limit_spark.operators.dedup import (
+        SHINGLE_K,
+        WINNOW_W,
+        _shingle_set,
+        _winnow_set,
+    )
+
+    text = " ".join(f"w{i % 17}" for i in range(200))
+    assert _winnow_set(text) <= _shingle_set(text)
+    short = " ".join(f"u{i}" for i in range(SHINGLE_K + 1))  # 2 shingles < W
+    ws = _winnow_set(short)
+    assert len(ws) == 1 and ws <= _shingle_set(short)
