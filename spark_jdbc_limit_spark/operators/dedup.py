@@ -1484,11 +1484,7 @@ def _sql_winnow_fps(k: int = SHINGLE_K, w: int = WINNOW_W) -> str:
     """DuckDB twin of ``winnow_fingerprints``: ordered k-gram hashes via
     the same base-131 arithmetic, sliding minima as a ROWS window, full
     windows only (short docs keep their final running min = global min)."""
-    word_hash = (
-        f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(regexp_extract_all(x, '.'), c -> unicode(c)::BIGINT)), "
-        f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD})"
-    )
+    word_hash = _sql_char_hash("x")
     combine = "wh[i]"
     for j in range(1, k):
         combine = f"(({combine}) * {FP_BASE} + wh[i+{j}]) % {FP_MOD}"
@@ -1546,7 +1542,13 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerate. Reports per doc: fingerprints stored and how many of them
     are shared with at least one other document (the slice a plagiarism
     / near-dup triage reads first)."""
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    # lineage cut: fps feeds two branches (frequency agg + fan-back join)
+    # whose exchanges differ — without it the per-doc Python winnowing
+    # pass runs twice (no CSE across branches, same discipline as the
+    # shingle_hashes checkpoints above)
+    fps = winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         fps.join(freq, "fp")

@@ -96,14 +96,11 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PAGERANK_DAMPING = 0.85
-PAGERANK_ITERS = 5
-
-
-def _pagerank_oracle() -> str:
-    d = PAGERANK_DAMPING
-    base = f"""
-        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+#: Shared oracle fragment: the supplier co-order edge list (os -> pairs
+#: -> adaptive-threshold e), single-sourced so the four graph oracles
+#: (pagerank, triangles, LPA, connected components) can never drift
+#: apart on the edge definition. Mirror of ``_supplier_edges``.
+_EDGES_CTE = f"""os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         pairs AS (
             SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
             FROM os a JOIN os b USING (l_orderkey)
@@ -117,7 +114,16 @@ def _pagerank_oracle() -> str:
                                 quantile_cont(w, {TRIANGLE_PCTL}))
                 FROM pairs
             )
-        ),
+        )"""
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    d = PAGERANK_DAMPING
+    base = f"""
+        WITH {_EDGES_CTE},
         bi AS (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
         deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg
@@ -267,21 +273,7 @@ def pagerank_frame(
     category="graph",
     description=f"Triangle count + clustering coeff of the supplier co-order graph (top-{100 - int(TRIANGLE_PCTL * 100)}% pair weights)",
     oracle=f"""
-        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        pairs AS (
-            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
-            FROM os a JOIN os b USING (l_orderkey)
-            WHERE a.l_suppkey < b.l_suppkey
-            GROUP BY 1, 2
-        ),
-        e AS (
-            SELECT s1, s2 FROM pairs
-            WHERE CAST(w AS DOUBLE) >= (
-                SELECT GREATEST({float(TRIANGLE_MIN_W)},
-                                quantile_cont(w, {TRIANGLE_PCTL}))
-                FROM pairs
-            )
-        ),
+        WITH {_EDGES_CTE},
         deg AS (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d
             FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
@@ -386,21 +378,7 @@ LPA_ITERS = 3
 
 def _lpa_oracle() -> str:
     base = f"""
-        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        pairs AS (
-            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
-            FROM os a JOIN os b USING (l_orderkey)
-            WHERE a.l_suppkey < b.l_suppkey
-            GROUP BY 1, 2
-        ),
-        e AS (
-            SELECT s1, s2 FROM pairs
-            WHERE CAST(w AS DOUBLE) >= (
-                SELECT GREATEST({float(TRIANGLE_MIN_W)},
-                                quantile_cont(w, {TRIANGLE_PCTL}))
-                FROM pairs
-            )
-        ),
+        WITH {_EDGES_CTE},
         bi AS (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
         lab0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
@@ -513,21 +491,7 @@ CC_ITERS = 6
 
 def _cc_oracle() -> str:
     base = f"""
-        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        pairs AS (
-            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
-            FROM os a JOIN os b USING (l_orderkey)
-            WHERE a.l_suppkey < b.l_suppkey
-            GROUP BY 1, 2
-        ),
-        e AS (
-            SELECT s1, s2 FROM pairs
-            WHERE CAST(w AS DOUBLE) >= (
-                SELECT GREATEST({float(TRIANGLE_MIN_W)},
-                                quantile_cont(w, {TRIANGLE_PCTL}))
-                FROM pairs
-            )
-        ),
+        WITH {_EDGES_CTE},
         bi AS (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
         cc0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""

@@ -71,14 +71,16 @@ def test_round_dbl_formula_is_engine_portable(x, scale):
 @given(
     st.lists(st.integers(0, 30), min_size=0, max_size=40),
     st.lists(st.integers(0, 30), min_size=0, max_size=40),
-    st.lists(st.integers(0, 30), min_size=9, max_size=25),
+    st.lists(st.integers(0, 30), min_size=6, max_size=25),
 )
 def test_winnowing_detection_floor(pre, post, shared):
     """The winnowing guarantee (SIGMOD'03): two documents sharing a run
     of >= WINNOW_W + SHINGLE_K - 1 words always share at least one
     selected fingerprint, regardless of what surrounds the run. `shared`
-    is drawn at min_size 9 = WINNOW_W + SHINGLE_K - 1 for the shipped
-    constants (4 + 6 - 1)."""
+    is drawn FROM the exact floor — min_size 6 = WINNOW_W + SHINGLE_K - 1
+    for the shipped constants (4 + 3 - 1) — so the boundary lengths an
+    off-by-one in the window bounds would break are exercised, not just
+    comfortably-long runs."""
     from spark_jdbc_limit_spark.operators.dedup import (
         SHINGLE_K,
         WINNOW_W,
