@@ -908,3 +908,15 @@ def test_range_sort_audit_margins_and_plan(spark, sf_dir):
             d = np.abs(prices - c)
             near = d[(d > 0) & (d < 1e-9)]
             assert near.size == 0, (sf, c, near[:5])
+
+
+def test_winnowing_python_pass_runs_once(spark, sf_dir):
+    """dedup_winnowing_fingerprints feeds its fingerprint frame to two
+    branches (frequency agg + fan-back join). The lineage cut must hold:
+    the executed plan reads the checkpointed RDD in both branches and
+    contains NO MapInPandas node of its own — i.e. the per-doc Python
+    winnowing pass executes once, not once per branch."""
+    df = get_query("dedup_winnowing_fingerprints").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    assert "ExistingRDD" in plan, plan
