@@ -144,6 +144,7 @@ _QUEUE_BEHIND = (
     "graph_label_propagation", "join_bloom_prefilter",
     "sample_stratified_exact", "graph_connected_components",
     "sort_range_equidepth_audit", "dedup_winnowing_fingerprints",
+    "events_ab_test_zscore",
 )
 
 

@@ -1172,3 +1172,117 @@ def events_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(rz * 10000.0 + F.lit(0.5)) / 10000.0).alias("robust_z"),
         )
     )
+
+#: Two-sided 95% critical value for the A/B z-test.
+AB_Z_CRIT = 1.96
+#: Conversion = the user's largest purchase exceeds this value. A bare
+#: "has any purchase" flag is DEGENERATE on this corpus (every user
+#: purchases → pooled rate 1 → zero-variance denominator); the value
+#: threshold sits near the per-user median so both variants have
+#: non-trivial rates at every shipped SF (~45-50%).
+AB_CONV_MIN_VALUE = 150.0
+
+
+@query(
+    "events_ab_test_zscore",
+    category="window_events",
+    description="Deterministic A/B split; per-user high-value-purchase conversion; pooled two-proportion z-test",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   user_id % 2 AS variant,
+                   CASE WHEN MAX(CASE WHEN event_type = 'purchase'
+                                      THEN value END) > {AB_CONV_MIN_VALUE}
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM per_user GROUP BY variant
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+                   MAX(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+                   MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+                   MAX(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+            FROM v
+        ),
+        z AS (
+            SELECT n_a, c_a, n_b, c_b,
+                   CAST(c_a AS DOUBLE) / n_a AS ra,
+                   CAST(c_b AS DOUBLE) / n_b AS rb,
+                   (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                   / NULLIF(SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                 * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b)), 0.0) AS zv
+            FROM wide
+        )
+        SELECT n_a, c_a, n_b, c_b,
+               {sql_round_dbl('ra', 6)} AS rate_a,
+               {sql_round_dbl('rb', 6)} AS rate_b,
+               {sql_round_dbl('zv', 4)} AS z_score,
+               CAST(ABS(zv) >= {AB_Z_CRIT} AS INT) AS significant
+        FROM z
+    """,
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: a deterministic hash split (user_id parity —
+    in production, bucket a salted hash; parity keeps the oracle
+    engine-exact), per-user conversion (largest purchase above
+    {AB_CONV_MIN_VALUE}), and the pooled two-proportion z-test both
+    engines evaluate to the same doubles because the formula is spelled
+    identically on both sides. The zero-variance corner (pooled rate 0
+    or 1) yields NULL z / NULL significance via NULLIF rather than a
+    division error — that corner is real (the bare has-any-purchase
+    flag hits it on this corpus).
+
+    Plan: one shuffle to the per-user grain (partial-aggregated MAX of
+    the purchase value — the flag, not the event list, crosses the
+    wire), one micro aggregation to the 2-row variant relation, then
+    the z-score assembled on a single row via conditional-MAX widening
+    — no window, no second corpus pass, no collect. At 100 TB the
+    per-user grain is the only fact-sized exchange, which any
+    uplift/holdout readout pays anyway; k-bucket experiments widen the
+    conditional aggregate. Stats caveat documented, not hidden: pooled
+    z is valid at these counts (n·p >> 5); SIGNIFICANT compares |z| to
+    the two-sided 95% critical value {AB_Z_CRIT}."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "purchase", F.col("value")))
+            > AB_CONV_MIN_VALUE
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    v = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    denom = F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = (rate_a - rate_b) / F.nullif(denom, F.lit(0.0))
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        round_dbl(rate_a, 6).alias("rate_a"),
+        round_dbl(rate_b, 6).alias("rate_b"),
+        round_dbl(z, 4).alias("z_score"),
+        (F.abs(z) >= AB_Z_CRIT).cast("int").alias("significant"),
+    )

@@ -82,6 +82,7 @@ RECENT_ADDITIONS = [
     "graph_connected_components",
     "sort_range_equidepth_audit",
     "dedup_winnowing_fingerprints",
+    "events_ab_test_zscore",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 
