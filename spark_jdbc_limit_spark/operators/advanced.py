@@ -654,3 +654,96 @@ def sort_range_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("monotone_ok"),
     ).orderBy("bucket")
+
+
+SKYLINE_BUCKET_WIDTH = 64.0  # price units per bucket (monotone, no sampling)
+
+
+@query(
+    "sort_pareto_skyline",
+    category="sort",
+    description="2-D Pareto skyline (min price, max size) via two-phase prefix max",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+        ORDER BY p.p_partkey
+    """,
+)
+def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: parts not dominated on
+    (price lower-better, size higher-better). The textbook formulation is
+    a quadratic NOT EXISTS self-join (the oracle); the scalable plan is a
+    sort-order argument turned into aggregates + prefix maxima:
+
+    a row is in the skyline  iff  size == max(size | same price)
+                             AND  size >  max(size | strictly cheaper).
+
+    The strict-prefix max is computed WITHOUT a global single-task sort,
+    on the bucket-offset shape of ``global_rownum_two_phase``:
+
+    1. hash-aggregate to the distinct-price relation (price → group max) —
+       the only corpus-sized exchange;
+    2. monotone bucket = floor(price / W) (order-preserving, no sampling
+       pass); per-bucket maxima form a #buckets-row micro relation whose
+       running max (the single-task window, ~dozens of rows) gives each
+       bucket the max size over all STRICTLY EARLIER buckets;
+    3. inside each bucket a partitioned window gives the strictly-cheaper
+       max over local rows; the true strict-prefix max is the greater of
+       the two (``greatest`` skips the NULLs at the front edges);
+    4. broadcast the per-price verdict relation back onto part rows.
+
+    At 100 TB: one shuffle over distinct prices, one broadcast join, and
+    a window whose partitions are price buckets — no unbounded partition
+    anywhere. Ties: identical (price, size) pairs do not dominate each
+    other (no strict inequality), so all of them survive — both engines
+    agree because the condition is pure arithmetic on group maxima."""
+    from pyspark.sql.window import Window as W
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    # gmax feeds both the bucket maxima and the verdict join — checkpoint
+    # so the distinct-price aggregate scans part ONCE (no CSE across
+    # DataFrame branches).
+    gmax = (
+        p.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("gmax"))
+        .withColumn(
+            "bucket", F.floor(F.col("p_retailprice") / SKYLINE_BUCKET_WIDTH)
+        )
+        .localCheckpoint(eager=False)
+    )
+    bucket_max = gmax.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    prefix = bucket_max.withColumn(
+        "bucket_prefix",
+        F.max("bmax").over(
+            W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).select("bucket", "bucket_prefix")
+    local_strict = F.max("gmax").over(
+        W.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    verdicts = (
+        gmax.join(F.broadcast(prefix), "bucket")
+        .select(
+            "p_retailprice",
+            "gmax",
+            F.greatest(local_strict, F.col("bucket_prefix")).alias("smax"),
+        )
+    )
+    return (
+        p.join(F.broadcast(verdicts), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("smax").isNull() | (F.col("p_size") > F.col("smax")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -1559,3 +1559,110 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: prefix-filter threshold τ = PREFIX_TAU_NUM / PREFIX_TAU_DEN (exact rational,
+#: so the prefix length is computed in INTEGER arithmetic — a float ceil that
+#: rounds up spuriously would shorten the prefix and silently break the
+#: completeness guarantee).
+PREFIX_TAU_NUM = 3
+PREFIX_TAU_DEN = 5
+PREFIX_TAU = PREFIX_TAU_NUM / PREFIX_TAU_DEN
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    category="llm_dedup",
+    description=f"Exact Jaccard ≥ {PREFIX_TAU} join via lossless prefix filtering (PPJoin-style)",
+    oracle=f"""
+        WITH sh AS ({_sql_shingles()}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               {sql_round_dbl('CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common)', 4)} AS jaccard
+        FROM common
+        JOIN sizes z1 ON z1.doc_id = d1
+        JOIN sizes z2 ON z2.doc_id = d2
+        WHERE CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) >= {PREFIX_TAU}
+        ORDER BY d1, d2
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family) —
+    the deterministic sibling of the MinHash/LSH path: same candidate →
+    verify shape, but the filter is LOSSLESS (guaranteed 100% recall, no
+    sketch probability), so the output is value-identical to the
+    exhaustive all-pairs join the oracle runs.
+
+    Prefix-filtering lemma: order every document's shingles by one global
+    canonical order (rarest-first: ascending corpus frequency, hash as
+    tiebreak) and keep only the first ``p = n - ceil(τ·n) + 1`` of its
+    ``n`` shingles; any pair with Jaccard ≥ τ MUST share at least one
+    prefix shingle. ``ceil(τ·n)`` is computed as the integer
+    ``(NUM·n + DEN - 1) div DEN``, never a float ceil.
+
+    Why this scales where the exhaustive join dies: the inverted index
+    is built over PREFIX shingles only (~``(1-τ)``· the full index), and
+    rarest-first ordering puts each doc's LOWEST-frequency shingles in
+    its prefix, so posting lists in the candidate join are the shortest
+    ones the corpus has — the frequent-shingle hot buckets that dominate
+    the exhaustive join's skew never enter the exchange. Verification
+    then touches candidate pairs only, as payload-local sorted-array
+    intersection (codegen ``array_intersect`` on per-doc shingle arrays,
+    bounded by doc length — no posting-list re-shuffle).
+
+    Stages at 100 TB: shingle (map-local) → corpus frequency agg
+    (vocabulary-sized) → per-doc prefix window (partitioned by doc_id,
+    bounded partitions) → prefix self-join (short posting lists) →
+    candidate-pair array verify. Tests pin prefix ⊆ full index and
+    output ≡ exhaustive."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d).localCheckpoint(eager=False)
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    n_per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix_len = (
+        F.col("n")
+        - F.floor(
+            (PREFIX_TAU_NUM * F.col("n") + PREFIX_TAU_DEN - 1) / PREFIX_TAU_DEN
+        )
+        + 1
+    )
+    rank = F.row_number().over(
+        W.partitionBy("doc_id").orderBy("freq", "h")
+    )
+    prefix = (
+        sh.join(freq, "h")
+        .withColumn("rnk", rank)
+        .join(n_per_doc, "doc_id")
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    n_common = F.size(F.array_intersect(F.col("hs1"), F.col("hs2")))
+    jac = n_common.cast("double") / (
+        F.size("hs1") + F.size("hs2") - n_common
+    )
+    return (
+        cand.join(doc_sets.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1")), "d1")
+        .join(doc_sets.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2")), "d2")
+        .filter(jac >= PREFIX_TAU)
+        .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
+    )

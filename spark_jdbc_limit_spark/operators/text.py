@@ -840,3 +840,119 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+#: fixed keyword query for the ranked-retrieval demo; "dup" is the rare
+#: high-IDF term in the synthetic corpus, the other two are commonplace.
+BM25_QUERY = ("dup", "merge", "scan")
+
+_BM25_DENOM = (
+    f"(tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+)
+_BM25_TERM_SCORE = (
+    f"(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * {BM25_K1 + 1.0})) / {_BM25_DENOM}"
+)
+_BM25_FIXED_SUM = " + ".join(
+    f"COALESCE(SUM(CASE WHEN term = '{t}' THEN s END), 0)" for t in BM25_QUERY
+)
+
+
+@query(
+    "text_bm25_retrieval",
+    category="llm_text",
+    description=f"BM25 ranked retrieval: top-{BM25_TOPK} docs for a fixed keyword query",
+    oracle=f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                   term,
+                   CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            WHERE term IN {BM25_QUERY!r}
+            GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, {_BM25_TERM_SCORE} AS s
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               {sql_round_dbl(_BM25_FIXED_SUM)} AS score
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval — the missing half of TF-IDF
+    (``text_tfidf_topk`` characterizes documents; this one ANSWERS A
+    QUERY). Shape at 100 TB:
+
+    1. tokenize + ``term IN (query)`` BEFORE any shuffle — the filter sits
+       directly on the explode output, so the only corpus-sized exchange
+       carries matching postings only (for a k-term query that is k
+       posting lists, a vanishing fraction of the corpus);
+    2. document frequency is an aggregate OVER the posting relation —
+       k rows, broadcast back;
+    3. corpus stats (N, avgdl) are a one-row broadcast;
+    4. the per-doc score folds the ≤k per-term partial scores in a FIXED
+       term order (conditional aggregates summed expression-wise, not a
+       float SUM whose addition order differs between engines), then
+       half-up rounds before ranking;
+    5. global top-k is ``ORDER BY … LIMIT`` → TakeOrderedAndProject —
+       per-partition heaps, never a global sort.
+
+    IDF uses the standard non-negative Robertson–Sparck Jones form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("words")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size("words").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("words").cast("double").alias("dl"),
+            F.explode("words").alias("term"),
+        )
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr("doc_id", "term", f"{_BM25_TERM_SCORE} AS s")
+    )
+    per_term = [
+        F.coalesce(F.sum(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0))
+        for t in BM25_QUERY
+    ]
+    fixed_sum = per_term[0]
+    for part in per_term[1:]:
+        fixed_sum = fixed_sum + part
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            round_dbl(fixed_sum).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )

@@ -83,6 +83,9 @@ RECENT_ADDITIONS = [
     "sort_range_equidepth_audit",
     "dedup_winnowing_fingerprints",
     "events_ab_test_zscore",
+    "sort_pareto_skyline",
+    "text_bm25_retrieval",
+    "dedup_jaccard_prefix_filter",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

@@ -1,0 +1,166 @@
+"""Round-7b additions: Pareto skyline, BM25 retrieval, prefix-filtered
+Jaccard join. The oracle differentials (tests/test_oracle.py
+RECENT_ADDITIONS) pin end-to-end values; these tests pin the CLAIMS the
+operators are built on — the skyline membership condition, the
+prefix-filtering completeness lemma, and the no-global-sort /
+broadcast-join plan shapes."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_jdbc_limit_spark.operators import get_query
+from spark_jdbc_limit_spark.operators.dedup import (
+    PREFIX_TAU_DEN,
+    PREFIX_TAU_NUM,
+)
+from spark_jdbc_limit_spark.plans import count_exchanges, plan_text
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- skyline
+
+points = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 10)), min_size=1, max_size=60
+)
+
+
+def brute_skyline(pts: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    out = set()
+    for p, s in pts:
+        dominated = any(
+            q <= p and t >= s and (q < p or t > s) for q, t in pts
+        )
+        if not dominated:
+            out.add((p, s))
+    return out
+
+
+@given(points)
+@settings(max_examples=300, deadline=None)
+def test_skyline_membership_condition(pts):
+    """The two-phase plan evaluates `size == gmax(price) AND size >
+    smax(strictly cheaper)` — prove that condition ≡ non-dominance on
+    arbitrary point sets (ties, duplicate pairs, single-point edge)."""
+    expected = brute_skyline(pts)
+    gmax: dict[int, int] = {}
+    for p, s in pts:
+        gmax[p] = max(gmax.get(p, -1), s)
+    got = set()
+    for p, s in pts:
+        smax = max((t for q, t in pts if q < p), default=None)
+        if s == gmax[p] and (smax is None or s > smax):
+            got.add((p, s))
+    assert got == expected
+
+
+def test_skyline_plan_broadcasts_verdicts(spark):
+    df = get_query("sort_pareto_skyline").builder(spark, SF)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    # corpus-sized work: one agg exchange on the distinct-price relation;
+    # everything after runs on micro relations / broadcasts
+    assert count_exchanges(df) <= 4
+
+
+def test_skyline_mutual_nondominance(spark):
+    rows = get_query("sort_pareto_skyline").builder(spark, SF).collect()
+    pts = [(r.p_retailprice, r.p_size) for r in rows]
+    for i, (p, s) in enumerate(pts):
+        for j, (q, t) in enumerate(pts):
+            if i != j:
+                assert not (q <= p and t >= s and (q < p or t > s))
+
+
+# ------------------------------------------------------- prefix filtering
+
+sets = st.lists(
+    st.sets(st.integers(0, 30), min_size=1, max_size=25), min_size=2, max_size=8
+)
+
+
+@given(sets)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_completeness_lemma(universe_sets):
+    """Any pair with Jaccard ≥ τ must share a prefix element when every
+    set keeps its first `n - ceil(τ·n) + 1` elements under one global
+    canonical order (frequency asc, value asc) — the lossless-recall
+    guarantee dedup_jaccard_prefix_filter rests on."""
+    tau = PREFIX_TAU_NUM / PREFIX_TAU_DEN
+    freq: dict[int, int] = {}
+    for s in universe_sets:
+        for x in s:
+            freq[x] = freq.get(x, 0) + 1
+    order = lambda x: (freq[x], x)  # noqa: E731
+
+    def prefix(s: set[int]) -> set[int]:
+        n = len(s)
+        p = n - (PREFIX_TAU_NUM * n + PREFIX_TAU_DEN - 1) // PREFIX_TAU_DEN + 1
+        return set(sorted(s, key=order)[:p])
+
+    for i, a in enumerate(universe_sets):
+        for b in universe_sets[i + 1 :]:
+            inter = len(a & b)
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= tau:
+                assert prefix(a) & prefix(b), (a, b, jac)
+
+
+def test_prefix_index_is_smaller_than_full_index(spark):
+    """The candidate join reads the PREFIX inverted index, which must be a
+    strict subset of the full shingle index (that is the whole point)."""
+    from spark_jdbc_limit_spark.operators.dedup import shingle_hashes
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF, "documents")
+    full = shingle_hashes(d).count()
+    # rebuild the operator's prefix relation by running the query builder's
+    # candidate stage indirectly: prefix size == sum over docs of p(n)
+    sizes = (
+        shingle_hashes(d).groupBy("doc_id").count().collect()
+    )
+    p_total = sum(
+        r["count"]
+        - (PREFIX_TAU_NUM * r["count"] + PREFIX_TAU_DEN - 1) // PREFIX_TAU_DEN
+        + 1
+        for r in sizes
+    )
+    assert 0 < p_total < full
+    # τ = 0.6 keeps ~(1-τ) of the index
+    assert p_total <= math.ceil(full * (1 - PREFIX_TAU_NUM / PREFIX_TAU_DEN + 0.1))
+
+
+def test_prefix_join_subset_of_exhaustive(spark):
+    got = {
+        (r.d1, r.d2)
+        for r in get_query("dedup_jaccard_prefix_filter").builder(spark, SF).collect()
+    }
+    exhaustive = {
+        (r.d1, r.d2, r.jaccard)
+        for r in get_query("dedup_ngram_jaccard_exhaustive").builder(spark, SF).collect()
+    }
+    tau = PREFIX_TAU_NUM / PREFIX_TAU_DEN
+    expected = {(d1, d2) for d1, d2, j in exhaustive if j >= tau}
+    assert got == expected
+
+
+# ------------------------------------------------------------------ bm25
+
+def test_bm25_plan_no_global_sort_no_cartesian(spark):
+    df = get_query("text_bm25_retrieval").builder(spark, SF)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt  # top-k, never a global sort
+    assert "CartesianProduct" not in txt  # stats/dfreq ride broadcasts
+
+def test_bm25_scores_positive_and_rare_term_dominates(spark):
+    rows = get_query("text_bm25_retrieval").builder(spark, SF).collect()
+    assert rows, "query terms must match the corpus"
+    assert all(r.score > 0 and r.n_terms_matched >= 1 for r in rows)
+    # ranking is deterministic: strictly descending (score, -doc_id) order
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
