@@ -103,6 +103,11 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "pack_tokens_sequential",
         "ann_pq_topk",
         "graph_connected_components",
+        # round-7b: prefix-join pair-space risk, skyline bucket windows,
+        # posting-list retrieval
+        "dedup_jaccard_prefix_filter",
+        "sort_pareto_skyline",
+        "text_bm25_retrieval",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
