@@ -956,3 +956,96 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+BIGRAM_SMOOTH_K = 0.5  # add-k smoothing mass per bigram type
+
+
+@query(
+    "text_bigram_perplexity",
+    category="llm_text",
+    description="Per-document perplexity under an add-k-smoothed corpus bigram LM",
+    oracle=f"""
+        WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM ws, UNNEST(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2
+        ),
+        big AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bg GROUP BY w1, w2),
+        ctx AS (SELECT w1, SUM(c2) AS c1 FROM big GROUP BY w1),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        ),
+        scored AS (
+            SELECT bg.doc_id,
+                   LN((big.c2 + {BIGRAM_SMOOTH_K}) / (ctx.c1 + {BIGRAM_SMOOTH_K} * vocab.v)) AS lp
+            FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               {sql_round_dbl('-AVG(lp)')} AS cross_entropy,
+               {sql_round_dbl('EXP(-AVG(lp))')} AS perplexity
+        FROM scored
+        GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-k bigram model —
+    the CCNet-style quality filter one rung above
+    ``text_unigram_logprob`` (junk shows up as improbable TRANSITIONS,
+    not just rare words: shuffled text keeps its unigram score but its
+    bigram perplexity explodes).
+
+    Model: P(w2|w1) = (c(w1,w2) + k) / (c(w1→·) + k·V) with
+    k={BIGRAM_SMOOTH_K} and V the corpus vocabulary size; context mass
+    c(w1→·) is the sum of bigram counts from w1, so every conditional
+    distribution is properly normalized over the smoothed vocabulary.
+
+    Shape at 100 TB: bigram extraction is per-document-local
+    (slice + zip_with, the ``grams3`` discipline — constant evaluations
+    of the split per row, codegen throughout); the model tables are
+    bigram-type- and vocabulary-sized aggregates (Heaps' law keeps both
+    broadcastable), so the token stream joins against broadcasts and
+    never re-shuffles; the per-doc reduction partial-aggregates in
+    place. Docs under 2 tokens have no bigrams and drop out in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("words")
+    )
+    m = F.greatest(F.size("words") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("words", 1, m),
+        F.slice("words", 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    lp = F.log(
+        (F.col("c2") + BIGRAM_SMOOTH_K)
+        / (F.col("c1") + BIGRAM_SMOOTH_K * F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            round_dbl(-F.avg(lp)).alias("cross_entropy"),
+            round_dbl(F.exp(-F.avg(lp))).alias("perplexity"),
+        )
+    )

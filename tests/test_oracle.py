@@ -86,6 +86,7 @@ RECENT_ADDITIONS = [
     "sort_pareto_skyline",
     "text_bm25_retrieval",
     "dedup_jaccard_prefix_filter",
+    "text_bigram_perplexity",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

@@ -108,6 +108,7 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "dedup_jaccard_prefix_filter",
         "sort_pareto_skyline",
         "text_bm25_retrieval",
+        "text_bigram_perplexity",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):

@@ -164,3 +164,50 @@ def test_bm25_scores_positive_and_rare_term_dominates(spark):
     # ranking is deterministic: strictly descending (score, -doc_id) order
     keys = [(-r.score, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+# ------------------------------------------------- bigram perplexity
+
+def test_bigram_perplexity_rounding_margins():
+    """cross_entropy / perplexity are float averages rounded to 4 places;
+    Spark's partial-agg addition order differs from DuckDB's scan order,
+    so the values are engine-stable iff no document sits within
+    accumulation error (~1e-12 relative) of a half-up rounding boundary.
+    Replicate the model in pure numpy on every shipped SF and assert the
+    boundary distance (the test_pq_audit_margins discipline)."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.text import BIGRAM_SMOOTH_K
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        texts = t.column("text").to_pylist()
+        big: collections.Counter = collections.Counter()
+        ctx: collections.Counter = collections.Counter()
+        vocab: set[str] = set()
+        docs = []
+        for txt in texts:
+            ws = txt.split(" ")
+            vocab.update(ws)
+            bgs = list(zip(ws, ws[1:]))
+            docs.append(bgs)
+            for b in bgs:
+                big[b] += 1
+                ctx[b[0]] += 1
+        v = float(len(vocab))
+        for bgs in docs:
+            if not bgs:
+                continue
+            lps = [
+                np.log((big[b] + BIGRAM_SMOOTH_K) / (ctx[b[0]] + BIGRAM_SMOOTH_K * v))
+                for b in bgs
+            ]
+            for val in (-np.mean(lps), np.exp(-np.mean(lps))):
+                frac = (val * 1e4 + 0.5) % 1.0
+                dist = min(frac, 1.0 - frac)
+                assert dist > 1e-7, (sf, val, dist)
