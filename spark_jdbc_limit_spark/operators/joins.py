@@ -791,3 +791,53 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_NOT_IN_SQL = """
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM {customer}
+         WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, -1) FROM {orders}
+                                 WHERE o_totalprice > 300000))
+            AS n_without_big_orders,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM {customer}
+         WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderstatus = 'F' THEN o_custkey END
+              FROM {orders}))
+            AS n_null_poisoned
+"""
+
+
+@query(
+    "join_anti_null_aware",
+    category="join",
+    description="NOT IN three-valued-logic semantics: null-aware anti join vs NULL-poisoned list",
+    oracle=_NOT_IN_SQL.format(customer="customer", orders="orders"),
+)
+def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` is NOT an anti join when the list is
+    nullable — SQL's three-valued logic makes ``x NOT IN (…, NULL)``
+    UNKNOWN for every x, so one NULL in the list annihilates the whole
+    result. ``join_anti`` covers the NOT EXISTS flavor; this entry pins
+    the NOT IN flavor both ways in one row:
+
+    - ``n_without_big_orders``: customers with no order over 300k —
+      the list column is NULLABLE BY TYPE (``NULLIF(o_custkey, -1)``)
+      but never null in data, so Catalyst cannot prune the null check
+      and the plan is a genuine null-aware anti join (BroadcastHashJoin
+      … NAAJ with the isNullAware flag, plan-pinned), while the count
+      stays the honest anti-join answer (non-zero at every shipped
+      SF).
+    - ``n_null_poisoned``: the CASE expression is actually NULL for
+      every non-'F' order, so the correct answer is 0 — not because no
+      customer qualifies, but because of the NULL semantics. An engine
+      that silently rewrites NOT IN to NOT EXISTS gets this WRONG; the
+      differential proves both engines implement the standard.
+
+    Scale note: Spark's null-aware anti join REQUIRES broadcasting the
+    inner side (single-key NAAJ). Orders-scale lists don't broadcast at
+    100 TB — production queries should write NOT EXISTS (a shuffled
+    anti join) plus an explicit ``OR o_custkey IS NULL`` guard when
+    null semantics matter; reference: this repo's ``join_anti``."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("naaj_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders")
+    return spark.sql(_NOT_IN_SQL.format(customer="naaj_customer", orders="naaj_orders"))

@@ -87,6 +87,7 @@ RECENT_ADDITIONS = [
     "text_bm25_retrieval",
     "dedup_jaccard_prefix_filter",
     "text_bigram_perplexity",
+    "join_anti_null_aware",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

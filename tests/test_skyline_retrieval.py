@@ -211,3 +211,19 @@ def test_bigram_perplexity_rounding_margins():
                 frac = (val * 1e4 + 0.5) % 1.0
                 dist = min(frac, 1.0 - frac)
                 assert dist > 1e-7, (sf, val, dist)
+
+
+# ---------------------------------------------- null-aware anti join
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """Both NOT IN arms must compile to Spark's null-aware anti join —
+    BroadcastHashJoin ... LeftAnti with the isNullAware flag — not a
+    plain anti join (which would silently change the NULL semantics
+    the query exists to pin)."""
+    df = get_query("join_anti_null_aware").builder(spark, SF)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    naaj = [
+        ln for ln in txt.splitlines()
+        if "LeftAnti" in ln and ln.rstrip().endswith("true")
+    ]
+    assert len(naaj) == 2, txt
