@@ -276,3 +276,81 @@ def udf_scalar_iter_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame
     return e.select(
         "vec_id", _make_iter_scorer()(emb_d).alias("model_score")
     )
+
+
+def _order_fill(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup kernel: one order group (left, 1 row) + its lineitem group
+    (right, 0..n rows) → one fill-rate row. Line revenue is rounded to
+    exact integer cents BEFORE summing, so the sum is order-independent
+    (a float sum's result depends on pandas row order, which Spark does
+    not guarantee inside a cogroup)."""
+    import numpy as np
+
+    cents = np.floor(
+        right["rev"].to_numpy(dtype="float64") * 100.0 + 0.5
+    ).astype("int64").sum() if len(right) else 0
+    tp = float(left["o_totalprice"].iloc[0])
+    ratio = np.floor((cents / 100.0) / tp * 1e4 + 0.5) / 1e4
+    return pd.DataFrame(
+        {
+            "o_orderkey": left["o_orderkey"].iloc[:1],
+            "n_lines": pd.array([len(right)], dtype="int64"),
+            "fill_ratio": pd.array([ratio], dtype="float64"),
+        }
+    )
+
+
+@query(
+    "udf_cogrouped_order_fill",
+    category="udf",
+    description="Cogrouped applyInPandas: per-order lineitem fill rate vs order total",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+               FLOOR((COALESCE(SUM(CAST(FLOOR(
+                          l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5
+                      ) AS BIGINT)), 0) / 100.0) / o.o_totalprice * 10000.0 + 0.5)
+                   / 10000.0 AS fill_ratio
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey < 1000
+        GROUP BY o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_orderkey
+    """,
+)
+def udf_cogrouped_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST Arrow API surface the UDF family was missing:
+    ``groupBy().cogroup(other.groupBy()).applyInPandas`` — both
+    relations arrive key-aligned as pandas frames in ONE co-partitioned
+    exchange pair (no join materialized first). The kernel sees an
+    order with zero lines as an EMPTY right frame — the left-join edge
+    the built-in twin needs COALESCE for. Restricted to orderkey<1000
+    to keep the differential small; the filter pushes to both parquet
+    scans (pinned below).
+
+    At 100 TB the cogroup shuffles both sides once on the key — same
+    cost as the shuffle join it replaces — and group size is bounded by
+    lines-per-order (~7), so executor memory is safe; per-group float
+    sums round to integer cents first, making them row-order
+    independent (Spark does not guarantee pandas row order in a
+    cogroup)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            _order_fill, "o_orderkey long, n_lines long, fill_ratio double"
+        )
+        .orderBy("o_orderkey")
+    )

@@ -88,6 +88,7 @@ RECENT_ADDITIONS = [
     "dedup_jaccard_prefix_filter",
     "text_bigram_perplexity",
     "join_anti_null_aware",
+    "udf_cogrouped_order_fill",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

@@ -227,3 +227,22 @@ def test_not_in_plans_null_aware_anti_join(spark):
         if "LeftAnti" in ln and ln.rstrip().endswith("true")
     ]
     assert len(naaj) == 2, txt
+
+
+# ------------------------------------------------- cogrouped order fill
+
+def test_cogroup_kernel_empty_right_group():
+    """Orders with zero lineitems arrive as an EMPTY right frame — the
+    kernel must emit n_lines=0 / fill_ratio=0, not crash (the shipped
+    corpus has no such order, so the edge is pinned here)."""
+    import pandas as pd
+
+    from spark_jdbc_limit_spark.operators.udfs import _order_fill
+
+    left = pd.DataFrame({"o_orderkey": [7], "o_totalprice": [123.45]})
+    right = pd.DataFrame({"l_orderkey": pd.array([], dtype="int64"),
+                          "rev": pd.array([], dtype="float64")})
+    out = _order_fill(left, right)
+    assert out.to_dict("records") == [
+        {"o_orderkey": 7, "n_lines": 0, "fill_ratio": 0.0}
+    ]
