@@ -286,6 +286,16 @@ def _order_fill(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     not guarantee inside a cogroup)."""
     import numpy as np
 
+    if not len(left):
+        # lineitem key with no order row: the oracle's LEFT JOIN from
+        # orders never emits it — return an empty frame, don't crash
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.array([], dtype="int64"),
+                "n_lines": pd.array([], dtype="int64"),
+                "fill_ratio": pd.array([], dtype="float64"),
+            }
+        )
     cents = np.floor(
         right["rev"].to_numpy(dtype="float64") * 100.0 + 0.5
     ).astype("int64").sum() if len(right) else 0

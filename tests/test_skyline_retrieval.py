@@ -246,3 +246,16 @@ def test_cogroup_kernel_empty_right_group():
     assert out.to_dict("records") == [
         {"o_orderkey": 7, "n_lines": 0, "fill_ratio": 0.0}
     ]
+
+
+def test_cogroup_kernel_empty_left_group():
+    """A lineitem key with no order row (dangling FK) must vanish, like
+    the oracle's LEFT JOIN from orders — not raise on iloc[0]."""
+    import pandas as pd
+
+    from spark_jdbc_limit_spark.operators.udfs import _order_fill
+
+    left = pd.DataFrame({"o_orderkey": pd.array([], dtype="int64"),
+                         "o_totalprice": pd.array([], dtype="float64")})
+    right = pd.DataFrame({"l_orderkey": [9], "rev": [10.0]})
+    assert len(_order_fill(left, right)) == 0
