@@ -4,6 +4,10 @@ compensating-delete protocol, reference: ExtJdbcUtils.scala:70-109)."""
 
 from __future__ import annotations
 
+from spark_jdbc_limit_spark.sinks.observed import (
+    standard_sink_metrics,
+    write_with_observations,
+)
 from spark_jdbc_limit_spark.sinks.transactional import (
     AtomicWriteError,
     recover_atomic_publish,
@@ -15,6 +19,8 @@ from spark_jdbc_limit_spark.sinks.transactional import (
 
 __all__ = [
     "AtomicWriteError",
+    "standard_sink_metrics",
+    "write_with_observations",
     "recover_atomic_publish",
     "recover_partition_publish",
     "write_jdbc_atomic",
