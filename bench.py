@@ -53,19 +53,23 @@ def main() -> None:
 
     # Per-query MEDIAN over n reps: a single-shot timing on a shared VM
     # reads contention windows as 10x plan regressions (round-2 bench
-    # recorded 11.0s for a query that warm-times 1.37s). The median of 3
-    # back-to-back reps is robust to one bad window while staying cheap.
+    # recorded 11.0s for a query that warm-times 1.37s). Reps run as
+    # ROUND-ROBIN PASSES over the whole registry (pass 1 all queries,
+    # then pass 2, ...), not back-to-back per query: a multi-second VM
+    # noise window then lands in at most one rep of any query, so the
+    # recorded MIN stays contention-free (back-to-back reps once
+    # recorded 5.1s min for a query that times 2.6s alone — one window
+    # swallowed all three samples).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    mins: dict[str, float] = {}
-    all_reps: dict[str, list[float]] = {}
-    for name, spec in REGISTRY.items():
-        samples = []
-        for _ in range(reps):
+    all_reps: dict[str, list[float]] = {name: [] for name in REGISTRY}
+    for _ in range(reps):
+        for name, spec in REGISTRY.items():
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
-        all_reps[name] = samples
+            all_reps[name].append(round(time.perf_counter() - t0, 3))
+    timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    for name, samples in all_reps.items():
         timings[name] = round(statistics.median(samples), 3)
         # MIN across reps is the contention-free estimate: a shared-VM
         # noise window inflates individual reps but never deflates one,
