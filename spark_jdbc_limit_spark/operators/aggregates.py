@@ -1276,3 +1276,68 @@ def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(benford).alias("benford_share"),
         r6(F.abs(obs - benford)).alias("abs_dev"),
     ).orderBy("digit")
+
+
+@query(
+    "agg_loo_target_encoding",
+    category="aggregation",
+    description="Leakage-free leave-one-out target encoding per market segment",
+    oracle="""
+        WITH oc AS (
+            SELECT o.o_orderkey, c.c_mktsegment,
+                   CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        seg AS (
+            SELECT c_mktsegment, SUM(cents) AS s, COUNT(*) AS n
+            FROM oc GROUP BY c_mktsegment
+        )
+        SELECT oc.o_orderkey, oc.c_mktsegment,
+               FLOOR(((seg.s - oc.cents) / 100.0) / (seg.n - 1) * 10000.0 + 0.5)
+                   / 10000.0 AS loo_mean_price
+        FROM oc JOIN seg USING (c_mktsegment)
+        WHERE seg.n > 1
+        ORDER BY oc.o_orderkey
+    """,
+)
+def agg_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the feature-engineering staple
+    that turns a categorical column into the target mean of its group
+    WITHOUT the row's own target leaking into its own feature:
+    ``loo = (Σ_group − x) / (n − 1)``.
+
+    The textbook formulation is a window aggregate with an
+    EXCLUDE-CURRENT-ROW frame; Spark has no frame exclusion, and it is
+    not needed: one hash aggregate to per-group (sum, count) — a
+    category-cardinality micro relation — broadcast back onto the fact,
+    then pure arithmetic per row. No window, no per-group sort, one
+    fact-sized exchange (the customer join). Group sums are EXACT
+    integer cents (a float Σ depends on Spark's partial-agg order vs
+    DuckDB's scan order; subtracting x from an order-dependent sum
+    would put every row's feature at the mercy of the last bit), so
+    both engines divide identical integers. Singleton groups have no
+    leave-one-out mean (n−1 = 0) and drop in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    oc = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment", "cents")
+    seg = oc.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    loo = ((F.col("s") - F.col("cents")) / 100.0) / (F.col("n") - 1)
+    return (
+        oc.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            (F.floor(loo * 10000.0 + F.lit(0.5)) / 10000.0).alias("loo_mean_price"),
+        )
+    )

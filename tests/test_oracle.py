@@ -89,6 +89,7 @@ RECENT_ADDITIONS = [
     "text_bigram_perplexity",
     "join_anti_null_aware",
     "udf_cogrouped_order_fill",
+    "agg_loo_target_encoding",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 
