@@ -1011,7 +1011,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-type- and vocabulary-sized aggregates (Heaps' law keeps both
     broadcastable), so the token stream joins against broadcasts and
     never re-shuffles; the per-doc reduction partial-aggregates in
-    place. Docs under 2 tokens have no bigrams and drop out in both
+    place. The vocabulary count is a second (column-pruned) pass over
+    the text — deliberate: V must include doc-final words the bigram
+    relation drops, and caching split word arrays corpus-wide to save
+    one scan is a worse trade at 100 TB than re-reading one column (in
+    a real pipeline V comes from the unigram model table that already
+    exists). Docs under 2 tokens have no bigrams and drop out in both
     engines."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("words")
