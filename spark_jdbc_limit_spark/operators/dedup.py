@@ -1626,11 +1626,12 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_hashes(d).localCheckpoint(eager=False)
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
     n_per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # TRUE integer division (SQL `div`), matching the lemma test's `//`
+    # form exactly — a float quotient + floor happens to be safe at these
+    # operand sizes but would silently diverge from the proven arithmetic
     prefix_len = (
         F.col("n")
-        - F.floor(
-            (PREFIX_TAU_NUM * F.col("n") + PREFIX_TAU_DEN - 1) / PREFIX_TAU_DEN
-        )
+        - F.expr(f"({PREFIX_TAU_NUM} * n + {PREFIX_TAU_DEN - 1}) div {PREFIX_TAU_DEN}")
         + 1
     )
     rank = F.row_number().over(

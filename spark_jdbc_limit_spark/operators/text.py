@@ -924,6 +924,9 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size("words").cast("double")).alias("avgdl"),
     )
+    # tf feeds dfreq AND the scored probe side — checkpoint the (small,
+    # posting-list-sized) relation so the corpus tokenize/filter chain
+    # underneath runs once, not once per branch
     tf = (
         d.select(
             "doc_id",
@@ -933,6 +936,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*BM25_QUERY))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
@@ -1030,8 +1034,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    big = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c2")
+    # big feeds ctx AND the broadcast join — checkpoint the (micro,
+    # bigram-type-sized) model table so the corpus-sized bigram aggregate
+    # underneath runs once, not once per branch (no CSE across branches)
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .localCheckpoint(eager=False)
     )
     ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (

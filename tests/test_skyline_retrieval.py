@@ -259,3 +259,48 @@ def test_cogroup_kernel_empty_left_group():
                          "o_totalprice": pd.array([], dtype="float64")})
     right = pd.DataFrame({"l_orderkey": [9], "rev": [10.0]})
     assert len(_order_fill(left, right)) == 0
+
+
+def test_bm25_rounding_margins():
+    """BM25 scores use LN (ulp-accurate, not correctly rounded — Spark's
+    Math.log vs DuckDB's libm can differ in the last bit) and are
+    half-up rounded to 4 places before ranking; the differential is
+    stable iff no document's score sits within accumulation error of a
+    rounding boundary on any shipped SF. Same discipline as
+    test_bigram_perplexity_rounding_margins."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.text import BM25_B, BM25_K1, BM25_QUERY
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        texts = t.column("text").to_pylist()
+        n_docs = float(len(texts))
+        dls = [float(len(txt.split(" "))) for txt in texts]
+        avgdl = sum(dls) / n_docs
+        tfs: list[dict[str, int]] = []
+        df: collections.Counter = collections.Counter()
+        for txt in texts:
+            c = collections.Counter(w for w in txt.split(" ") if w in BM25_QUERY)
+            tfs.append(c)
+            df.update(c.keys())
+        for dl, c in zip(dls, tfs):
+            if not c:
+                continue
+            score = 0.0
+            for term in BM25_QUERY:  # fixed fold order, like both engines
+                tf = c.get(term)
+                if tf is None:
+                    continue
+                idf = np.log(1 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+                score += (idf * (tf * (BM25_K1 + 1.0))) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+                )
+            frac = (score * 1e4 + 0.5) % 1.0
+            dist = min(frac, 1.0 - frac)
+            assert dist > 1e-7, (sf, score, dist)
