@@ -90,6 +90,7 @@ RECENT_ADDITIONS = [
     "join_anti_null_aware",
     "udf_cogrouped_order_fill",
     "agg_loo_target_encoding",
+    "agg_bitmap_distinct",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

@@ -304,3 +304,17 @@ def test_bm25_rounding_margins():
             frac = (score * 1e4 + 0.5) % 1.0
             dist = min(frac, 1.0 - frac)
             assert dist > 1e-7, (sf, score, dist)
+
+
+# --------------------------------------------------- bitmap distinct
+
+def test_bitmap_distinct_plan_no_expand(spark):
+    """The bitmap formulation must not plan an Expand (the row-multiplying
+    shape COUNT(DISTINCT) combinations produce) and must aggregate
+    bitmaps, proving the distinct-ing happens map-side in fixed-size
+    buckets."""
+    df = get_query("agg_bitmap_distinct").builder(spark, SF)
+    txt = plan_text(df)
+    assert "Expand" not in txt
+    assert "bitmap_construct_agg" in txt
+    assert "partial_bitmap_construct_agg" in txt.lower() or "partial" in txt.lower()
