@@ -91,6 +91,7 @@ RECENT_ADDITIONS = [
     "udf_cogrouped_order_fill",
     "agg_loo_target_encoding",
     "agg_bitmap_distinct",
+    "sql_recursive_hierarchy_walk",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 
