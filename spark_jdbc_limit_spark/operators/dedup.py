@@ -1619,7 +1619,13 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary-sized) → per-doc prefix window (partitioned by doc_id,
     bounded partitions) → prefix self-join (short posting lists) →
     candidate-pair array verify. Tests pin prefix ⊆ full index and
-    output ≡ exhaustive."""
+    output ≡ exhaustive. Honest bench note: on the shipped synthetic
+    corpus (31-word vocabulary, uniformly short posting lists) the
+    exhaustive index is already cheap and this path's extra stages cost
+    more than they save (~2× at sf0.1) — the prefix filter's win is
+    conditional on the skewed, heavy-tailed posting lists real corpora
+    have, which is exactly when the exhaustive join's hot buckets
+    explode."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -1637,6 +1643,13 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.row_number().over(
         W.partitionBy("doc_id").orderBy("freq", "h")
     )
+    # prefix feeds both sides of the candidate self-join and is
+    # recomputed once per side — measured A/B at sf0.1: checkpointing it
+    # is NET-NEGATIVE (3.4 s vs 3.9 s warm), because the subtree above
+    # the already-checkpointed sh is two cheap joins + a bounded window,
+    # less than the materialization it would buy. The lineage-cut
+    # discipline applies to EXPENSIVE re-used subtrees (sh itself), not
+    # reflexively to every fork.
     prefix = (
         sh.join(freq, "h")
         .withColumn("rnk", rank)

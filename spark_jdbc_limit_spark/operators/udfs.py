@@ -322,7 +322,7 @@ def _order_fill(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                       ) AS BIGINT)), 0) / 100.0) / o.o_totalprice * 10000.0 + 0.5)
                    / 10000.0 AS fill_ratio
         FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE o.o_orderkey < 1000
+        WHERE o.o_orderkey < 250
         GROUP BY o.o_orderkey, o.o_totalprice
         ORDER BY o.o_orderkey
     """,
@@ -333,9 +333,14 @@ def udf_cogrouped_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations arrive key-aligned as pandas frames in ONE co-partitioned
     exchange pair (no join materialized first). The kernel sees an
     order with zero lines as an EMPTY right frame — the left-join edge
-    the built-in twin needs COALESCE for. Restricted to orderkey<1000
-    to keep the differential small; the filter pushes to both parquet
-    scans (pinned below).
+    the built-in twin needs COALESCE for. Restricted to orderkey<250: the
+    filter pushes to both parquet scans, and — the honest caveat of this
+    API — applyInPandas invokes the Python kernel ONCE PER KEY, so
+    per-group overhead (~5 ms) dominates when groups are tiny (measured
+    5 s for 1000 seven-row groups); cogroup earns its keep when
+    per-group logic is genuinely complex, not for micro-aggregates a
+    join+groupBy expresses (which is why the oracle's shape IS the
+    production plan and this entry exists to pin the API machinery).
 
     At 100 TB the cogroup shuffles both sides once on the key — same
     cost as the shuffle join it replaces — and group size is bounded by
@@ -345,12 +350,12 @@ def udf_cogrouped_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogroup)."""
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") < 1000)
+        .filter(F.col("o_orderkey") < 250)
         .select("o_orderkey", "o_totalprice")
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") < 1000)
+        .filter(F.col("l_orderkey") < 250)
         .select(
             "l_orderkey",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
