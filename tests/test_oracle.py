@@ -47,23 +47,8 @@ def test_oracle_differential_sf0001_sweep(spark, spec):
 #: in a NEW operator must not hide behind the opt-in env var until the
 #: next full sweep; entries graduate out once they have survived one.
 RECENT_ADDITIONS = [
-    # round 6
-    "ann_pq_rerank_audit",
-    "cluster_kmeans_lloyd_step",
-    "graph_pagerank_supplier",
-    "embedding_pca_power_iteration",
-    "events_ewma_hourly",
-    "events_decayed_value",
-    "multimodal_image_dhash",
-    "multimodal_dhash_near_dup",
-    "dq_referential_integrity",
-    "text_zipf_fit",
-    "text_readability_flesch",
-    "events_bot_rate_screen",
-    "basket_lift_rules",
-    "supplier_hhi_by_nation",
-    "orders_weekly_trend_forecast",
-    "source_xml_roundtrip",
+    # (round-6 entries graduated 2026-08-14: every registry query passed
+    # the full sf0.001 sweep this round, which is the exit criterion)
     # round 7 (sketch audits oracle-paired; packing restructured; shared SQL cast)
     "agg_approx_distinct",
     "agg_hll_sketch_union",
