@@ -1221,3 +1221,171 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+RRF_K = 60          # standard reciprocal-rank-fusion damping constant
+RRF_ARM_DEPTH = 50  # candidates taken from each retrieval arm
+RRF_TOP = 20        # fused results returned
+
+
+def _rrf_oracle() -> str:
+    from spark_jdbc_limit_spark.operators.text import (
+        _BM25_FIXED_SUM,
+        _BM25_TERM_SCORE,
+        BM25_QUERY,
+    )
+
+    return f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                   term,
+                   CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS term
+                  FROM documents) t
+            WHERE term IN {BM25_QUERY!r}
+            GROUP BY doc_id, dl, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, {_BM25_TERM_SCORE} AS s
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        ),
+        lex_scores AS (
+            SELECT doc_id, {sql_round_dbl(_BM25_FIXED_SUM)} AS score
+            FROM scored GROUP BY doc_id
+        ),
+        lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rl
+            FROM lex_scores
+        ),
+        q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        sem_scores AS (
+            SELECT vec_id AS doc_id,
+                   {sql_round_dbl(
+                       'list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv)', 4
+                   )} AS cs
+            FROM embeddings, q
+            WHERE vec_id <> {QUERY_VEC_ID}
+        ),
+        sem AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS rs
+            FROM sem_scores
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                   COALESCE(1.0 / ({RRF_K} + l.rl), 0)
+                       + COALESCE(1.0 / ({RRF_K} + s.rs), 0) AS rrf_raw,
+                   l.rl AS lex_rank, s.rs AS sem_rank
+            FROM (SELECT * FROM lex WHERE rl <= {RRF_ARM_DEPTH}) l
+            FULL OUTER JOIN (SELECT * FROM sem WHERE rs <= {RRF_ARM_DEPTH}) s
+                 ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id,
+               CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+               {sql_round_dbl('rrf_raw', 6)} AS rrf_score
+        FROM fused
+        ORDER BY rrf_raw DESC, doc_id
+        LIMIT {RRF_TOP}
+    """
+
+
+@query(
+    "ann_hybrid_rrf_fusion",
+    category="llm_similarity",
+    description=f"Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine arms (top {RRF_TOP})",
+    oracle=_rrf_oracle(),
+)
+def ann_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the shape modern retrieval stacks actually ship:
+    a LEXICAL arm (BM25 keyword scores, `text_bm25_retrieval`'s exact
+    machinery) and a SEMANTIC arm (exact cosine against the query
+    vector, `ann_cosine_topk_bruteforce`'s) fused by Reciprocal Rank
+    Fusion: ``rrf = Σ_arms 1/(k + rank)`` with the standard k=60 —
+    rank-based, so no score calibration between arms is needed, which
+    is RRF's whole point.
+
+    Determinism discipline: each arm ranks by its ROUNDED score with
+    doc_id tie-break (rank order = pandas-comparable values the margin
+    tests already pin), so both engines assign identical ranks; the
+    fused score is a sum of two exact-rational terms folded in fixed
+    order from a 51×51 value lattice, property-checked clear of its
+    rounding boundaries. A doc missing from one arm contributes 0 from
+    it (rank reported as 0 = "not retrieved by this arm").
+
+    Scale shape: each arm ends in its own top-``{RRF_ARM_DEPTH}``
+    (TakeOrdered / per-partition heaps); ranking then runs on
+    arm-depth-sized MICRO relations (the only unpartitioned windows,
+    {RRF_ARM_DEPTH} rows by construction), and the fusion join touches
+    ≤ 2×{RRF_ARM_DEPTH} rows. The corpus-sized work is exactly the two
+    arms' scans — fusion itself is free. The two arms answer one hybrid
+    query (keywords + query vector), the standard two-tower serving
+    pattern."""
+    from pyspark.sql.window import Window as W
+
+    from spark_jdbc_limit_spark.operators.text import bm25_doc_scores
+
+    lex_scores = bm25_doc_scores(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    v = _as_double(F.col("embedding"))
+    # rank and cut on the ROUNDED score in both arms (the oracle does),
+    # never on the raw double — raw-order top-k could admit a different
+    # member when rounding ties scores near the arm-depth boundary
+    sem_scores = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_dbl(dot_cols(v, q) / (_norm(v) * _norm(q)), 4).alias("cos_sim"),
+        )
+    )
+    lex = (
+        lex_scores.orderBy(F.desc("score"), "doc_id")
+        .limit(RRF_ARM_DEPTH)
+        .withColumn(
+            "rl", F.row_number().over(W.orderBy(F.desc("score"), "doc_id"))
+        )
+        .select("doc_id", "rl")
+    )
+    sem = (
+        sem_scores.orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(RRF_ARM_DEPTH)
+        .withColumn(
+            "rs", F.row_number().over(W.orderBy(F.desc("cos_sim"), "doc_id"))
+        )
+        .select("doc_id", "rs")
+    )
+    rrf_raw = F.coalesce(1.0 / (RRF_K + F.col("rl")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("rs")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rl", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("rs", F.lit(0)).cast("long").alias("sem_rank"),
+            rrf_raw.alias("rrf_raw"),
+        )
+        .orderBy(F.desc("rrf_raw"), "doc_id")
+        .limit(RRF_TOP)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            round_dbl(F.col("rrf_raw"), 6).alias("rrf_score"),
+        )
+    )

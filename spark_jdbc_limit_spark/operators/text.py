@@ -917,6 +917,17 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     IDF uses the standard non-negative Robertson–Sparck Jones form
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``."""
+    return (
+        bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 scores for ``BM25_QUERY`` over all matching
+    docs, UNRANKED — shared by ``text_bm25_retrieval`` (which top-k's
+    it) and the hybrid-fusion lexical arm (which ranks to arm depth)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("words")
     )
@@ -951,14 +962,9 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed_sum = per_term[0]
     for part in per_term[1:]:
         fixed_sum = fixed_sum + part
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            round_dbl(fixed_sum).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(BM25_TOPK)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        round_dbl(fixed_sum).alias("score"),
     )
 
 

@@ -77,6 +77,7 @@ RECENT_ADDITIONS = [
     "agg_loo_target_encoding",
     "agg_bitmap_distinct",
     "sql_recursive_hierarchy_walk",
+    "ann_hybrid_rrf_fusion",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

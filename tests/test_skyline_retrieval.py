@@ -318,3 +318,40 @@ def test_bitmap_distinct_plan_no_expand(spark):
     assert "Expand" not in txt
     assert "bitmap_construct_agg" in txt
     assert "partial_bitmap_construct_agg" in txt.lower() or "partial" in txt.lower()
+
+
+# ------------------------------------------------------ hybrid RRF fusion
+
+def test_rrf_score_lattice_clear_of_rounding_boundaries():
+    """Fused scores live on the finite lattice {1/(60+r) : r∈1..50} ∪ {0}
+    summed pairwise; every lattice value must sit clear of a half-up
+    1e-6 rounding boundary so both engines round identically."""
+    from spark_jdbc_limit_spark.operators.similarity import RRF_ARM_DEPTH, RRF_K
+
+    vals = [0.0] + [1.0 / (RRF_K + r) for r in range(1, RRF_ARM_DEPTH + 1)]
+    for a in vals:
+        for b in vals:
+            s = a + b
+            frac = (s * 1e6 + 0.5) % 1.0
+            dist = min(frac, 1.0 - frac)
+            assert dist > 1e-9, (a, b, s, dist)
+
+
+def test_rrf_fusion_rank_semantics(spark):
+    """Fused output invariants: every row was retrieved by at least one
+    arm; ranks are within arm depth; RRF score reconstructs exactly
+    from the reported ranks."""
+    from spark_jdbc_limit_spark.operators.similarity import RRF_ARM_DEPTH, RRF_K
+
+    rows = get_query("ann_hybrid_rrf_fusion").builder(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.lex_rank or r.sem_rank
+        assert 0 <= r.lex_rank <= RRF_ARM_DEPTH
+        assert 0 <= r.sem_rank <= RRF_ARM_DEPTH
+        expect = (1.0 / (RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (RRF_K + r.sem_rank) if r.sem_rank else 0.0
+        )
+        import math
+
+        assert math.isclose(r.rrf_score, round(expect, 6), abs_tol=1e-6)
