@@ -109,6 +109,7 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "sort_pareto_skyline",
         "text_bm25_retrieval",
         "text_bigram_perplexity",
+        "ann_hybrid_rrf_fusion",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
