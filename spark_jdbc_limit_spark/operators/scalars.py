@@ -389,3 +389,61 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get("v", "$.k", "int") % 10).alias("k_mod"),
         F.try_variant_get("v", "$.missing", "string").alias("missing_path"),
     )
+
+
+_BIG = 9223372036854775807 - 250  # BIGINT max minus a headroom inside the key range
+
+
+@query(
+    "scalar_try_safe_funcs",
+    category="scalar",
+    description="ANSI-safe try_* family: divide-by-zero, BIGINT overflow, bad parse, OOB index",
+    oracle=f"""
+        SELECT o_orderkey,
+               {sql_round_dbl('o_totalprice / (o_custkey % 3)')} AS safe_div,
+               TRY_CAST(CAST({_BIG} AS HUGEINT) + o_orderkey AS BIGINT) AS safe_add,
+               TRY_CAST(CASE WHEN o_orderstatus = 'O' THEN '123'
+                             ELSE concat('x', o_orderstatus) END AS INT) AS parsed,
+               [10, 20, 30][CAST(1 + o_orderkey % 5 AS INT)] AS elem
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_try_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety surface: ``try_divide`` / ``try_add`` /
+    ``try_cast`` / ``try_element_at`` return NULL where strict ANSI
+    evaluation would abort the job — the contract that lets a 100 TB
+    pipeline survive one malformed row without rerunning the stage, and
+    the engine-native replacement for wrapping arithmetic in Python
+    guards. Every edge is exercised BY THE DATA, not just typed:
+    ~1/3 of rows divide by zero (``custkey % 3``), keys above 250
+    overflow BIGINT in ``try_add``, non-'O' statuses fail the parse,
+    and 2/5 of the array indexes run off the end.
+
+    DuckDB needs no TRY on division or indexing (its default semantics
+    are already NULL-on-edge there: ``1/0 → NULL``, OOB list index →
+    NULL — probed, not assumed) but DOES need ``TRY_CAST`` for the
+    overflow and parse arms — exactly the cross-engine semantic map
+    this entry documents. All expressions are codegen JVM-side; no
+    exchange beyond the pruned scan."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .selectExpr(
+            "o_orderkey",
+            "try_divide(o_totalprice, o_custkey % 3) AS div_raw",
+            f"try_add({_BIG}L, o_orderkey) AS safe_add",
+            "try_cast(CASE WHEN o_orderstatus = 'O' THEN '123' "
+            "ELSE concat('x', o_orderstatus) END AS INT) AS parsed",
+            "try_element_at(array(10, 20, 30), "
+            "CAST(1 + o_orderkey % 5 AS INT)) AS elem",
+        )
+    )
+    return o.select(
+        "o_orderkey",
+        round_dbl(F.col("div_raw")).alias("safe_div"),
+        "safe_add",
+        "parsed",
+        "elem",
+    ).orderBy("o_orderkey")

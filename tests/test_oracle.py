@@ -78,6 +78,7 @@ RECENT_ADDITIONS = [
     "agg_bitmap_distinct",
     "sql_recursive_hierarchy_walk",
     "ann_hybrid_rrf_fusion",
+    "scalar_try_safe_funcs",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 
