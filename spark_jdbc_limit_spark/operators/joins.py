@@ -723,7 +723,7 @@ BLOOM_MIN_TOTAL = 400_000.0
     oracle=f"""
         SELECT l_returnflag,
                COUNT(*) AS n_items,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                {sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue')}
         FROM lineitem
         WHERE EXISTS (SELECT 1 FROM orders

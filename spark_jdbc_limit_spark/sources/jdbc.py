@@ -170,11 +170,29 @@ def register_jdbc_catalog(
     top-N, offset AND aggregate pushdown from Catalyst, dialect
     permitting — `SELECT grp, COUNT(*) ... GROUP BY grp` runs inside the
     database (``PushedAggregates`` in explain), which the reference never
-    had (SURVEY.md §4.1 table)."""
+    had (SURVEY.md §4.1 table).
+
+    Safety guard: on dialects whose Spark dialect reports
+    ``supportsLimit``/``supportsOffset`` = false (Derby, DB2), the
+    limit/offset pushdown switches default OFF here. Spark 4.1's V2 scan
+    otherwise claims a FULL TopN/offset pushdown on such dialects — it
+    removes its own Sort+Limit while the generated external query carries
+    the ORDER BY but NO row-limit clause, so ``ORDER BY ... LIMIT 5``
+    silently returns the whole table (pinned in
+    tests/test_jdbc_integration.py::test_topn_pushdown_hazard_on_derby).
+    This is the modern incarnation of the invariant the reference encoded
+    by ALWAYS retaining the global LocalLimit above its pushed scan
+    (PropagateJDBCLimit.scala:26). Explicit caller options still win."""
+    dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    defaults = dict(PUSHDOWN_DEFAULTS)
+    if not dialect.supportsLimit():
+        defaults["pushDownLimit"] = "false"   # gates both LIMIT and TopN pushdown
+    if not dialect.supportsOffset():
+        defaults["pushDownOffset"] = "false"
     base = f"spark.sql.catalog.{name}"
     spark.conf.set(base, "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
     spark.conf.set(f"{base}.url", url)
-    for k, v in {**PUSHDOWN_DEFAULTS, **{REFERENCE_OPTION_MAP.get(k, k): str(v) for k, v in options.items()}}.items():
+    for k, v in {**defaults, **{REFERENCE_OPTION_MAP.get(k, k): str(v) for k, v in options.items()}}.items():
         spark.conf.set(f"{base}.{k}", str(v))
 
 

@@ -23,14 +23,21 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(x):
+    # Numeric canonicalization is TYPE-STRICT on the numeric class
+    # (int vs float), mirroring the driver's hash: DuckDB returning a
+    # HUGEINT (→ float64 in pandas) where Spark returns BIGINT must FAIL
+    # here, not coerce 32572.0 == 32572 — that coercion shipped a red
+    # driver row in rounds 6 and 7 (VERDICT r7 "What's wrong" #2).
     if x is None or x is pd.NaT:
         return "<NULL>"
+    if isinstance(x, (bool, np.bool_)):
+        return ("b", bool(x))
     if isinstance(x, (float, np.floating)):
         if math.isnan(x):
             return "<NULL>"
-        return float(x)
+        return ("f", float(x))
     if isinstance(x, (int, np.integer)):
-        return int(x)
+        return ("i", int(x))
     if isinstance(x, (pd.Timestamp, dt.datetime)):
         ts = pd.Timestamp(x)
         if ts.tzinfo is not None:

@@ -239,6 +239,78 @@ def test_dialect_matrix_limit_and_quoting(spark):
     assert jvm.get("jdbc:derby:memory:x").quoteIdentifier('c') == '"c"'
 
 
+def test_topn_pushdown_hazard_on_derby(spark, derby):
+    """Pin the upstream hazard our catalog guard exists for (Spark 4.1.2,
+    SupportsPushDownTopN on a ``supportsLimit=false`` dialect): with
+    pushDownLimit forced on, the V2 scan claims a FULL TopN pushdown —
+    the plan says ``PushedTopN ... LIMIT n`` and Spark's own Sort+Limit
+    is gone — while the generated external query carries the ORDER BY but
+    NO row-limit clause (DerbyDialect cannot emit one), so a LIMIT-5
+    query returns every row. The reference never had this failure mode
+    because it ALWAYS retained the global LocalLimit above the pushed
+    scan (PropagateJDBCLimit.scala:26). If this test starts failing on a
+    Spark upgrade, upstream fixed it — the register_jdbc_catalog guard
+    can then be relaxed."""
+    register_jdbc_catalog(spark, "derbycat_unsafe", derby, driver=DRIVER,
+                          pushDownLimit="true")
+    q = spark.sql(
+        "SELECT id, val FROM derbycat_unsafe.`SRC` ORDER BY id DESC LIMIT 5"
+    )
+    plan = plan_text(q)
+    assert "PushedTopN" in plan and "LIMIT 5" in plan      # claimed...
+    ext = next(l for l in plan.splitlines() if "External engine query" in l)
+    assert "FETCH" not in ext and "LIMIT" not in ext       # ...but not sent
+    assert len(q.collect()) == N_ROWS                      # wrong results upstream
+
+
+def test_catalog_topn_guard_keeps_derby_correct(spark, derby):
+    """The shipped default: register_jdbc_catalog asks the dialect
+    registry and turns limit/offset pushdown OFF where the dialect cannot
+    emit the clause, so ``ORDER BY ... LIMIT n`` / OFFSET over the Derby
+    catalog is exact — sorted Spark-side above the scan, the same
+    retained-global-limit posture as the reference (SURVEY.md §4.2). On
+    dialects with a real limit clause (Postgres/MySQL) the defaults keep
+    native TopN pushdown on — the documented upgrade over the reference,
+    whose rule matched bare LocalLimit only (PropagateJDBCLimit.scala:16-19)."""
+    register_jdbc_catalog(spark, "derbycat_safe", derby, driver=DRIVER)
+    q = spark.sql(
+        "SELECT id, val FROM derbycat_safe.`SRC` ORDER BY id DESC LIMIT 5"
+    )
+    assert "PushedTopN" not in plan_text(q)
+    assert [r.id for r in q.collect()] == [999, 998, 997, 996, 995]
+    off = spark.sql(
+        "SELECT id FROM derbycat_safe.`SRC` ORDER BY id LIMIT 5 OFFSET 10"
+    )
+    assert [r.id for r in off.collect()] == [10, 11, 12, 13, 14]
+
+
+def test_postgres_dialect_maps_arraytype_for_writes(spark):
+    """ArrayType write positive path, pinned at the dialect-mapping level
+    (no Postgres server in the sandbox): Spark's Postgres dialect maps
+    ArrayType(T) to a JDBC array column type with java.sql.Types.ARRAY —
+    the exact type contract under which Spark's writer takes the same
+    ``conn.createArrayOf`` path the reference hand-wrote
+    (ExtJdbcUtils.scala:165-173). Together with
+    test_array_write_delegation_boundary below this closes the array
+    story: the boundary predicate AND the positive mapping both come from
+    the one dialect registry the writer consults."""
+    jvm = spark._jvm
+    dt = jvm.org.apache.spark.sql.types.DataTypes
+    pg = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://h/db")
+    types_array = jvm.java.sql.Types.ARRAY
+
+    for elem, want in [
+        (dt.IntegerType, "INTEGER[]"),
+        (dt.StringType, "TEXT[]"),
+        (dt.DoubleType, "FLOAT8[]"),
+    ]:
+        opt = pg.getJDBCType(dt.createArrayType(elem))
+        assert opt.isDefined(), f"Postgres dialect lost its ArrayType mapping for {want}"
+        jt = opt.get()
+        assert jt.databaseTypeDefinition() == want
+        assert jt.jdbcNullType() == types_array
+
+
 def test_array_write_delegation_boundary(spark, derby):
     """Reference parity fine print (ExtJdbcUtils.scala:165-173 wrote array
     columns via conn.createArrayOf): our writer delegates array support to

@@ -88,7 +88,9 @@ def test_recent_additions_all_registered():
     assert not missing, f"RECENT_ADDITIONS names drifted from the registry: {missing}"
 
 
-@pytest.mark.parametrize("spec", _RECENT_SPECS, ids=RECENT_ADDITIONS)
+@pytest.mark.parametrize(
+    "spec", _RECENT_SPECS, ids=[n for n in RECENT_ADDITIONS if n in REGISTRY]
+)
 def test_recent_additions_sf0001(spark, spec):
     run_differential(spark, spec, "/root/testdata/sf0.001")
 

@@ -94,5 +94,83 @@ def test_no_ungated_sf01_path_in_tests():
     assert not offenders, f"ungated sf0.1 path at {offenders}"
 
 
+def test_canonicalizer_is_numeric_type_strict():
+    """Rounds 6 AND 7 each shipped one driver-red row from the same
+    defect: a DuckDB ``SUM(BIGINT)`` returns HUGEINT (int128), which
+    lands in pandas as float64, while Spark returns int64 — the driver's
+    value hash is type-strict so it fails, but the local differential
+    coerced ``32572 == 32572.0`` and passed (VERDICT r7 "What's wrong"
+    #2). Pin the fix: the local canonicalizer must now REJECT an
+    int-vs-float match, end-to-end from a real DuckDB HUGEINT result."""
+    import pandas as pd
+
+    from tests.oracle_utils import compare_frames
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(range AS BIGINT) AS x FROM range(5)")
+    uncast = con.execute("SELECT SUM(x) AS s FROM t").fetchdf()
+    assert uncast["s"].dtype == "float64", (
+        "expected DuckDB HUGEINT to surface as float64 in pandas — if this "
+        "changed, the defect class this test pins may be moot"
+    )
+    spark_like = pd.DataFrame({"s": pd.array([10], dtype="int64")})
+
+    with pytest.raises(AssertionError, match="rows differ"):
+        compare_frames(spark_like, uncast, "hugeint-vs-bigint")
+
+    cast = con.execute("SELECT CAST(SUM(x) AS BIGINT) AS s FROM t").fetchdf()
+    compare_frames(spark_like, cast, "bigint-vs-bigint")
+
+
+def _duckdb_result_types(con, sql: str) -> dict[str, str]:
+    """Column → DuckDB type for a query's RESULT, without executing it."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+#: DuckDB result types whose pandas representation diverges from what the
+#: equivalent Spark query returns, breaking the driver's type-strict value
+#: hash even when every value matches. HUGEINT (int128, from SUM over
+#: BIGINT) → float64 is the class that shipped red in rounds 6 and 7.
+_HASH_HOSTILE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def test_oracle_lint_no_hash_hostile_result_types(sf_dir):
+    """Static lint over ALL registry oracle strings (VERDICT r7 next #3):
+    ask DuckDB (via DESCRIBE — plans only, nothing executes) for each
+    oracle's result column types and fail on any column whose type the
+    driver hash can't reconcile with Spark's. Catches the un-CAST
+    ``SUM(BIGINT)`` class at collection speed instead of one driver
+    round later."""
+    from spark_jdbc_limit_spark.operators import REGISTRY
+
+    from tests.oracle_utils import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        for col, typ in _duckdb_result_types(con, spec.oracle).items():
+            if any(h in typ for h in _HASH_HOSTILE_TYPES):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle result columns with driver-hash-hostile types (wrap in an "
+        f"explicit CAST): {offenders}"
+    )
+
+
+def test_oracle_lint_flags_seeded_violation(sf_dir):
+    """The lint must actually fire: a deliberately un-CAST SUM(BIGINT)
+    is reported as HUGEINT."""
+    from tests.oracle_utils import duckdb_connection
+
+    con = duckdb_connection(sf_dir)
+    types = _duckdb_result_types(
+        con, "SELECT SUM(CAST(l_quantity AS BIGINT)) AS s FROM lineitem"
+    )
+    assert types["s"] == "HUGEINT", types
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
