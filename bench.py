@@ -114,14 +114,18 @@ def main() -> None:
             spark, sf_dir, edges=edges
         ),
     }
-    pipeline_marginal = {}
-    for mname, build in marginal_builders.items():
-        samples = []
-        for _ in range(reps):
+    # Marginal reps are round-robin passes like the main loop, so one VM
+    # noise window lands in at most one rep of any marginal builder.
+    marginal_reps: dict[str, list[float]] = {m: [] for m in marginal_builders}
+    for _ in range(reps):
+        for mname, build in marginal_builders.items():
             t0 = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
-        pipeline_marginal[mname] = round(statistics.median(samples), 3)
+            marginal_reps[mname].append(round(time.perf_counter() - t0, 3))
+    pipeline_marginal = {
+        mname: round(statistics.median(samples), 3)
+        for mname, samples in marginal_reps.items()
+    }
 
     total = round(sum(timings.values()), 3)
     total_min = round(sum(mins.values()), 3)

@@ -36,6 +36,40 @@ from spark_jdbc_limit_spark.operators import graph  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import sqltext  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import sketches  # noqa: E402,F401
 
+#: Registry category → SURVEY.md §2B row (or LLM-pipeline area). The
+#: registry's categories are finer-grained than §2B's ten rows plus the
+#: five LLM areas; this single-sourced map keeps the taxonomy auditable
+#: (and tested: every spec.category must be a key here) so the
+#: category → coverage-row correspondence never drifts as the registry
+#: grows. Fine categories that fold into a coarser row: `scan` is the
+#: projections/filters family over the parquet catalog; `subquery`,
+#: `reshape`, and `sql_text` are aggregation-shaped SQL-surface demos;
+#: `window_events` is the event-analytics half of the windows row;
+#: `graph` joins the LLM-pipeline area (iterative analytics for corpus
+#: curation: PageRank authority, components-as-dedup-clusters, LPA).
+CATEGORY_TO_SURVEY: dict[str, str] = {
+    "source": "scans/sources/sinks",
+    "scan": "projections/filters",
+    "join": "joins",
+    "aggregation": "aggregations",
+    "subquery": "aggregations",
+    "reshape": "aggregations",
+    "sql_text": "aggregations",
+    "window": "windows",
+    "window_events": "windows",
+    "sort": "sorts/limits/top-k",
+    "setop": "set ops",
+    "scalar": "scalar funcs",
+    "streaming": "streaming",
+    "udf": "UDF/UDAF/UDTF",
+    "llm_dedup": "llm:dedup",
+    "llm_similarity": "llm:similarity",
+    "llm_multimodal": "llm:multimodal",
+    "llm_text": "llm:text",
+    "llm_pipeline": "llm:pipeline",
+    "graph": "llm:pipeline",
+}
+
 # Correctness-sampling rotation: the driver samples the first N registry
 # entries in iteration order each round and records their three-way
 # (rows/schema/hash) result in CORRECTNESS_r{k}.json. Queries that already

@@ -154,8 +154,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def two_level(key: str, out: str) -> DataFrame:
         pairs = li.groupBy("l_returnflag", key).agg(F.count(F.lit(1)).alias("pr"))
+        # count(key), not count(*): a NULL key collapses to one pair row
+        # here, but COUNT(DISTINCT) and the HLL sketch both EXCLUDE nulls
+        # — counting it would skew the exact comparand on nullable keys.
         return pairs.groupBy("l_returnflag").agg(
-            F.count(F.lit(1)).alias(f"exact_{out}"),
+            F.count(F.col(key)).alias(f"exact_{out}"),
             F.approx_count_distinct(key, rsd=0.02).alias(f"approx_{out}"),
         )
 
@@ -230,7 +233,9 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_flag = pairs.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk"),
-        F.count(F.lit(1)).alias("exact_parts"),
+        # count(key), not count(*): a NULL partkey is one pair row but the
+        # sketch and COUNT(DISTINCT) exclude nulls (see agg_approx_distinct)
+        F.count(F.col("l_partkey")).alias("exact_parts"),
         F.sum("pr").alias("n_rows"),
     )
     flag_rows = per_flag.select(

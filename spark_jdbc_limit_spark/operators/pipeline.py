@@ -158,17 +158,21 @@ def pack_tokens_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    # The explicit not-null filters mirror what the inner join would infer
-    # on ONE branch only; stating them on the shared base makes the two
-    # branches' exchange subtrees canonically identical, so AQE's
+    # The explicit bucket not-null filter mirrors what the inner join
+    # would infer on ONE branch only; stating it on the shared base makes
+    # the two branches' exchange subtrees canonically identical, so AQE's
     # ReuseExchange fires and text — the dominant scan cost — is read,
     # split, and shuffled exactly once (pinned by tests/test_plans.py).
+    # Nothing filters `source`: windows and groupBy keep a null stream as
+    # its own partition (matching the oracle's PARTITION BY source), and
+    # the offsets join below is null-SAFE so that stream packs like any
+    # other instead of being dropped by a null-unsafe key.
     toks = d.select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),
         F.floor(F.col("doc_id") / PACK_BUCKET_WIDTH).alias("bucket"),
-    ).filter(F.col("source").isNotNull() & F.col("bucket").isNotNull())
+    ).filter(F.col("bucket").isNotNull())
     w_local = (
         W.partitionBy("source", "bucket")
         .orderBy("doc_id")
@@ -186,12 +190,16 @@ def pack_tokens_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.unboundedPreceding, -1
     )
     offsets = bucket_totals.select(
-        "source",
-        "bucket",
+        F.col("source").alias("o_source"),
+        F.col("bucket").alias("o_bucket"),
         F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
     )
     cum = F.col("offset") + F.col("local_cum")
-    return local.join(F.broadcast(offsets), ["source", "bucket"]).select(
+    return local.join(
+        F.broadcast(offsets),
+        F.col("source").eqNullSafe(F.col("o_source"))
+        & (F.col("bucket") == F.col("o_bucket")),
+    ).select(
         "doc_id",
         "source",
         "n_tokens",

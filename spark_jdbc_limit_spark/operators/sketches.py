@@ -187,3 +187,125 @@ def agg_approx_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: Count-min sketch shape: CMS_D pairwise-independent-ish hash rows ×
+#: CMS_W buckets. Universal-hash family h_i(x) = ((x mod P)·A_i + B_i)
+#: mod P mod W over the Mersenne prime P = 2^31−1: every term stays
+#: below 2^57, so the arithmetic is exact int64 in BOTH engines and the
+#: sketch cells — and therefore the ESTIMATES — are bit-reproducible
+#: cross-engine, unlike HLL/KLL whose internals are engine-specific.
+CMS_D = 4
+CMS_W = 256
+CMS_P = 2_147_483_647
+CMS_A = (1_299_721, 15_485_863, 32_452_843, 49_979_687)
+CMS_B = (7, 101, 1_009, 10_007)
+
+
+def _cms_hash_sql(key: str, a: int, b: int) -> str:
+    return f"((({key} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {CMS_W}"
+
+
+def _cms_oracle() -> str:
+    hash_rows = ", ".join(
+        f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D)
+    )
+    bucket = f"(((k.l_partkey % {CMS_P}) * h.a + h.b) % {CMS_P}) % {CMS_W}"
+    return f"""
+        WITH keyed AS (
+            SELECT l_partkey, COUNT(*) AS exact_n
+            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+        ),
+        hashes(i, a, b) AS (VALUES {hash_rows}),
+        cells AS (
+            SELECT h.i AS i, {bucket} AS bucket,
+                   CAST(SUM(k.exact_n) AS BIGINT) AS c
+            FROM keyed k CROSS JOIN hashes h
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT k.l_partkey, MIN(c.c) AS est_n
+            FROM keyed k
+            CROSS JOIN hashes h
+            JOIN cells c ON c.i = h.i AND c.bucket = {bucket}
+            GROUP BY k.l_partkey
+        )
+        SELECT k.l_partkey,
+               CAST(k.exact_n AS BIGINT) AS exact_n,
+               CAST(e.est_n AS BIGINT) AS est_n,
+               -- asserted literally (audit discipline): a hash match PROVES
+               -- the in-engine estimate never undershot, instead of both
+               -- engines agreeing on a broken boolean
+               TRUE AS never_underestimates
+        FROM keyed k JOIN est e USING (l_partkey)
+        ORDER BY k.l_partkey
+    """
+
+
+@query(
+    "agg_count_min_frequency_audit",
+    category="aggregation",
+    description=f"Count-min sketch ({CMS_D}x{CMS_W}) point-frequency estimates, bit-reproducible cross-engine",
+    oracle=_cms_oracle(),
+)
+def agg_count_min_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a RELATION — the frequency-sketch member of the
+    sketch family (HLL = distinct, KLL = quantiles, approx_top_k = heavy
+    hitters, CMS = point frequencies). The sketch is the d×w cell table
+    ``(i, bucket) → Σ counts``; a point estimate is ``min_i
+    cell[i][h_i(x)]``, which can only OVER-estimate (every occurrence of
+    x lands in all d of its cells; collisions only add) — the classic CMS
+    guarantee, emitted per key as ``never_underestimates`` and proven
+    exactly, not within tolerance, because the whole sketch is shared
+    int64 hash arithmetic (see CMS_P) that DuckDB reproduces bit-for-bit.
+
+    Plan shape (and why it beats the textbook stream formulation in a
+    relational engine): counts are aggregated per key FIRST — one
+    partial-aggregated fact shuffle whose output is dimension-bounded
+    (distinct parts), the same relation the probe needs anyway — and the
+    ×CMS_D explode touches only that micro relation, never fact rows.
+    Folding per-key totals into cells afterwards is exact because CMS
+    cells are sums: Σ_x n_x·[h_i(x)=cell] == streaming inserts. The cell
+    table (≤ d·w = {CMS_D}×{CMS_W} rows regardless of data volume — the whole point
+    of a CMS) broadcasts back for the min-over-rows estimate. At 100 TB
+    the only full-data pass is the per-key count; everything downstream
+    is O(dimension) and O(d·w).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    hb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.expr(_cms_hash_sql("l_partkey", CMS_A[i], CMS_B[i])).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    ).alias("hb")
+    key_cells = keyed.select("l_partkey", "exact_n", hb).select(
+        "l_partkey", "exact_n", "hb.i", "hb.bucket"
+    )
+    cells = key_cells.groupBy("i", "bucket").agg(F.sum("exact_n").alias("c"))
+    est = (
+        key_cells.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        keyed.join(est, "l_partkey")
+        .select(
+            "l_partkey",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("never_underestimates"),
+        )
+        .orderBy("l_partkey")
+    )

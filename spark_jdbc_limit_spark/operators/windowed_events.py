@@ -1066,7 +1066,7 @@ PATH_TOPK = 20
 
 @query(
     "events_top_paths_3step",
-    category="windowed_events",
+    category="window_events",
     description=f"Top-{PATH_TOPK} 3-step user journey paths (sequence mining via lead windows)",
     oracle=f"""
         WITH seq AS (
@@ -1117,7 +1117,7 @@ MAD_CUTOFF = 3.5
 
 @query(
     "events_anomaly_robust_mad",
-    category="windowed_events",
+    category="window_events",
     description=f"Robust anomaly screen: |x-median| / (MAD*{MAD_K}) > {MAD_CUTOFF} per event type",
     oracle=f"""
         WITH med AS (

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from spark_jdbc_limit_spark.streaming.windows import (
     events_stream,
+    stream_cms_cells,
     run_stream_to_memory,
     stream_dedup_within_watermark,
     stream_session_windows,
@@ -20,6 +21,7 @@ from spark_jdbc_limit_spark.streaming.windows import (
 
 __all__ = [
     "events_stream",
+    "stream_cms_cells",
     "run_stream_to_memory",
     "stream_dedup_within_watermark",
     "stream_session_windows",

@@ -250,3 +250,41 @@ def stream_view_click_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the d×w cell relation of
+    ``operators/sketches.py::agg_count_min_frequency_audit``, maintained
+    incrementally over the event stream (keys = user_id). CMS cells are
+    plain sums, so the streaming aggregate IS the sketch — state is
+    bounded by d·w cells no matter how long the stream runs, the
+    canonical fixed-memory frequency tracker for an unbounded stream.
+    The stream==batch test pins mergeability: cells accumulated
+    trigger-by-trigger equal cells computed over the data at rest."""
+    from spark_jdbc_limit_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        _cms_hash_sql,
+    )
+
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    hb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.expr(_cms_hash_sql("user_id", CMS_A[i], CMS_B[i])).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    ).alias("hb")
+    return (
+        ev.select(hb)
+        .select("hb.i", "hb.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

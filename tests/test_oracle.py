@@ -79,6 +79,8 @@ RECENT_ADDITIONS = [
     "sql_recursive_hierarchy_walk",
     "ann_hybrid_rrf_fusion",
     "scalar_try_safe_funcs",
+    # round 8
+    "agg_count_min_frequency_audit",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

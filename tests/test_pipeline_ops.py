@@ -165,3 +165,47 @@ def test_quality_gate_threshold_margins():
             )
             checked += 1
     assert checked >= 5, "no shipped SF was checked"
+
+
+def test_packing_keeps_null_source_stream(spark, tmp_path):
+    """A null `source` is a stream like any other (the oracle's
+    PARTITION BY source keeps a NULL partition): the null-safe offsets
+    join must pack those docs instead of dropping them. Runs the real
+    builder over a micro corpus with a null-source stream and checks it
+    against the same concat-and-split computed in plain Python."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        # (doc_id, text, source) — doc 2, 5, 7 belong to the NULL stream
+        (0, "a b c", "s0"),
+        (1, "a b", "s0"),
+        (2, "x " * 300, None),
+        (3, "a", "s1"),
+        (5, "y " * 300, None),
+        (7, "z", None),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1].strip() for d in docs], pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array([d[2] for d in docs], pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in
+            get_query("pack_tokens_sequential").builder(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 1, 2, 3, 5, 7}, "null-source docs were dropped"
+
+    # expected bins per stream, concat-and-split over doc_id order
+    streams = defaultdict(list)
+    for doc_id, text, source in docs:
+        streams[source].append((doc_id, len(text.strip().split(" "))))
+    for source, stream in streams.items():
+        cum = 0
+        for doc_id, n_tok in sorted(stream):
+            assert rows[doc_id].bin_id == cum // TOKEN_BUDGET, (source, doc_id)
+            assert rows[doc_id].n_tokens == n_tok
+            assert rows[doc_id].source == source
+            cum += n_tok

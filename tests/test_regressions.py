@@ -171,6 +171,17 @@ def test_oracle_lint_flags_seeded_violation(sf_dir):
     )
     assert types["s"] == "HUGEINT", types
 
+def test_every_category_maps_to_a_survey_row():
+    """The registry's fine-grained categories fold into SURVEY.md §2B's
+    ten rows + five LLM areas via CATEGORY_TO_SURVEY (round-7 verdict
+    #8): an unmapped category means the coverage accounting drifted."""
+    from spark_jdbc_limit_spark.operators import CATEGORY_TO_SURVEY, REGISTRY
+
+    used = {spec.category for spec in REGISTRY.values()}
+    unmapped = used - set(CATEGORY_TO_SURVEY)
+    assert not unmapped, f"registry categories missing from CATEGORY_TO_SURVEY: {unmapped}"
+    dead = set(CATEGORY_TO_SURVEY) - used
+    assert not dead, f"CATEGORY_TO_SURVEY keys no registry entry uses: {dead}"
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

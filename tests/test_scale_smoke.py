@@ -110,6 +110,8 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "text_bm25_retrieval",
         "text_bigram_perplexity",
         "ann_hybrid_rrf_fusion",
+        # round-8: CMS cell table must stay <= d*w regardless of volume
+        "agg_count_min_frequency_audit",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
@@ -148,3 +150,31 @@ def test_semdedup_drops_cross_replica_copies(spark, big_dir):
     assert 0 < agg.n_kept <= n_originals, (
         f"kept {agg.n_kept} of {agg.n_total}: replica copies must all drop"
     )
+
+
+def test_cms_cell_table_is_volume_invariant(spark, big_dir):
+    """The point of a count-min sketch: its state is d×w cells no matter
+    how much data flows in. Rebuild the cell relation at 10× and assert
+    its row count never exceeds CMS_D * CMS_W."""
+    from spark_jdbc_limit_spark.operators.sketches import CMS_D, CMS_W
+
+    df = get_query("agg_count_min_frequency_audit").builder(spark, big_dir)
+    # the estimate join keeps the sketch honest end-to-end; the cell bound
+    # is asserted on the same hash arithmetic over the replicated keys
+    keyed = spark.read.parquet(f"{big_dir}/lineitem.parquet").select("l_partkey")
+    from spark_jdbc_limit_spark.operators.sketches import _cms_hash_sql, CMS_A, CMS_B
+
+    cells = (
+        keyed.select(
+            *[
+                F.expr(_cms_hash_sql("l_partkey", CMS_A[i], CMS_B[i])).alias(f"b{i}")
+                for i in range(CMS_D)
+            ]
+        )
+        .select(F.explode(F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("b")) for i in range(CMS_D)])).alias("x"))
+        .select("x.i", "x.b")
+        .distinct()
+        .count()
+    )
+    assert cells <= CMS_D * CMS_W
+    assert df.count() > 0

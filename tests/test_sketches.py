@@ -71,3 +71,61 @@ def test_topk_audit_sketch_is_exact_under_capacity(spark, sf_correct):
 
     rows = get_query("agg_approx_topk_audit").builder(spark, sf_correct).collect()
     assert all(r["topk_exact_ok"] for r in rows)
+
+
+def test_sketch_audit_exact_comparand_excludes_null_keys(spark, tmp_path):
+    """The exact comparand in the sketch audits must match COUNT(DISTINCT)
+    semantics: NULL keys are excluded (approx_count_distinct and
+    hll_sketch_agg both skip nulls), so a null-keyed corpus must not skew
+    the two-level exact count by one. Runs both audit queries over a
+    micro lineitem with NULL supp/part keys against their real oracles."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators import REGISTRY
+    from tests.oracle_utils import compare_frames
+
+    rows = [
+        # (returnflag, suppkey, partkey)
+        ("A", 1, 10), ("A", 1, None), ("A", None, 10), ("A", 2, 11),
+        ("N", None, None), ("N", 3, 12), ("N", 3, 12),
+    ]
+    tbl = pa.table({
+        "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[2] for r in rows], pa.int64()),
+        # columns other queries need are absent on purpose: these two
+        # queries must stay runnable from just the columns they prune to
+        "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    for name in ("agg_approx_distinct", "agg_hll_sketch_union"):
+        spec = REGISTRY[name]
+        spdf = spec.builder(spark, str(tmp_path)).toPandas()
+        odf = con.execute(spec.oracle).fetchdf()
+        compare_frames(spdf, odf, name)
+
+
+def test_cms_overestimates_exist_and_invariant_holds(spark, sf_correct):
+    """Non-vacuity + the CMS guarantee, from the estimates themselves:
+    with ~2000 distinct parts hashed into 256 buckets, collisions are
+    unavoidable, so the sketch must OVERestimate somewhere (else the
+    query degenerates to an exact count and audits nothing) while never
+    undershooting anywhere (each occurrence of a key lands in all d of
+    its cells; collisions only add)."""
+    from spark_jdbc_limit_spark.operators import get_query
+
+    pdf = (
+        get_query("agg_count_min_frequency_audit")
+        .builder(spark, sf_correct)
+        .toPandas()
+    )
+    assert (pdf["est_n"] >= pdf["exact_n"]).all()
+    assert (pdf["est_n"] > pdf["exact_n"]).any(), "no collisions — sketch vacuous"
+    assert pdf["never_underestimates"].all()

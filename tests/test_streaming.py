@@ -197,3 +197,43 @@ def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
     unmatched = {t for t in want if t[1] is None}
     assert unmatched, "fixture must contain views with no click in window"
     assert len(want) > len(unmatched), "and some attributed views"
+
+
+def test_cms_stream_matches_batch_cells(spark, sf_dir):
+    """Streaming CMS (complete-mode cell aggregate) equals the cell
+    relation computed over the events at rest with the same shared hash
+    arithmetic — the mergeability claim of the sketch family, pinned on
+    a real incremental execution."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        _cms_hash_sql,
+    )
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+    from spark_jdbc_limit_spark.streaming.windows import stream_cms_cells
+
+    got = run_stream_to_memory(stream_cms_cells(spark, sf_dir), "complete").toPandas()
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.expr(_cms_hash_sql("user_id", CMS_A[i], CMS_B[i])).alias("bucket"),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    ).alias("hb")
+    want = (
+        ev.select(hb)
+        .select("hb.i", "hb.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .toPandas()
+    )
+    compare_frames(got, want, "stream CMS cells vs batch")
