@@ -528,3 +528,73 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter((F.col("id") >= 1000) & (F.col("id") < 4000) & (F.col("flag") == "A"))
     )
+
+
+#: event_type → class map for the DPP demonstration dim. A VALUES
+#: relation in both engines, so the oracle shares it verbatim.
+EVENT_CLASS_DIM: list[tuple[str, str]] = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+
+def _event_class_values_sql() -> str:
+    return ", ".join(f"('{t}', '{c}')" for t, c in EVENT_CLASS_DIM)
+
+
+@query(
+    "source_parquet_dynamic_partition_pruning",
+    category="source",
+    description="Runtime (dynamic) partition pruning: a dim-side filter prunes fact partitions at execution time",
+    oracle=f"""
+        WITH dim(event_type, etype_class) AS (VALUES {_event_class_values_sql()})
+        SELECT e.event_type, d.etype_class,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        WHERE d.etype_class = 'engagement'
+        GROUP BY e.event_type, d.etype_class
+        ORDER BY e.event_type
+    """,
+)
+def source_parquet_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    ``source_parquet_partition_pruning``'s planning-time pruning, and the
+    mechanism that makes star-schema joins over a 100 TB partitioned fact
+    viable when the selective filter lives on the DIM side, where static
+    pruning cannot see it. The fact (events, written
+    ``partitionBy(event_type)``) is joined to a broadcast dim filtered to
+    one class; Catalyst injects the dim's surviving join keys into the
+    fact scan as ``dynamicpruningexpression(event_type IN dynamicpruning#N)``
+    (reusing the broadcast, no extra dim scan), so only the matching
+    partition directories are ever opened — pinned by
+    tests/test_plans.py. At warehouse scale this is date-dim → fact-date
+    pruning: the dim filter "fiscal week 23" prunes thousands of daily
+    partitions the SQL text never names. The aggregate proves runtime
+    pruning lost no rows vs the oracle over the unpartitioned original."""
+    path = _staging("source_parquet_dpp", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(EVENT_CLASS_DIM, "event_type string, etype_class string")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .filter(F.col("etype_class") == "engagement")
+        .groupBy("event_type", "etype_class")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "etype_class", "n_events", "total_value")
+        .orderBy("event_type")
+    )

@@ -908,3 +908,88 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "sample_rank")
     )
+
+
+#: snapshot-diff simulation constants: snapshot B is derived from the
+#: documents table by a deterministic doc_id rule both engines share —
+#: every 10th doc is deleted, every 10th+1 doc's text is amended. The
+#: RULE is synthetic; the diff operator itself is the real thing.
+SNAP_MOD = 10
+
+
+@query(
+    "pipeline_snapshot_diff",
+    category="llm_pipeline",
+    description="Corpus snapshot diff: added/removed/changed/unchanged via full outer join on content hash",
+    oracle=f"""
+        WITH b AS (
+            SELECT CASE WHEN doc_id % {SNAP_MOD} = 1
+                        THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+                   CASE WHEN doc_id % {SNAP_MOD} = 2
+                        THEN text || ' (amended)' ELSE text END AS text,
+                   source
+            FROM documents
+            WHERE doc_id % {SNAP_MOD} != 0
+        ),
+        diff AS (
+            SELECT COALESCE(a.source, b.source) AS source,
+                   CASE
+                     WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN md5(a.text) != md5(b.text) THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS change
+            FROM documents a
+            FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT source, change, COUNT(*) AS n_docs
+        FROM diff
+        GROUP BY source, change
+        ORDER BY source, change
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the primitive behind every incremental corpus run:
+    given yesterday's corpus A and today's B, classify each doc_id as
+    added / removed / changed / unchanged so downstream stages (dedup,
+    quality, packing) re-process ONLY the changed slice. Content equality
+    is md5-of-text (both engines ship md5), never a text comparison —
+    at 100 TB the diff join carries 16-byte digests, not documents, and
+    in a real pipeline the digest column is precomputed at ingest so the
+    diff never rereads payloads at all.
+
+    Plan shape: ONE full outer hash join on doc_id (both sides
+    hash-partitioned, no sort), then a micro groupBy over (source,
+    change). No window, no skew risk (doc_id is unique on both sides).
+    Snapshot B is simulated from the same table by a deterministic
+    doc_id rule (see SNAP_MOD) the oracle replays verbatim — the rule is
+    scaffolding; the operator under test is the diff."""
+    a = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = a.filter(F.col("doc_id") % SNAP_MOD != 0)
+    b = base.select(
+        F.when(F.col("doc_id") % SNAP_MOD == 1, F.col("doc_id") + 1_000_000)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(F.col("doc_id") % SNAP_MOD == 2, F.concat(F.col("text"), F.lit(" (amended)")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.md5(F.col("a.text")) != F.md5(F.col("b.text")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            change.alias("change"),
+        )
+        .groupBy("source", "change")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "change")
+    )

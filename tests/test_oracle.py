@@ -81,6 +81,8 @@ RECENT_ADDITIONS = [
     "scalar_try_safe_funcs",
     # round 8
     "agg_count_min_frequency_audit",
+    "source_parquet_dynamic_partition_pruning",
+    "pipeline_snapshot_diff",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 

@@ -920,3 +920,16 @@ def test_winnowing_python_pass_runs_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The DPP entry must actually prune at runtime: the fact scan's
+    PartitionFilters carries a dynamicpruningexpression fed from the
+    broadcast dim, so only the dim-selected partition directories are
+    read."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("source_parquet_dynamic_partition_pruning").builder(spark, sf_dir)
+    txt = plan_text(df, "formatted")
+    assert "dynamicpruningexpression" in txt, "DPP did not fire"
+    assert "PartitionFilters" in txt
