@@ -447,3 +447,99 @@ def scalar_try_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parsed",
         "elem",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_sql_udf",
+    category="scalar",
+    description="Declarative SQL UDF (CREATE FUNCTION ... RETURN expr): reusable logic with no serialization tax",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def scalar_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4): business logic named once with
+    ``CREATE FUNCTION ... RETURNS ... RETURN <expr>`` and reused across
+    queries — unlike a Python UDF, the body is INLINED by Catalyst into
+    the calling plan (plain decimal arithmetic inside whole-stage
+    codegen, zero serialization boundary; the oracle is the inlined
+    expression, which is the point). The 100 TB relevance: shared
+    semantic definitions (how "charged amount" is computed) stop drifting
+    between pipelines without paying the Python-worker tax the UDF
+    catalog's pandas entries measure. CREATE OR REPLACE is idempotent
+    per session, like this catalog's staging writes."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "price DECIMAL(18,6), disc DECIMAL(18,6), tax DECIMAL(18,6)) "
+        "RETURNS DECIMAL(18,6) "
+        "RETURN price * (1 - disc) * (1 + tax)"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(charged_amount(
+                    CAST(l_extendedprice AS DECIMAL(18,6)),
+                    CAST(l_discount AS DECIMAL(18,6)),
+                    CAST(l_tax AS DECIMAL(18,6)))), 2) AS DOUBLE) AS charged
+        FROM li_sqludf
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "scalar_collation_ci_group",
+    category="scalar",
+    description="Case-insensitive grouping via UTF8_LCASE collation (engine-level, not lower()-rewrites)",
+    oracle="""
+        SELECT LOWER(et_mixed) AS event_type_ci,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT et_mixed) AS BIGINT) AS n_case_variants
+        FROM (
+            SELECT CASE WHEN event_id % 2 = 1 THEN UPPER(event_type)
+                        ELSE event_type END AS et_mixed
+            FROM events
+        ) t
+        GROUP BY LOWER(et_mixed)
+        ORDER BY event_type_ci
+    """,
+)
+def scalar_collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): comparison semantics live on the TYPE
+    (``COLLATE(c, 'UTF8_LCASE')``), so grouping, joins, and DISTINCT are
+    case-insensitive at the ENGINE level — hash/sort operators compare
+    collation keys directly, instead of every query hand-wrapping
+    ``lower()`` (and silently breaking on the next un-wrapped one). The
+    mixed-case column is derived deterministically (odd event_ids
+    uppercased) and ``n_case_variants`` = 2 per group proves the engine
+    really merged binary-distinct strings. The oracle is the lower()
+    rewrite — identical result, which is exactly the equivalence the
+    collation feature guarantees."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(F.col("event_id") % 2 == 1, F.upper("event_type")).otherwise(
+        F.col("event_type")
+    )
+    return (
+        ev.select(mixed.alias("et_mixed"))
+        .groupBy(F.expr("COLLATE(et_mixed, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("et_mixed").cast("long").alias("n_case_variants"),
+        )
+        .select(
+            F.lower("k").cast("string").alias("event_type_ci"),
+            "n_events",
+            "n_case_variants",
+        )
+        .orderBy("event_type_ci")
+    )

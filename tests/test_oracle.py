@@ -83,6 +83,8 @@ RECENT_ADDITIONS = [
     "agg_count_min_frequency_audit",
     "source_parquet_dynamic_partition_pruning",
     "pipeline_snapshot_diff",
+    "scalar_sql_udf",
+    "scalar_collation_ci_group",
 ]
 _RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
 
