@@ -211,3 +211,46 @@ def test_running_totals_on_rocksdb_state_store(spark, sf_dir, tmp_path):
         assert final.loc[uid, "n_events_so_far"] == row["n"], uid
         assert final.loc[uid, "total_value_cents"] == row["cents"], uid
     assert len(out) > len(final)
+
+
+def test_state_store_reader_exposes_live_state(spark, tmp_path):
+    """The state data source (Spark 4): a checkpoint's operator state is
+    QUERYABLE as a DataFrame — the production debugging/ops surface for
+    stateful streams (state-size audits, hot-key hunts, migration
+    inspection) with no reprocessing. Run a keyed streaming count to a
+    checkpoint, then read the state back via format('statestore') and
+    assert it equals the aggregate the stream emitted; 'state-metadata'
+    names the operator and its store."""
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("state_reader_probe")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    emitted = {
+        r.k: r.n for r in spark.sql("SELECT * FROM state_reader_probe").collect()
+    }
+    state = spark.read.format("statestore").load(ckpt)
+    stored = {r.key.k: r.value["count"] for r in state.collect()}
+    assert stored == emitted
+    assert set(emitted) == set(range(7))
+
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert any("stateStoreAgg" in (r.operatorName or "") or r.operatorId == 0 for r in md)
