@@ -933,3 +933,31 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     txt = plan_text(df, "formatted")
     assert "dynamicpruningexpression" in txt, "DPP did not fire"
     assert "PartitionFilters" in txt
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """The point of a SQL-defined function vs a Python UDF: Catalyst
+    INLINES the body. The plan must contain no Python evaluation node and
+    the inlined decimal arithmetic must sit inside whole-stage codegen;
+    the aggregate partial-aggregates map-side like any built-in."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("scalar_sql_udf").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df, "simple")
+    # the function NAME is gone from the physical plan; its body appears
+    # as plain decimal arithmetic feeding the partial aggregate
+    assert "charged_amount" not in txt
+    assert "(1 - disc" in txt and "(1 + tax" in txt
+    assert "partial_sum" in txt
+
+
+def test_cms_estimate_join_broadcasts_cells(spark, sf_dir):
+    """The CMS cell table is <= d*w rows by construction, so the
+    estimate lookup must be a broadcast hash join — never a shuffle of
+    the (dimension-sized) key relation against a 1024-row sketch."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("agg_count_min_frequency_audit").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert "BroadcastHashJoin" in plan_text(df, "simple")
