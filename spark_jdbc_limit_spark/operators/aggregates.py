@@ -167,8 +167,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def within(approx: str, exact: str):
+        # zero-safe: a group whose audited key is entirely NULL has
+        # exact = approx = 0, and 0/0 would make the boolean NULL while
+        # the oracle asserts TRUE — define the empty case as exact match
         rel = F.abs(F.col(approx) - F.col(exact)) / F.col(exact)
-        return rel <= F.lit(APPROX_CD_TOL)
+        return F.when(F.col(exact) == 0, F.col(approx) == 0).otherwise(
+            rel <= F.lit(APPROX_CD_TOL)
+        )
 
     return agg.select(
         "l_returnflag",
@@ -256,7 +261,9 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand_rows = grand.crossJoin(exact_all).select(
         F.lit("ALL").alias("l_returnflag"), "n_rows", "exact_parts", "est"
     )
-    within = (
+    within = F.when(  # zero-safe like agg_approx_distinct's within()
+        F.col("exact_parts") == 0, F.col("est") == 0
+    ).otherwise(
         F.abs(F.col("est") - F.col("exact_parts")) / F.col("exact_parts")
         <= F.lit(HLL_UNION_TOL)
     )

@@ -206,6 +206,23 @@ def _cms_hash_sql(key: str, a: int, b: int) -> str:
     return f"((({key} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {CMS_W}"
 
 
+def cms_cell_structs(key: str):
+    """Explode column yielding one (i, bucket) row per hash row for
+    ``key`` — the single definition of the sketch's cell addressing,
+    shared by the batch audit, the streaming twin, and their tests."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.expr(_cms_hash_sql(key, CMS_A[i], CMS_B[i])).alias("bucket"),
+                )
+                for i in range(CMS_D)
+            ]
+        )
+    )
+
+
 def _cms_oracle() -> str:
     hash_rows = ", ".join(
         f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D)
@@ -277,19 +294,7 @@ def agg_count_min_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
-    hb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.expr(_cms_hash_sql("l_partkey", CMS_A[i], CMS_B[i])).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(CMS_D)
-            ]
-        )
-    ).alias("hb")
+    hb = cms_cell_structs("l_partkey").alias("hb")
     key_cells = keyed.select("l_partkey", "exact_n", hb).select(
         "l_partkey", "exact_n", "hb.i", "hb.bucket"
     )

@@ -261,27 +261,10 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical fixed-memory frequency tracker for an unbounded stream.
     The stream==batch test pins mergeability: cells accumulated
     trigger-by-trigger equal cells computed over the data at rest."""
-    from spark_jdbc_limit_spark.operators.sketches import (
-        CMS_A,
-        CMS_B,
-        CMS_D,
-        _cms_hash_sql,
-    )
+    from spark_jdbc_limit_spark.operators.sketches import cms_cell_structs
 
     ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
-    hb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.expr(_cms_hash_sql("user_id", CMS_A[i], CMS_B[i])).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(CMS_D)
-            ]
-        )
-    ).alias("hb")
+    hb = cms_cell_structs("user_id").alias("hb")
     return (
         ev.select(hb)
         .select("hb.i", "hb.bucket")

@@ -86,7 +86,8 @@ RECENT_ADDITIONS = [
     "scalar_sql_udf",
     "scalar_collation_ci_group",
 ]
-_RECENT_SPECS = [REGISTRY[n] for n in RECENT_ADDITIONS if n in REGISTRY]
+_RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
+_RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
 
 
 def test_recent_additions_all_registered():
@@ -94,9 +95,7 @@ def test_recent_additions_all_registered():
     assert not missing, f"RECENT_ADDITIONS names drifted from the registry: {missing}"
 
 
-@pytest.mark.parametrize(
-    "spec", _RECENT_SPECS, ids=[n for n in RECENT_ADDITIONS if n in REGISTRY]
-)
+@pytest.mark.parametrize("spec", _RECENT_SPECS, ids=_RECENT_NAMES)
 def test_recent_additions_sf0001(spark, spec):
     run_differential(spark, spec, "/root/testdata/sf0.001")
 

@@ -132,7 +132,7 @@ def _duckdb_result_types(con, sql: str) -> dict[str, str]:
 #: equivalent Spark query returns, breaking the driver's type-strict value
 #: hash even when every value matches. HUGEINT (int128, from SUM over
 #: BIGINT) → float64 is the class that shipped red in rounds 6 and 7.
-_HASH_HOSTILE_TYPES = ("HUGEINT", "UHUGEINT")
+_HASH_HOSTILE_TYPES = ("HUGEINT",)  # substring match also catches UHUGEINT
 
 
 def test_oracle_lint_no_hash_hostile_result_types(sf_dir):
@@ -148,12 +148,15 @@ def test_oracle_lint_no_hash_hostile_result_types(sf_dir):
 
     con = duckdb_connection(sf_dir)
     offenders = []
-    for name, spec in REGISTRY.items():
-        if spec.oracle is None:
-            continue
-        for col, typ in _duckdb_result_types(con, spec.oracle).items():
-            if any(h in typ for h in _HASH_HOSTILE_TYPES):
-                offenders.append(f"{name}.{col}: {typ}")
+    try:
+        for name, spec in REGISTRY.items():
+            if spec.oracle is None:
+                continue
+            for col, typ in _duckdb_result_types(con, spec.oracle).items():
+                if any(h in typ for h in _HASH_HOSTILE_TYPES):
+                    offenders.append(f"{name}.{col}: {typ}")
+    finally:
+        con.close()
     assert not offenders, (
         "oracle result columns with driver-hash-hostile types (wrap in an "
         f"explicit CAST): {offenders}"
@@ -166,9 +169,12 @@ def test_oracle_lint_flags_seeded_violation(sf_dir):
     from tests.oracle_utils import duckdb_connection
 
     con = duckdb_connection(sf_dir)
-    types = _duckdb_result_types(
-        con, "SELECT SUM(CAST(l_quantity AS BIGINT)) AS s FROM lineitem"
-    )
+    try:
+        types = _duckdb_result_types(
+            con, "SELECT SUM(CAST(l_quantity AS BIGINT)) AS s FROM lineitem"
+        )
+    finally:
+        con.close()
     assert types["s"] == "HUGEINT", types
 
 def test_every_category_maps_to_a_survey_row():

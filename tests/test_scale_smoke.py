@@ -110,8 +110,6 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "text_bm25_retrieval",
         "text_bigram_perplexity",
         "ann_hybrid_rrf_fusion",
-        # round-8: CMS cell table must stay <= d*w regardless of volume
-        "agg_count_min_frequency_audit",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
@@ -152,29 +150,40 @@ def test_semdedup_drops_cross_replica_copies(spark, big_dir):
     )
 
 
-def test_cms_cell_table_is_volume_invariant(spark, big_dir):
+def test_cms_cell_table_is_volume_invariant(spark, sf_dir, tmp_path_factory):
     """The point of a count-min sketch: its state is d×w cells no matter
-    how much data flows in. Rebuild the cell relation at 10× and assert
-    its row count never exceeds CMS_D * CMS_W."""
-    from spark_jdbc_limit_spark.operators.sketches import CMS_D, CMS_W
+    how much data flows in. big_dir deliberately does NOT replicate
+    lineitem (the dedup family needs intact TPC-H keys), so this test
+    builds its OWN 10× lineitem — rows ×10 AND distinct partkeys ×10 via
+    shifted keys — runs the full audit query over it, and asserts the
+    sketch invariants held at volume: every key still never
+    underestimated, and the cell relation (same hash arithmetic over the
+    10× key set) stayed within CMS_D * CMS_W rows."""
+    from spark_jdbc_limit_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_cell_structs,
+    )
 
-    df = get_query("agg_count_min_frequency_audit").builder(spark, big_dir)
-    # the estimate join keeps the sketch honest end-to-end; the cell bound
-    # is asserted on the same hash arithmetic over the replicated keys
-    keyed = spark.read.parquet(f"{big_dir}/lineitem.parquet").select("l_partkey")
-    from spark_jdbc_limit_spark.operators.sketches import _cms_hash_sql, CMS_A, CMS_B
+    out = str(tmp_path_factory.mktemp("cms_10x"))
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey", reps)
+    li.select(
+        (F.col("l_partkey") + F.col("rep") * 10_000_000).alias("l_partkey")
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    pdf = get_query("agg_count_min_frequency_audit").builder(spark, out).toPandas()
+    base_keys = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey"
+    ).distinct().count()
+    assert len(pdf) == REPLICAS * base_keys  # 10x the key space, all audited
+    assert (pdf["est_n"] >= pdf["exact_n"]).all()
 
     cells = (
-        keyed.select(
-            *[
-                F.expr(_cms_hash_sql("l_partkey", CMS_A[i], CMS_B[i])).alias(f"b{i}")
-                for i in range(CMS_D)
-            ]
-        )
-        .select(F.explode(F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("b")) for i in range(CMS_D)])).alias("x"))
-        .select("x.i", "x.b")
+        spark.read.parquet(f"{out}/lineitem.parquet")
+        .select(cms_cell_structs("l_partkey").alias("x"))
+        .select("x.i", "x.bucket")
         .distinct()
         .count()
     )
     assert cells <= CMS_D * CMS_W
-    assert df.count() > 0

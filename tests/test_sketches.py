@@ -87,9 +87,12 @@ def test_sketch_audit_exact_comparand_excludes_null_keys(spark, tmp_path):
     from tests.oracle_utils import compare_frames
 
     rows = [
-        # (returnflag, suppkey, partkey)
+        # (returnflag, suppkey, partkey); group "R" is ALL-NULL on both
+        # keys — exact = approx = 0, and the tolerance boolean must be
+        # zero-safe TRUE (0/0 would be NULL), matching the oracle's TRUE
         ("A", 1, 10), ("A", 1, None), ("A", None, 10), ("A", 2, 11),
         ("N", None, None), ("N", 3, 12), ("N", 3, 12),
+        ("R", None, None), ("R", None, None),
     ]
     tbl = pa.table({
         "l_returnflag": pa.array([r[0] for r in rows], pa.string()),

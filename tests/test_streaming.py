@@ -206,29 +206,14 @@ def test_cms_stream_matches_batch_cells(spark, sf_dir):
     a real incremental execution."""
     from pyspark.sql import functions as F
 
-    from spark_jdbc_limit_spark.operators.sketches import (
-        CMS_A,
-        CMS_B,
-        CMS_D,
-        _cms_hash_sql,
-    )
+    from spark_jdbc_limit_spark.operators.sketches import cms_cell_structs
     from spark_jdbc_limit_spark.sources.catalog import load_table
     from spark_jdbc_limit_spark.streaming.windows import stream_cms_cells
 
     got = run_stream_to_memory(stream_cms_cells(spark, sf_dir), "complete").toPandas()
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    hb = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.expr(_cms_hash_sql("user_id", CMS_A[i], CMS_B[i])).alias("bucket"),
-                )
-                for i in range(CMS_D)
-            ]
-        )
-    ).alias("hb")
+    hb = cms_cell_structs("user_id").alias("hb")
     want = (
         ev.select(hb)
         .select("hb.i", "hb.bucket")
