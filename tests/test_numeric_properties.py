@@ -101,3 +101,62 @@ def test_ewma_window_formulation_matches_python_loop(spark):
         want = _py_ewma(vals)
         g = got[got.sid == sid].sort_values("t")["e"].tolist()
         assert np.allclose(g, want, atol=1e-12), f"series {sid}"
+
+
+def test_cms_pure_python_model_never_underestimates_and_merges():
+    """The count-min properties the relational formulation in
+    operators/sketches.py relies on, checked against a pure-Python model
+    over adversarial random multisets (hypothesis): (1) min-over-rows
+    point estimates never undershoot the true count for ANY key;
+    (2) cells built from per-key totals equal cells built by streaming
+    single increments — the fold the Spark plan performs when it
+    aggregates counts per key BEFORE hashing into cells; (3) merging two
+    halves' cell tables equals the cell table of the union — the
+    mergeability the streaming twin exercises."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_jdbc_limit_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_P,
+        CMS_W,
+    )
+
+    def h(i, x):
+        return ((x % CMS_P) * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_W
+
+    def cells_streaming(keys):
+        c = Counter()
+        for x in keys:
+            for i in range(CMS_D):
+                c[(i, h(i, x))] += 1
+        return c
+
+    def cells_from_totals(keys):
+        c = Counter()
+        for x, n in Counter(keys).items():
+            for i in range(CMS_D):
+                c[(i, h(i, x))] += n
+        return c
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=2**40), max_size=300),
+        split=st.integers(min_value=0, max_value=300),
+    )
+    def check(keys, split):
+        cells = cells_streaming(keys)
+        assert cells == cells_from_totals(keys)  # per-key fold is exact
+        truth = Counter(keys)
+        for x, n in truth.items():
+            est = min(cells[(i, h(i, x))] for i in range(CMS_D))
+            assert est >= n  # never underestimates
+        lo, hi = keys[:split], keys[split:]
+        merged = cells_streaming(lo) + cells_streaming(hi)
+        assert merged == cells  # cell tables merge by addition
+
+    check()

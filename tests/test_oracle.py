@@ -85,6 +85,7 @@ RECENT_ADDITIONS = [
     "pipeline_snapshot_diff",
     "scalar_sql_udf",
     "scalar_collation_ci_group",
+    "agg_hll_intersection_audit",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
