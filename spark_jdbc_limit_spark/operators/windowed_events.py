@@ -1286,3 +1286,90 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dbl(z, 4).alias("z_score"),
         (F.abs(z) >= AB_Z_CRIT).cast("int").alias("significant"),
     )
+
+
+@query(
+    "events_attribution_multitouch",
+    category="window_events",
+    description=f"Multi-touch linear attribution: each click's credit split 1/n across its candidate views ({ATTRIBUTION_WINDOW_MIN} min window)",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT v.view_id, c.click_id
+            FROM v JOIN c ON v.user_id = c.user_id
+             AND c.ts >= v.ts
+             AND c.ts <= v.ts + INTERVAL {ATTRIBUTION_WINDOW_MIN} minutes
+        ),
+        cand AS (SELECT click_id, COUNT(*) AS n_views FROM pairs GROUP BY 1),
+        credit AS (
+            SELECT p.view_id, COUNT(*) AS n_clicks,
+                   SUM(CAST(1 AS DOUBLE) / cand.n_views) AS credit
+            FROM pairs p JOIN cand USING (click_id) GROUP BY 1
+        )
+        SELECT v.view_id, v.user_id,
+               CAST(COALESCE(cr.n_clicks, 0) AS BIGINT) AS n_clicks,
+               {sql_round_dbl('COALESCE(cr.credit, 0.0)', 4)} AS credit
+        FROM v LEFT JOIN credit cr USING (view_id)
+        ORDER BY view_id
+    """,
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution — the fractional-credit sibling of
+    the pairing join above: when a click has n candidate views in its
+    lookback window, each view earns 1/n of that click instead of the
+    whole click being claimed n times (the classic over-count of
+    last/every-touch reporting). Views with no attributable click stay
+    in the output with zero credit, so the relation is a complete
+    per-view ledger and SUM(credit) == number of attributed clicks —
+    conservation the dashboard can assert.
+
+    Plan shape: the candidate join is the SAME equi-key user_id hash
+    join as the pairing query (time range as post-join predicate, never
+    a cross join); per-click fan-in counts are one partial-aggregated
+    shuffle on click_id over the pairs relation; credit folds back per
+    view in a second micro shuffle. At 100 TB the pairs relation is the
+    only super-linear object and it is bounded by the watermark window,
+    exactly like the streaming twin's state."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    win_us = ATTRIBUTION_WINDOW_MIN * 60 * 1_000_000
+    pairs = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_us") >= F.col("v_us"))
+        & (F.col("c_us") <= F.col("v_us") + win_us),
+    ).select("view_id", "click_id")
+    cand = pairs.groupBy("click_id").agg(F.count(F.lit(1)).alias("n_views"))
+    credit = (
+        pairs.join(cand, "click_id")
+        .groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.lit(1.0) / F.col("n_views")).alias("credit"),
+        )
+    )
+    return (
+        v.select("view_id", "user_id")
+        .join(credit, "view_id", "left")
+        .select(
+            "view_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
+            round_dbl(F.coalesce(F.col("credit"), F.lit(0.0)), 4).alias("credit"),
+        )
+        .orderBy("view_id")
+    )

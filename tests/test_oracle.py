@@ -86,6 +86,10 @@ RECENT_ADDITIONS = [
     "scalar_sql_udf",
     "scalar_collation_ci_group",
     "agg_hll_intersection_audit",
+    "agg_cms_join_size_audit",
+    "sort_zorder_skipping_audit",
+    "agg_table_fingerprint",
+    "events_attribution_multitouch",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
