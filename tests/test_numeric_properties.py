@@ -160,3 +160,80 @@ def test_cms_pure_python_model_never_underestimates_and_merges():
         assert merged == cells  # cell tables merge by addition
 
     check()
+
+
+def test_table_fingerprint_is_order_and_partition_invariant(spark):
+    """The fingerprint's whole value is order independence: any
+    permutation AND any repartitioning of the same rows must produce
+    identical (n_rows, xor_fp, sum_fp) channels, while any single-row
+    edit must move at least one channel."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.aggregates import (
+        _FP_COLS,
+        _FP_SUM_MOD,
+        _fp_rowhash_sql,
+    )
+
+    rows = [
+        (i, f"Customer#{i:09d}", i % 25, ["AUTOMOBILE", "BUILDING", "MACHINERY"][i % 3])
+        for i in range(997)
+    ]
+    schema = "c_custkey long, c_name string, c_nationkey int, c_mktsegment string"
+    h, poly = _fp_rowhash_sql(_FP_COLS)
+
+    def fp(df):
+        valued = df.select("c_mktsegment", F.expr(h).alias("h")).select(
+            "c_mktsegment", F.expr(poly).alias("v")
+        )
+        out = (
+            valued.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(v)").alias("xor_fp"),
+                F.sum(F.col("v") % _FP_SUM_MOD).alias("sum_fp"),
+            )
+            .toPandas()
+            .sort_values("c_mktsegment")
+            .reset_index(drop=True)
+        )
+        return out
+
+    base = spark.createDataFrame(rows, schema)
+    shuffled = spark.createDataFrame(list(reversed(rows)), schema).repartition(13)
+    pd.testing.assert_frame_equal(fp(base), fp(shuffled))
+
+    mutated = rows[:500] + [(500, "Customer#MUTATED", 500 % 25, "MACHINERY")] + rows[501:]
+    a, b = fp(base), fp(spark.createDataFrame(mutated, schema))
+    assert not a.equals(b), "single-row edit left every fingerprint channel unchanged"
+
+
+def test_attribution_credit_conserves_clicks(spark, sf_correct):
+    """Linear attribution's defining invariant: total credit equals the
+    number of ATTRIBUTED clicks exactly (each click contributes 1 split
+    across its candidate views), and every view of the corpus appears
+    exactly once in the ledger."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators import get_query
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    ledger = get_query("events_attribution_multitouch").builder(spark, sf_correct)
+    ev = load_table(spark, sf_correct, "events")
+    n_views = ev.filter(F.col("event_type") == "view").count()
+    assert ledger.count() == n_views
+
+    # attributed clicks = distinct clicks with >=1 candidate view
+    attributed = (
+        get_query("events_view_click_attribution")
+        .builder(spark, sf_correct)
+        .select("click_id")
+        .distinct()
+        .count()
+    )
+    total_credit = ledger.agg(F.sum("credit")).collect()[0][0]
+    # per-view credits are rounded at 1e-4, so conservation holds to
+    # n_views * 5e-5 slack
+    assert abs(total_credit - attributed) < max(1e-6, n_views * 5e-5)

@@ -110,6 +110,8 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "text_bm25_retrieval",
         "text_bigram_perplexity",
         "ann_hybrid_rrf_fusion",
+        # round-8 additions: pair-join fan-in over 10x-replicated events
+        "events_attribution_multitouch",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):

@@ -132,3 +132,42 @@ def test_cms_overestimates_exist_and_invariant_holds(spark, sf_correct):
     assert (pdf["est_n"] >= pdf["exact_n"]).all()
     assert (pdf["est_n"] > pdf["exact_n"]).any(), "no collisions — sketch vacuous"
     assert pdf["never_underestimates"].all()
+
+
+def test_join_size_estimate_is_nonvacuous_and_bounded(spark, sf_correct):
+    """Non-vacuity + both guarantees for the inner-product estimate:
+    with ~2400 date keys hashed into CMS_JOIN_W=2048 buckets the hash
+    CANNOT be injective (pigeonhole), so the estimate must strictly
+    overshoot — the width was pinned below the key span precisely
+    because wider sketches went injective on the contiguous day range
+    and made the audit vacuous — while never undershooting and staying
+    within the |A|·|B|/W Markov bound."""
+    from spark_jdbc_limit_spark.operators import get_query
+
+    row = (
+        get_query("agg_cms_join_size_audit").builder(spark, sf_correct).collect()[0]
+    )
+    assert row.est_size > row.exact_size, "no collision mass — audit vacuous"
+    assert row.never_underestimates and row.overshoot_within_bound
+    # the estimate is an ESTIMATE: within 2x of truth at this shape
+    assert row.est_size < 2 * row.exact_size
+
+
+def test_join_size_sketch_matches_materialized_join(spark, sf_correct):
+    """The exact comparand really is the join size: materialize the
+    orders⋈lineitem date join and count it."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators import get_query
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    row = (
+        get_query("agg_cms_join_size_audit").builder(spark, sf_correct).collect()[0]
+    )
+    o = load_table(spark, sf_correct, "orders").select(
+        F.col("o_orderdate").cast("date").alias("k")
+    )
+    li = load_table(spark, sf_correct, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("k")
+    )
+    assert o.join(li, "k").count() == row.exact_size

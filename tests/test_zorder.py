@@ -143,3 +143,60 @@ def test_interleave_bits_properties(spark):
 # zero byte delta with parquet.bloom.filter.enabled). Point-lookup
 # skipping below min/max stats on this corpus therefore comes from the
 # runtime bloom-filter JOIN pruning pinned in test_plans.py.
+
+
+def test_zorder_audit_oracle_interleave_matches_spark_helper(spark):
+    """The audit's DuckDB oracle re-derives the Morton key with integer
+    div/mod SQL; pin that arithmetic against sources.zorder's shift/mask
+    helper on adversarial bit patterns (all-ones, alternating, max-range)
+    so the two definitions can never drift apart silently."""
+    import duckdb
+
+    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS, _interleave_sql
+
+    vals = [(0, 0), (1, 1), (32767, 32767), (21845, 10922), (19999, 999), (2, 1)]
+    df = spark.createDataFrame(vals, "l_partkey long, l_suppkey long")
+    spark_z = [
+        r.z
+        for r in df.select(
+            interleave_bits(
+                [F.col("l_partkey"), F.col("l_suppkey")], bits=ZORDER_BITS
+            ).alias("z")
+        ).collect()
+    ]
+    sql = (
+        _interleave_sql("l_partkey", 0).replace(" DIV ", " // ")
+        + " + "
+        + _interleave_sql("l_suppkey", 1).replace(" DIV ", " // ")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (l_partkey BIGINT, l_suppkey BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", vals)
+    duck_z = [r[0] for r in con.execute(f"SELECT {sql} FROM t").fetchall()]
+    con.close()
+    assert spark_z == duck_z
+
+
+def test_zorder_audit_scanned_rows_conserve(spark, sf_correct):
+    """Pruned + scanned must account for every row in every layout, and
+    the headline claim must hold: the lexicographic layout prunes ZERO
+    blocks for the trailing-dimension box."""
+    from spark_jdbc_limit_spark.operators import get_query
+
+    total = load_table(spark, sf_correct, "lineitem").count()
+    rows = {
+        r.layout: r
+        for r in get_query("sort_zorder_skipping_audit")
+        .builder(spark, sf_correct)
+        .collect()
+    }
+    lex, zo = rows["lex"], rows["zorder"]
+    assert lex.pruned_trailing == 0
+    assert zo.pruned_trailing > 0
+    assert zo.scanned_trailing < total
+    for r in (lex, zo):
+        assert r.n_blocks == 64
+        # scanned_* counts rows in unpruned blocks; pruned blocks hold
+        # the remainder — equal-count blocks make this checkable
+        assert r.scanned_trailing + (total // 64) * r.pruned_trailing <= total
+        assert r.scanned_trailing >= total - (total // 64 + 1) * r.pruned_trailing
