@@ -993,3 +993,118 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "change")
     )
+
+
+#: Epoch-shuffle audit shape: EPOCHS independent affine hash orders over
+#: doc_id (the standard "new permutation per training epoch without
+#: materializing one" trick), decorrelation asserted via Spearman rho
+#: between every epoch pair. Threshold 0.15: measured |rho| tops out at
+#: 0.0997 on the shipped corpora (n=500) and falls to 0.036 at n=5000 —
+#: ~1.5x headroom at the worst point while a broken shuffle (rho ≈ 1)
+#: fails by an order of magnitude.
+EPOCH_SHUFFLE_EPOCHS = 3
+EPOCH_RHO_MAX = 0.15
+
+
+def _epoch_shuffle_oracle() -> str:
+    from spark_jdbc_limit_spark.operators.sketches import CMS_A, CMS_B, CMS_P
+
+    epoch_rows = ", ".join(
+        f"({e}, {CMS_A[e]}, {CMS_B[e]})" for e in range(EPOCH_SHUFFLE_EPOCHS)
+    )
+    return f"""
+        WITH e(epoch, a, b) AS (VALUES {epoch_rows}),
+        ranked AS (
+            SELECT e.epoch, d.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.epoch
+                       ORDER BY ((d.doc_id % {CMS_P}) * e.a + e.b) % {CMS_P}, d.doc_id
+                   ) AS rk
+            FROM documents d CROSS JOIN e
+        ),
+        pairs AS (
+            SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+                   COUNT(*) AS n, SUM((a.rk - b.rk) * (a.rk - b.rk)) AS sd2
+            FROM ranked a JOIN ranked b
+              ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+            GROUP BY 1, 2
+        )
+        SELECT epoch_a, epoch_b, CAST(n AS BIGINT) AS n_docs,
+               FLOOR((1.0 - (6.0 * sd2) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)))
+                     * 10000.0 + 0.5) / 10000.0 AS rho,
+               ABS(1.0 - (6.0 * sd2) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)))
+                   <= {EPOCH_RHO_MAX} AS decorrelated
+        FROM pairs ORDER BY epoch_a, epoch_b
+    """
+
+
+@query(
+    "pipeline_epoch_shuffle_audit",
+    category="llm_pipeline",
+    description=f"Deterministic per-epoch shuffle orders with pairwise Spearman decorrelation audit ({EPOCH_SHUFFLE_EPOCHS} epochs)",
+    oracle=_epoch_shuffle_oracle(),
+)
+def pipeline_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffling for training-data pipelines — a new global order
+    per epoch WITHOUT materializing permutations: epoch e's order is
+    simply `sort by h_e(doc_id)` under per-epoch affine hash constants
+    (the CMS family's rows, reused), so any worker can reproduce any
+    epoch's order from the constants alone. The audit computes the
+    pairwise Spearman rank correlation between epochs in exact integer
+    arithmetic (Σd² over joined rank vectors; rho's division happens
+    once, on exact ints, identically in IEEE doubles in both engines)
+    and asserts every |rho| ≤ {EPOCH_RHO_MAX} — i.e. the epochs are genuinely
+    different orders, the property curriculum-sensitive training needs,
+    while rank-correlated "shuffles" (e.g. same hash, shifted) fail by
+    an order of magnitude.
+
+    Plan shape: ranks come from ONE window partitioned BY EPOCH over the
+    exploded (doc × epoch) relation — epochs rank in parallel, and at
+    test scale each epoch is one partition's sort. At 100 TB a global
+    row_number per epoch is exactly the two-phase range-partitioned rank
+    this repo pins in global_rownum_two_phase (the shuffle writer only
+    needs partition-local order + partition offsets); the audit's Σd²
+    join is per-doc_id, partial-aggregated, one shuffle."""
+    from spark_jdbc_limit_spark.operators.sketches import CMS_A, CMS_B, CMS_P
+
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame(
+        [(e, CMS_A[e], CMS_B[e]) for e in range(EPOCH_SHUFFLE_EPOCHS)],
+        "epoch int, a long, b long",
+    )
+    ranked = (
+        d.crossJoin(F.broadcast(epochs))
+        .withColumn("h", ((F.col("doc_id") % CMS_P) * F.col("a") + F.col("b")) % CMS_P)
+        .select(
+            "epoch",
+            "doc_id",
+            F.row_number()
+            .over(Window.partitionBy("epoch").orderBy("h", "doc_id"))
+            .alias("rk"),
+        )
+    )
+    r2 = ranked.select(
+        F.col("epoch").alias("epoch_b"), F.col("doc_id").alias("doc_id2"), F.col("rk").alias("rk2")
+    )
+    pairs = (
+        ranked.join(
+            r2,
+            (F.col("doc_id") == F.col("doc_id2")) & (F.col("epoch") < F.col("epoch_b")),
+        )
+        .groupBy(F.col("epoch").alias("epoch_a"), "epoch_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("rk") - F.col("rk2")) * (F.col("rk") - F.col("rk2"))).alias("sd2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rho = F.lit(1.0) - (F.lit(6.0) * F.col("sd2")) / (nd * (nd * F.col("n") - 1))
+    return pairs.select(
+        "epoch_a",
+        "epoch_b",
+        F.col("n").cast("long").alias("n_docs"),
+        (F.floor(rho * 10000.0 + 0.5) / 10000.0).alias("rho"),
+        (F.abs(rho) <= EPOCH_RHO_MAX).alias("decorrelated"),
+    ).orderBy("epoch_a", "epoch_b")

@@ -90,6 +90,8 @@ RECENT_ADDITIONS = [
     "sort_zorder_skipping_audit",
     "agg_table_fingerprint",
     "events_attribution_multitouch",
+    "agg_sampled_sum_ht_audit",
+    "pipeline_epoch_shuffle_audit",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
