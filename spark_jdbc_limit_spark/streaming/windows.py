@@ -271,3 +271,34 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+#: Fingerprint canonical columns for the event stream — the streaming
+#: twin of operators/aggregates.py::agg_table_fingerprint (customer).
+FP_EVENT_COLS = ["CAST(event_id AS STRING)", "CAST(user_id AS STRING)", "event_type"]
+
+
+def stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming table fingerprint: the XOR / modular-sum / count
+    channels of ``agg_table_fingerprint``, maintained incrementally per
+    event_type. All three channels are commutative-monoid folds, so the
+    streaming aggregate IS the fingerprint — state is one 24-byte row
+    per group no matter how long the stream runs, which is what makes
+    continuous replication verification (fingerprint the stream as it
+    lands, compare against the source table's fingerprint on any
+    schedule) a constant-memory operation. The stream==batch test pins
+    that trigger-by-trigger accumulation equals the at-rest fold."""
+    from spark_jdbc_limit_spark.operators.aggregates import _FP_SUM_MOD, _fp_rowhash_sql
+
+    h, poly = _fp_rowhash_sql(FP_EVENT_COLS)
+    ev = events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return (
+        ev.select("event_type", F.expr(h).alias("h"))
+        .select("event_type", F.expr(poly).alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(v)").alias("xor_fp"),
+            F.sum(F.col("v") % _FP_SUM_MOD).alias("sum_fp"),
+        )
+    )

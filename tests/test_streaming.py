@@ -222,3 +222,35 @@ def test_cms_stream_matches_batch_cells(spark, sf_dir):
         .toPandas()
     )
     compare_frames(got, want, "stream CMS cells vs batch")
+
+
+def test_fingerprint_stream_matches_batch_channels(spark, sf_dir):
+    """Streaming fingerprint (complete-mode XOR/sum/count channels per
+    event_type) equals the same fold over the events at rest — the
+    mergeability that makes continuous replication verification a
+    constant-memory streaming job."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.aggregates import _FP_SUM_MOD, _fp_rowhash_sql
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+    from spark_jdbc_limit_spark.streaming.windows import (
+        FP_EVENT_COLS,
+        stream_table_fingerprint,
+    )
+
+    got = run_stream_to_memory(stream_table_fingerprint(spark, sf_dir), "complete").toPandas()
+
+    h, poly = _fp_rowhash_sql(FP_EVENT_COLS)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    want = (
+        ev.select("event_type", F.expr(h).alias("h"))
+        .select("event_type", F.expr(poly).alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(v)").alias("xor_fp"),
+            F.sum(F.col("v") % _FP_SUM_MOD).alias("sum_fp"),
+        )
+        .toPandas()
+    )
+    compare_frames(got, want, "stream fingerprint vs batch")
