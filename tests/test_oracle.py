@@ -92,6 +92,7 @@ RECENT_ADDITIONS = [
     "events_attribution_multitouch",
     "agg_sampled_sum_ht_audit",
     "pipeline_epoch_shuffle_audit",
+    "udf_arrow_map_batches",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
