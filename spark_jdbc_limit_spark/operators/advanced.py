@@ -770,12 +770,20 @@ def _interleave_sql(col: str, offset: int) -> str:
     )
 
 
-def _zorder_oracle() -> str:
-    z = (
+def zorder_z_sql() -> str:
+    """The full two-column Morton expression in DuckDB spelling — the
+    single definition shared by the oracle and the parity test in
+    tests/test_zorder.py (drift between the two would silently weaken
+    the pin)."""
+    return (
         _interleave_sql("l_partkey", 0).replace(" DIV ", " // ")
         + " + "
         + _interleave_sql("l_suppkey", 1).replace(" DIV ", " // ")
     )
+
+
+def _zorder_oracle() -> str:
+    z = zorder_z_sql()
     return f"""
         WITH ext AS (
             SELECT MAX(l_partkey) // 8 AS plo, MAX(l_partkey) // 4 AS phi,
@@ -833,7 +841,7 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_suppkey) into a Morton z-value, lay rows out in z order, and audit
     what the layout buys via the same min/max statistics parquet footers
     carry. Each layout (z-order vs lexicographic partkey-then-suppkey)
-    is cut into {ZORDER_BLOCKS} equal-count blocks (= files/row-groups); a block is
+    is cut into ZORDER_BLOCKS (64) equal-count blocks (= files/row-groups); a block is
     prunable for a box query iff its [min,max] envelope misses the box.
     Two probe boxes tell the whole story: on the TRAILING dimension
     (suppkey-only box) the lexicographic layout prunes NOTHING — every

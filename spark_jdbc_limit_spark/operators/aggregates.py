@@ -1497,7 +1497,7 @@ _FP_HEX_CHARS = 15
 _FP_SUM_MOD = 1 << 20
 
 
-def _fp_rowhash_sql(cols: list[str]) -> str:
+def _fp_rowhash_sql(cols: list[str]) -> tuple[str, str]:
     canon = ", ".join(cols)
     h = f"md5(concat_ws('|', {canon}))"
     nibble = lambda i: (  # noqa: E731

@@ -1053,7 +1053,7 @@ def pipeline_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise Spearman rank correlation between epochs in exact integer
     arithmetic (Σd² over joined rank vectors; rho's division happens
     once, on exact ints, identically in IEEE doubles in both engines)
-    and asserts every |rho| ≤ {EPOCH_RHO_MAX} — i.e. the epochs are genuinely
+    and asserts every |rho| ≤ EPOCH_RHO_MAX (0.15) — i.e. the epochs are genuinely
     different orders, the property curriculum-sensitive training needs,
     while rank-correlated "shuffles" (e.g. same hash, shifted) fail by
     an order of magnitude.
@@ -1096,7 +1096,13 @@ def pipeline_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("epoch").alias("epoch_a"), "epoch_b")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("rk") - F.col("rk2")) * (F.col("rk") - F.col("rk2"))).alias("sd2"),
+            # rank diffs square in int64: row_number is int32 and |d|^2
+            # overflows past ~46k docs under ANSI — the 100 TB form needs
+            # the cast even though the shipped corpora don't
+            F.sum(
+                (F.col("rk").cast("long") - F.col("rk2"))
+                * (F.col("rk").cast("long") - F.col("rk2"))
+            ).alias("sd2"),
         )
     )
     nd = F.col("n").cast("double")

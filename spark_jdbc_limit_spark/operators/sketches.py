@@ -360,9 +360,6 @@ def _join_size_oracle() -> str:
         ex AS (
             SELECT COUNT(*) AS n_shared, SUM(o.n * l.n) AS true_sz
             FROM o JOIN l USING (k)
-        ),
-        tot AS (
-            SELECT (SELECT SUM(n) FROM o) AS na, (SELECT SUM(n) FROM l) AS nb
         )
         SELECT CAST(ex.n_shared AS BIGINT) AS n_shared_keys,
                CAST(ex.true_sz AS BIGINT) AS exact_size,
@@ -371,7 +368,7 @@ def _join_size_oracle() -> str:
                -- proves both guarantees held in-engine this run
                TRUE AS never_underestimates,
                TRUE AS overshoot_within_bound
-        FROM ex CROSS JOIN tot
+        FROM ex
     """
 
 
@@ -399,7 +396,7 @@ def agg_cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 from 150k×600k inputs) is not readable off either input alone.
 
     Plan shape: each side is one partial-aggregated fact shuffle whose
-    output is key-bounded (~2400 dates); the ×{CMS_D} explode, the d×W cell
+    output is key-bounded (~2400 dates); the ×CMS_D explode, the d×W cell
     aggregates, the (i,bucket) cell join, and the min-over-rows all touch
     micro relations (≤ d·W rows). The exact comparand joins the two
     per-key count relations — also micro. At 100 TB the per-key counts
@@ -477,7 +474,7 @@ HT_TOL_PCT = 8
 
 
 def _ht_oracle() -> str:
-    h = f"((((l_orderkey * 16 + l_linenumber) % {CMS_P}) * {CMS_A[0]} + {CMS_B[0]}) % {CMS_P}) % {HT_DEN}"
+    h = _cms_hash_sql("(l_orderkey * 16 + l_linenumber)", CMS_A[0], CMS_B[0], HT_DEN)
     return f"""
         WITH s AS (
             SELECT COUNT(*) AS n_total,
@@ -508,7 +505,7 @@ def _ht_oracle() -> str:
 def agg_sampled_sum_ht_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate query processing by SAMPLING — the third leg of the
     estimation family (sketches summarize all rows cheaply; samples skip
-    rows entirely): a Bernoulli sample at rate {HT_NUM}/{HT_DEN} drawn by
+    rows entirely): a Bernoulli sample at rate HT_NUM/HT_DEN (205/2048) drawn by
     the shared affine hash on a collision-free row key, scaled back by
     1/p (Horvitz–Thompson). Unlike ``TABLESAMPLE``, the hash sample is
     deterministic AND consistent across engines — the exact property that
@@ -517,7 +514,7 @@ def agg_sampled_sum_ht_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The audit boolean compares the estimate to the exact sum ENTIRELY in
     exact decimal integer-scaled arithmetic (|samp·DEN − exact·NUM|·100 ≤
-    exact·NUM·{HT_TOL_PCT} — no division, no doubles), so the driver
+    exact·NUM·HT_TOL_PCT — no division, no doubles), so the driver
     hash-checks it cross-engine; est_rev itself derives from the rounded
     decimal through IEEE-identical double ops. Measured error shrinks
     with n exactly as HT variance predicts (4.6% → 0.1% across the
@@ -528,8 +525,12 @@ def agg_sampled_sum_ht_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     own. At 100 TB the sample would be materialized once and reused;
     this query is the audit that certifies it."""
     li = load_table(spark, sf_dir, "lineitem")
-    key = (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("long")
-    h = ((key % CMS_P) * CMS_A[0] + CMS_B[0]) % CMS_P % HT_DEN
+    # the SAME hash string as the oracle (single-sourced family); the key
+    # is collision-free (l_linenumber < 16) and already BIGINT, so the
+    # affine product stays in int64
+    h = F.expr(
+        _cms_hash_sql("(l_orderkey * 16 + l_linenumber)", CMS_A[0], CMS_B[0], HT_DEN)
+    )
     dec = "decimal(18,6)"
     v = F.col("l_extendedprice").cast(dec)
     s = li.agg(

@@ -390,7 +390,14 @@ def _arrow_norm_batches(it):
             continue
         d = len(emb[0])
         m = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, d)
-        norms = np.sqrt((m * m).sum(axis=1))
+        # accumulate squares SEQUENTIALLY over dims (vectorized over rows):
+        # numpy's default pairwise reduction orders additions differently
+        # from the oracle's left-fold list_sum, and floor-rounding only
+        # guarantees equality for bit-identical doubles
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            acc += m[:, j] * m[:, j]
+        norms = np.sqrt(acc)
         dom = np.abs(m).argmax(axis=1) + 1  # 1-based, matching SQL list_position
         yield pa.RecordBatch.from_arrays(
             [
@@ -430,10 +437,10 @@ def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding columns (norms here; the same skeleton carries
     quantization, distance blocks, or feature extraction).
 
-    Parity note: norms are float64 accumulations (numpy) vs DuckDB's
-    sequential list_sum — last-ulp differences absorbed by the suite's
-    floor-round discipline; dominant_dim is exact (comparisons on
-    identical doubles; both argmax and list_position take the FIRST
+    Parity note: squares accumulate SEQUENTIALLY in float64, the same
+    left-fold order as the oracle's list_sum, so the norms are
+    bit-identical cross-engine before the belt-and-braces floor-round;
+    dominant_dim is exact (both argmax and list_position take the FIRST
     maximum, emitted 1-based).
 
     Plan shape: one ArrowEvalPython-free mapInArrow stage, batch-local,

@@ -1308,12 +1308,13 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand AS (SELECT click_id, COUNT(*) AS n_views FROM pairs GROUP BY 1),
         credit AS (
             SELECT p.view_id, COUNT(*) AS n_clicks,
-                   SUM(CAST(1 AS DOUBLE) / cand.n_views) AS credit
+                   SUM(CAST(CAST(1 AS DOUBLE) / cand.n_views AS DECIMAL(18,6)))
+                       AS credit
             FROM pairs p JOIN cand USING (click_id) GROUP BY 1
         )
         SELECT v.view_id, v.user_id,
                CAST(COALESCE(cr.n_clicks, 0) AS BIGINT) AS n_clicks,
-               {sql_round_dbl('COALESCE(cr.credit, 0.0)', 4)} AS credit
+               CAST(ROUND(COALESCE(cr.credit, 0), 4) AS DOUBLE) AS credit
         FROM v LEFT JOIN credit cr USING (view_id)
         ORDER BY view_id
     """,
@@ -1359,7 +1360,10 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("view_id")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            F.sum(F.lit(1.0) / F.col("n_views")).alias("credit"),
+            # each 1/n term quantizes to DECIMAL(18,6) before summing —
+            # double sums are partition-order-dependent (dec_sum discipline);
+            # the per-term double division is IEEE-identical in both engines
+            F.sum((F.lit(1.0) / F.col("n_views")).cast("decimal(18,6)")).alias("credit"),
         )
     )
     return (
@@ -1369,7 +1373,9 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             "view_id",
             "user_id",
             F.coalesce(F.col("n_clicks"), F.lit(0)).cast("long").alias("n_clicks"),
-            round_dbl(F.coalesce(F.col("credit"), F.lit(0.0)), 4).alias("credit"),
+            F.round(F.coalesce(F.col("credit"), F.lit(0).cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("credit"),
         )
         .orderBy("view_id")
     )

@@ -152,7 +152,7 @@ def test_zorder_audit_oracle_interleave_matches_spark_helper(spark):
     so the two definitions can never drift apart silently."""
     import duckdb
 
-    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS, _interleave_sql
+    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS, zorder_z_sql
 
     vals = [(0, 0), (1, 1), (32767, 32767), (21845, 10922), (19999, 999), (2, 1)]
     df = spark.createDataFrame(vals, "l_partkey long, l_suppkey long")
@@ -164,11 +164,7 @@ def test_zorder_audit_oracle_interleave_matches_spark_helper(spark):
             ).alias("z")
         ).collect()
     ]
-    sql = (
-        _interleave_sql("l_partkey", 0).replace(" DIV ", " // ")
-        + " + "
-        + _interleave_sql("l_suppkey", 1).replace(" DIV ", " // ")
-    )
+    sql = zorder_z_sql()
     con = duckdb.connect()
     con.execute("CREATE TABLE t (l_partkey BIGINT, l_suppkey BIGINT)")
     con.executemany("INSERT INTO t VALUES (?, ?)", vals)
