@@ -751,9 +751,10 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Z-order audit shape: 15 interleaved bits per dimension (covers the
 #: sf0.1 key ranges, partkey<20000 / suppkey<1000), 64 equal-count
-#: blocks (ntile — scale-invariant output), and two single-dimension
-#: probe boxes derived from the data itself in pure integer arithmetic
-#: (max//8 .. max//4) so selectivity stays comparable across SFs.
+#: blocks cut by (rank-1)·B div n over a two-phase parallel rank, and
+#: two single-dimension probe boxes derived from the data itself in
+#: pure integer arithmetic (max//8 .. max//4) so selectivity stays
+#: comparable across SFs.
 ZORDER_BITS = 15
 ZORDER_BLOCKS = 64
 
@@ -794,14 +795,17 @@ def _zorder_oracle() -> str:
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, {z} AS z
             FROM lineitem
         ),
+        tot AS (SELECT COUNT(*) AS n FROM lineitem),
         laid AS (
             SELECT 'zorder' AS layout, l_partkey, l_suppkey,
-                   NTILE({ZORDER_BLOCKS}) OVER (ORDER BY z, l_orderkey, l_linenumber) AS blk
+                   ((ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1)
+                       * {ZORDER_BLOCKS}) // (SELECT n FROM tot) AS blk
             FROM base
             UNION ALL
             SELECT 'lex', l_partkey, l_suppkey,
-                   NTILE({ZORDER_BLOCKS}) OVER
-                       (ORDER BY l_partkey, l_suppkey, l_orderkey, l_linenumber)
+                   ((ROW_NUMBER() OVER
+                       (ORDER BY l_partkey, l_suppkey, l_orderkey, l_linenumber) - 1)
+                       * {ZORDER_BLOCKS}) // (SELECT n FROM tot)
             FROM base
         ),
         blocks AS (
@@ -852,37 +856,81 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix cross-engine.
 
     Plan shape: the z-value is ``sources.zorder.interleave_bits`` — a
-    per-row shift/mask OR-tree inside whole-stage codegen; block
-    assignment here is ntile over a global sort — at test scale one
-    exchange. At 100 TB the layout IS the write: the sibling
+    per-row shift/mask OR-tree inside whole-stage codegen. Block
+    assignment needs a GLOBAL rank per layout, and a bare
+    ``ntile() OVER (ORDER BY ...)`` funnels the table through one task —
+    so ranks come from the repo's two-phase pattern
+    (``global_rownum_two_phase``): a monotonic bucket of each layout's
+    LEADING key partitions the rank window (every bucket numbered in
+    parallel), per-bucket counts roll into offsets over a micro
+    relation, and ``blk = (rank-1)·B div n`` cuts equal-count blocks —
+    the same formula in both engines, so the differential pins it. At
+    100 TB the layout IS the write: the sibling
     ``sources.zorder.write_zordered`` (repartitionByRange(z) +
     sortWithinPartitions, tested against REAL parquet row-group min/max
     in tests/test_zorder.py) makes every output file a z-contiguous
     block and the footer stats do this pruning at scan time for free;
-    the equal-count ntile blocks here exist so the audit's output shape
-    is scale-invariant and oracle-checkable. Probe boxes derive from
+    the equal-count blocks here exist so the audit's output shape is
+    scale-invariant and oracle-checkable. Probe boxes derive from
     MAX(key) by integer division — no floats anywhere in the pipeline.
     """
+    from pyspark.sql.window import Window
+
     from spark_jdbc_limit_spark.sources.zorder import interleave_bits
 
     li = load_table(spark, sf_dir, "lineitem")
     z = interleave_bits([F.col("l_partkey"), F.col("l_suppkey")], bits=ZORDER_BITS)
-    base = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.alias("z"))
-    from pyspark.sql.window import Window
+    base = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.alias("z")
+    ).localCheckpoint(eager=False)
+    tot = base.agg(F.count(F.lit(1)).alias("n_rows"))
 
-    zw = Window.orderBy("z", "l_orderkey", "l_linenumber")
-    lw = Window.orderBy("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
-    laid = base.select(
-        F.lit("zorder").alias("layout"),
-        "l_partkey",
-        "l_suppkey",
-        F.ntile(ZORDER_BLOCKS).over(zw).alias("blk"),
+    def two_phase_blocks(layout: str, lead: str, order_cols: list[str]) -> DataFrame:
+        # monotonic bucket of the leading sort key (adaptive width so the
+        # rank window parallelizes at every SF), then rank = offset +
+        # local row_number — no single-task window over the fact relation
+        width = F.greatest(
+            (F.max(lead) / 128).cast("long") + 1, F.lit(1)
+        ).alias("w")
+        b = base.crossJoin(F.broadcast(base.agg(width))).withColumn(
+            "bkt", (F.col(lead) / F.col("w")).cast("long")
+        )
+        local = b.withColumn(
+            "local_rn",
+            F.row_number().over(Window.partitionBy("bkt").orderBy(*order_cols)),
+        )
+        offsets = (
+            b.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "offset",
+                F.coalesce(
+                    F.sum("cnt").over(
+                        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("bkt", "offset")
+        )
+        return (
+            local.join(F.broadcast(offsets), "bkt")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(layout).alias("layout"),
+                "l_partkey",
+                "l_suppkey",
+                F.expr(f"((offset + local_rn - 1) * {ZORDER_BLOCKS}) DIV n_rows").alias(
+                    "blk"
+                ),
+            )
+        )
+
+    laid = two_phase_blocks(
+        "zorder", "z", ["z", "l_orderkey", "l_linenumber"]
     ).unionAll(
-        base.select(
-            F.lit("lex").alias("layout"),
-            "l_partkey",
-            "l_suppkey",
-            F.ntile(ZORDER_BLOCKS).over(lw).alias("blk"),
+        two_phase_blocks(
+            "lex", "l_partkey", ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"]
         )
     )
     ext = li.agg(
