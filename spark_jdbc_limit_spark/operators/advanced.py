@@ -771,6 +771,48 @@ def _interleave_sql(col: str, offset: int) -> str:
     )
 
 
+def two_phase_rank(
+    base: DataFrame, lead: str, order_cols: list[str], buckets: int = 128
+) -> DataFrame:
+    """Global contiguous row rank WITHOUT a single-task window — the
+    reusable form of ``global_rownum_two_phase``'s pattern, shared by
+    the z-order layout audit and the batch-padding audit. ``lead`` must
+    be the LEADING column of ``order_cols`` and numeric non-negative:
+    the adaptive-width monotonic bucket ``lead div w`` then preserves
+    the global order across buckets, every bucket ranks in parallel,
+    and per-bucket counts roll into offsets over a micro relation.
+    Returns ``base``'s columns plus ``rank`` (1-based, long)."""
+    from pyspark.sql.window import Window
+
+    width = F.greatest((F.max(lead) / buckets).cast("long") + 1, F.lit(1)).alias("w")
+    b = base.crossJoin(F.broadcast(base.agg(width))).withColumn(
+        "bkt", (F.col(lead) / F.col("w")).cast("long")
+    )
+    local = b.withColumn(
+        "local_rn",
+        F.row_number().over(Window.partitionBy("bkt").orderBy(*order_cols)),
+    )
+    offsets = (
+        b.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .withColumn("rank", (F.col("offset") + F.col("local_rn")).cast("long"))
+        .drop("bkt", "w", "local_rn", "offset")
+    )
+
+
 def zorder_z_sql() -> str:
     """The full two-column Morton expression in DuckDB spelling — the
     single definition shared by the oracle and the parity test in
@@ -874,8 +916,6 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-invariant and oracle-checkable. Probe boxes derive from
     MAX(key) by integer division — no floats anywhere in the pipeline.
     """
-    from pyspark.sql.window import Window
-
     from spark_jdbc_limit_spark.sources.zorder import interleave_bits
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -886,43 +926,14 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = base.agg(F.count(F.lit(1)).alias("n_rows"))
 
     def two_phase_blocks(layout: str, lead: str, order_cols: list[str]) -> DataFrame:
-        # monotonic bucket of the leading sort key (adaptive width so the
-        # rank window parallelizes at every SF), then rank = offset +
-        # local row_number — no single-task window over the fact relation
-        width = F.greatest(
-            (F.max(lead) / 128).cast("long") + 1, F.lit(1)
-        ).alias("w")
-        b = base.crossJoin(F.broadcast(base.agg(width))).withColumn(
-            "bkt", (F.col(lead) / F.col("w")).cast("long")
-        )
-        local = b.withColumn(
-            "local_rn",
-            F.row_number().over(Window.partitionBy("bkt").orderBy(*order_cols)),
-        )
-        offsets = (
-            b.groupBy("bkt")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn(
-                "offset",
-                F.coalesce(
-                    F.sum("cnt").over(
-                        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .select("bkt", "offset")
-        )
         return (
-            local.join(F.broadcast(offsets), "bkt")
+            two_phase_rank(base, lead, order_cols)
             .crossJoin(F.broadcast(tot))
             .select(
                 F.lit(layout).alias("layout"),
                 "l_partkey",
                 "l_suppkey",
-                F.expr(f"((offset + local_rn - 1) * {ZORDER_BLOCKS}) DIV n_rows").alias(
-                    "blk"
-                ),
+                F.expr(f"((rank - 1) * {ZORDER_BLOCKS}) DIV n_rows").alias("blk"),
             )
         )
 

@@ -93,6 +93,9 @@ RECENT_ADDITIONS = [
     "agg_sampled_sum_ht_audit",
     "pipeline_epoch_shuffle_audit",
     "udf_arrow_map_batches",
+    "pipeline_batch_padding_audit",
+    "split_group_kfold_audit",
+    "orders_trend_mann_kendall",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

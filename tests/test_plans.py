@@ -961,3 +961,39 @@ def test_cms_estimate_join_broadcasts_cells(spark, sf_dir):
     df = get_query("agg_count_min_frequency_audit").builder(spark, sf_dir)
     assert_no_python_udf_in_plan(df)
     assert "BroadcastHashJoin" in plan_text(df, "simple")
+
+
+def test_zorder_audit_fact_windows_are_bucketed(spark, sf_dir):
+    """The round-8b restructure: every fact-relation-sized rank window in
+    the z-order audit must be partitioned by the two-phase bucket — a
+    bare ORDER BY window funnels 600k rows (or 100 TB) through one task
+    per layout. The only unpartitioned windows allowed are the offset
+    passes over the micro per-bucket count relations (they sit above an
+    aggregate)."""
+    import re
+
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("sort_zorder_skipping_audit").builder(spark, sf_dir)
+    txt = plan_text(df, "extended")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", txt)
+    assert specs, "expected window specs in the z-order audit plan"
+    fact_specs = [s for s in specs if "l_orderkey" in s or "l_linenumber" in s]
+    assert fact_specs, "expected the fact-level rank windows"
+    for s in fact_specs:
+        assert "bkt" in s, f"fact-level rank window not bucketed: {s}"
+
+
+def test_padding_audit_fact_windows_are_bucketed(spark, sf_dir):
+    """Same pin for the batch-padding audit's two strategy ranks."""
+    import re
+
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("pipeline_batch_padding_audit").builder(spark, sf_dir)
+    txt = plan_text(df, "extended")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", txt)
+    fact_specs = [s for s in specs if "doc_id" in s]
+    assert fact_specs, "expected the doc-level rank windows"
+    for s in fact_specs:
+        assert "bkt" in s, f"doc-level rank window not bucketed: {s}"
