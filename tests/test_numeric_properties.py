@@ -237,3 +237,73 @@ def test_attribution_credit_conserves_clicks(spark, sf_correct):
     # per-view credits are rounded at 1e-4, so conservation holds to
     # n_views * 5e-5 slack
     assert abs(total_credit - attributed) < max(1e-6, n_views * 5e-5)
+
+
+def test_padding_waste_matches_python_reference(spark):
+    """The DIV-batch waste arithmetic must equal an explicit Python loop
+    over adversarial random lengths — including a tail batch smaller
+    than PAD_BATCH and ties in length (where the doc_id tiebreak decides
+    batch membership)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.advanced import two_phase_rank
+    from spark_jdbc_limit_spark.operators.pipeline import PAD_BATCH
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([3, 17, 17, 64, 400, 401])) for i in range(997)]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    ranked = two_phase_rank(d, "n_chars", ["n_chars", "doc_id"]).select(
+        "n_chars", F.expr(f"(rank - 1) DIV {PAD_BATCH}").alias("batch")
+    )
+    got = (
+        ranked.groupBy("batch")
+        .agg(F.max("n_chars").alias("mx"), F.sum("n_chars").alias("s"), F.count("*").alias("c"))
+        .agg(F.sum(F.col("mx") * F.col("c") - F.col("s")).alias("waste"))
+        .collect()[0][0]
+    )
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = 0
+    for i in range(0, len(ordered), PAD_BATCH):
+        chunk = [L for _, L in ordered[i : i + PAD_BATCH]]
+        want += max(chunk) * len(chunk) - sum(chunk)
+    assert got == want
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    """Exact S and the continuity-corrected z against the textbook loop
+    on a random series with planted ties."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    vals = [round(rng.uniform(0, 100), 2) for _ in range(60)]
+    vals[10] = vals[40]  # planted tie: sign contributes 0
+    rows = [(i, v) for i, v in enumerate(vals)]
+    w = spark.createDataFrame(rows, "wk int, rev double")
+    a, b = w.alias("a"), w.alias("b")
+    got = (
+        a.join(b, F.col("b.wk") > F.col("a.wk"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+        .collect()[0][0]
+    )
+    n = len(vals)
+    want = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert got == want
+    z_got = (got - (1 if got > 0 else -1 if got < 0 else 0)) / math.sqrt(
+        n * (n - 1) * (2 * n + 5) / 18.0
+    )
+    assert abs(z_got) < 10  # sanity: formula produces a finite z on ties
