@@ -89,6 +89,7 @@ def main() -> None:
 
     from spark_jdbc_limit_spark.operators.graph import (
         _supplier_edges,
+        graph_bfs_hops,
         graph_connected_components,
         graph_label_propagation,
         graph_triangle_stats,
@@ -113,6 +114,7 @@ def main() -> None:
         "graph_connected_components": lambda: graph_connected_components(
             spark, sf_dir, edges=edges
         ),
+        "graph_bfs_hops": lambda: graph_bfs_hops(spark, sf_dir, edges=edges),
     }
     # Marginal reps are round-robin passes like the main loop, so one VM
     # noise window lands in at most one rep of any marginal builder.

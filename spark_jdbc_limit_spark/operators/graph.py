@@ -606,3 +606,120 @@ def graph_connected_components(
         )
         .orderBy("component")
     )
+
+
+BFS_ITERS = 6
+
+
+def _bfs_oracle() -> str:
+    base = f"""
+        WITH {_EDGES_CTE},
+        bi AS (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        nodes AS (SELECT DISTINCT u AS node FROM bi),
+        bw AS (SELECT u, v, 1 AS w FROM bi
+               UNION ALL SELECT node, node, 0 FROM nodes),
+        d0 AS (SELECT (SELECT MIN(node) FROM nodes) AS node, 0 AS d)"""
+    steps = "".join(
+        f""",
+        d{k} AS (
+            SELECT b.v AS node, MIN(l.d + b.w) AS d
+            FROM bw b JOIN d{k - 1} l ON l.node = b.u
+            GROUP BY 1
+        )"""
+        for k in range(1, BFS_ITERS + 1)
+    )
+    return (
+        base
+        + steps
+        + f"""
+        ,
+        final AS (
+            SELECT n.node, COALESCE(dl.d, -1) AS d
+            FROM nodes n LEFT JOIN d{BFS_ITERS} dl USING (node)
+        ),
+        audit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_unsettled
+            FROM nodes n
+            LEFT JOIN d{BFS_ITERS} a USING (node)
+            LEFT JOIN d{BFS_ITERS - 1} b USING (node)
+            WHERE COALESCE(a.d, -1) <> COALESCE(b.d, -1)
+        )
+        SELECT CAST(f.d AS BIGINT) AS hops,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               (SELECT n_unsettled FROM audit) AS n_unsettled
+        FROM final f GROUP BY f.d ORDER BY hops
+    """
+    )
+
+
+@query(
+    "graph_bfs_hops",
+    category="graph",
+    description=f"Single-source BFS hop histogram by {BFS_ITERS}-step min-plus propagation, with settlement audit and unreachable bucket",
+    oracle=_bfs_oracle(),
+)
+def graph_bfs_hops(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Single-source shortest hops — the min-PLUS member of the iterative
+    family (``graph_connected_components`` is min-label): distances from
+    the smallest node id propagate as d(v) = min(d(v), min_u d(u)+1),
+    unrolled to a FIXED {BFS_ITERS} steps in both engines (the family's
+    differential-testability trade), with the same two audit disciplines:
+    ``n_unsettled`` counts nodes whose distance changed on the final step
+    (0 proves the fixpoint was reached ON THIS DATA — measured diameters
+    are ≤4 at every shipped SF), and nodes the frontier never reached
+    emit as an explicit hops = -1 bucket instead of silently vanishing
+    (sf0.001's 4-node graph has 2 unreachable nodes — the edge case that
+    makes the bucket non-vacuous, not decoration).
+
+    Plan shape per step: identical to CC — one join of the distance
+    relation onto the weighted bidirectional edge list (+0 self-loops
+    carry a node's own distance, so the relation appears ONCE per step
+    and lineage stays linear) + one map-side-combined MIN. The distance
+    relation starts at one row and is node-bounded; broadcast here, a
+    shuffle join at web scale (the pagerank_frame posture switch).
+    Frontier-only optimization (join only nodes whose d changed) halves
+    work on long-diameter graphs; on diameter-4 relational graphs the
+    fixed unroll is cheaper than the bookkeeping."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bw = bi.withColumn("w", F.lit(1)).unionAll(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"), F.lit(0).alias("w"))
+    )
+    dist = nodes.agg(F.min("node").alias("node")).select("node", F.lit(0).alias("d"))
+    prev = dist
+    for i in range(BFS_ITERS):
+        if i == BFS_ITERS - 1:
+            # penultimate relation feeds both the last step and the
+            # settlement audit (no CSE across DataFrame branches)
+            dist = dist.localCheckpoint(eager=False)
+        prev = dist
+        votes = bw.join(F.broadcast(dist), F.col("u") == F.col("node")).select(
+            "v", (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = votes.groupBy("v").agg(F.min("d").alias("d")).select(
+            F.col("v").alias("node"), "d"
+        )
+    final = nodes.join(dist, "node", "left").select(
+        "node", F.coalesce(F.col("d"), F.lit(-1)).alias("d")
+    )
+    audit = (
+        nodes.join(dist.withColumnRenamed("d", "da"), "node", "left")
+        .join(prev.withColumnRenamed("d", "db"), "node", "left")
+        .filter(
+            F.coalesce(F.col("da"), F.lit(-1)) != F.coalesce(F.col("db"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).alias("n_unsettled"))
+    )
+    return (
+        final.groupBy(F.col("d").cast("long").alias("hops"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(audit))
+        .orderBy("hops")
+    )

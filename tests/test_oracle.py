@@ -96,6 +96,7 @@ RECENT_ADDITIONS = [
     "pipeline_batch_padding_audit",
     "split_group_kfold_audit",
     "orders_trend_mann_kendall",
+    "graph_bfs_hops",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

@@ -110,8 +110,10 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "text_bm25_retrieval",
         "text_bigram_perplexity",
         "ann_hybrid_rrf_fusion",
-        # round-8 additions: pair-join fan-in over 10x-replicated events
+        # round-8 additions: pair-join fan-in over 10x-replicated events,
+        # and the min-plus iterative twin of CC
         "events_attribution_multitouch",
+        "graph_bfs_hops",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
