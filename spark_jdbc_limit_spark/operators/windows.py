@@ -292,3 +292,49 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.ntile(NTILE_BUCKETS).over(w).alias("quartile"),
     )
+
+
+@query(
+    "window_interval_range_frame",
+    category="window",
+    description="Time-interval RANGE frame: per-user trailing 1-hour event count and value sum",
+    oracle="""
+        SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+                   AS value_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+)
+def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame — the per-row trailing window the
+    bucketed ``window()`` sliding aggregates can only approximate: each
+    event sees exactly the events of ITS OWN preceding hour, no bucket
+    boundary artifacts, ties on ts all enter together (RANGE semantics).
+    The frame bound is an INTERVAL literal — a SQL-grammar-only feature
+    (the Python rangeBetween API takes integer offsets), completing the
+    frame-grammar row the numeric RANGE entry started. The windowed SUM
+    accumulates in exact decimal per the dec_sum discipline, so both
+    engines agree bit-for-bit.
+
+    Scale: partitioned by user_id (cardinality ≫ cores); each partition
+    is one user's timeline — the same frame a stream-processor would
+    hold as watermark-bounded state, here answered at rest in one
+    window pass, no self-join on a time band."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_irf")
+    return spark.sql(
+        """
+        SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+                   AS value_last_hour
+        FROM events_irf
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )
