@@ -307,3 +307,42 @@ def test_mann_kendall_matches_python_reference(spark):
         n * (n - 1) * (2 * n + 5) / 18.0
     )
     assert abs(z_got) < 10  # sanity: formula produces a finite z on ties
+
+
+def test_two_phase_rank_equals_global_sort_index(spark):
+    """Property: for ANY non-negative key multiset (duplicates, zeros,
+    hot keys, wide gaps — shapes the shipped corpus never exercises),
+    two_phase_rank's (bucketed, offset-joined) rank must equal the
+    plain global sort index. Hypothesis drives the key distribution;
+    the tiebreaking id keeps the order total so equality is exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_jdbc_limit_spark.operators.advanced import two_phase_rank
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        keys=st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=10**9),
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        buckets=st.sampled_from([1, 3, 128]),
+    )
+    def check(keys, buckets):
+        rows = [(i, k) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "id long, k long").repartition(5)
+        got = {
+            r.id: r.rank
+            for r in two_phase_rank(df, "k", ["k", "id"], buckets=buckets).collect()
+        }
+        want = {
+            id_: rank
+            for rank, (id_, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])), 1)
+        }
+        assert got == want
+
+    check()
