@@ -598,3 +598,55 @@ def source_parquet_dynamic_partition_pruning(
         .select("event_type", "etype_class", "n_events", "total_value")
         .orderBy("event_type")
     )
+
+
+@query(
+    "source_parquet_nested_pruning",
+    category="source",
+    description="Nested-struct parquet: schema pruning reads one subfield of a wide struct",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """,
+)
+def source_parquet_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column pruning — the scan optimization that makes struct
+    payload columns viable at 100 TB: customers round-trip through a
+    parquet file whose profile column is a WIDE struct (name, segment,
+    balance, a bulky synthetic bio), and the read touches only
+    ``profile.segment`` + ``profile.balance``. Catalyst's nested schema
+    pruning pushes the SUBFIELD projection into the parquet ReadSchema
+    (pinned in tests/test_plans.py: the bulky ``bio`` field must be
+    absent from the scan), so the columnar reader never materializes —
+    or decompresses — the fat member. Without this, a struct with one
+    hot subfield drags its whole column chunk through every scan; with
+    it, struct layout is free. The aggregate proves values survive the
+    nested round-trip exactly (oracle recomputes from the flat base
+    table)."""
+    base = _staging("source_parquet_nested_pruning", sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("balance"),
+            F.repeat(F.col("c_name"), 50).alias("bio"),
+        ).alias("profile"),
+    ).write.mode("overwrite").parquet(base)
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy(F.col("profile.segment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("profile.balance").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("segment")
+    )

@@ -98,6 +98,7 @@ RECENT_ADDITIONS = [
     "orders_trend_mann_kendall",
     "graph_bfs_hops",
     "window_interval_range_frame",
+    "source_parquet_nested_pruning",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

@@ -997,3 +997,20 @@ def test_padding_audit_fact_windows_are_bucketed(spark, sf_dir):
     assert fact_specs, "expected the doc-level rank windows"
     for s in fact_specs:
         assert "bkt" in s, f"doc-level rank window not bucketed: {s}"
+
+
+def test_nested_pruning_drops_fat_struct_member(spark, sf_dir):
+    """The nested round-trip's scan must read ONLY the projected struct
+    subfields — the bulky 'bio' member (50x name repeat) must be pruned
+    from the parquet ReadSchema, or the struct layout silently drags its
+    fattest column chunk through every scan."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("source_parquet_nested_pruning").builder(spark, sf_dir)
+    txt = plan_text(df, "formatted")
+    scan = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert scan, "expected a parquet scan with ReadSchema"
+    rs = " ".join(scan)
+    assert "segment" in rs and "balance" in rs
+    assert "bio" not in rs, f"fat struct member not pruned: {rs}"
+    assert "name" not in rs.replace("bio", "")
