@@ -650,3 +650,62 @@ def source_parquet_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "source_versioned_time_travel",
+    category="source",
+    description="Snapshot store time travel: v1 overwrite + v2 zero-copy append, both snapshots queried",
+    oracle="""
+        SELECT 1 AS version,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rows,
+               CAST(ROUND(SUM(CASE WHEN o_orderkey % 2 = 0
+                                   THEN CAST(o_totalprice AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        UNION ALL
+        SELECT 2,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        FROM orders
+        ORDER BY version
+    """,
+)
+def source_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the repo's Iceberg-lite snapshot store
+    (``sinks/versioned.py`` — manifest-committed parquet snapshots,
+    appends reference parent files zero-copy): v1 holds the even orders,
+    v2 appends the odd half WITHOUT rewriting a byte of v1, and the
+    query reads BOTH versions — ``read_snapshot(v=1)`` must still see
+    exactly the pre-append table after v2 commits (the reproducibility
+    contract that lets a training run pin its corpus version while
+    ingestion keeps appending). The oracle recomputes both snapshots'
+    aggregates from the base table, so the manifest resolution itself is
+    value-verified by the driver, not just pytest (the crash-safety and
+    vacuum semantics stay pinned in tests/test_versioned.py).
+
+    Scale: a snapshot read is manifest → file list →
+    ``spark.read.parquet(*files)`` — partition-parallel, no directory
+    listing; append cost is one manifest, O(1) in table size."""
+    from spark_jdbc_limit_spark.sinks.versioned import read_snapshot, write_snapshot
+
+    base = _staging("source_versioned_time_travel", sf_dir)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), base, mode="append")
+
+    def snap_agg(version: int) -> DataFrame:
+        return read_snapshot(spark, base, version=version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        ).select("version", "n_rows", "total_price")
+
+    return snap_agg(1).unionAll(snap_agg(2)).orderBy("version")

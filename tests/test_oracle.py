@@ -99,6 +99,7 @@ RECENT_ADDITIONS = [
     "graph_bfs_hops",
     "window_interval_range_frame",
     "source_parquet_nested_pruning",
+    "source_versioned_time_travel",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
