@@ -709,3 +709,56 @@ def source_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "total_price")
 
     return snap_agg(1).unionAll(snap_agg(2)).orderBy("version")
+
+
+@query(
+    "source_versioned_incremental",
+    category="source",
+    description="Incremental snapshot consumption: the delta rows between v1 and v2 by pure manifest diff",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_new_rows,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS new_price
+        FROM orders
+        WHERE o_orderkey % 2 = 1
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def source_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL consumption from the snapshot store — the CDC leg the
+    time-travel entry leaves implicit: a downstream job that processed
+    v1 resumes by reading exactly the rows v2 ADDED, resolved by pure
+    manifest diff (files in v2's manifest absent from v1's — no data
+    comparison, no base re-read, no changelog table). The oracle
+    recomputes the expected delta (the odd orders) from the base table,
+    so the manifest arithmetic is value-verified by the driver;
+    overwrite-in-range refusal and empty-delta behavior stay pinned in
+    tests/test_versioned.py.
+
+    Scale: the delta read lists only the NEW files — incremental cost
+    is O(delta), never O(table); that asymmetry is the entire point of
+    consuming appends through manifests rather than re-scanning."""
+    from spark_jdbc_limit_spark.sinks.versioned import read_incremental, write_snapshot
+
+    base = _staging("source_versioned_incremental", sf_dir)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
+    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), base, mode="append")
+    delta = read_incremental(spark, base, from_version=1, to_version=2)
+    return (
+        delta.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_rows"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("new_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

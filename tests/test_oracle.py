@@ -100,6 +100,7 @@ RECENT_ADDITIONS = [
     "window_interval_range_frame",
     "source_parquet_nested_pruning",
     "source_versioned_time_travel",
+    "source_versioned_incremental",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
