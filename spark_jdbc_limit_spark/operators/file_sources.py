@@ -762,3 +762,66 @@ def source_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_versioned_merge_upsert",
+    category="source",
+    description="MERGE INTO semantics on the snapshot store: keyed copy-on-write upsert, merged state verified",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(ROUND(SUM(CAST(price AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_price
+        FROM (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN o_totalprice + 1000000.0
+                        ELSE o_totalprice END AS price
+            FROM orders
+        )
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def source_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO without a table format: the snapshot store's keyed
+    copy-on-write upsert — updates replace same-key rows, new keys
+    append, committed through the ordinary manifest protocol (the anti-
+    join + union plan is exactly what engine MERGE compiles to). Here
+    every orderkey ≡ 3 (mod 10) gets a +1,000,000 price correction; the
+    merged latest snapshot must equal the base table with exactly those
+    rows updated — recomputed by the oracle with a CASE, so keyed
+    replacement (no dupes, no drops) is value-verified by the driver.
+    Copy-on-write trade named in the sink's docstring: bulk upserts
+    rewrite the snapshot; file-pruned rewrite is the format-level
+    optimization this layout supports but does not implement."""
+    from spark_jdbc_limit_spark.sinks.versioned import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = _staging("source_versioned_merge_upsert", sf_dir)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    write_snapshot(o, base, mode="overwrite")
+    updates = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "price", F.col("price") + 1_000_000.0
+    )
+    merge_snapshot(updates, base, key_cols=["o_orderkey"])
+    return (
+        read_snapshot(spark, base)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("price").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

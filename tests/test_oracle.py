@@ -101,6 +101,7 @@ RECENT_ADDITIONS = [
     "source_parquet_nested_pruning",
     "source_versioned_time_travel",
     "source_versioned_incremental",
+    "source_versioned_merge_upsert",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
