@@ -347,35 +347,15 @@ def global_rownum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully declarative (no collect, no RDD zipWithIndex); bucket width
     trades bucket-size skew against offset-table size — at 100 TB pick
     W so #buckets ≈ 10⁵–10⁶: still a kilobyte-scale broadcast."""
-    from pyspark.sql import Window as W
-
-    bucket_width = 400
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey")
-        .withColumn("bucket", F.floor(F.col("o_orderkey") / bucket_width))
     )
-    local = o.withColumn(
-        "local_rn",
-        F.row_number().over(W.partitionBy("bucket").orderBy("o_orderkey")),
-    )
-    counts = o.groupBy("bucket").agg(F.count("*").alias("cnt"))
-    offsets = counts.withColumn(
-        "offset",
-        F.coalesce(
-            F.sum("cnt").over(
-                W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("bucket", "offset")
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "o_orderkey",
-            (F.col("offset") + F.col("local_rn")).cast("long").alias("rn"),
-        )
+    # body: the shared two_phase_rank (extracted round-8b) — one
+    # implementation of the bucket/local-rank/offset algorithm repo-wide
+    return two_phase_rank(o, "o_orderkey", ["o_orderkey"]).select(
+        "o_orderkey", F.col("rank").alias("rn")
     )
 
 

@@ -1619,7 +1619,7 @@ MK_Z_CRIT = 1.96
 )
 def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test — the NONPARAMETRIC sibling of the OLS
-    weekly forecast above: S = Σ_{{i<j}} sign(x_j − x_i) counts
+    weekly forecast above: S = sum over i<j of sign(x_j − x_i), counting
     concordant minus discordant week pairs, so the statistic is exact
     integer arithmetic over rank order (immune to outliers and to any
     monotone transform of revenue — the reasons ops dashboards prefer

@@ -696,19 +696,22 @@ def source_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(base, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
-    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), base, mode="append")
+    # use the versions write_snapshot RETURNS: if stale staging survived
+    # the rmtree (permissions, non-local fs), hardcoded v1/v2 would read
+    # a previous run's data silently
+    v1 = write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
+    v2 = write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), base, mode="append")
 
-    def snap_agg(version: int) -> DataFrame:
+    def snap_agg(version: int, label: int) -> DataFrame:
         return read_snapshot(spark, base, version=version).agg(
-            F.lit(version).alias("version"),
+            F.lit(label).alias("version"),
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("total_price"),
         ).select("version", "n_rows", "total_price")
 
-    return snap_agg(1).unionAll(snap_agg(2)).orderBy("version")
+    return snap_agg(v1, 1).unionAll(snap_agg(v2, 2)).orderBy("version")
 
 
 @query(
@@ -749,9 +752,9 @@ def source_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
-    write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), base, mode="append")
-    delta = read_incremental(spark, base, from_version=1, to_version=2)
+    v1 = write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), base, mode="overwrite")
+    v2 = write_snapshot(o.filter(F.col("o_orderkey") % 2 == 1), base, mode="append")
+    delta = read_incremental(spark, base, from_version=v1, to_version=v2)
     return (
         delta.groupBy("o_orderstatus")
         .agg(

@@ -665,7 +665,7 @@ def graph_bfs_hops(
     """Single-source shortest hops — the min-PLUS member of the iterative
     family (``graph_connected_components`` is min-label): distances from
     the smallest node id propagate as d(v) = min(d(v), min_u d(u)+1),
-    unrolled to a FIXED {BFS_ITERS} steps in both engines (the family's
+    unrolled to a FIXED BFS_ITERS (6) steps in both engines (the family's
     differential-testability trade), with the same two audit disciplines:
     ``n_unsettled`` counts nodes whose distance changed on the final step
     (0 proves the fixpoint was reached ON THIS DATA — measured diameters

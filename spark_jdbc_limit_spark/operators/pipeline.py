@@ -1277,9 +1277,10 @@ def split_group_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine re-derives the whole split from the fold count alone.
 
     Plan shape: the fold map is one distinct over sources (micro) and
-    broadcasts onto the corpus; the leak audits are two partial-
-    aggregated count-distinct rollups on source. Nothing here exceeds
-    one fact-relation pass at any scale."""
+    broadcasts onto the corpus; the assignment relation is checkpointed
+    so its three consumers (fold rollup + two leak audits) share ONE
+    scan-and-hash pass, and the audits themselves are partial-aggregated
+    count-distinct rollups on source."""
     from spark_jdbc_limit_spark.operators.aggregates import _fp_rowhash_sql
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1294,11 +1295,14 @@ def split_group_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "fold")
     )
     dh, dpoly = _fp_rowhash_sql(["CAST(doc_id AS STRING)"])
+    # the assignment relation feeds THREE aggregates (fold rollup + two
+    # leak audits); checkpoint so documents is scanned and hashed once,
+    # not once per branch (no CSE across DataFrame branches)
     a = (
         d.withColumn("h", F.expr(dh))
         .withColumn("doc_fold", F.expr(dpoly) % KFOLD_K)
         .join(F.broadcast(sources), "source")
-    )
+    ).localCheckpoint(eager=False)
     group_leaks = (
         a.groupBy("source")
         .agg(F.countDistinct("fold").alias("nf"))

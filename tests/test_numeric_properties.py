@@ -272,8 +272,9 @@ def test_padding_waste_matches_python_reference(spark):
 
 
 def test_mann_kendall_matches_python_reference(spark):
-    """Exact S and the continuity-corrected z against the textbook loop
-    on a random series with planted ties."""
+    """Exact S against the textbook loop on a random series with planted
+    ties, plus independent checks of the z formula on a strictly
+    increasing series (combinatorial S identity + hand-computed z)."""
     import math
     import random
 
@@ -303,10 +304,29 @@ def test_mann_kendall_matches_python_reference(spark):
         for j in range(i + 1, n)
     )
     assert got == want
-    z_got = (got - (1 if got > 0 else -1 if got < 0 else 0)) / math.sqrt(
-        n * (n - 1) * (2 * n + 5) / 18.0
+    # independent checks of the z formula (same transcription in builder
+    # AND oracle would fool the differential): a strictly increasing
+    # series has S = n(n-1)/2 by the combinatorial identity, and for
+    # n = 40 the continuity-corrected z is the hand-computed constant
+    # (780 - 1) / sqrt(40*39*85/18) = 9.0760 — catches /8-vs-/18 or
+    # +corr-vs--corr transcriptions that agree cross-engine.
+    inc = [(i, float(i)) for i in range(40)]
+    wi = spark.createDataFrame(inc, "wk int, rev double")
+    ai, bi = wi.alias("a"), wi.alias("b")
+    s_inc = (
+        ai.join(bi, F.col("b.wk") > F.col("a.wk"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+        .collect()[0][0]
     )
-    assert abs(z_got) < 10  # sanity: formula produces a finite z on ties
+    assert s_inc == 40 * 39 // 2 == 780
+    z_inc = (s_inc - 1) / math.sqrt(40 * 39 * (2 * 40 + 5) / 18.0)
+    assert abs(z_inc - 9.0760) < 5e-4
 
 
 def test_two_phase_rank_equals_global_sort_index(spark):
