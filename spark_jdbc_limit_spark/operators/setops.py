@@ -146,3 +146,62 @@ def set_dropduplicates_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderstatus", F.col("o_orderkey").alias("min_orderkey"))
     )
+
+
+@query(
+    "set_union_by_name_missing",
+    category="setop",
+    description="Schema-aligned union by NAME with missing columns null-padded (unionByName / UNION ALL BY NAME)",
+    oracle="""
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN line IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_line_null,
+               CAST(ROUND(SUM(CAST(amount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_amount
+        FROM (
+            SELECT 'orders' AS arm, o_orderkey AS key, o_totalprice AS amount
+            FROM orders
+            UNION ALL BY NAME
+            SELECT 'lineitem' AS arm, l_orderkey AS key,
+                   l_extendedprice AS amount, l_linenumber AS line
+            FROM lineitem
+        )
+        GROUP BY arm ORDER BY arm
+    """,
+)
+def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by COLUMN NAME with unequal schemas — the ingestion-time
+    union (vintages of a feed rarely share column order or even column
+    sets): Spark's ``unionByName(allowMissingColumns=True)`` and
+    DuckDB's ``UNION ALL BY NAME`` both align on names and null-pad the
+    columns an arm lacks, where positional UNION would silently pair
+    o_totalprice with l_orderkey or refuse outright. The rollup counts
+    the null-padded cells per arm, so the padding semantics themselves
+    are what the driver hash-verifies. Zero-shuffle union; the rollup is
+    one partial-aggregated exchange."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("arm"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("arm"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_extendedprice").alias("amount"),
+        F.col("l_linenumber").alias("line"),
+    )
+    u = o.unionByName(li, allowMissingColumns=True)
+    return (
+        u.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("line").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_line_null"),
+            F.round(F.sum(F.col("amount").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_amount"),
+        )
+        .orderBy("arm")
+    )

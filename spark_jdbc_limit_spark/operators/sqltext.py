@@ -161,3 +161,33 @@ def sql_recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (parts carry no parent column); swapping in a real parent
     edge column changes one line of the recursive step."""
     return _run_shared(spark, sf_dir, SQL_RECURSIVE_HIERARCHY, ("part",))
+
+
+SQL_GROUP_ORDER_ALL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query(
+    "sql_shared_group_order_all",
+    category="sql_text",
+    description="Shared-text modern SQL: GROUP BY ALL + ORDER BY ALL, one string both engines",
+    oracle=SQL_GROUP_ORDER_ALL,
+)
+def sql_shared_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` — the modern-SQL ergonomics
+    both engines converged on (Spark 3.4+/DuckDB): every non-aggregate
+    select-list expression becomes a grouping key, and the result orders
+    by the full select list. Shared-text discipline makes the parity
+    claim exact: the SAME string must not only parse in both engines but
+    resolve the SAME implicit grouping set — a dialect divergence in
+    which expressions count as "non-aggregate" would hash-fail here.
+    Count-only aggregates per the module's no-float rule; EXTRACT for
+    the date key. Plan-wise this is an ordinary partial-aggregated
+    grouped count; ALL is pure resolution sugar."""
+    return _run_shared(spark, sf_dir, SQL_GROUP_ORDER_ALL, ("orders",))
