@@ -366,3 +366,29 @@ def test_two_phase_rank_equals_global_sort_index(spark):
         assert got == want
 
     check()
+
+
+def test_fp_rowhash_polynomial_matches_python_int_parse(spark):
+    """The fingerprint's ascii-arithmetic nibble polynomial must equal
+    Python's own base-16 parse of the first 15 md5 hex chars — an
+    engine-independent reference for the decode both engines share.
+    Random keys include empty strings, pipes (the canonical separator),
+    and unicode."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.aggregates import _fp_rowhash_sql
+
+    vals = ["", "a", "src7", "Customer#000000042", "x|y|z", "émoji✓", "0" * 64]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    h, poly = _fp_rowhash_sql(["s"])
+    got = {
+        r.s: r.v
+        for r in df.select("s", F.expr(h).alias("h"))
+        .select("s", F.expr(poly).alias("v"))
+        .collect()
+    }
+    for v in vals:
+        want = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[v] == want, f"nibble polynomial diverged for {v!r}"
