@@ -1389,3 +1389,85 @@ def ann_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_dbl(F.col("rrf_raw"), 6).alias("rrf_score"),
         )
     )
+
+
+#: int8 scalar-quantization levels (0..255 — affine/asymmetric form).
+SQ_LEVELS = 255
+
+
+def _sq_oracle() -> str:
+    q = f"FLOOR((val - mn) / scale + 0.5)"
+    return f"""
+        WITH flat AS (
+            SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ),
+        ext AS (
+            SELECT dim, MIN(val) AS mn, MAX(val) AS mx,
+                   (MAX(val) - MIN(val)) / {SQ_LEVELS} AS scale
+            FROM flat GROUP BY dim
+        ),
+        coded AS (
+            SELECT f.dim, f.val, e.mn, e.scale,
+                   e.mn + {q} * e.scale AS dequant
+            FROM flat f JOIN ext e USING (dim)
+        )
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round_dbl('MAX(ABS(val - dequant))', 6)} AS max_abs_err,
+               {sql_round_dbl('MAX(scale)', 6)} AS scale,
+               MAX(ABS(val - dequant)) <= MAX(scale) * 0.5000001
+                   AS within_half_scale
+        FROM coded GROUP BY dim ORDER BY dim
+    """
+
+
+@query(
+    "embedding_int8_quantization_audit",
+    category="llm_similarity",
+    description=f"Per-dim affine int8 quantization ({SQ_LEVELS + 1} levels) with reconstruction-error bound audit",
+    oracle=_sq_oracle(),
+)
+def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR quantization — the serving-side embedding compression that
+    PQ's codebooks are not: each dimension maps affinely onto 0..255
+    (4x smaller than float32, SIMD-friendly dot products), and the whole
+    value of the scheme is its per-element guarantee |x − dequant(q(x))|
+    ≤ scale/2 — which this audit asserts PER DIMENSION from the data
+    (with a 1e-7 relative slack for the float rounding in the codec
+    itself). Quantize and dequantize use floor(v + 0.5) — the suite's
+    portable rounding — over doubles both engines derive identically
+    from exact float32 inputs and exact min/max, so max_abs_err itself
+    hash-matches at 1e-6, not just the boolean.
+
+    Plan shape: one explode of the embedding matrix → per-dim min/max
+    aggregate (micro: d rows) → broadcast back onto the exploded
+    relation for the error fold — two passes over (n·d) rows, both
+    partial-aggregated, no shuffle wider than d rows. At 100 TB the
+    per-dim extrema come from the same pass that writes the quantized
+    table; the audit is why you trust the compressed copy for recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+    )
+    ext = flat.groupBy("dim").agg(
+        F.min("val").alias("mn"),
+        F.max("val").alias("mx"),
+        ((F.max("val") - F.min("val")) / SQ_LEVELS).alias("scale"),
+    )
+    coded = flat.join(F.broadcast(ext), "dim").withColumn(
+        "dequant",
+        F.col("mn") + F.floor((F.col("val") - F.col("mn")) / F.col("scale") + 0.5) * F.col("scale"),
+    )
+    err = F.max(F.abs(F.col("val") - F.col("dequant")))
+    return (
+        coded.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_dbl(err, 6).alias("max_abs_err"),
+            round_dbl(F.max("scale"), 6).alias("scale"),
+            (err <= F.max("scale") * 0.5000001).alias("within_half_scale"),
+        )
+        .orderBy("dim")
+    )

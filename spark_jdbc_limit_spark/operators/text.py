@@ -1069,3 +1069,98 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_dbl(F.exp(-F.avg(lp))).alias("perplexity"),
         )
     )
+
+
+#: PMI collocation floor: bigrams must occur at least this often to be
+#: scored (rare-pair PMI is pure noise — the classic failure mode).
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "text_pmi_collocations",
+    category="llm_text",
+    description=f"Pointwise mutual information for adjacent-word collocations (count floor {PMI_MIN_COUNT})",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        toks AS (SELECT unnest(w) AS t FROM words),
+        uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        n AS (SELECT COUNT(*) AS total FROM toks),
+        bi AS (
+            SELECT w[i] AS t1, w[i+1] AS t2, COUNT(*) AS c
+            FROM words, UNNEST(range(1, len(w))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        nb AS (SELECT SUM(c) AS total FROM bi)
+        SELECT b.t1, b.t2, CAST(b.c AS BIGINT) AS c,
+               {sql_round_dbl(
+                   'LN((CAST(b.c AS DOUBLE) / nb.total) / '
+                   '((CAST(u1.c AS DOUBLE) / n.total) * (CAST(u2.c AS DOUBLE) / n.total)))',
+                   4,
+               )} AS pmi
+        FROM bi b
+        JOIN uni u1 ON u1.t = b.t1
+        JOIN uni u2 ON u2.t = b.t2, n, nb
+        WHERE b.c >= {PMI_MIN_COUNT}
+        ORDER BY t1, t2
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the corpus
+    statistic behind multi-word-expression detection and tokenizer-merge
+    candidates: PMI(x,y) = ln(p(xy) / (p(x)p(y))) compares a bigram's
+    observed rate to its independence expectation. Counts are exact
+    integers (bigram + unigram tables), the ratio divides exact ints in
+    a fixed order, so both engines produce IEEE-identical doubles before
+    the floor-round; the count floor (PMI_MIN_COUNT) kills the
+    rare-pair noise that dominates raw PMI rankings, and ALL qualifying
+    pairs are emitted ordered by (t1, t2) — a top-k cut at a float PMI
+    boundary would make the result set tie-fragile across engines.
+
+    Plan shape: one token explode → unigram aggregate; one zip_with
+    bigram explode → bigram aggregate (both partial-aggregated, keyed
+    by vocab — dimension-bounded); the PMI join joins the bigram
+    relation to two broadcast unigram copies and two scalar totals. At
+    100 TB the two explodes are the only fact passes; the vocab tables
+    are the small side everywhere."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("w")
+    )
+    toks = d.select(F.explode("w").alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    m = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("w", 1, m),
+        F.slice("w", 2, m),
+        lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= PMI_MIN_COUNT)
+    )
+    nb_tot = (
+        d.select(F.explode(pairs).alias("p"))
+        .agg(F.count(F.lit(1)).alias("btotal"))
+    )
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c").cast("double") / F.col("btotal"))
+        / (
+            (F.col("c1").cast("double") / F.col("total"))
+            * (F.col("c2").cast("double") / F.col("total"))
+        )
+    )
+    return (
+        bi.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(nb_tot))
+        .select("t1", "t2", "c", round_dbl(pmi, 4).alias("pmi"))
+        .orderBy("t1", "t2")
+    )

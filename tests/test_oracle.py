@@ -104,6 +104,8 @@ RECENT_ADDITIONS = [
     "source_versioned_merge_upsert",
     "sql_shared_group_order_all",
     "set_union_by_name_missing",
+    "text_pmi_collocations",
+    "embedding_int8_quantization_audit",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
