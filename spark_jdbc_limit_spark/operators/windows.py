@@ -338,3 +338,48 @@ def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_id
         """
     )
+
+
+@query(
+    "window_count_distinct_workaround",
+    category="window",
+    description="COUNT(DISTINCT) OVER — unsupported in Spark — rebuilt as max-of-dense_rank; oracle uses the native distinct window",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey)
+                   AS BIGINT) AS n_distinct_priorities
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+)
+def window_count_distinct_workaround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT window aggregates are one of the few SQL-surface gaps
+    Spark still has (``COUNT(DISTINCT x) OVER (...)`` raises); the
+    standard rebuild is dense_rank: rank values within the partition
+    (equal values share a rank), then the partition MAX of that rank IS
+    the distinct count, attached to every row like the native window
+    would. The oracle runs DuckDB's NATIVE distinct window aggregate, so
+    the differential proves the workaround's equivalence rather than
+    assuming it — the parity statement a migration off an engine with
+    native support actually needs.
+
+    Plan shape: two window passes over the same (o_custkey)-partitioned
+    exchange — dense_rank needs an ORDER BY (value order), the max is
+    unbounded over the partition; ONE shuffle total since both windows
+    share the partition key. Partition cardinality is customers ≫ cores
+    (the module's window-key rule)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = F.dense_rank().over(
+        W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    )
+    return (
+        o.withColumn("dr", ranked)
+        .withColumn(
+            "n_distinct_priorities",
+            F.max("dr").over(W.partitionBy("o_custkey")).cast("long"),
+        )
+        .select("o_orderkey", "o_custkey", "n_distinct_priorities")
+        .orderBy("o_orderkey")
+    )

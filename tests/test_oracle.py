@@ -106,6 +106,7 @@ RECENT_ADDITIONS = [
     "set_union_by_name_missing",
     "text_pmi_collocations",
     "embedding_int8_quantization_audit",
+    "window_count_distinct_workaround",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
