@@ -1014,3 +1014,40 @@ def test_nested_pruning_drops_fat_struct_member(spark, sf_dir):
     assert "segment" in rs and "balance" in rs
     assert "bio" not in rs, f"fat struct member not pruned: {rs}"
     assert "name" not in rs.replace("bio", "")
+
+
+def test_analyze_statistics_feed_cbo_estimates(spark, sf_dir):
+    """The statistics pipeline Catalyst's cost-based optimizer runs on:
+    before ANALYZE, a managed table's plan estimate is a file-size guess
+    with NO row count; after ANALYZE TABLE ... COMPUTE STATISTICS (with
+    CBO enabled) the optimized plan carries the EXACT row count and the
+    logical (uncompressed) size — the inputs join reordering and
+    broadcast selection consume at scale. Pinning the flip proves stats
+    collection actually reaches the planner, not just the catalog."""
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql("DROP TABLE IF EXISTS stats_demo_t")
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(
+            "stats_demo_t"
+        )
+
+        def plan_stats():
+            st = spark.table("stats_demo_t")._jdf.queryExecution().optimizedPlan().stats()
+            rc = st.rowCount()
+            return int(st.sizeInBytes()), (
+                int(str(rc.get())) if rc.isDefined() else None
+            )
+
+        size_pre, rows_pre = plan_stats()
+        assert rows_pre is None, "row count must be unknown before ANALYZE"
+        spark.sql("ANALYZE TABLE stats_demo_t COMPUTE STATISTICS")
+        size_post, rows_post = plan_stats()
+        actual = spark.table("stats_demo_t").count()
+        assert rows_post == actual, f"ANALYZE row count {rows_post} != {actual}"
+        assert size_post != size_pre, "estimate still the file-size guess after ANALYZE"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS stats_demo_t")
