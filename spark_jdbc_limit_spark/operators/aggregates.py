@@ -1668,3 +1668,61 @@ def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(z * 10000.0 + 0.5) / 10000.0).alias("z"),
         (F.abs(z) > MK_Z_CRIT).alias("trend_significant"),
     )
+
+
+@query(
+    "orders_seasonality_dow_index",
+    category="aggregation",
+    description="Day-of-week seasonal indices of daily revenue (exact decimal means, ISO day numbering)",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(EXTRACT(ISODOW FROM o_orderdate) AS BIGINT) AS dow,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        overall AS (SELECT AVG(rev) AS g FROM daily)
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               {sql_round_dbl('AVG(rev)', 2)} AS dow_avg_rev,
+               {sql_round_dbl('AVG(rev) / (SELECT g FROM overall)', 4)}
+                   AS seasonal_index
+        FROM daily GROUP BY dow ORDER BY dow
+    """,
+)
+def orders_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal DECOMPOSITION — the missing member of the time-series
+    family (OLS forecast = trend, Mann-Kendall = monotonicity, EWMA =
+    smoothing; this is the periodic component): revenue rolls up to
+    days, days group by ISO day-of-week, and each weekday's seasonal
+    index is its mean daily revenue over the global mean — the
+    multiplicative factor a deseasonalized anomaly monitor divides out
+    before alerting (Monday's dip is seasonality, not an incident).
+    Day numbering is pinned to ISO (Mon=1..Sun=7): Spark's weekday()+1
+    equals DuckDB's EXTRACT(ISODOW) — dialects disagree on week start,
+    so the convention is explicit, not inherited. Daily sums are exact
+    decimal; the index divides IEEE-identical doubles.
+
+    Plan shape: one partial-aggregated rollup to days (calendar-bounded
+    relation, ~2400 rows), everything downstream is micro. At 100 TB
+    the daily rollup is the only fact pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.weekday(F.col("o_orderdate")) + 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("rev")
+    )
+    overall = daily.agg(F.avg("rev").alias("g"))
+    return (
+        daily.groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.avg("rev").alias("dow_avg"))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            round_dbl(F.col("dow_avg"), 2).alias("dow_avg_rev"),
+            round_dbl(F.col("dow_avg") / F.col("g"), 4).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

@@ -107,6 +107,7 @@ RECENT_ADDITIONS = [
     "text_pmi_collocations",
     "embedding_int8_quantization_audit",
     "window_count_distinct_workaround",
+    "orders_seasonality_dow_index",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
