@@ -392,3 +392,63 @@ def test_fp_rowhash_polynomial_matches_python_int_parse(spark):
     for v in vals:
         want = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
         assert got[v] == want, f"nibble polynomial diverged for {v!r}"
+
+
+def test_cms_join_size_python_model_guarantees():
+    """The inner-product join-size estimate's two guarantees, against a
+    pure-Python model over adversarial random key multisets
+    (hypothesis): min-over-rows Σ_w cellA·cellB never undershoots the
+    true join size Σ_k cntA(k)·cntB(k) — the HARD invariant (cross
+    terms are non-negative). The |A|·|B|/W Markov bound is an
+    EXPECTATION bound, so it is asserted only in the query over the
+    fixed corpus (where it is deterministic), never over hypothesis
+    randomness. Key ranges include contiguous windows NARROWER than
+    CMS_JOIN_W, where the affine hash goes injective and the estimate
+    must turn exact — the regime the production width was deliberately
+    pinned below."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_jdbc_limit_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_JOIN_W,
+        CMS_P,
+    )
+
+    def h(i, x):
+        return ((x % CMS_P) * CMS_A[i] + CMS_B[i]) % CMS_P % CMS_JOIN_W
+
+    def cells(keys):
+        c = Counter()
+        for x, n in Counter(keys).items():
+            for i in range(CMS_D):
+                c[(i, h(i, x))] += n
+        return c
+
+    keyspaces = st.one_of(
+        st.integers(min_value=0, max_value=500),          # narrow window: injective
+        st.integers(min_value=0, max_value=50_000),       # wide: real collisions
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(a=st.lists(keyspaces, min_size=1, max_size=300),
+           b=st.lists(keyspaces, min_size=1, max_size=300))
+    def check(a, b):
+        ca, cb = Counter(a), Counter(b)
+        true = sum(ca[k] * cb[k] for k in ca if k in cb)
+        cea, ceb = cells(a), cells(b)
+        est = min(
+            sum(cea[(i, w)] * ceb.get((i, w), 0) for _, w in
+                [(j, ww) for (j, ww) in cea if j == i])
+            for i in range(CMS_D)
+        )
+        assert est >= true, "estimate undershot the true join size"
+        # narrow-window draws must go injective → exact
+        if max(a + b) <= 500 and CMS_JOIN_W > 500:
+            assert est == true, "injective-regime estimate not exact"
+
+    check()
