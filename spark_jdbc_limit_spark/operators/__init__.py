@@ -99,15 +99,33 @@ def _driver_sampled_names() -> set[str]:
             # round's window once fixed, instead of rotating to the back
             # unverified. A rows-only 'no_oracle' record likewise goes
             # STALE once the query has since gained an oracle pair — the
-            # stronger three-way check hasn't run, so re-queue it. A clean
-            # record in ANY round marks the query sampled.
+            # stronger three-way check hasn't run, so re-queue it. A RED
+            # record (any of rows/schema/hash false) is also NOT verified:
+            # the query has since been fixed (or will be) and must surface
+            # at the front of the sample window until the driver itself
+            # signs a green row — otherwise a one-round red rotates to the
+            # back and the fix never gets a driver signature (this bit
+            # round 6-8: sql_shared_text_rollup / join_bloom_prefilter).
+            # A GREEN record in ANY round marks the query sampled.
             for n, rec in data.items():
-                if isinstance(rec, dict) and rec.get("err"):
+                if not isinstance(rec, dict):
+                    continue
+                if rec.get("err"):
                     if rec["err"] != "no_oracle":
                         continue  # crashed check — unverified
                     spec = REGISTRY.get(n)
                     if spec is not None and spec.oracle is not None:
                         continue  # rows-only record, oracle now exists
+                    if not rec.get("rows_match", False):
+                        continue  # red rows-only record — re-queue
+                    names.add(n)
+                    continue
+                if not (
+                    rec.get("rows_match", False)
+                    and rec.get("schema_match", False)
+                    and rec.get("hash_match", False)
+                ):
+                    continue  # red three-way record — re-queue at front
                 names.add(n)
         except Exception as exc:  # unreadable round file never blocks import...
             # ...but silence here would let already-verified queries creep

@@ -86,8 +86,9 @@ def test_rotation_moves_sampled_names_to_back(monkeypatch, tmp_path):
 
     names = list(ops.REGISTRY)
     fake_sampled = names[:3] + names[-3:]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
     f = tmp_path / "CORRECTNESS_r99.json"
-    f.write_text(json.dumps({n: {} for n in fake_sampled}))
+    f.write_text(json.dumps({n: green for n in fake_sampled}))
 
     real_glob = importlib.import_module("glob").glob
     monkeypatch.setattr(
@@ -131,9 +132,9 @@ def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_
     f.write_text(
         json.dumps(
             {
-                clean: {"rows_match": True, "err": None},
-                with_oracle: {"err": "no_oracle"},  # stale: oracle exists now
-                without_oracle: {"err": "no_oracle"},  # still rows-only by design
+                clean: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+                with_oracle: {"rows_match": True, "err": "no_oracle"},  # stale: oracle exists now
+                without_oracle: {"rows_match": True, "err": "no_oracle"},  # still rows-only by design
                 names[0]: {"err": "TypeError: unhashable type: 'list'"},
             }
         )
@@ -153,6 +154,57 @@ def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_
         assert without_oracle in sampled
         assert with_oracle not in sampled, "rows-only record must go stale once an oracle exists"
         assert names[0] not in sampled, "crashed check must re-enter the window"
+    finally:
+        ops.REGISTRY.clear()
+        ops.REGISTRY.update(before)
+
+
+def test_rotation_requeues_red_records_at_front(monkeypatch, tmp_path):
+    """A driver record with any of rows/schema/hash FALSE is a red row:
+    the query is broken-then-fixed and must re-enter the front of the
+    sampling window until the driver signs a green row. A red row that
+    rotated to the back bit rounds 6-8 (sql_shared_text_rollup,
+    join_bloom_prefilter: cast-fixed in-tree but never re-drawn). A
+    LATER green record for the same name still marks it sampled."""
+    import importlib
+    import json
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    names = list(ops.REGISTRY)
+    red_hash, red_rows, red_then_green = names[0], names[1], names[2]
+    f1 = tmp_path / "CORRECTNESS_r97.json"
+    f1.write_text(
+        json.dumps(
+            {
+                red_hash: {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+                red_rows: {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
+                red_then_green: {"rows_match": True, "schema_match": False, "hash_match": False, "err": None},
+            }
+        )
+    )
+    f2 = tmp_path / "CORRECTNESS_r99.json"
+    f2.write_text(
+        json.dumps(
+            {red_then_green: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}}
+        )
+    )
+    real_glob = importlib.import_module("glob").glob
+    monkeypatch.setattr(
+        "glob.glob",
+        lambda pattern: [str(f1), str(f2)] if "CORRECTNESS_r" in pattern else real_glob(pattern),
+    )
+    sampled = ops._driver_sampled_names()
+    assert red_hash not in sampled, "hash-red record must re-enter the window"
+    assert red_rows not in sampled, "rows-red record must re-enter the window"
+    assert red_then_green in sampled, "a later green record marks the query sampled"
+
+    before = dict(ops.REGISTRY)
+    try:
+        ops._rotate_registry()
+        rotated = list(ops.REGISTRY)
+        unsampled_front = rotated[: len(rotated) - len(sampled & set(names))]
+        assert red_hash in unsampled_front and red_rows in unsampled_front
     finally:
         ops.REGISTRY.clear()
         ops.REGISTRY.update(before)
