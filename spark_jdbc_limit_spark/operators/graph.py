@@ -29,7 +29,11 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable, Sequence
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
@@ -194,7 +198,12 @@ def graph_pagerank_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: the reference engine has no graph surface
     (SURVEY.md §2B 'beyond the reference'); this extends the graph
-    family beyond triangle counting to iterative propagation."""
+    family beyond triangle counting to iterative propagation.
+
+    Production posture: ``pagerank_until_settled`` runs the same step
+    under ``run_until_settled`` with a tolerance stop instead of the
+    fixed unroll — pinned against this entry in
+    tests/test_graph_convergence.py."""
     return pagerank_frame(spark, sf_dir, broadcast_ranks=True)
 
 
@@ -453,7 +462,13 @@ def graph_label_propagation(
     ``graph_connected_components`` exposed it.) The oracle unrolls the
     same {LPA_ITERS} iterations as chained CTEs with a ranked window —
     an independent argmax formulation, so tie-breaks are cross-checked
-    value-by-value."""
+    value-by-value.
+
+    Production posture: ``label_propagation_until_settled`` loops the
+    same step to a genuine fixpoint (needs ~10 rounds at sf0.01 — this
+    entry's fixed {LPA_ITERS} iterations are a snapshot of the
+    trajectory, not a settlement claim); pinned in
+    tests/test_graph_convergence.py."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = edges.select(
@@ -567,7 +582,12 @@ def graph_connected_components(
     O(log² n) rounds with the SAME per-round plan shape, so the swap is
     the loop body, not the architecture. The final step joins labels at
     step {CC_ITERS}-1 and {CC_ITERS} to emit the settlement audit; the
-    extra join is against the micro label relation, not the corpus."""
+    extra join is against the micro label relation, not the corpus.
+
+    Production posture: ``connected_components_until_settled`` loops the
+    same step under ``run_until_settled`` until no label moves — the
+    long-diameter path the fixed unroll cannot serve; pinned equal to
+    this entry in tests/test_graph_convergence.py."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = edges.select(
@@ -682,7 +702,12 @@ def graph_bfs_hops(
     shuffle join at web scale (the pagerank_frame posture switch).
     Frontier-only optimization (join only nodes whose d changed) halves
     work on long-diameter graphs; on diameter-4 relational graphs the
-    fixed unroll is cheaper than the bookkeeping."""
+    fixed unroll is cheaper than the bookkeeping.
+
+    Production posture: ``bfs_hops_until_settled`` loops the same step
+    under ``run_until_settled`` (whose full-outer settlement check is
+    what makes a GROWING frontier safe to convergence-test); pinned
+    equal to this entry in tests/test_graph_convergence.py."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = edges.select(
@@ -722,4 +747,253 @@ def graph_bfs_hops(
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(F.broadcast(audit))
         .orderBy("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convergence-capped production variants of the iterative family
+# ---------------------------------------------------------------------------
+#
+# The four REGISTRY entries above unroll a FIXED number of steps — the
+# differential-testability trade (both engines run the identical plan, so
+# results are value-comparable even mid-convergence) — and each AUDITS its
+# own settlement in-query. That trade leans on short graph diameters: at
+# 100× on a long-diameter graph a fixed unroll would NOT converge. These
+# variants are the production posture: the SAME per-round plan shape, but
+# looped until the state relation stops changing (or max_rounds), with a
+# lineage cut per round so the plan never grows with the iteration count.
+# They are library functions, not registry entries — an until-convergence
+# loop is not expressible as one deterministic cross-engine SQL unroll,
+# which is exactly why the oracle entries fix their step counts.
+
+
+def run_until_settled(
+    state: DataFrame,
+    step_fn: Callable[[DataFrame], DataFrame],
+    *,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    max_rounds: int = 50,
+    tolerance: float | None = None,
+) -> tuple[DataFrame, int, bool]:
+    """Iterate ``state = step_fn(state)`` until a fixpoint, with a lineage
+    cut per round, and return ``(final_state, rounds_run, settled)``.
+
+    Settlement: after each round the new state is full-outer-joined to the
+    previous one on ``key_cols`` and the changed rows are counted — a key
+    that appears or disappears counts as changed (BFS frontiers GROW, so an
+    inner join would silently under-count), as does any ``value_cols``
+    difference (null-safe; with ``tolerance`` set, numeric values within
+    the tolerance count as unchanged — the PageRank posture, where exact
+    equality of doubles never arrives). ``settled=False`` means the loop
+    hit ``max_rounds`` first; callers treat that as the convergence audit
+    failing, the same discipline as the fixed entries' ``n_unsettled``.
+
+    Scale posture: the per-round driver traffic is ONE count over the
+    (node-cardinality) state relation — the standard Pregel-style
+    convergence check; ``localCheckpoint`` bounds the plan at one round's
+    depth (on a real cluster with executor loss in play, swap for
+    ``spark.sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint`` —
+    same call shape, reliable storage). Each round is one job, so a
+    converged run costs O(rounds) scheduling overhead — which is why the
+    SHORT-diameter oracle entries above prefer the single-job fixed unroll
+    and this loop is the long-diameter production path.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    cur = state.localCheckpoint()
+    for rounds in range(1, max_rounds + 1):
+        nxt = step_fn(cur).localCheckpoint()
+        terms: list[Column] = []
+        for vc in value_cols:
+            a, b = F.col(f"n.{vc}"), F.col(f"c.{vc}")
+            if tolerance is None:
+                terms.append(~a.eqNullSafe(b))
+            else:
+                terms.append(
+                    a.isNull() | b.isNull() | (F.abs(a - b) > F.lit(tolerance))
+                )
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("c"), on=list(key_cols), how="full")
+            .filter(reduce(or_, terms))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            return cur, rounds, True
+    return cur, max_rounds, False
+
+
+def _bi_edges(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v")
+    ).unionAll(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+
+
+def connected_components_until_settled(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    edges: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """``graph_connected_components``'s min-label propagation, looped to
+    convergence instead of the fixed {CC_ITERS}-step unroll — identical
+    per-round plan (self-loop edge relation, broadcast labels, map-side-
+    combined MIN). Returns ``((node, lbl), rounds, settled)``; the fixed
+    entry's output is the per-component aggregate of this state. On a
+    long-diameter production graph, swap the loop BODY for the
+    large-star/small-star alternation (Kiveris et al.) — O(log² n) rounds,
+    same convergence harness."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = _bi_edges(edges)
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bis = bi.unionAll(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+
+    def step(lbl: DataFrame) -> DataFrame:
+        votes = bis.join(
+            F.broadcast(lbl), F.col("u") == F.col("node")
+        ).select("v", "lbl")
+        return votes.groupBy("v").agg(F.min("lbl").alias("lbl")).select(
+            F.col("v").alias("node"), "lbl"
+        )
+
+    return run_until_settled(
+        labels, step, key_cols=["node"], value_cols=["lbl"], max_rounds=max_rounds
+    )
+
+
+def bfs_hops_until_settled(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    edges: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """``graph_bfs_hops``'s min-plus propagation from the smallest node id,
+    looped to convergence instead of the fixed {BFS_ITERS}-step unroll.
+    Returns ``((node, d), rounds, settled)`` over REACHED nodes only (the
+    fixed entry's hops = -1 bucket is the anti-join against the node
+    relation, unchanged by when the loop stops). The growing frontier is
+    why the settlement check full-outer-joins: a newly reached node has no
+    previous-round row."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = _bi_edges(edges)
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bw = (
+        bi.withColumn("w", F.lit(1))
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("u"), F.col("node").alias("v"), F.lit(0).alias("w")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).alias("d")
+    )
+
+    def step(dd: DataFrame) -> DataFrame:
+        votes = bw.join(F.broadcast(dd), F.col("u") == F.col("node")).select(
+            "v", (F.col("d") + F.col("w")).alias("d")
+        )
+        return votes.groupBy("v").agg(F.min("d").alias("d")).select(
+            F.col("v").alias("node"), "d"
+        )
+
+    return run_until_settled(
+        dist, step, key_cols=["node"], value_cols=["d"], max_rounds=max_rounds
+    )
+
+
+def label_propagation_until_settled(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    edges: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """``graph_label_propagation``'s synchronous self-vote LPA, looped to
+    convergence instead of the fixed {LPA_ITERS}-step unroll — identical
+    per-round argmax-as-aggregate step (no window). The self-vote kills
+    the bipartite oscillation that would make "until settled" a livelock
+    on pure synchronous LPA (see the fixed entry's docstring). Returns
+    ``((node, lbl), rounds, settled)``."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = _bi_edges(edges)
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bis = bi.unionAll(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+
+    def step(lbl: DataFrame) -> DataFrame:
+        votes = bis.join(
+            F.broadcast(lbl), F.col("u") == F.col("node")
+        ).select("v", "lbl")
+        counted = votes.groupBy("v", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        best = F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("b")
+        return counted.groupBy("v").agg(best).select(
+            F.col("v").alias("node"), (-F.col("b.neg")).alias("lbl")
+        )
+
+    return run_until_settled(
+        labels, step, key_cols=["node"], value_cols=["lbl"], max_rounds=max_rounds
+    )
+
+
+def pagerank_until_settled(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    edges: DataFrame | None = None,
+    tolerance: float = 1e-7,
+    max_rounds: int = 100,
+) -> tuple[DataFrame, int, bool]:
+    """``graph_pagerank_supplier``'s power iteration, looped until no
+    node's rank moves by more than ``tolerance`` between rounds (the
+    family's float member — exact settlement never arrives, so the stop
+    is a tolerance band; with damping d the true-fixpoint error at stop
+    is bounded by tolerance·d/(1-d)). Same per-round plan as
+    ``pagerank_frame``: broadcast ranks onto the once-partitioned
+    contribution frame, one map-side-combined SUM. Returns
+    ``((node, r), rounds, settled)`` with r unrounded."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = _bi_edges(edges)
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    n = float(deg.count())
+    cdf = bi.join(deg, "u").repartition(8, "v").localCheckpoint(eager=False)
+    pr = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("r"))
+
+    def step(rank: DataFrame) -> DataFrame:
+        contrib = cdf.join(F.broadcast(rank), F.col("u") == F.col("node")).select(
+            F.col("v"), (F.col("r") / F.col("dg")).alias("c")
+        )
+        return (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PAGERANK_DAMPING) / n)
+                    + F.lit(PAGERANK_DAMPING) * F.col("mass")
+                ).alias("r"),
+            )
+        )
+
+    return run_until_settled(
+        pr,
+        step,
+        key_cols=["node"],
+        value_cols=["r"],
+        max_rounds=max_rounds,
+        tolerance=tolerance,
     )
