@@ -182,7 +182,14 @@ def register_jdbc_catalog(
     tests/test_jdbc_integration.py::test_topn_pushdown_hazard_on_derby).
     This is the modern incarnation of the invariant the reference encoded
     by ALWAYS retaining the global LocalLimit above its pushed scan
-    (PropagateJDBCLimit.scala:26). Explicit caller options still win."""
+    (PropagateJDBCLimit.scala:26). Explicit caller options still win.
+
+    The affirmative twin is pinned too: on a dialect that reports a real
+    limit clause these defaults leave TopN/limit/offset pushdown ON and
+    the scan shows ``PushedTopN``/``PushedLimit`` with correct values —
+    tests/test_jdbc_integration.py::test_topn_pushdown_fires_on_limit_capable_dialect
+    (DuckDB JDBC + a registered 10-line limit-capable dialect, the switch
+    a deployment flips for engines Spark lacks a dialect for)."""
     dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url)
     defaults = dict(PUSHDOWN_DEFAULTS)
     if not dialect.supportsLimit():

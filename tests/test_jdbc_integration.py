@@ -338,3 +338,119 @@ def test_array_write_delegation_boundary(spark, derby):
     from spark_jdbc_limit_spark.sources.jdbc import jdbc_reader
 
     assert jdbc_reader(spark, url=derby, table="arr_ok", driver=DRIVER).load().count() == 3
+
+
+def test_topn_pushdown_fires_on_limit_capable_dialect(tmp_path):
+    """The affirmative twin of the Derby hazard pins above: on a dialect
+    that DOES support a native row-limit clause, the shipped
+    register_jdbc_catalog defaults keep TopN/limit pushdown ON, the plan
+    claims ``PushedTopN``/``PushedLimit``, AND the results are correct —
+    the documented upgrade over the reference, whose rule matched bare
+    LocalLimit only and never pushed an ordered limit
+    (PropagateJDBCLimit.scala:16-19).
+
+    No limit-capable JDBC SERVER exists in the sandbox (no network, no
+    Postgres/MySQL daemon, no H2 jar), but a DuckDB JDBC driver jar is
+    discoverable in the local artifact cache and DuckDB's SQL has native
+    LIMIT/OFFSET. Spark maps unknown URLs to NoopDialect
+    (``supportsLimit=false``), so the test registers a 10-line
+    JdbcDialect subclass (compiled here with javac) that claims the
+    ``jdbc:duckdb:`` prefix and reports supportsLimit/supportsOffset —
+    the exact switch a production deployment flips for any
+    limit-capable engine Spark lacks a dialect for. Runs in a
+    subprocess: the dialect classes and driver jar must be on the driver
+    classpath at JVM launch, and this process's shared JVM is already up."""
+    import glob
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    jars = glob.glob(
+        os.path.expanduser("~/.cache/coursier/**/duckdb_jdbc*.jar"), recursive=True
+    )
+    if not jars:
+        pytest.skip("no DuckDB JDBC driver jar discoverable in local artifact caches")
+    if shutil.which("javac") is None:
+        pytest.skip("no javac to compile the test dialect")
+
+    src = tmp_path / "DuckDBLimitDialect.java"
+    src.write_text(
+        """
+import org.apache.spark.sql.jdbc.JdbcDialect;
+
+public class DuckDBLimitDialect extends JdbcDialect {
+    @Override
+    public boolean canHandle(String url) { return url.startsWith("jdbc:duckdb:"); }
+    @Override
+    public boolean supportsLimit() { return true; }
+    @Override
+    public boolean supportsOffset() { return true; }
+}
+"""
+    )
+    import pyspark
+
+    spark_jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    classes = tmp_path / "classes"
+    subprocess.run(
+        ["javac", "-cp", f"{spark_jars}/*", "-d", str(classes), str(src)],
+        check=True,
+        capture_output=True,
+    )
+
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        f"""
+import json, sys
+sys.path.insert(0, {str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.driver.extraClassPath", {jars[0]!r} + ":" + {str(classes)!r})
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+jvm = spark._jvm
+url = "jdbc:duckdb:" + {str(tmp_path / "topn.duckdb")!r}
+noop_supports = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(url).supportsLimit()
+jvm.org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(jvm.DuckDBLimitDialect())
+conn = jvm.java.sql.DriverManager.getConnection(url)
+st = conn.createStatement()
+st.execute("CREATE OR REPLACE TABLE src AS "
+           "SELECT range AS id, CAST(range * 2.5 AS DOUBLE) AS val FROM range(1000)")
+st.close(); conn.close()
+from spark_jdbc_limit_spark.sources.jdbc import register_jdbc_catalog
+register_jdbc_catalog(spark, "duckcat", url=url, driver="org.duckdb.DuckDBDriver")
+topn = spark.sql("SELECT id, val FROM duckcat.src ORDER BY id DESC LIMIT 5")
+lim = spark.sql("SELECT id FROM duckcat.src LIMIT 7")
+off = spark.sql("SELECT id FROM duckcat.src ORDER BY id LIMIT 5 OFFSET 10")
+out = {{
+    "noop_supports_limit": bool(noop_supports),
+    "topn_plan": "PushedTopN" in topn._jdf.queryExecution().executedPlan().toString(),
+    "topn_ids": [int(r["id"]) for r in topn.collect()],
+    "limit_plan": "PushedLimit" in lim._jdf.queryExecution().executedPlan().toString(),
+    "limit_rows": lim.count(),
+    "offset_ids": [int(r["id"]) for r in off.collect()],
+}}
+print("VERDICT:" + json.dumps(out))
+spark.stop()
+"""
+    )
+    res = subprocess.run(
+        [sys.executable, str(probe)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = next(l for l in res.stdout.splitlines() if l.startswith("VERDICT:"))
+    v = json.loads(line[len("VERDICT:"):])
+    # without the registered dialect Spark falls to NoopDialect — the
+    # hazard-guard path; with it, full pushdown with correct values
+    assert v["noop_supports_limit"] is False
+    assert v["topn_plan"] is True
+    assert v["topn_ids"] == [999, 998, 997, 996, 995]
+    assert v["limit_plan"] is True
+    assert v["limit_rows"] == 7
+    assert v["offset_ids"] == [10, 11, 12, 13, 14]
