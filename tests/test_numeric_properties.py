@@ -452,3 +452,61 @@ def test_cms_join_size_python_model_guarantees():
             assert est == true, "injective-regime estimate not exact"
 
     check()
+
+
+def test_seasonality_dow_index_rounding_margins():
+    """orders_seasonality_dow_index: daily sums are decimal-exact, but
+    dow_avg_rev is avg() over ~hundreds of doubles per weekday group and
+    seasonal_index divides two such means — both fold-order-dependent
+    before their half-up rounds (1e-2 and 1e-4). The compare is sound
+    only if every rounded value sits ORDERS above double fold-order
+    error from its rounding boundary — the quality-gate margin
+    discipline, replayed in numpy at every shipped SF (the round-8
+    verdict's one unpinned float output)."""
+    import os
+    from decimal import Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    eps = np.finfo(np.float64).eps
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/orders.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path, columns=["o_orderdate", "o_totalprice"]).to_pandas()
+        # decimal-exact daily sums, then cast to double — the query's rev
+        daily = (
+            t.assign(p=t["o_totalprice"].map(lambda x: Decimal(str(x))))
+            .groupby(t["o_orderdate"].astype("datetime64[ns]").dt.date)["p"]
+            .sum()
+        )
+        dows = np.array([d.isoweekday() for d in daily.index])
+        rev = daily.map(float).to_numpy(dtype=np.float64)
+        g = rev.mean()
+        g_err = len(rev) * eps * np.abs(rev).max()  # fold-order bound on the mean*n
+        for dow in sorted(set(dows)):
+            v = rev[dows == dow]
+            avg = v.mean()
+            avg_err = len(v) * eps * np.abs(v).max()  # conservative n*eps*max
+            # (true fold error grows ~sqrt(n)*eps; 100x clearance on the
+            # conservative bound is already orders above reality)
+            # dow_avg_rev: half-up at 1e-2
+            frac2 = abs(avg) * 1e2
+            dist2 = abs(frac2 - np.floor(frac2) - 0.5) / 1e2
+            assert dist2 > 100 * avg_err, (
+                f"{sf}/dow{dow}: dow_avg_rev {avg!r} within {dist2:.2e} of a "
+                f"1e-2 boundary (err bound {avg_err:.2e})"
+            )
+            # seasonal_index: half-up at 1e-4; relative error compounds
+            idx = avg / g
+            idx_err = idx * (avg_err / avg + g_err / (g * len(rev)))
+            frac4 = abs(idx) * 1e4
+            dist4 = abs(frac4 - np.floor(frac4) - 0.5) / 1e4
+            assert dist4 > 100 * idx_err, (
+                f"{sf}/dow{dow}: seasonal_index {idx!r} within {dist4:.2e} of a "
+                f"1e-4 boundary (err bound {idx_err:.2e})"
+            )
+            checked += 1
+    assert checked >= 14
