@@ -924,10 +924,26 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex", "l_partkey", ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"]
         )
     )
+    # interleave_bits TRUNCATES keys above 2^ZORDER_BITS-1 (l_partkey
+    # crosses 2^15 around SF>=0.2), silently degrading z-block envelopes
+    # until the oracle's hardcoded layout booleans mismatch — so the key
+    # range is ASSERTED in-plan, folded into the probe-box extents (an
+    # unused assert_true column would be pruned away), turning a future
+    # SF bump into a clear error instead of a differential mystery.
+    def _bits_guard(col: str) -> F.Column:
+        return F.coalesce(
+            F.assert_true(
+                F.max(col) < F.lit(1 << ZORDER_BITS),
+                f"max({col}) exceeds 2^{ZORDER_BITS}-1: raise ZORDER_BITS "
+                "(z-values would truncate and the audit booleans drift)",
+            ).cast("long"),
+            F.lit(0),
+        )
+
     ext = li.agg(
-        (F.max("l_partkey") / 8).cast("long").alias("plo"),
+        ((F.max("l_partkey") / 8).cast("long") + _bits_guard("l_partkey")).alias("plo"),
         (F.max("l_partkey") / 4).cast("long").alias("phi"),
-        (F.max("l_suppkey") / 8).cast("long").alias("slo"),
+        ((F.max("l_suppkey") / 8).cast("long") + _bits_guard("l_suppkey")).alias("slo"),
         (F.max("l_suppkey") / 4).cast("long").alias("shi"),
     )
     blocks = laid.groupBy("layout", "blk").agg(

@@ -1497,12 +1497,16 @@ _FP_HEX_CHARS = 15
 _FP_SUM_MOD = 1 << 20
 
 
-def _fp_rowhash_sql(cols: list[str]) -> tuple[str, str]:
+def _fp_rowhash_sql(cols: list[str], hcol: str = "h") -> tuple[str, str]:
+    # ``hcol`` names the hash column the polynomial reads — callers that
+    # carry TWO hashes in one relation (e.g. the group-kfold oracle's
+    # group hash + doc hash) pass distinct aliases instead of rewriting
+    # the generated SQL textually.
     canon = ", ".join(cols)
     h = f"md5(concat_ws('|', {canon}))"
     nibble = lambda i: (  # noqa: E731
-        f"CAST(ascii(substr(h, {i}, 1)) - "
-        f"(CASE WHEN ascii(substr(h, {i}, 1)) >= 97 THEN 87 ELSE 48 END) AS BIGINT)"
+        f"CAST(ascii(substr({hcol}, {i}, 1)) - "
+        f"(CASE WHEN ascii(substr({hcol}, {i}, 1)) >= 97 THEN 87 ELSE 48 END) AS BIGINT)"
     )
     poly = " + ".join(
         f"({nibble(i)} * {16 ** (_FP_HEX_CHARS - i)})" for i in range(1, _FP_HEX_CHARS + 1)
@@ -1601,20 +1605,24 @@ MK_Z_CRIT = 1.96
                    COUNT(*) AS np
             FROM w a JOIN w b ON b.wk > a.wk
         ),
-        n AS (SELECT COUNT(*) AS n FROM w)
+        n AS (SELECT COUNT(*) AS n FROM w),
+        ties AS (
+            SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tc
+            FROM (SELECT COUNT(*) AS t FROM w GROUP BY rev) tg
+        )
         SELECT CAST(n.n AS BIGINT) AS n_weeks,
                pairs.s AS s_stat,
                FLOOR((CAST(pairs.s AS DOUBLE) / pairs.np) * 10000.0 + 0.5) / 10000.0
                    AS tau,
                FLOOR(((pairs.s - CASE WHEN pairs.s > 0 THEN 1
                                       WHEN pairs.s < 0 THEN -1 ELSE 0 END)
-                      / sqrt(n.n * (n.n - 1) * (2 * n.n + 5) / 18.0))
+                      / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tc) / 18.0))
                      * 10000.0 + 0.5) / 10000.0 AS z,
                ABS((pairs.s - CASE WHEN pairs.s > 0 THEN 1
                                    WHEN pairs.s < 0 THEN -1 ELSE 0 END)
-                   / sqrt(n.n * (n.n - 1) * (2 * n.n + 5) / 18.0)) > {MK_Z_CRIT}
+                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tc) / 18.0)) > {MK_Z_CRIT}
                    AS trend_significant
-        FROM pairs, n
+        FROM pairs, n, ties
     """,
 )
 def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1624,7 +1632,8 @@ def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic over rank order (immune to outliers and to any
     monotone transform of revenue — the reasons ops dashboards prefer
     it), and the continuity-corrected z uses the closed-form null
-    variance n(n−1)(2n+5)/18. On this corpus |z| < 1.96 at every SF —
+    variance with the standard tie correction,
+    (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18 over equal-value groups t. On this corpus |z| < 1.96 at every SF —
     the honest "no trend" answer for deliberately stationary synthetic
     revenue, and both engines agree on the verdict from identical
     integer S and IEEE-identical z.
@@ -1655,11 +1664,26 @@ def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = w.agg(F.count(F.lit(1)).alias("n"))
+    # tie correction: groups of equal rev contribute no sign information,
+    # so the null variance subtracts sum(t(t-1)(2t+5)) over tie groups —
+    # without it z is biased toward non-significance whenever values tie
+    # (a singleton group has t-1 = 0, so summing over ALL groups is exact)
+    ties = (
+        w.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            )
+            .cast("long")
+            .alias("tc")
+        )
+    )
     corr = F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
     z = (F.col("s") - corr) / F.sqrt(
-        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+        (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tc")) / 18.0
     )
-    return pairs.crossJoin(F.broadcast(n)).select(
+    return pairs.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties)).select(
         F.col("n").cast("long").alias("n_weeks"),
         F.col("s").alias("s_stat"),
         (F.floor((F.col("s").cast("double") / F.col("np")) * 10000.0 + 0.5) / 10000.0).alias(

@@ -1223,7 +1223,7 @@ def _group_kfold_oracle() -> str:
     from spark_jdbc_limit_spark.operators.aggregates import _fp_rowhash_sql
 
     gh, gpoly = _fp_rowhash_sql(["source"])
-    dh, dpoly = _fp_rowhash_sql(["CAST(doc_id AS VARCHAR)"])
+    dh, dpoly = _fp_rowhash_sql(["CAST(doc_id AS VARCHAR)"], hcol="hd")
     return f"""
         WITH d AS (SELECT doc_id, source FROM documents),
         g AS (
@@ -1232,7 +1232,7 @@ def _group_kfold_oracle() -> str:
         ),
         a AS (
             SELECT d.doc_id, d.source, g.fold,
-                   ({dpoly.replace("substr(h,", "substr(hd,")}) % {KFOLD_K}
+                   ({dpoly}) % {KFOLD_K}
                        AS doc_fold
             FROM (SELECT doc_id, source, {dh} AS hd FROM d) d
             JOIN g USING (source)

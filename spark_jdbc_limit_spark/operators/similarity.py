@@ -1409,8 +1409,11 @@ def _sq_oracle() -> str:
             FROM flat GROUP BY dim
         ),
         coded AS (
+            -- a constant dimension gives scale = 0: 0/0 is engine-divergent
+            -- (IEEE NaN vs NULL), so code it as 0 -> dequant = mn (exact)
             SELECT f.dim, f.val, e.mn, e.scale,
-                   e.mn + {q} * e.scale AS dequant
+                   CASE WHEN e.scale = 0 THEN e.mn
+                        ELSE e.mn + {q} * e.scale END AS dequant
             FROM flat f JOIN ext e USING (dim)
         )
         SELECT dim,
@@ -1456,9 +1459,15 @@ def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataF
         F.max("val").alias("mx"),
         ((F.max("val") - F.min("val")) / SQ_LEVELS).alias("scale"),
     )
+    # scale = 0 (constant dimension) would make the codec divide 0/0 —
+    # Spark yields IEEE NaN where DuckDB yields NULL, so the zero-range
+    # case is coded explicitly: code 0, dequant = mn, error exactly 0.
     coded = flat.join(F.broadcast(ext), "dim").withColumn(
         "dequant",
-        F.col("mn") + F.floor((F.col("val") - F.col("mn")) / F.col("scale") + 0.5) * F.col("scale"),
+        F.when(F.col("scale") == 0, F.col("mn")).otherwise(
+            F.col("mn")
+            + F.floor((F.col("val") - F.col("mn")) / F.col("scale") + 0.5) * F.col("scale")
+        ),
     )
     err = F.max(F.abs(F.col("val") - F.col("dequant")))
     return (

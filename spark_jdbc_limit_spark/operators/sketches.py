@@ -323,10 +323,14 @@ def agg_count_min_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 #: at W=2048 the measured overshoot is ~0.3x of the |A||B|/W Markov
 #: bound at every shipped SF (prototyped across sf0.001/0.01/0.1),
 #: so the bound boolean holds with >3x headroom. NOTE: W must stay
-#: well BELOW the ~2400-day key span — the affine hash is injective
-#: on any contiguous integer window narrower than W, which silently
-#: turns the "estimate" exact and the audit vacuous (observed at
-#: W>=4096 during prototyping).
+#: well BELOW the ~2400-day key span — AT LEAST ONE hash row of the
+#: family stays injective on any contiguous integer window narrower
+#: than W (not every row: a row whose multiplier folds the window onto
+#: few buckets, like a=32452843 mapping [0,500] onto 98 of 2048, still
+#: collides), and the min-over-rows estimate inherits exactness from
+#: that one row — silently turning the "estimate" exact and the audit
+#: vacuous (observed at W>=4096 during prototyping). The min relies on
+#: the best row, so the non-vacuity test pins strict overshoot exists.
 CMS_JOIN_W = 2048
 
 

@@ -687,3 +687,71 @@ def test_semdedup_retention_invariants(spark, sf_dir):
             assert r.kept == (0 if r.max_prior_sim >= SEMDEDUP_EPS else 1), r
         n_dropped += 1 - r.kept
     assert n_dropped > 0, "vacuous: nothing dropped at this SF"
+
+
+def test_int8_quantization_constant_dimension_is_exact_cross_engine(spark):
+    """A constant dimension gives scale = 0; unguarded, the codec divides
+    0/0 — IEEE NaN in Spark, NULL in DuckDB — and within_half_scale goes
+    engine-divergent. The guard codes it as dequant = mn (error exactly
+    0); this pins BOTH engines on a synthetic constant dim, exercising
+    the branch the shipped embeddings never hit."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.similarity import SQ_LEVELS
+
+    rows = [(i, [float(i), 7.5]) for i in range(4)]  # dim 0 varies, dim 1 constant
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flat = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+    ext = flat.groupBy("dim").agg(
+        F.min("val").alias("mn"),
+        ((F.max("val") - F.min("val")) / SQ_LEVELS).alias("scale"),
+    )
+    coded = flat.join(F.broadcast(ext), "dim").withColumn(
+        "dequant",
+        F.when(F.col("scale") == 0, F.col("mn")).otherwise(
+            F.col("mn")
+            + F.floor((F.col("val") - F.col("mn")) / F.col("scale") + 0.5)
+            * F.col("scale")
+        ),
+    )
+    got = {
+        (r["dim"],): (r["max_abs_err"], r["ok"])
+        for r in coded.groupBy("dim")
+        .agg(
+            F.max(F.abs(F.col("val") - F.col("dequant"))).alias("max_abs_err"),
+            (
+                F.max(F.abs(F.col("val") - F.col("dequant")))
+                <= F.max("scale") * 0.5000001
+            ).alias("ok"),
+        )
+        .collect()
+    }
+    assert got[(1,)] == (0.0, True)  # constant dim: exact, bound holds
+    assert got[(0,)][1] is True
+
+    duck = duckdb.sql(
+        f"""
+        WITH flat AS (
+            SELECT * FROM (VALUES {", ".join(f"({i}, 0, CAST({i} AS DOUBLE)), ({i}, 1, 7.5)" for i in range(4))})
+                 t(vec_id, dim, val)
+        ),
+        ext AS (
+            SELECT dim, MIN(val) AS mn,
+                   (MAX(val) - MIN(val)) / {SQ_LEVELS} AS scale
+            FROM flat GROUP BY dim
+        ),
+        coded AS (
+            SELECT f.dim, f.val, e.scale,
+                   CASE WHEN e.scale = 0 THEN e.mn
+                        ELSE e.mn + FLOOR((val - mn) / scale + 0.5) * e.scale
+                   END AS dequant
+            FROM flat f JOIN ext e USING (dim)
+        )
+        SELECT dim, MAX(ABS(val - dequant)) AS max_abs_err,
+               MAX(ABS(val - dequant)) <= MAX(scale) * 0.5000001 AS ok
+        FROM coded GROUP BY dim ORDER BY dim
+        """
+    ).fetchall()
+    assert {(d,): (e, ok) for d, e, ok in duck} == got

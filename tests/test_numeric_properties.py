@@ -327,6 +327,31 @@ def test_mann_kendall_matches_python_reference(spark):
     assert s_inc == 40 * 39 // 2 == 780
     z_inc = (s_inc - 1) / math.sqrt(40 * 39 * (2 * 40 + 5) / 18.0)
     assert abs(z_inc - 9.0760) < 5e-4
+    # tie-corrected variance: the builder's tie aggregate must equal the
+    # textbook sum over equal-value groups, sum(t(t-1)(2t+5)); the
+    # planted tie gives one t=2 group -> 2*1*9 = 18 (a strictly
+    # increasing series has tc = 0, so z_inc above needs no term)
+    tc_got = (
+        w.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tc")
+        )
+        .collect()[0][0]
+    )
+    from collections import Counter
+
+    tc_want = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(vals).values()
+    )
+    assert tc_got == tc_want == 18
+    # and the corrected variance strictly shrinks, un-biasing z upward
+    assert n * (n - 1) * (2 * n + 5) - tc_got < n * (n - 1) * (2 * n + 5)
 
 
 def test_two_phase_rank_equals_global_sort_index(spark):

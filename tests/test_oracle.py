@@ -47,67 +47,16 @@ def test_oracle_differential_sf0001_sweep(spark, spec):
 #: in a NEW operator must not hide behind the opt-in env var until the
 #: next full sweep; entries graduate out once they have survived one.
 RECENT_ADDITIONS = [
-    # (round-6 entries graduated 2026-08-14: every registry query passed
-    # the full sf0.001 sweep this round, which is the exit criterion)
-    # round 7 (sketch audits oracle-paired; packing restructured; shared SQL cast)
-    "agg_approx_distinct",
-    "agg_hll_sketch_union",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "pack_tokens_sequential",
-    "sql_shared_text_rollup",
-    "agg_approx_percentile_audit",
-    "agg_approx_topk_audit",
-    "graph_label_propagation",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "join_bloom_prefilter",
-    "sample_stratified_exact",
-    "graph_connected_components",
-    "sort_range_equidepth_audit",
-    "dedup_winnowing_fingerprints",
-    "events_ab_test_zscore",
-    "sort_pareto_skyline",
-    "text_bm25_retrieval",
-    "dedup_jaccard_prefix_filter",
-    "text_bigram_perplexity",
-    "join_anti_null_aware",
-    "udf_cogrouped_order_fill",
-    "agg_loo_target_encoding",
-    "agg_bitmap_distinct",
-    "sql_recursive_hierarchy_walk",
-    "ann_hybrid_rrf_fusion",
-    "scalar_try_safe_funcs",
-    # round 8
-    "agg_count_min_frequency_audit",
-    "source_parquet_dynamic_partition_pruning",
-    "pipeline_snapshot_diff",
-    "scalar_sql_udf",
-    "scalar_collation_ci_group",
-    "agg_hll_intersection_audit",
-    "agg_cms_join_size_audit",
-    "sort_zorder_skipping_audit",
-    "agg_table_fingerprint",
-    "events_attribution_multitouch",
-    "agg_sampled_sum_ht_audit",
-    "pipeline_epoch_shuffle_audit",
-    "udf_arrow_map_batches",
-    "pipeline_batch_padding_audit",
-    "split_group_kfold_audit",
+    # (round-7 and round-8 cohorts graduated 2026-08-15: every registry
+    # query passed the round-8 closing env-gated sf-sweep, the exit
+    # criterion — see BASELINE.md round-8 closing note)
+    # round 9: materially reworked queries (Mann-Kendall gained the tie
+    # correction; int8 audit gained the scale=0 guard; zorder audit
+    # gained the in-plan bits guard; kfold oracle regenerated via hcol)
     "orders_trend_mann_kendall",
-    "graph_bfs_hops",
-    "window_interval_range_frame",
-    "source_parquet_nested_pruning",
-    "source_versioned_time_travel",
-    "source_versioned_incremental",
-    "source_versioned_merge_upsert",
-    "sql_shared_group_order_all",
-    "set_union_by_name_missing",
-    "text_pmi_collocations",
     "embedding_int8_quantization_audit",
-    "window_count_distinct_workaround",
-    "orders_seasonality_dow_index",
+    "sort_zorder_skipping_audit",
+    "split_group_kfold_audit",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

@@ -196,3 +196,56 @@ def test_zorder_audit_scanned_rows_conserve(spark, sf_correct):
         # the remainder — equal-count blocks make this checkable
         assert r.scanned_trailing + (total // 64) * r.pruned_trailing <= total
         assert r.scanned_trailing >= total - (total // 64 + 1) * r.pruned_trailing
+
+
+def test_zorder_bits_cover_key_ranges_at_all_shipped_sfs():
+    """ZORDER_BITS silently truncates keys at 2^bits (l_partkey crosses
+    2^15 around SF>=0.2) — pin that every shipped corpus fits, reading
+    parquet footer stats only, so a future SF bump fails HERE with the
+    named constant instead of as a differential mismatch."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        if not os.path.exists(path):
+            continue
+        md = pq.ParquetFile(path).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for col in ("l_partkey", "l_suppkey"):
+            ci = schema_names.index(col)
+            mx = max(
+                md.row_group(r).column(ci).statistics.max
+                for r in range(md.num_row_groups)
+            )
+            assert mx < (1 << ZORDER_BITS), (
+                f"{sf}: max({col})={mx} >= 2^{ZORDER_BITS} — raise ZORDER_BITS"
+            )
+            checked += 1
+    assert checked >= 4
+
+
+def test_zorder_bits_guard_raises_on_overflowing_keys(spark):
+    """The in-plan assert_true guard must actually fire (not get pruned
+    away) when a key exceeds the interleave range."""
+    import pytest
+
+    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS
+
+    big = spark.range(3).select(
+        (F.col("id") + (1 << ZORDER_BITS)).alias("l_partkey"),
+        F.col("id").alias("l_suppkey"),
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.max("l_partkey") < F.lit(1 << ZORDER_BITS), "overflow"
+        ).cast("long"),
+        F.lit(0),
+    )
+    probe = big.agg(((F.max("l_partkey") / 8).cast("long") + guard).alias("plo"))
+    with pytest.raises(Exception, match="overflow"):
+        probe.collect()
