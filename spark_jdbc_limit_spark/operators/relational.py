@@ -1191,3 +1191,179 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(Q21_TOPK)
     )
+
+
+# --- round-9: adapted variants of the three column-blocked TPC-H queries
+# the corpus CAN express (Q9/Q12/Q16 on proxy columns). Q2/Q11/Q20 are
+# formally closed in SURVEY.md §2B: their defining relations
+# (partsupp.ps_supplycost / ps_availqty) have no proxy in the corpus, and
+# their SHAPES (correlated min, group-share-vs-global HAVING, nested
+# semi-joins) are already covered by q15/supplier_hhi/q17+q21.
+
+
+@query(
+    "q12_priority_shipping",
+    category="aggregation",
+    description="TPC-H Q12 adapted: late-shipment priority split by return flag (shipmode proxy)",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('R', 'A')
+          AND datediff('day', o_orderdate, l_shipdate) > 365
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the corpus columns (SURVEY round-5 addendum:
+    no l_shipmode/l_commitdate/l_receiptdate ship with the harness
+    corpus): the two audited ship modes become two of the three return
+    flags, and 'received later than committed' becomes 'shipped more
+    than a year after ordering' — same query SHAPE as spec-Q12
+    (fact-to-fact join, date-window filter, conditional split on order
+    priority, tiny grouped output). Priority classes are spec-exact.
+
+    Plan shape: the filters sit on the fact scan (shipdate window +
+    returnflag both push to parquet), the orders join carries only
+    o_orderpriority, and the CASE split is one partial-aggregated pass —
+    numerator and complement never scan twice. At 100 TB the shuffle
+    carries 2 rows per flag class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("R", "A")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .join(o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    category="aggregation",
+    description="TPC-H Q16 adapted: supplier variety per brand/type/size over observed part-supplier pairs",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp table in the corpus): the
+    part-supplier relation is DERIVED as the distinct (l_partkey,
+    l_suppkey) pairs actually observed in lineitem, and the 'complaints'
+    comment predicate becomes the measurable proxy s_acctbal < 0 —
+    otherwise the spec shape survives intact: brand exclusion, type
+    prefix exclusion, the 8-value size list, NOT IN supplier subquery,
+    COUNT(DISTINCT supplier) per (brand, type, size), count-descending
+    order.
+
+    Plan shape: the pair-distinct is the only fact-sized exchange
+    (partial-aggregated); part and the 6-row excluded-supplier relation
+    broadcast. s_suppkey is non-null by construction so the NOT IN is a
+    plain left_anti (no null-aware cross check). At 100 TB the
+    distinct-pair relation is catalog-bounded (|parts|x|suppliers| worst
+    case), far below the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pk = (
+        p.filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").startswith("PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(pk), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    category="aggregation",
+    description="TPC-H Q9 adapted: nation/year profit on gear parts with retail-derived cost proxy",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(SUM(
+                   CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                   - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(28,8))
+               ), 2) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no ps_supplycost in the corpus): cost is proxied
+    as 60% of the part's retail price per unit, so profit per line is
+    revenue minus 0.6·p_retailprice·l_quantity — the spec's join tree
+    (lineitem x part x supplier x nation x orders), name-substring part
+    filter and (nation, year DESC) profit rollup survive unchanged.
+
+    Plan shape: the part filter prunes to ~2.6% of parts and broadcasts
+    as a semi-side carrying (p_partkey, p_retailprice); supplier->nation
+    broadcasts; orders arrives via the fact join carrying only the
+    year. One partial-aggregated exchange of |nations|x|years| rows.
+    Both profit terms are quantized DECIMAL(28,8) BEFORE the sum
+    (dec_sum discipline) so accumulation order cannot flip a cent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    sup_nat = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)")
+    cost = (F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(28,8)")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup_nat), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(revenue - cost), 2).cast("double").alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )

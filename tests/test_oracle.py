@@ -57,6 +57,10 @@ RECENT_ADDITIONS = [
     "embedding_int8_quantization_audit",
     "sort_zorder_skipping_audit",
     "split_group_kfold_audit",
+    # round 9: new adapted TPC-H entries
+    "q12_priority_shipping",
+    "q16_supplier_part_variety",
+    "q9_product_type_profit",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
