@@ -1625,7 +1625,20 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     more than they save (~2× at sf0.1) — the prefix filter's win is
     conditional on the skewed, heavy-tailed posting lists real corpora
     have, which is exactly when the exhaustive join's hot buckets
-    explode."""
+    explode.
+
+    Retime audit (round 9, same-session A/B per the repo timing
+    discipline): two restructurings both measured NET-NEGATIVE at
+    sf0.1, so this shape is the floor. (a) Collapsing the rank window +
+    n_per_doc + doc_sets into ONE groupBy(doc_id) emitting a
+    freq-sorted struct array (prefix = slice, payload = transform)
+    saves two doc-id exchanges but materializes every doc's array
+    through the checkpoint and re-explodes for the candidate join:
+    2.8 → 3.2 s. (b) Replacing the n_per_doc aggregate+join with
+    count(*) OVER the same doc partition adds an unbounded-frame
+    buffering pass to the rank window: 3.1 → 3.8 s. The candidate
+    join's shuffle already carries only (doc_id, h) — no payload to
+    defer — and the verify fan-back is the winnowing pattern already."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
