@@ -1750,3 +1750,162 @@ def orders_seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "agg_moments_skew_kurtosis",
+    category="aggregation",
+    description="Per-group skewness and excess kurtosis from exact integer power sums",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q*q) AS BIGINT) AS s2,
+                   CAST(SUM(q*q*q) AS BIGINT) AS s3,
+                   CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+            FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        ),
+        m AS (
+            SELECT l_returnflag, n,
+                   CAST(s1 AS DOUBLE) / n AS mean,
+                   CAST(s2 AS DOUBLE) / n AS r2,
+                   CAST(s3 AS DOUBLE) / n AS r3,
+                   CAST(s4 AS DOUBLE) / n AS r4
+            FROM s
+        )
+        SELECT l_returnflag, n,
+               {sql_round_dbl('mean', 6)} AS mean_qty,
+               {sql_round_dbl('(r3 - 3 * mean * r2 + 2 * mean * mean * mean)'
+                              ' / pow(r2 - mean * mean, 1.5)', 6)} AS skewness,
+               {sql_round_dbl('(r4 - 4 * mean * r3 + 6 * mean * mean * r2'
+                              ' - 3 * mean * mean * mean * mean)'
+                              ' / pow(r2 - mean * mean, 2.0) - 3.0', 6)}
+                   AS kurtosis_excess
+        FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment profile (skewness g1, excess kurtosis g2) of order
+    quantities per return flag — the distribution-shape statistics a
+    data-quality monitor tracks beyond mean/stddev. Engine-exactness
+    design: l_quantity is integral (1..50 — pinned by the differential
+    itself: a fractional quantity would change the BIGINT sums), so the
+    four power sums are EXACT int64 arithmetic in both engines (max
+    possible sum 50^4·|lineitem| needs only ~3.75e12 at sf0.1, far
+    inside int64); the float work is a FIXED algebraic expression over
+    those exact sums — identical operator tree in builder and oracle,
+    left-associated the same way, so the doubles are IEEE-identical
+    before the 1e-6 round, not merely close.
+
+    Plan shape: ONE partial-aggregated pass (all four sums fold
+    map-side into 3 groups); the moment algebra runs on a 3-row
+    relation. At 100 TB nothing but the scan grows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    m = s.select("l_returnflag", "n", mean.alias("mean"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    mn, m2 = F.col("mean"), F.col("r2") - F.col("mean") * F.col("mean")
+    m3 = F.col("r3") - 3 * mn * F.col("r2") + 2 * mn * mn * mn
+    m4 = (
+        F.col("r4")
+        - 4 * mn * F.col("r3")
+        + 6 * mn * mn * F.col("r2")
+        - 3 * mn * mn * mn * mn
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        round_dbl(mn, 6).alias("mean_qty"),
+        round_dbl(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        round_dbl(m4 / F.pow(m2, 2.0) - 3.0, 6).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "dq_functional_dependency_audit",
+    category="aggregation",
+    description="Candidate functional-dependency audit: violating LHS groups counted per FD",
+    oracle="""
+        WITH fd1 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating
+            FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS nd
+                  FROM part GROUP BY p_brand)
+        ),
+        fd2 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating
+            FROM (SELECT c_name, COUNT(DISTINCT c_mktsegment) AS nd
+                  FROM customer GROUP BY c_name)
+        ),
+        fd3 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating
+            FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+                  FROM orders GROUP BY o_custkey)
+        )
+        SELECT fd, n_lhs, n_violating, n_violating = 0 AS holds FROM (
+            SELECT 'part.p_brand->p_type' AS fd, * FROM fd1
+            UNION ALL SELECT 'customer.c_name->c_mktsegment', * FROM fd2
+            UNION ALL SELECT 'orders.o_custkey->o_orderpriority', * FROM fd3
+        ) ORDER BY fd
+    """,
+)
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery primitive — profile whether a
+    candidate column determines another (A → B holds iff no A-group
+    carries two distinct B values). Three candidates spanning the
+    interesting outcomes on this corpus: a dimensional FD that FAILS
+    (brands span part types), a key-like FD that HOLDS (customer names
+    are unique here, so they trivially determine segment — the audit
+    would catch a generator change), and a behavioral FD that FAILS
+    (customers order at many priorities). This is the groupBy-countDistinct
+    shape FD-mining systems (Tane-style) run per candidate, expressed
+    once per FD.
+
+    Plan shape: each FD is one partial-aggregated groupBy on its own
+    table followed by a 1-row rollup; the union is 3 rows. No joins.
+    At 100 TB each candidate costs one scan of its table (and columnar
+    pruning reads only the two columns involved)."""
+
+    def fd(table: str, lhs: str, rhs: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        return (
+            t.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lhs"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            )
+            .select(
+                F.lit(f"{table}.{lhs}->{rhs}").alias("fd"),
+                "n_lhs",
+                "n_violating",
+            )
+        )
+
+    return (
+        fd("part", "p_brand", "p_type")
+        .unionAll(fd("customer", "c_name", "c_mktsegment"))
+        .unionAll(fd("orders", "o_custkey", "o_orderpriority"))
+        .withColumn("holds", F.col("n_violating") == 0)
+        .orderBy("fd")
+    )

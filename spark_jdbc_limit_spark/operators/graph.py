@@ -997,3 +997,157 @@ def pagerank_until_settled(
         max_rounds=max_rounds,
         tolerance=tolerance,
     )
+
+
+KCORE_K = 3
+KCORE_ITERS = 6
+
+
+def _kcore_oracle() -> str:
+    # every step references its predecessor TWICE (both edge endpoints) —
+    # with default CTE inlining that doubles the plan subtree per step
+    # (2^ITERS copies of the full edge derivation; measured >120 s at
+    # sf0.01), so bi and each step are pinned MATERIALIZED: the oracle
+    # engine needs the same lineage cut the Spark loop takes with
+    # localCheckpoint.
+    base = f"""
+        WITH {_EDGES_CTE},
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi)"""
+    steps = "".join(
+        f""",
+        n{k} AS MATERIALIZED (
+            SELECT b.u AS node FROM bi b
+            JOIN n{k - 1} x ON x.node = b.u
+            JOIN n{k - 1} y ON y.node = b.v
+            GROUP BY b.u HAVING COUNT(*) >= {KCORE_K}
+        )"""
+        for k in range(1, KCORE_ITERS + 1)
+    )
+    counts = " UNION ALL ".join(
+        f"SELECT {k} AS step, (SELECT COUNT(*) FROM n{k}) AS n_remaining,"
+        f" (SELECT COUNT(*) FROM n{k - 1}) - (SELECT COUNT(*) FROM n{k})"
+        f" AS n_dropped"
+        for k in range(1, KCORE_ITERS + 1)
+    )
+    return (
+        base
+        + steps
+        + f"""
+        SELECT CAST(step AS BIGINT) AS step,
+               CAST(n_remaining AS BIGINT) AS n_remaining,
+               CAST(n_dropped AS BIGINT) AS n_dropped
+        FROM ({counts}) ORDER BY step
+    """
+    )
+
+
+@query(
+    "graph_kcore_peeling",
+    category="graph",
+    description=f"{KCORE_K}-core decomposition by {KCORE_ITERS}-step synchronous peeling, per-step drop histogram with settlement audit",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_peeling(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """K-core decomposition — the density-peeling member of the iterative
+    family (CC = min-label, BFS = min-plus, LPA = argmax; this is
+    REMOVAL): repeatedly delete nodes with degree < {KCORE_K} in the
+    remaining subgraph until no deletion fires; what survives is the
+    {KCORE_K}-core, the standard coreness screen for 'is this node in a
+    dense community or hanging off one'. Same differential trade as the
+    siblings: both engines unroll the identical {KCORE_ITERS} steps and
+    the output is the per-step (n_remaining, n_dropped) histogram —
+    n_dropped at the final step doubling as the settlement audit (0 at
+    every shipped SF proves the fixpoint arrived in-window; pinned
+    against an independent Python peel in pytest).
+
+    Plan shape per step: the surviving-node relation semi-restricts
+    BOTH edge endpoints (two joins — node-cardinality, broadcast here,
+    shuffle at web scale), then one map-side-combined COUNT per node
+    with the HAVING filter. Unlike CC/BFS there is no self-loop trick
+    (the state relation legitimately gates both endpoints), so each
+    step's result is localCheckpointed to keep lineage LINEAR — the
+    two-reference subtree doubling this family already measured
+    (4 s vs 0.5 s, see graph_connected_components). Per-step counts are
+    1-row aggregates chained by crossJoin, no driver collect. The
+    production posture (loop until no drop) is
+    ``kcore_until_settled`` on the shared ``run_until_settled``
+    harness."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = _bi_edges(edges).localCheckpoint(eager=False)
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    summaries = []
+    prev_cnt = nodes.agg(F.count(F.lit(1)).alias("n_prev"))
+    for k in range(1, KCORE_ITERS + 1):
+        nodes = (
+            bi.join(F.broadcast(nodes), F.col("u") == F.col("node"), "left_semi")
+            .join(
+                F.broadcast(nodes.select(F.col("node").alias("nv"))),
+                F.col("v") == F.col("nv"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        cnt = nodes.agg(F.count(F.lit(1)).alias("n_remaining"))
+        summaries.append(
+            cnt.crossJoin(F.broadcast(prev_cnt)).select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("n_remaining"),
+                (F.col("n_prev") - F.col("n_remaining")).alias("n_dropped"),
+            )
+        )
+        prev_cnt = cnt.select(F.col("n_remaining").alias("n_prev"))
+    out = summaries[0]
+    for sdf in summaries[1:]:
+        out = out.unionAll(sdf)
+    return out.orderBy("step")
+
+
+def kcore_until_settled(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    edges: DataFrame | None = None,
+    k: int = KCORE_K,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """``graph_kcore_peeling``'s peel loop run to convergence on the
+    ``run_until_settled`` harness — the long-diameter production
+    posture (a K one notch higher already needs 10 rounds at sf0.01
+    where the oracle entry's fixed window holds only for {KCORE_K}).
+    State = surviving nodes; a disappearing key IS the change signal,
+    which the harness's full-outer settlement check counts natively.
+    Returns ``((node,), rounds, settled)``."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = _bi_edges(edges).localCheckpoint(eager=False)
+    nodes = bi.select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(1).alias("alive")
+    )
+
+    def step(cur: DataFrame) -> DataFrame:
+        keep = cur.select("node")
+        return (
+            bi.join(F.broadcast(keep), F.col("u") == F.col("node"), "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("node").alias("nv"))),
+                F.col("v") == F.col("nv"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select(F.col("u").alias("node"), F.lit(1).alias("alive"))
+        )
+
+    return run_until_settled(
+        nodes, step, key_cols=["node"], value_cols=["alive"], max_rounds=max_rounds
+    )

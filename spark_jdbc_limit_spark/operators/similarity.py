@@ -1480,3 +1480,120 @@ def embedding_int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("dim")
     )
+
+
+#: Matryoshka truncation audit: prefix width and anchors audited.
+MATRYOSHKA_DIMS = 16
+MATRYOSHKA_ANCHORS = 8
+MATRYOSHKA_K = 10
+
+
+@query(
+    "embedding_matryoshka_truncation_audit",
+    category="llm_similarity",
+    description=f"Matryoshka audit: recall@{MATRYOSHKA_K} of {MATRYOSHKA_DIMS}-dim prefix cosine vs full {EMB_DIM}-dim",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        anchors AS (
+            SELECT vec_id AS a_id, emb AS a_emb FROM v
+            ORDER BY vec_id LIMIT {MATRYOSHKA_ANCHORS}
+        ),
+        pairs AS (
+            SELECT a.a_id, b.vec_id AS n_id,
+                   list_cosine_similarity(a.a_emb, b.emb) AS full_cos,
+                   list_cosine_similarity(a.a_emb[1:{MATRYOSHKA_DIMS}],
+                                          b.emb[1:{MATRYOSHKA_DIMS}]) AS pfx_cos
+            FROM anchors a JOIN v b ON b.vec_id <> a.a_id
+        ),
+        full_top AS (
+            SELECT a_id, n_id FROM (
+                SELECT a_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY a_id ORDER BY full_cos DESC, n_id) AS r
+                FROM pairs) WHERE r <= {MATRYOSHKA_K}
+        ),
+        pfx_top AS (
+            SELECT a_id, n_id FROM (
+                SELECT a_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY a_id ORDER BY pfx_cos DESC, n_id) AS r
+                FROM pairs) WHERE r <= {MATRYOSHKA_K}
+        )
+        SELECT f.a_id AS anchor_id,
+               CAST(COUNT(p.n_id) AS BIGINT) AS n_overlap,
+               CAST(COUNT(p.n_id) AS DOUBLE) / {MATRYOSHKA_K} AS recall_at_k
+        FROM full_top f
+        LEFT JOIN pfx_top p ON p.a_id = f.a_id AND p.n_id = f.n_id
+        GROUP BY f.a_id ORDER BY anchor_id
+    """,
+)
+def embedding_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit — the measurement behind serving
+    truncated embeddings (MRL-trained models promise the first d' dims
+    approximate the full vector): for each anchor vector, how much of
+    the full-{EMB_DIM}-dim cosine top-{MATRYOSHKA_K} survives when both
+    sides are truncated to the first {MATRYOSHKA_DIMS} dims. recall@k
+    is an EXACT rational count/k (the float cosines only RANK, ties
+    break by neighbor id in both engines; the driver-hashed outputs are
+    the integer overlap and its exact ratio — synthetic embeddings are
+    not MRL-trained, so observed recall is the honest unstructured
+    baseline a real model's audit would beat).
+
+    Plan shape: anchors are a {MATRYOSHKA_ANCHORS}-row broadcast
+    (smallest vec_ids — deterministic, no sampling); BOTH cosines
+    compute in one pass over the anchor×corpus join (zip_with/aggregate
+    inside codegen — slice() reuses the same array, so the corpus is
+    scanned once, no UDF); per-anchor top-k is a window over
+    {MATRYOSHKA_ANCHORS} partitions; the overlap join runs on
+    anchors×k rows. At 100 TB this is {MATRYOSHKA_ANCHORS} broadcast
+    probes over one scan — the kNN-join entry covers the all-pairs
+    posture."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    anchors = F.broadcast(
+        v.orderBy("vec_id")
+        .limit(MATRYOSHKA_ANCHORS)
+        .select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    )
+    a_pfx = F.slice(F.col("a_emb"), 1, MATRYOSHKA_DIMS)
+    b_pfx = F.slice(F.col("emb"), 1, MATRYOSHKA_DIMS)
+    pairs = (
+        v.join(anchors, F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            F.col("vec_id").alias("n_id"),
+            (dot_cols(F.col("a_emb"), F.col("emb"))
+             / (_norm(F.col("a_emb")) * _norm(F.col("emb")))).alias("full_cos"),
+            (dot_cols(a_pfx, b_pfx) / (_norm(a_pfx) * _norm(b_pfx))).alias("pfx_cos"),
+        )
+        .localCheckpoint(eager=False)  # feeds both rankings
+    )
+    def topk(score: str) -> DataFrame:
+        r = F.row_number().over(
+            W.partitionBy("a_id").orderBy(F.col(score).desc(), "n_id")
+        )
+        return (
+            pairs.select("a_id", "n_id", r.alias("r"))
+            .filter(F.col("r") <= MATRYOSHKA_K)
+            .select("a_id", "n_id")
+        )
+
+    full_top, pfx_top = topk("full_cos"), topk("pfx_cos")
+    return (
+        full_top.alias("f")
+        .join(
+            pfx_top.alias("p"),
+            (F.col("p.a_id") == F.col("f.a_id")) & (F.col("p.n_id") == F.col("f.n_id")),
+            "left",
+        )
+        .groupBy(F.col("f.a_id").alias("anchor_id"))
+        .agg(
+            F.count(F.col("p.n_id")).alias("n_overlap"),
+            (F.count(F.col("p.n_id")).cast("double") / MATRYOSHKA_K).alias("recall_at_k"),
+        )
+        .orderBy("anchor_id")
+    )

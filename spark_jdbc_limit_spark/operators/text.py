@@ -1164,3 +1164,69 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t1", "t2", "c", round_dbl(pmi, 4).alias("pmi"))
         .orderBy("t1", "t2")
     )
+
+
+#: BPE pair-count step: top adjacent character pairs reported.
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "text_bpe_top_pairs",
+    category="llm_text",
+    description=f"BPE merge-step candidate scan: top-{BPE_TOP_PAIRS} adjacent character pairs across the corpus",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, length(w)),
+                                         i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+            FROM words WHERE length(w) >= 2
+        ),
+        counted AS (
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair
+        ),
+        ranked AS (
+            SELECT pair, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+            FROM counted
+        )
+        SELECT pair, cnt, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {BPE_TOP_PAIRS} ORDER BY rnk
+    """,
+)
+def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-scan half of a byte-pair-encoding merge step: count
+    every adjacent character pair inside whitespace words across the
+    corpus and report the top candidates — the statistic a BPE trainer
+    computes per merge iteration (the merge itself rewrites the corpus
+    and re-counts; ONE deterministic step is the differentially
+    testable unit, the same trade the graph family makes with fixed
+    unrolls). Ties break lexicographically so the ranking is exact
+    cross-engine; counts are exact integers.
+
+    Plan shape: split/explode/pair-expand are all per-row codegen (the
+    pair list is built IN-ROW by transform over a sequence — no join,
+    no per-character explode of the corpus); one partial-aggregated
+    count per pair (vocabulary of pairs is alphabet², bounded), then a
+    top-{BPE_TOP_PAIRS} over the tiny pair relation. At 100 TB the only
+    fact-sized stage is the scan+expand, embarrassingly parallel; a
+    full BPE trainer iterates this exact plan with a broadcast merge
+    table."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    rnk = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
+    return (
+        counted.select("pair", "cnt", rnk.cast("long").alias("rnk"))
+        .filter(F.col("rnk") <= BPE_TOP_PAIRS)
+        .orderBy("rnk")
+    )

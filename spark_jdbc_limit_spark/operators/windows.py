@@ -383,3 +383,47 @@ def window_count_distinct_workaround(spark: SparkSession, sf_dir: str) -> DataFr
         .select("o_orderkey", "o_custkey", "n_distinct_priorities")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    category="window",
+    description="percent_rank and cume_dist of customer balance within nation (rank-based, tie-safe)",
+    oracle=f"""
+        SELECT c_custkey,
+               CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               {sql_round_dbl('PERCENT_RANK() OVER '
+                              '(PARTITION BY c_nationkey ORDER BY c_acctbal)', 6)}
+                   AS pct_rank,
+               {sql_round_dbl('CUME_DIST() OVER '
+                              '(PARTITION BY c_nationkey ORDER BY c_acctbal)', 6)}
+                   AS cume
+        FROM customer
+        ORDER BY c_custkey
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two relative-position window functions the catalog lacked:
+    percent_rank ((rank-1)/(n-1)) and cume_dist (fraction of peers ≤
+    current), each balance within its nation. Both are RANK-based, not
+    row-number-based, so tied balances get identical values in both
+    engines regardless of physical tie order — the property that makes
+    them oracle-safe without a tiebreak column (the row_number entries
+    need one). Values are n-point rationals evaluated as one double
+    division, IEEE-identical cross-engine before the 1e-6 display round.
+
+    Plan shape: one window over hashpartitioning(c_nationkey) — ~25
+    parallel partitions, no global sort funnel (the two-phase-rank
+    discipline applies to windows ORDERED over the whole relation; a
+    keyed partition at nation cardinality is already parallel). One
+    exchange total. At 100 TB the nation-partitioned sort is per-key
+    bounded by customers-per-nation; for a skewed partition key the
+    two_phase_rank pattern in operators/advanced.py is the fallback."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        round_dbl(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_dbl(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_custkey")

@@ -182,3 +182,62 @@ def test_pagerank_until_settled_brackets_fixed_unroll(spark):
     top_fixed = [r["node"] for r in fixed.orderBy(F.desc("pagerank"), "node").limit(3).collect()]
     top_conv = [r["node"] for r in ranks.orderBy(F.desc("r"), "node").limit(3).collect()]
     assert top_fixed == top_conv
+
+
+def test_kcore_fixed_unroll_matches_python_peel(spark):
+    """Independent ground truth: the per-step (n_remaining, n_dropped)
+    histogram must equal a plain Python peel over the same edge list,
+    and the final step must report 0 drops (settlement) at sf0.01."""
+    sf = "/root/testdata/sf0.01"
+    from spark_jdbc_limit_spark.operators.graph import KCORE_ITERS, KCORE_K
+
+    edges = [
+        (r["s1"], r["s2"]) for r in _supplier_edges(spark, sf).collect()
+    ]
+    bi = edges + [(b, a) for a, b in edges]
+    nodes = {u for u, _ in bi}
+    expect = []
+    for _ in range(KCORE_ITERS):
+        deg: dict[int, int] = {}
+        for u, v in bi:
+            if u in nodes and v in nodes:
+                deg[u] = deg.get(u, 0) + 1
+        new = {n for n in nodes if deg.get(n, 0) >= KCORE_K}
+        expect.append((len(new), len(nodes) - len(new)))
+        nodes = new
+    got = [
+        (r["n_remaining"], r["n_dropped"])
+        for r in get_query("graph_kcore_peeling").builder(spark, sf).collect()
+    ]
+    assert got == expect
+    assert got[-1][1] == 0, "peeling must have settled inside the fixed window"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kcore_until_settled_matches_fixed_unroll(spark, sf):
+    """The production peel loop lands on the same core set the fixed
+    unroll reports (the unroll's final n_remaining == the settled node
+    count), within the fixed window on this data."""
+    from spark_jdbc_limit_spark.operators.graph import (
+        KCORE_ITERS,
+        kcore_until_settled,
+    )
+
+    core, rounds, settled = kcore_until_settled(spark, sf)
+    assert settled and rounds <= KCORE_ITERS + 1
+    fixed = get_query("graph_kcore_peeling").builder(spark, sf).collect()
+    assert core.count() == fixed[-1]["n_remaining"]
+
+
+def test_kcore_until_settled_handles_deeper_k(spark):
+    """K one notch above the oracle entry needs ~10 rounds at sf0.01 —
+    beyond the fixed window — and the harness keeps going: settled with
+    a non-trivial (possibly empty) core, proving the production posture
+    is not window-bound."""
+    from spark_jdbc_limit_spark.operators.graph import KCORE_ITERS, kcore_until_settled
+
+    core, rounds, settled = kcore_until_settled(
+        spark, "/root/testdata/sf0.01", k=4, max_rounds=30
+    )
+    assert settled
+    assert rounds > KCORE_ITERS, "K=4 should need more rounds than the fixed window"

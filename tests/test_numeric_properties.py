@@ -535,3 +535,44 @@ def test_seasonality_dow_index_rounding_margins():
             )
             checked += 1
     assert checked >= 14
+
+
+def test_matryoshka_rank_boundary_margins():
+    """embedding_matryoshka_truncation_audit compares engine-local
+    rankings of float cosines: the audit is sound only if the k-th /
+    (k+1)-th cosine gap at every anchor exceeds cross-engine fold-order
+    error (~d*eps) for BOTH the full and the prefix ranking. Numpy
+    replay at every shipped SF."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_jdbc_limit_spark.operators.similarity import (
+        MATRYOSHKA_ANCHORS,
+        MATRYOSHKA_DIMS,
+        MATRYOSHKA_K,
+    )
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        t = pq.read_table(path).to_pandas().sort_values("vec_id")
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        for width, tag in ((m.shape[1], "full"), (MATRYOSHKA_DIMS, "prefix")):
+            x = m[:, :width]
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            for a in range(MATRYOSHKA_ANCHORS):
+                cos = xn @ xn[a]
+                cos[a] = -np.inf  # self excluded
+                top = np.sort(cos)[::-1]
+                gap = top[MATRYOSHKA_K - 1] - top[MATRYOSHKA_K]
+                assert gap > 1e-9, (
+                    f"{sf}/{tag}/anchor{ids[a]}: k-boundary gap {gap:.2e} — "
+                    "rankings could flip cross-engine"
+                )
+                checked += 1
+    assert checked >= 32

@@ -61,6 +61,13 @@ RECENT_ADDITIONS = [
     "q12_priority_shipping",
     "q16_supplier_part_variety",
     "q9_product_type_profit",
+    # round 9: new surface
+    "agg_moments_skew_kurtosis",
+    "dq_functional_dependency_audit",
+    "window_percent_rank_cume_dist",
+    "text_bpe_top_pairs",
+    "embedding_matryoshka_truncation_audit",
+    "graph_kcore_peeling",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
