@@ -86,47 +86,27 @@ def _driver_sampled_names() -> set[str]:
     import os
     import warnings
 
+    import re
+
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names: set[str] = set()
     files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    # Per name, only the LATEST round's record decides: a green in an old
+    # round must not outvote a later red (a regression after a past green
+    # would otherwise rotate to the back and its fix never get re-drawn —
+    # the same starvation the red-record rule exists to prevent), and a
+    # later green supersedes an old red.
+    latest: dict[str, tuple[int, dict]] = {}
     for path in files:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else -1
         try:
             with open(path) as f:
                 data = json.load(f)
-            # A record whose driver check CRASHED (non-null err other than
-            # the by-design 'no_oracle' rows-only marker) is NOT verified:
-            # leave it out of the sampled set so it re-enters the next
-            # round's window once fixed, instead of rotating to the back
-            # unverified. A rows-only 'no_oracle' record likewise goes
-            # STALE once the query has since gained an oracle pair — the
-            # stronger three-way check hasn't run, so re-queue it. A RED
-            # record (any of rows/schema/hash false) is also NOT verified:
-            # the query has since been fixed (or will be) and must surface
-            # at the front of the sample window until the driver itself
-            # signs a green row — otherwise a one-round red rotates to the
-            # back and the fix never gets a driver signature (this bit
-            # round 6-8: sql_shared_text_rollup / join_bloom_prefilter).
-            # A GREEN record in ANY round marks the query sampled.
             for n, rec in data.items():
                 if not isinstance(rec, dict):
                     continue
-                if rec.get("err"):
-                    if rec["err"] != "no_oracle":
-                        continue  # crashed check — unverified
-                    spec = REGISTRY.get(n)
-                    if spec is not None and spec.oracle is not None:
-                        continue  # rows-only record, oracle now exists
-                    if not rec.get("rows_match", False):
-                        continue  # red rows-only record — re-queue
-                    names.add(n)
-                    continue
-                if not (
-                    rec.get("rows_match", False)
-                    and rec.get("schema_match", False)
-                    and rec.get("hash_match", False)
-                ):
-                    continue  # red three-way record — re-queue at front
-                names.add(n)
+                if n not in latest or rnd > latest[n][0]:
+                    latest[n] = (rnd, rec)
         except Exception as exc:  # unreadable round file never blocks import...
             # ...but silence here would let already-verified queries creep
             # back into the sampling window unnoticed
@@ -136,6 +116,37 @@ def _driver_sampled_names() -> set[str]:
                 RuntimeWarning,
                 stacklevel=2,
             )
+    names: set[str] = set()
+    # A record whose driver check CRASHED (non-null err other than the
+    # by-design 'no_oracle' rows-only marker) is NOT verified: leave it
+    # out of the sampled set so it re-enters the next round's window once
+    # fixed, instead of rotating to the back unverified. A rows-only
+    # 'no_oracle' record carries NO match verdict (the driver writes
+    # rows_match: null — it has nothing to compare against), so any
+    # non-crashed one counts as sampled — but it goes STALE once the
+    # query has since gained an oracle pair (the stronger three-way check
+    # hasn't run, so re-queue it). A RED three-way record (any of
+    # rows/schema/hash false) is NOT verified: the query must surface at
+    # the front of the sample window until the driver itself signs a
+    # green row — otherwise a one-round red rotates to the back and the
+    # fix never gets a driver signature (this bit round 6-8:
+    # sql_shared_text_rollup / join_bloom_prefilter).
+    for n, (_, rec) in latest.items():
+        if rec.get("err"):
+            if rec["err"] != "no_oracle":
+                continue  # crashed check — unverified
+            spec = REGISTRY.get(n)
+            if spec is not None and spec.oracle is not None:
+                continue  # rows-only record, oracle now exists
+            names.add(n)
+            continue
+        if not (
+            rec.get("rows_match", False)
+            and rec.get("schema_match", False)
+            and rec.get("hash_match", False)
+        ):
+            continue  # red three-way record — re-queue at front
+        names.add(n)
     if files and not names:
         warnings.warn(
             "rotation: CORRECTNESS files present but no sampled names parsed; "

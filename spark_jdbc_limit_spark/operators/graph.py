@@ -781,13 +781,18 @@ def run_until_settled(
 
     Settlement: after each round the new state is full-outer-joined to the
     previous one on ``key_cols`` and the changed rows are counted — a key
-    that appears or disappears counts as changed (BFS frontiers GROW, so an
-    inner join would silently under-count), as does any ``value_cols``
-    difference (null-safe; with ``tolerance`` set, numeric values within
-    the tolerance count as unchanged — the PageRank posture, where exact
-    equality of doubles never arrives). ``settled=False`` means the loop
-    hit ``max_rounds`` first; callers treat that as the convergence audit
-    failing, the same discipline as the fixed entries' ``n_unsettled``.
+    that appears or disappears counts as changed via explicit per-side
+    presence markers (BFS frontiers GROW and k-core states SHRINK; an
+    inner join would silently under-count, and inferring presence from a
+    value column would misread a legitimately-NULL value as absence), as
+    does any ``value_cols`` difference (null-safe; with ``tolerance``
+    set, numeric values within the tolerance count as unchanged — the
+    PageRank posture, where exact equality of doubles never arrives).
+    ``value_cols`` may be EMPTY for key-set-only states (k-core's
+    surviving-node set): settlement is then pure key-set equality.
+    ``settled=False`` means the loop hit ``max_rounds`` first; callers
+    treat that as the convergence audit failing, the same discipline as
+    the fixed entries' ``n_unsettled``.
 
     Scale posture: the per-round driver traffic is ONE count over the
     (node-cardinality) state relation — the standard Pregel-style
@@ -804,7 +809,13 @@ def run_until_settled(
     cur = state.localCheckpoint()
     for rounds in range(1, max_rounds + 1):
         nxt = step_fn(cur).localCheckpoint()
-        terms: list[Column] = []
+        # presence markers: the full-outer join coalesces key columns, so
+        # which side is missing must be carried explicitly — a value
+        # column cannot stand in (its legitimate NULLs would read as
+        # absence and eqNullSafe(NULL, NULL) as "unchanged")
+        terms: list[Column] = [
+            F.col("n._present").isNull() | F.col("c._present").isNull()
+        ]
         for vc in value_cols:
             a, b = F.col(f"n.{vc}"), F.col(f"c.{vc}")
             if tolerance is None:
@@ -814,8 +825,12 @@ def run_until_settled(
                     a.isNull() | b.isNull() | (F.abs(a - b) > F.lit(tolerance))
                 )
         changed = (
-            nxt.alias("n")
-            .join(cur.alias("c"), on=list(key_cols), how="full")
+            nxt.withColumn("_present", F.lit(1)).alias("n")
+            .join(
+                cur.withColumn("_present", F.lit(1)).alias("c"),
+                on=list(key_cols),
+                how="full",
+            )
             .filter(reduce(or_, terms))
             .count()
         )
@@ -1129,25 +1144,23 @@ def kcore_until_settled(
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = _bi_edges(edges).localCheckpoint(eager=False)
-    nodes = bi.select(F.col("u").alias("node")).distinct().select(
-        "node", F.lit(1).alias("alive")
-    )
+    nodes = bi.select(F.col("u").alias("node")).distinct()
 
     def step(cur: DataFrame) -> DataFrame:
-        keep = cur.select("node")
         return (
-            bi.join(F.broadcast(keep), F.col("u") == F.col("node"), "left_semi")
+            bi.join(F.broadcast(cur), F.col("u") == F.col("node"), "left_semi")
             .join(
-                F.broadcast(keep.select(F.col("node").alias("nv"))),
+                F.broadcast(cur.select(F.col("node").alias("nv"))),
                 F.col("v") == F.col("nv"),
                 "left_semi",
             )
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("dg"))
             .filter(F.col("dg") >= k)
-            .select(F.col("u").alias("node"), F.lit(1).alias("alive"))
+            .select(F.col("u").alias("node"))
         )
 
+    # key-set-only state: settlement is the node set itself
     return run_until_settled(
-        nodes, step, key_cols=["node"], value_cols=["alive"], max_rounds=max_rounds
+        nodes, step, key_cols=["node"], value_cols=[], max_rounds=max_rounds
     )

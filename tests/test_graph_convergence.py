@@ -21,7 +21,6 @@ from spark_jdbc_limit_spark.operators.graph import (
     BFS_ITERS,
     CC_ITERS,
     LPA_ITERS,
-    PAGERANK_DAMPING,
     _supplier_edges,
     bfs_hops_until_settled,
     connected_components_until_settled,
@@ -54,6 +53,49 @@ def test_run_until_settled_caps_at_max_rounds(spark):
     )
     assert (rounds, settled) == (4, False)
     assert final.agg(F.min("v")).first()[0] == 4
+
+
+def test_run_until_settled_null_valued_appearing_key_counts_as_changed(spark):
+    """An appearing key whose VALUE is NULL must still count as changed:
+    presence comes from explicit markers, not from a value column where
+    eqNullSafe(NULL, NULL) would read 'unchanged' (review r9)."""
+    calls = {"n": 0}
+
+    def step(s):
+        calls["n"] += 1
+        if calls["n"] == 1:  # adds a key carrying a NULL value
+            return s.unionAll(
+                s.sparkSession.createDataFrame([(99, None)], "k long, v long")
+            )
+        return s
+
+    state = spark.range(2).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    final, rounds, settled = run_until_settled(
+        state, step, key_cols=["k"], value_cols=["v"], max_rounds=5
+    )
+    assert settled and rounds == 2
+    assert final.count() == 3
+
+
+def test_run_until_settled_key_set_only_state(spark):
+    """value_cols=[] (key-set states like k-core's surviving nodes):
+    settlement is pure key-set equality — a shrinking set keeps counting
+    as change, an identical set settles."""
+    calls = {"n": 0}
+
+    def step(s):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # drop one key per round, twice
+            mx = s.agg(F.max("k")).first()[0]
+            return s.filter(F.col("k") < mx)
+        return s
+
+    state = spark.range(5).select(F.col("id").alias("k"))
+    final, rounds, settled = run_until_settled(
+        state, step, key_cols=["k"], value_cols=[], max_rounds=10
+    )
+    assert settled and rounds == 3  # two shrink rounds + one clean
+    assert final.count() == 3
 
 
 def test_run_until_settled_counts_appearing_keys_as_changed(spark):
@@ -156,10 +198,9 @@ def test_lpa_until_settled_reaches_fixpoint_beyond_fixed_window(spark):
 def test_pagerank_until_settled_brackets_fixed_unroll(spark):
     """PageRank is the family's float member: the tolerance-stopped run
     must (a) settle well under the round cap, (b) rank nodes in the same
-    order as the fixed 5-iteration entry, and (c) sit within the
-    geometric-tail bound tol·d/(1-d) of the fixed entry's unrounded
-    trajectory continued to the same stop — here pinned by value against
-    the registry entry's 1e-6-rounded ranks with the bound's slack."""
+    order as the fixed 5-iteration entry, and (c) sit within a
+    calibrated envelope of the fixed entry's ranks — tight enough that
+    a wrong fixpoint (e.g. the uniform initialization) fails it."""
     sf = "/root/testdata/sf0.01"
     tol = 1e-7
     ranks, rounds, settled = pagerank_until_settled(spark, sf, tolerance=tol)
@@ -169,12 +210,15 @@ def test_pagerank_until_settled_brackets_fixed_unroll(spark):
         "node", "r", "pagerank", F.abs(F.col("r") - F.col("pagerank")).alias("gap")
     )
     assert joined.count() == fixed.count() == ranks.count()
-    # fixed entry ran only 5 iterations: its distance to the fixpoint is
-    # bounded by the damping tail d^5/(1-d)·max_step; empirically the
-    # graph settles fast — pin a generous but meaningful envelope, plus
-    # identical top-5 ordering (what a consumer of PageRank reads).
+    # Envelope must be MEANINGFUL, not vacuous (review r9: the
+    # geometric-tail constant d^5/(1-d) ~= 2.96 exceeds any possible
+    # per-node gap on probability-scale ranks, so it could never fail).
+    # Calibration on this graph: converged-vs-5-iter gap measures 7e-4;
+    # a WRONG pagerank_until_settled that returned the uniform
+    # initialization would gap ~2.5e-2 against the fixed entry's
+    # 0.003..0.035 spread. 5e-3 separates the two by 5x each way.
     max_gap = joined.agg(F.max("gap")).first()[0]
-    assert max_gap < PAGERANK_DAMPING**5 / (1 - PAGERANK_DAMPING) + 1e-6
+    assert max_gap < 5e-3
     # top-3 ordering is stable across the trajectory tail; further down
     # the list sits a genuine near-tie (nodes within ~max_gap of each
     # other) that the extra iterations legitimately reorder — so the pin

@@ -133,8 +133,10 @@ def test_rotation_requeues_errored_and_stale_rows_only_records(monkeypatch, tmp_
         json.dumps(
             {
                 clean: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
-                with_oracle: {"rows_match": True, "err": "no_oracle"},  # stale: oracle exists now
-                without_oracle: {"rows_match": True, "err": "no_oracle"},  # still rows-only by design
+                # REAL driver shape for rows-only checks (r01-r05 on disk):
+                # all match fields null — there is no verdict to be red on
+                with_oracle: {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"},
+                without_oracle: {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"},
                 names[0]: {"err": "TypeError: unhashable type: 'list'"},
             }
         )
@@ -208,6 +210,42 @@ def test_rotation_requeues_red_records_at_front(monkeypatch, tmp_path):
     finally:
         ops.REGISTRY.clear()
         ops.REGISTRY.update(before)
+
+
+def test_rotation_latest_record_wins_green_then_red(monkeypatch, tmp_path):
+    """A green in an OLD round must not outvote a later red: only the
+    LATEST round's record per name decides. Without latest-wins, a
+    regression after a past green rotates to the back and its fix never
+    re-enters the driver window — the mirror image of the red-then-green
+    case the red-record rule fixed."""
+    import importlib
+    import json
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    names = list(ops.REGISTRY)
+    regressed = names[0]
+    f_old = tmp_path / "CORRECTNESS_r05.json"
+    f_old.write_text(
+        json.dumps(
+            {regressed: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}}
+        )
+    )
+    f_new = tmp_path / "CORRECTNESS_r11.json"
+    f_new.write_text(
+        json.dumps(
+            {regressed: {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}}
+        )
+    )
+    real_glob = importlib.import_module("glob").glob
+    # deliberately list the newer file FIRST: precedence must come from
+    # the round number in the filename, not glob order
+    monkeypatch.setattr(
+        "glob.glob",
+        lambda pattern: [str(f_new), str(f_old)] if "CORRECTNESS_r" in pattern else real_glob(pattern),
+    )
+    sampled = ops._driver_sampled_names()
+    assert regressed not in sampled, "later red must supersede the old green"
 
 
 def test_rfm_scalable_twin_matches_ntile_exactly(spark, sf_correct):
