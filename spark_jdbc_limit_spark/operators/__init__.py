@@ -35,6 +35,7 @@ from spark_jdbc_limit_spark.operators import file_sources  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import graph  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import sqltext  # noqa: E402,F401
 from spark_jdbc_limit_spark.operators import sketches  # noqa: E402,F401
+from spark_jdbc_limit_spark.operators import stats  # noqa: E402,F401
 
 #: Registry category → SURVEY.md §2B row (or LLM-pipeline area). The
 #: registry's categories are finer-grained than §2B's ten rows plus the

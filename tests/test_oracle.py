@@ -68,6 +68,14 @@ RECENT_ADDITIONS = [
     "text_bpe_top_pairs",
     "embedding_matryoshka_truncation_audit",
     "graph_kcore_peeling",
+    # round 9b: the drift/eval statistics family (operators/stats.py)
+    "eval_auc_rank_sum",
+    "drift_psi_snapshot_halves",
+    "drift_ks_two_sample",
+    "dq_chi_square_independence",
+    "eval_cohen_kappa_raters",
+    "drift_js_divergence_lang",
+    "customer_gini_revenue",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

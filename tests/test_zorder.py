@@ -51,14 +51,25 @@ def zorder_layouts(spark, sf_correct, tmp_path_factory):
     base = tmp_path_factory.mktemp("zorder")
     src = _events_2d(spark, sf_correct)
     z_path, lin_path = str(base / "zord"), str(base / "linear")
-    write_zordered(src, z_path, ["u", "v"], bits=10, num_files=16)
-    # the comparison layout: linearly sorted by the first dimension only
-    (
-        src.repartitionByRange(16, "u")
-        .sortWithinPartitions("u")
-        .write.mode("overwrite")
-        .parquet(lin_path)
-    )
+    # Range-exchange bounds come from a reservoir SAMPLE whose seed shifts
+    # with RDD ids, so file boundaries — and the row-group hit counts the
+    # skipping assertions below compare — drift with suite ordering. A
+    # sample hint >= the row count makes the bounds exact quantiles, so
+    # both layouts are deterministic regardless of what ran before.
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old = spark.conf.get(key)
+    spark.conf.set(key, 1_000_000)
+    try:
+        write_zordered(src, z_path, ["u", "v"], bits=10, num_files=16)
+        # the comparison layout: linearly sorted by the first dimension only
+        (
+            src.repartitionByRange(16, "u")
+            .sortWithinPartitions("u")
+            .write.mode("overwrite")
+            .parquet(lin_path)
+        )
+    finally:
+        spark.conf.set(key, old)
     return src, z_path, lin_path
 
 
