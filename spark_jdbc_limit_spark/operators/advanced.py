@@ -978,3 +978,146 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (zp > lp).alias("zorder_wins_trailing"), (ll >= zl).alias("lex_holds_leading")
     )
     return summary.crossJoin(F.broadcast(cmp)).orderBy("layout")
+
+
+@query(
+    "subquery_exists_any_all",
+    category="subquery",
+    description="EXISTS / NOT EXISTS / quantified ANY-ALL subqueries decomposed into semi/anti joins + broadcast extrema",
+    oracle="""
+        SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_orderpriority = '5-LOW')
+          AND c.c_acctbal > ANY (SELECT c2.c_acctbal FROM customer c2
+                                 WHERE c2.c_mktsegment = 'BUILDING')
+          AND c.c_acctbal < ALL (SELECT o3.o_totalprice FROM orders o3
+                                 WHERE o3.o_orderpriority = '1-URGENT'
+                                   AND o3.o_totalprice > 5000)
+        ORDER BY c.c_custkey
+    """,
+)
+def subquery_exists_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full quantified-subquery family in one predicate: EXISTS,
+    NOT EXISTS, ``> ANY`` and ``< ALL``. Spark SQL has no quantified
+    comparison (ANY/ALL over a subquery), so this entry pins the
+    standard decomposition every planner performs anyway — EXISTS →
+    left-semi join, NOT EXISTS → left-anti join, ``> ANY S`` →
+    ``> min(S)``, ``< ALL S`` → ``< min(S)`` — while the oracle runs the
+    genuine quantified SQL, proving the decomposition exact on this
+    data (all sets non-empty and null-free, the regime where the
+    min/max rewrite is unconditionally equivalent). Predicates are
+    tuned non-vacuous at every shipped SF (34 / 369 / 3654 rows at
+    sf0.001/0.01/0.1): the ALL ceiling sits just above 5000, mid-range
+    for acctbal, so the quantifier actually cuts.
+
+    Plan shape at 100 TB: both correlated predicates become shuffled
+    semi/anti joins on ``custkey`` (Catalyst plans exactly this for
+    EXISTS); the two quantifier sets reduce to single-row broadcast
+    extrema — no quantifier ever materializes its subquery per outer
+    row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    failed = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "5-LOW")
+    ).select("o_custkey")
+    any_floor = cust.filter(F.col("c_mktsegment") == "BUILDING").agg(
+        F.min("c_acctbal").alias("any_min")
+    )
+    all_ceiling = urgent.filter(F.col("o_totalprice") > 5000).agg(
+        F.min("o_totalprice").alias("all_min")
+    )
+    return (
+        cust.join(
+            urgent.select("o_custkey"),
+            cust["c_custkey"] == F.col("o_custkey"),
+            "leftsemi",
+        )
+        .join(failed, cust["c_custkey"] == failed["o_custkey"], "leftanti")
+        .crossJoin(F.broadcast(any_floor))
+        .crossJoin(F.broadcast(all_ceiling))
+        .filter(
+            (F.col("c_acctbal") > F.col("any_min"))
+            & (F.col("c_acctbal") < F.col("all_min"))
+        )
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "reshape_user_feature_matrix",
+    category="reshape",
+    description="Long-to-wide feature-matrix assembly: per-user event counts and purchase value via conditional aggregation",
+    oracle="""
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_error,
+               CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+                   AS purchase_value,
+               CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+                    THEN FLOOR((CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                                     AS DOUBLE)
+                                / SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END))
+                               * 10000.0 + 0.5) / 10000.0
+                    END AS click_through_rate
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def reshape_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long → wide feature assembly, the reshaping step in front of any
+    per-entity model: one conditional-aggregation pass turns the event
+    log into a fixed-width per-user feature row (typed counts, an exact
+    decimal money sum, a guarded ratio — views = 0 yields NULL in both
+    engines, never a division-by-zero artifact). Deliberately spelled as
+    ``SUM(CASE ...)`` rather than ``pivot()``: agg_pivot already pins
+    the pivot operator, and at 100 TB conditional aggregation is the
+    scalable form — a single map-side-combined shuffle on ``user_id``
+    with no second pass to discover the column set (the feature schema
+    is fixed by the pipeline contract, exactly as it must be for a
+    downstream trainer)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def n(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    pv = F.sum(
+        F.when(
+            F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)")
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    )
+    ctr = F.when(
+        n("view") > 0,
+        F.floor((n("click").cast("double") / n("view")) * 10000.0 + 0.5) / 10000.0,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n("view").cast("long").alias("n_view"),
+            n("click").cast("long").alias("n_click"),
+            n("purchase").cast("long").alias("n_purchase"),
+            n("signup").cast("long").alias("n_signup"),
+            n("error").cast("long").alias("n_error"),
+            F.round(pv, 2).cast("double").alias("purchase_value"),
+            ctr.alias("click_through_rate"),
+        )
+        .orderBy("user_id")
+    )

@@ -427,3 +427,68 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         round_dbl(F.percent_rank().over(w), 6).alias("pct_rank"),
         round_dbl(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "window_gaps_islands",
+    category="window",
+    description="Gaps-and-islands: per-customer streaks of consecutive active months via the index-minus-row_number trick",
+    oracle="""
+        WITH m AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                        + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS midx
+            FROM orders
+        ),
+        g AS (
+            SELECT o_custkey, midx,
+                   midx - ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                             ORDER BY midx) AS isl
+            FROM m
+        ),
+        islands AS (
+            SELECT o_custkey, isl, COUNT(*) AS len
+            FROM g GROUP BY o_custkey, isl
+        )
+        SELECT o_custkey,
+               CAST(SUM(len) AS BIGINT) AS n_active_months,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(MAX(len) AS BIGINT) AS longest_streak
+        FROM islands
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the classic streak detector (consecutive
+    active months per customer), via the canonical trick: on the
+    deduplicated (customer, month-index) relation, ``midx −
+    row_number()`` is constant exactly within a run of consecutive
+    months, so islands fall out of a groupBy on that difference. Month
+    index is pure integer arithmetic (year·12 + month), so both engines
+    bin identically; every output is an exact count.
+
+    Plan shape at 100 TB: the distinct and both groupBys share the
+    ``o_custkey`` hash partitioning (one shuffle, reused), and the
+    window is partitioned BY CUSTOMER — thousands of tiny independent
+    windows, never a global sort. The per-customer relation is bounded
+    by the calendar (≤ ~80 months), so no partition can skew."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+    ).distinct()
+    w = W.partitionBy("o_custkey").orderBy("midx")
+    g = m.withColumn("isl", F.col("midx") - F.row_number().over(w))
+    islands = g.groupBy("o_custkey", "isl").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_months"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.max("len").cast("long").alias("longest_streak"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -76,6 +76,10 @@ RECENT_ADDITIONS = [
     "eval_cohen_kappa_raters",
     "drift_js_divergence_lang",
     "customer_gini_revenue",
+    # round 9b: thin-category fill (subquery / reshape / window)
+    "subquery_exists_any_all",
+    "reshape_user_feature_matrix",
+    "window_gaps_islands",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
