@@ -704,3 +704,356 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates; CI bounds are the 2nd / (B-1)th order statistics
+#: of the replicate means (a ~[3%, 97%] interval at B=32 — the exact
+#: convention matters less than its determinism, which is total).
+BOOT_B = 32
+#: affine-xorshift-affine hash: two odd multipliers (Knuth / xxhash
+#: primes) around one xor-shift so replicate draws are NOT an affine
+#: (perfectly correlated) family across b; all arithmetic stays in
+#: [0, 2^31) so every intermediate fits int64 at ANY key scale.
+BOOT_M1 = 2_654_435_761
+BOOT_M2 = 2_246_822_519
+BOOT_MOD = 2_147_483_648
+#: Poisson(1) CDF thresholds scaled to 2^31: draw k copies when the
+#: hash lands in [T_{k-1}, T_k); tail capped at 5 (mass 5.9e-4).
+BOOT_T = [790015084, 1580030168, 1975037710, 2106706891, 2139624186]
+
+
+def _boot_cnt_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_T)
+    )
+    return f"CASE {arms} ELSE {len(BOOT_T)} END"
+
+
+def _boot_oracle() -> str:
+    return f"""
+        WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
+        e AS (
+            SELECT b, o_totalprice,
+                   ((o_orderkey * {BOOT_B} + b) % {BOOT_MOD}) * {BOOT_M1}
+                       % {BOOT_MOD} AS h1
+            FROM orders CROSS JOIN reps
+        ),
+        c AS (
+            SELECT b, o_totalprice,
+                   {_boot_cnt_sql(f'(xor(h1, h1 // 32768) * {BOOT_M2}) % {BOOT_MOD}')}
+                       AS cnt
+            FROM e
+        ),
+        g AS (
+            SELECT b, SUM(cnt) AS n_drawn,
+                   SUM(cnt * CAST(o_totalprice AS DECIMAL(18,6))) AS s
+            FROM c GROUP BY b
+        ),
+        m AS (
+            SELECT b, n_drawn, CAST(s AS DOUBLE) / n_drawn AS mean,
+                   ROW_NUMBER() OVER (ORDER BY CAST(s AS DOUBLE) / n_drawn, b) AS rk
+            FROM g
+        ),
+        ci AS (
+            SELECT MAX(CASE WHEN rk = 2 THEN mean END) AS lo,
+                   MAX(CASE WHEN rk = {BOOT_B - 1} THEN mean END) AS hi
+            FROM m
+        ),
+        p AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS pm
+            FROM orders
+        )
+        SELECT CAST(m.b AS BIGINT) AS replicate,
+               CAST(m.n_drawn AS BIGINT) AS n_drawn,
+               {sql_round_dbl('m.mean', 4)} AS boot_mean,
+               {sql_round_dbl('ci.lo', 4)} AS ci_lo,
+               {sql_round_dbl('ci.hi', 4)} AS ci_hi,
+               {sql_round_dbl('p.pm', 4)} AS point_mean
+        FROM m, ci, p ORDER BY replicate
+    """
+
+
+@query(
+    "agg_poisson_bootstrap_ci",
+    category="aggregation",
+    description=f"Poisson bootstrap: {BOOT_B} hash-seeded replicate means of order price with order-statistic CI",
+    oracle=_boot_oracle(),
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — THE distributed bootstrap: instead of
+    resampling n rows with replacement (which needs global coordination),
+    each row contributes Poisson(1) copies to each replicate, and the
+    replicate means' order statistics give the CI. Here the Poisson
+    draws are a pure function of (o_orderkey, replicate) — an affine →
+    xor-shift → affine hash into [0, 2^31) cut at the Poisson(1) CDF
+    thresholds — so the "randomness" is reproducible, shard-stable, and
+    engine-identical; replicate sums are exact decimals and each mean is
+    one double division. The CI bounds are the 2nd and 31st sorted
+    replicate means (picked BEFORE rounding, from bit-identical
+    doubles).
+
+    Plan shape: one generate (explode of the 32 replicate ids — a
+    narrow map, no shuffle) → one partial-aggregated groupBy(b) whose
+    shuffle carries 32 rows per input partition; the order-statistic
+    step runs on the 32-row replicate relation. At 100 TB this is one
+    pass over the data for a full uncertainty estimate — the reason
+    this construction (not classical resampling) is the production
+    form."""
+    o = load_table(spark, sf_dir, "orders")
+    e = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h1 = (
+        (F.col("o_orderkey") * BOOT_B + F.col("b")) % BOOT_MOD * BOOT_M1
+    ) % BOOT_MOD
+    u = (
+        h1.bitwiseXOR(F.floor(h1 / F.lit(32768)).cast("long")) * BOOT_M2
+    ) % BOOT_MOD
+    cnt = F.lit(len(BOOT_T))
+    for k in range(len(BOOT_T) - 1, -1, -1):
+        cnt = F.when(u < BOOT_T[k], k).otherwise(cnt)
+    g = (
+        e.withColumn("cnt", cnt)
+        .groupBy("b")
+        .agg(
+            F.sum("cnt").alias("n_drawn"),
+            F.sum(F.col("cnt") * F.col("o_totalprice").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    m = g.select(
+        "b",
+        "n_drawn",
+        (F.col("s").cast("double") / F.col("n_drawn")).alias("mean"),
+    ).withColumn(
+        "rk", F.row_number().over(Window.orderBy("mean", "b"))
+    )
+    ci = m.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean"))).alias("lo"),
+        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("mean"))).alias("hi"),
+    )
+    p = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pm")
+    )
+    return (
+        m.crossJoin(F.broadcast(ci))
+        .crossJoin(F.broadcast(p))
+        .select(
+            F.col("b").cast("long").alias("replicate"),
+            F.col("n_drawn").cast("long").alias("n_drawn"),
+            round_dbl(F.col("mean"), 4).alias("boot_mean"),
+            round_dbl(F.col("lo"), 4).alias("ci_lo"),
+            round_dbl(F.col("hi"), 4).alias("ci_hi"),
+            round_dbl(F.col("pm"), 4).alias("point_mean"),
+        )
+        .orderBy("replicate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed means
+# ---------------------------------------------------------------------------
+
+#: trim/winsorize tail fraction (two-sided 5%).
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def _winsor_oracle() -> str:
+    return f"""
+        WITH pct AS (
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, {WINSOR_LO}) AS p_lo,
+                   quantile_cont(c_acctbal, {WINSOR_HI}) AS p_hi
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c.c_acctbal BETWEEN p.p_lo AND p.p_hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               {sql_round_dbl('AVG(LEAST(GREATEST(c.c_acctbal, p.p_lo), p.p_hi))', 4)}
+                   AS winsorized_mean,
+               {sql_round_dbl(
+                   'SUM(CASE WHEN c.c_acctbal BETWEEN p.p_lo AND p.p_hi THEN c.c_acctbal END)'
+                   ' / SUM(CASE WHEN c.c_acctbal BETWEEN p.p_lo AND p.p_hi THEN 1 END)', 4)}
+                   AS trimmed_mean
+        FROM customer c JOIN pct p USING (c_mktsegment)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """
+
+
+@query(
+    "agg_winsorized_trimmed_means",
+    category="aggregation",
+    description="Winsorized and trimmed means of account balance per segment via exact percentile thresholds",
+    oracle=_winsor_oracle(),
+)
+def agg_winsorized_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location statistics — the outlier-resistant means quality
+    dashboards report when raw averages are swung by tail values:
+    winsorized (clamp into [p05, p95], keep every row) and trimmed
+    (drop outside, average the rest). Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation definition (the
+    percentile_exact entry pins this), so both engines clamp at
+    bit-identical thresholds; the means fold ≤ n doubles whose
+    fold-order error sits ~5 orders below the 1e-4 round at this
+    magnitude.
+
+    Plan shape: two passes over the customer relation (threshold agg,
+    then the robust-mean agg), joined by a 5-row broadcast — never a
+    per-group sort materialized to the driver. At 100 TB the exact
+    percentile pass is the cost ceiling; the documented scale swap is
+    approx_percentile (the approx_quantiles entry), which drops pass
+    one to mergeable sketch state with the same downstream algebra."""
+    cust = load_table(spark, sf_dir, "customer")
+    pct = cust.groupBy("c_mktsegment").agg(
+        F.expr(f"percentile(c_acctbal, {WINSOR_LO})").alias("p_lo"),
+        F.expr(f"percentile(c_acctbal, {WINSOR_HI})").alias("p_hi"),
+    )
+    j = cust.join(F.broadcast(pct), "c_mktsegment")
+    kept = F.col("c_acctbal").between(F.col("p_lo"), F.col("p_hi"))
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            round_dbl(F.avg(clamped), 4).alias("winsorized_mean"),
+            round_dbl(
+                F.sum(F.when(kept, F.col("c_acctbal")))
+                / F.sum(F.when(kept, 1)),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources
+# ---------------------------------------------------------------------------
+
+def _qnorm_oracle() -> str:
+    return """
+        WITH sg AS (
+            SELECT source, n_chars, COUNT(*) AS t
+            FROM documents GROUP BY source, n_chars
+        ),
+        sc AS (
+            SELECT source, n_chars, t,
+                   COALESCE(SUM(t) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS below,
+                   SUM(t) OVER (PARTITION BY source) AS ns
+            FROM sg
+        ),
+        gg AS (
+            SELECT n_chars, COUNT(*) AS gc
+            FROM documents GROUP BY n_chars
+        ),
+        gi AS (
+            SELECT n_chars AS gval,
+                   COALESCE(SUM(gc) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                       AS lo,
+                   COALESCE(SUM(gc) OVER (ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + gc
+                       AS hi
+            FROM gg
+        ),
+        ng AS (SELECT COUNT(*) AS n_g FROM documents),
+        idxd AS (
+            SELECT s.source, s.n_chars, s.t,
+                   GREATEST(1, LEAST(ng.n_g,
+                       ((2 * s.below + s.t + 1) * ng.n_g) // (2 * s.ns)))
+                       AS idx
+            FROM sc s CROSS JOIN ng
+        )
+        SELECT i.source, i.n_chars,
+               CAST(i.t AS BIGINT) AS n_docs,
+               CAST(g.gval AS BIGINT) AS norm_chars
+        FROM idxd i JOIN gi g ON i.idx BETWEEN g.lo AND g.hi
+        ORDER BY i.source, i.n_chars
+    """
+
+
+@query(
+    "pipeline_quantile_normalize_sources",
+    category="llm_pipeline",
+    description="Quantile normalization: map each source's length distribution onto the global quantile profile (all-integer)",
+    oracle=_qnorm_oracle(),
+)
+def pipeline_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — the cross-source score calibration a
+    mixture pipeline needs before one global threshold can filter
+    heterogeneous sources (a "quality 0.7" from a web crawl and from
+    curated text mean different things; after mapping each source's
+    empirical distribution onto the global quantile profile they
+    don't). Each (source, value) group takes its tie-averaged
+    within-source rank, rescales it to a global rank in PURE INTEGER
+    arithmetic (doubled-rank form, one floor-div), and looks up the
+    global value whose cumulative-count interval covers that rank —
+    every step exact, both engines bit-identical.
+
+    Plan shape: two partial-aggregated groupBys onto VALUE-DOMAIN
+    relations (distinct lengths ≈ 500, × ≤ 20 sources), cumulative
+    windows over those micro relations only (the per-source window
+    partitions by source over the grouped relation, never the corpus),
+    and the rank lookup is an interval join against a broadcast
+    ~500-row interval table. The corpus is scanned twice, shuffled
+    never wider than the value domain."""
+    d = load_table(spark, sf_dir, "documents")
+    sg = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("t"))
+    w_below = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sc = sg.select(
+        "source",
+        "n_chars",
+        "t",
+        F.coalesce(F.sum("t").over(w_below), F.lit(0)).alias("below"),
+        F.sum("t").over(Window.partitionBy("source")).alias("ns"),
+    )
+    gg = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("gc"))
+    g_below = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    gi = gg.select(
+        F.col("n_chars").alias("gval"),
+        (F.coalesce(F.sum("gc").over(g_below), F.lit(0)) + 1).alias("lo"),
+        (F.coalesce(F.sum("gc").over(g_below), F.lit(0)) + F.col("gc")).alias("hi"),
+    )
+    ng = d.agg(F.count(F.lit(1)).alias("n_g"))
+    idx = F.greatest(
+        F.lit(1),
+        F.least(
+            F.col("n_g"),
+            F.floor(
+                ((2 * F.col("below") + F.col("t") + 1) * F.col("n_g"))
+                / (2 * F.col("ns"))
+            ),
+        ),
+    )
+    idxd = sc.crossJoin(F.broadcast(ng)).withColumn("idx", idx)
+    return (
+        idxd.join(
+            F.broadcast(gi),
+            (F.col("idx") >= F.col("lo")) & (F.col("idx") <= F.col("hi")),
+        )
+        .select(
+            "source",
+            "n_chars",
+            F.col("t").cast("long").alias("n_docs"),
+            F.col("gval").cast("long").alias("norm_chars"),
+        )
+        .orderBy("source", "n_chars")
+    )

@@ -80,6 +80,10 @@ RECENT_ADDITIONS = [
     "subquery_exists_any_all",
     "reshape_user_feature_matrix",
     "window_gaps_islands",
+    # round 9b: resampling / robust-stats / calibration additions
+    "agg_poisson_bootstrap_ci",
+    "agg_winsorized_trimmed_means",
+    "pipeline_quantile_normalize_sources",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
