@@ -1057,3 +1057,260 @@ def pipeline_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS via normal equations (closed form, distributed power sums)
+# ---------------------------------------------------------------------------
+
+def _ols_sums_sql() -> str:
+    return """
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM feat
+    """
+
+
+#: shared Cramer's-rule SQL for the 3x3 normal-equation solve — ONE
+#: spelling rendered into BOTH engines (builder via F.expr), so the
+#: float dags are structurally identical and IEEE-identical.
+OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+OLS_B0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+OLS_B1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+OLS_B2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+
+def _ols_select_sql() -> str:
+    b0, b1, b2 = (f"({e} / {OLS_DET})" for e in (OLS_B0, OLS_B1, OLS_B2))
+    sse = f"(syy - {b0} * sy - {b1} * s1y - {b2} * s2y)"
+    sst = "(syy - sy * sy / n)"
+    return f"""
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               {sql_round_dbl(b0, 6)} AS beta_intercept,
+               {sql_round_dbl(b1, 6)} AS beta_month,
+               {sql_round_dbl(b2, 6)} AS beta_urgent,
+               {sql_round_dbl(f'1.0 - {sse} / {sst}', 6)} AS r_squared
+        FROM sums
+    """
+
+
+@query(
+    "orders_ols_normal_equations",
+    category="aggregation",
+    description="Two-feature OLS (month, urgent flag) via exact power sums and a shared Cramer's-rule solve",
+    oracle=f"""
+        WITH feat AS (
+            SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS x1,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS y
+            FROM orders
+        ),
+        sums AS ({_ols_sums_sql()})
+        {_ols_select_sql()}
+    """,
+)
+def orders_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS the way a 100 TB engine actually fits it: one
+    partial-aggregated pass collects the ten power sums (X'X and X'y
+    entries — integers and exact decimals, so both engines hold
+    bit-identical values), then the 3-unknown normal equations solve in
+    closed form via Cramer's rule ON THE SAME RENDERED EXPRESSION
+    STRING in both engines (module constants OLS_*), making the float
+    dags structurally identical and the divisions IEEE-identical. R²
+    comes from the same sums. This is the map-side-combine pattern
+    every distributed linear regression (MLlib's summarizer included)
+    reduces to; no iteration, no driver matrix, no UDF.
+
+    Plan shape: one corpus scan → ten-column partial aggregate → a
+    one-row relation where all algebra happens. At any scale the
+    shuffle is one row per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    feat = o.select(
+        F.month("o_orderdate").cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    feat.createOrReplaceTempView("feat")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW sums AS {_ols_sums_sql()}")
+    # Spark's SQL parser types the rounding literal 1000000.0 as DECIMAL
+    # (DuckDB types it DOUBLE), so the shared select lands in exact
+    # decimals here — cast to double (the exact quotient rounds to the
+    # identical IEEE double the oracle's double division produces).
+    out = spark.sql(_ols_select_sql())
+    return out.select(
+        "n_orders",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("beta_intercept", "beta_month", "beta_urgent", "r_squared")
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins (reliability diagram)
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+def _cal_oracle() -> str:
+    b = _psi_bucket_sql("d.n_chars", "e.mn", "e.mx")
+    return f"""
+        WITH ext AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx
+                     FROM documents),
+        binned AS (
+            SELECT {b} AS bin,
+                   CASE WHEN d.lang = '{AUC_POS_LANG}' THEN 1 ELSE 0 END AS pos
+            FROM documents d, ext e
+        ),
+        g AS (
+            SELECT bin, COUNT(*) AS n, SUM(pos) AS n_pos
+            FROM binned GROUP BY bin
+        )
+        SELECT CAST(bin AS BIGINT) AS bin,
+               CAST(n AS BIGINT) AS n,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               {sql_round_dbl('CAST(n_pos AS DOUBLE) / n', 6)} AS pos_rate,
+               {sql_round_dbl(
+                   'CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n) OVER ()', 6)}
+                   AS base_rate,
+               {sql_round_dbl(
+                   '(CAST(n_pos AS DOUBLE) / n)'
+                   ' / (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n) OVER ())', 6)}
+                   AS lift
+        FROM g ORDER BY bin
+    """
+
+
+@query(
+    "eval_calibration_bins",
+    category="llm_pipeline",
+    description=f"Reliability diagram: positive rate and lift per {CAL_BINS} equal-width score bins vs the base rate",
+    oracle=_cal_oracle(),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reliability diagram behind every 'is the scorer calibrated?'
+    review — AUC (eval_auc_rank_sum) says the scorer RANKS well;
+    calibration bins say whether its LEVELS mean anything: bin the
+    score into 10 equal-width integer bins (the PSI entry's clamp →
+    subtract → floor-div arithmetic, so both engines bin identically),
+    then compare each bin's positive rate to the global base rate as a
+    lift. Counts exact; each rate is one double division.
+
+    Plan shape: one broadcast of the 1-row extent onto the scan, one
+    partial-aggregated groupBy to ≤ 10 rows, window algebra on the
+    micro relation. One corpus pass (the extent pass shares the scan at
+    100 TB via the same ingest statistics)."""
+    d = load_table(spark, sf_dir, "documents")
+    ext = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    v = F.least(F.col("mx"), F.greatest(F.col("mn"), F.col("n_chars")))
+    b = F.least(
+        F.lit(CAL_BINS - 1),
+        F.floor((v - F.col("mn")) * CAL_BINS / (F.col("mx") - F.col("mn") + 1)),
+    )
+    g = (
+        d.crossJoin(F.broadcast(ext))
+        .select(
+            b.cast("long").alias("bin"),
+            (F.col("lang") == AUC_POS_LANG).cast("long").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos"))
+    )
+    wall = Window.partitionBy()
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    base = F.sum("n_pos").over(wall).cast("double") / F.sum("n").over(wall)
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        round_dbl(rate, 6).alias("pos_rate"),
+        round_dbl(base, 6).alias("base_rate"),
+        round_dbl(rate / base, 6).alias("lift"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Effective source count (mixture balance)
+# ---------------------------------------------------------------------------
+
+@query(
+    "mix_effective_source_count",
+    category="llm_pipeline",
+    description="Mixture balance: Shannon entropy of the source distribution and its exp (effective source count)",
+    oracle=f"""
+        WITH g AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        t AS (SELECT source, c, SUM(c) OVER () AS n, COUNT(*) OVER () AS s
+              FROM g),
+        h AS (
+            SELECT MAX(s) AS n_sources,
+                   SUM(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                       AS ent,
+                   MAX(ln(CAST(s AS DOUBLE))) AS maxent
+            FROM t
+        )
+        SELECT CAST(n_sources AS BIGINT) AS n_sources,
+               {sql_round_dbl('ent', 8)} AS entropy_nats,
+               {sql_round_dbl('exp(ent)', 6)} AS effective_sources,
+               {sql_round_dbl('ent / maxent', 6)} AS balance,
+               exp(ent) <= n_sources + 1e-9 AS within_count_bound
+        FROM h
+    """,
+)
+def mix_effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-balance number a curation review opens with: the
+    source distribution's Shannon entropy H and its exponential exp(H)
+    — the "effective number of sources" (20 sources contributing like
+    12 balanced ones is a very different corpus from 20 contributing
+    like 3). Balance = H / ln(S) normalizes to [0, 1]; exp(H) ≤ S is
+    emitted as an in-query invariant both engines must assert. Counts
+    exact; the ≤ 20 entropy terms fold far above the 1e-8 round's
+    grain.
+
+    Plan shape: one partial-aggregated groupBy(source) → all algebra on
+    the ≤ 20-row source relation."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    t = g.select(
+        "c",
+        F.sum("c").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wall).alias("s"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    h = t.agg(
+        F.max("s").alias("n_sources"),
+        F.sum(-p * F.log(p)).alias("ent"),
+        F.max(F.log(F.col("s").cast("double"))).alias("maxent"),
+    )
+    return h.select(
+        F.col("n_sources").cast("long").alias("n_sources"),
+        round_dbl(F.col("ent"), 8).alias("entropy_nats"),
+        round_dbl(F.exp(F.col("ent")), 6).alias("effective_sources"),
+        round_dbl(F.col("ent") / F.col("maxent"), 6).alias("balance"),
+        (F.exp(F.col("ent")) <= F.col("n_sources") + 1e-9).alias("within_count_bound"),
+    )

@@ -84,6 +84,10 @@ RECENT_ADDITIONS = [
     "agg_poisson_bootstrap_ci",
     "agg_winsorized_trimmed_means",
     "pipeline_quantile_normalize_sources",
+    # round 9b: closed-form regression / calibration / mixture balance
+    "orders_ols_normal_equations",
+    "eval_calibration_bins",
+    "mix_effective_source_count",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
