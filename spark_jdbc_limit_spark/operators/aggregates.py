@@ -1909,3 +1909,76 @@ def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("holds", F.col("n_violating") == 0)
         .orderBy("fd")
     )
+
+
+@query(
+    "orders_cohort_ltv_triangle",
+    category="aggregation",
+    description="Cohort LTV triangle: cumulative revenue by first-order month cohort x months-since-acquisition",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                        + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS midx,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        ),
+        cohort AS (SELECT o_custkey, MIN(midx) AS cmidx FROM m GROUP BY o_custkey),
+        cell AS (
+            SELECT c.cmidx AS cohort_month, m.midx - c.cmidx AS month_offset,
+                   COUNT(*) AS n_orders, SUM(m.price) AS rev
+            FROM m JOIN cohort c USING (o_custkey)
+            GROUP BY 1, 2
+        )
+        SELECT cohort_month,
+               CAST(month_offset AS BIGINT) AS month_offset,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+               CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort_month
+                                         ORDER BY month_offset), 2) AS DOUBLE)
+                   AS cum_revenue
+        FROM cell ORDER BY cohort_month, month_offset
+    """,
+)
+def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort lifetime-value triangle — the acquisition-economics
+    rollup (cumulative revenue per first-order-month cohort at each
+    month offset) that the events retention-cohort entry's revenue
+    sibling. Month indices are integer arithmetic; revenue stays an
+    exact 2dp decimal through BOTH the cell aggregate AND the running
+    cumulative (decimal window sums are exact in any fold order, unlike
+    doubles), so every output hash-matches without a tolerance.
+
+    Plan shape: the cohort relation is one partial-aggregated
+    groupBy(custkey) min; its join back to orders shares the custkey
+    hash partitioning; the triangle cells are calendar-bounded (≤ 80 ×
+    80 rows at any corpus scale) so the cumulative window runs on a
+    micro relation. Two fact-table shuffles total at 100 TB, both on
+    the same key."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cohort = m.groupBy("o_custkey").agg(F.min("midx").alias("cmidx"))
+    cell = (
+        m.join(cohort, "o_custkey")
+        .groupBy(
+            F.col("cmidx").alias("cohort_month"),
+            (F.col("midx") - F.col("cmidx")).alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("price").alias("rev"))
+    )
+    wc = W.partitionBy("cohort_month").orderBy("month_offset")
+    return cell.select(
+        "cohort_month",
+        F.col("month_offset").cast("long").alias("month_offset"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(wc), 2).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_month", "month_offset")

@@ -1230,3 +1230,53 @@ def text_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BPE_TOP_PAIRS)
         .orderBy("rnk")
     )
+
+
+@query(
+    "text_vocabulary_hapax",
+    category="llm_text",
+    description="Corpus vocabulary profile: type-token ratio and hapax legomena share (exact counts)",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(LOWER(text), ' ')) AS t
+            FROM documents
+        ),
+        freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               FLOOR((CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS type_token_ratio,
+               FLOOR((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS hapax_ratio
+        FROM freq
+    """,
+)
+def text_vocabulary_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth profile — the two numbers a corpus curator
+    reads before trusting token-count budgets: type-token ratio (lexical
+    diversity; synthetic or templated text shows an abnormally low TTR)
+    and the hapax legomena share (vocabulary still growing ⇒ high hapax
+    share; a plateaued crawl re-crawling itself ⇒ low). Pure integer
+    counts over the suite's canonical lowercase space-split tokenizer;
+    two double divisions at the end.
+
+    Plan shape: explode → one partial-aggregated groupBy(word) (THE
+    vocabulary shuffle every frequency-based text op pays — map-side
+    combine collapses repeated words before the exchange) → a global
+    fold of the frequency relation. At 100 TB the word relation is the
+    only exchanged data; hot words are pre-combined per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    ttr = F.count(F.lit(1)).cast("double") / F.sum("c")
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return freq.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        hap.cast("long").alias("n_hapax"),
+        (F.floor(ttr * 1000000.0 + 0.5) / 1000000.0).alias("type_token_ratio"),
+        (F.floor((hap.cast("double") / F.count(F.lit(1))) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "hapax_ratio"
+        ),
+    )

@@ -88,6 +88,10 @@ RECENT_ADDITIONS = [
     "orders_ols_normal_equations",
     "eval_calibration_bins",
     "mix_effective_source_count",
+    # round 9b: sequential drift / vocabulary / cohort economics
+    "drift_cusum_daily_revenue",
+    "text_vocabulary_hapax",
+    "orders_cohort_ltv_triangle",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
