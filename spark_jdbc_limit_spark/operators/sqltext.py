@@ -191,3 +191,130 @@ def sql_shared_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     the date key. Plan-wise this is an ordinary partial-aggregated
     grouped count; ALL is pure resolution sugar."""
     return _run_shared(spark, sf_dir, SQL_GROUP_ORDER_ALL, ("orders",))
+
+
+#: The three Spark-4 SQL dialect features below deliberately BREAK the
+#: module's shared-text rule: pipe syntax, session variables, and (for
+#: contrast) lateral alias chains are the Spark dialect surface itself,
+#: so each builder runs the Spark-4 spelling while the oracle is its
+#: ANSI desugaring — the parity claim is "the sugar resolves to exactly
+#: this standard query", checked by value hash.
+
+SQL_PIPE_ROLLUP = """
+    FROM orders
+    |> WHERE o_orderstatus = 'O'
+    |> AGGREGATE COUNT(*) AS n_orders,
+                 CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+       GROUP BY o_orderpriority
+    |> WHERE n_orders > 5
+    |> SELECT o_orderpriority, n_orders, n_urgent
+    |> ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "sql_pipe_syntax_rollup",
+    category="sql_text",
+    description="Spark 4 SQL pipe syntax (FROM |> WHERE |> AGGREGATE |> ...) vs its ANSI desugaring",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) > 5
+        ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (SPARK-49555, new in Spark 4.0): linear `|>`
+    stages replace the inside-out SELECT nesting — the post-aggregate
+    `|> WHERE` IS the HAVING clause, without the special keyword. The
+    oracle runs the exact ANSI desugaring, pinning that the sugar
+    changes nothing semantically. Plan-wise both compile to the same
+    partial-aggregated grouped count (Catalyst sees identical logical
+    plans), so this entry is pure dialect-surface coverage: count-only
+    aggregates per the module's no-float rule."""
+    return _run_shared(spark, sf_dir, SQL_PIPE_ROLLUP, ("orders",))
+
+
+@query(
+    "sql_session_variables",
+    category="sql_text",
+    description="SQL session variables (DECLARE / SET VAR) driving a data-derived filter",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > 2.0 * (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables (SPARK-46908, Spark 4.x): DECLARE a typed
+    variable, SET it FROM a scalar query over the data, then reference
+    it in a later statement — the multi-statement parameterization
+    pattern ETL scripts use instead of string templating. The oracle
+    inlines the variable's defining subquery, pinning that the
+    variable round-trip neither loses precision (the variable is
+    DOUBLE; the inlined AVG is the same double) nor changes semantics.
+    Scale-wise the variable materializes a 1-row driver value — the
+    SQL-script spelling of the broadcast-scalar pattern used across
+    this catalog."""
+    for t in ("customer",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql("DECLARE OR REPLACE VARIABLE v_cut DOUBLE")
+    spark.sql("SET VAR v_cut = (SELECT 2.0 * AVG(c_acctbal) FROM customer)")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_acctbal > v_cut
+        ORDER BY c_custkey
+        """
+    )
+
+
+SQL_LATERAL_ALIAS = """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           price * CAST(0.1 AS DOUBLE) AS tax,
+           price + tax AS total,
+           CASE WHEN total > 300000.0 THEN 'high' ELSE 'normal' END AS band
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+"""
+
+
+@query(
+    "sql_lateral_column_alias",
+    category="sql_text",
+    description="Lateral column aliases: a select-list expression chain referencing earlier aliases",
+    oracle="""
+        SELECT o_orderkey, price,
+               price * CAST(0.1 AS DOUBLE) AS tax,
+               price + price * CAST(0.1 AS DOUBLE) AS total,
+               CASE WHEN price + price * CAST(0.1 AS DOUBLE) > 300000.0
+                    THEN 'high' ELSE 'normal' END AS band
+        FROM (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS price
+            FROM orders
+            WHERE o_orderkey < 2000
+        )
+        ORDER BY o_orderkey
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (SPARK-27561, default-on since 3.4): each
+    select-list expression may reference aliases defined to its LEFT
+    (price → tax → total → band), removing the nested-subquery
+    boilerplate the oracle spells out. Each link is one IEEE double op
+    on the exact 2dp price, and the oracle repeats the identical
+    expression dags, so the chain hash-matches bit-for-bit. Resolution sugar only — both compile to
+    one projection over the pruned, filter-pushed scan."""
+    return _run_shared(spark, sf_dir, SQL_LATERAL_ALIAS, ("orders",))

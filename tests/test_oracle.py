@@ -92,6 +92,10 @@ RECENT_ADDITIONS = [
     "drift_cusum_daily_revenue",
     "text_vocabulary_hapax",
     "orders_cohort_ltv_triangle",
+    # round 9b: Spark-4 SQL dialect surface (pipe / variables / laterals)
+    "sql_pipe_syntax_rollup",
+    "sql_session_variables",
+    "sql_lateral_column_alias",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
