@@ -91,6 +91,7 @@ def main() -> None:
         _supplier_edges,
         graph_bfs_hops,
         graph_connected_components,
+        graph_jaccard_link_prediction,
         graph_kcore_peeling,
         graph_label_propagation,
         graph_triangle_stats,
@@ -117,6 +118,9 @@ def main() -> None:
         ),
         "graph_bfs_hops": lambda: graph_bfs_hops(spark, sf_dir, edges=edges),
         "graph_kcore_peeling": lambda: graph_kcore_peeling(spark, sf_dir, edges=edges),
+        "graph_jaccard_link_prediction": lambda: graph_jaccard_link_prediction(
+            spark, sf_dir, edges=edges
+        ),
     }
     # Marginal reps are round-robin passes like the main loop, so one VM
     # noise window lands in at most one rep of any marginal builder.

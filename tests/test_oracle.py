@@ -96,6 +96,8 @@ RECENT_ADDITIONS = [
     "sql_pipe_syntax_rollup",
     "sql_session_variables",
     "sql_lateral_column_alias",
+    # round 9b: graph link prediction
+    "graph_jaccard_link_prediction",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
