@@ -31,10 +31,16 @@ def asof_join(
     right_payload: list[str],
     suffix: str = "",
     num_salts: int = 1,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the most recent right row
     with ``right.on_right <= left.on_left`` and matching by-key
     (backward-inclusive as-of, DuckDB ``ASOF JOIN`` semantics).
+
+    ``direction="forward"`` flips the inequality: the EARLIEST right row
+    with ``right.on_right >= left.on_left`` wins (DuckDB ``ASOF ... ON
+    l.t <= r.t``) — same union-merge, with the window frame mirrored to
+    [current, following] and ``first(ignorenulls)`` instead of ``last``.
 
     Unmatched left rows keep NULL payload (left-outer as-of). If multiple
     right rows share (by, on) the one later in sort order wins — pre-dedupe
@@ -70,14 +76,27 @@ def asof_join(
         c for c in left_cols if c != by_left
     ]).unionByName(r_tagged, allowMissingColumns=True)
 
-    # Right rows (__side=0) sort before left rows at equal time → inclusive.
-    w = (
-        W.partitionBy(*part_keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # Right rows (__side=0) sort before left rows at equal time → inclusive.
+        w = (
+            W.partitionBy(*part_keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        fills = [F.last(c, ignorenulls=True).over(w) for c in payload]
+    elif direction == "forward":
+        # Right rows sort AFTER left rows at equal time so the
+        # [current, following] frame still sees an equal-time right row.
+        w = (
+            W.partitionBy(*part_keys)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        fills = [F.first(c, ignorenulls=True).over(w) for c in payload]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(c + "__filled") for c in payload]
+        "*", *[fill.alias(c + "__filled") for c, fill in zip(payload, fills)]
     )
     return (
         filled.filter(F.col("__side") == 1)

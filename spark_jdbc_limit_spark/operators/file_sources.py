@@ -828,3 +828,60 @@ def source_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_csv_multiline_quoted",
+    category="source",
+    description="CSV round-trip of RFC-hostile payloads: embedded delimiters, quotes, and newlines under multiLine read",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LENGTH('v,"' || text || '"' || chr(10) || lang))
+                    AS BIGINT) AS payload_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV edge cases that break naive splitters: every payload is
+    deliberately RFC-hostile — an embedded delimiter, an embedded double
+    quote, and an embedded NEWLINE — then written with RFC-4180 doubled
+    quotes (escape = quote char) and read back with ``multiLine=true``
+    (without it, Spark's line-splitting reader would shear each record
+    at the embedded newline). The oracle never touches the CSV: it
+    recomputes the per-language payload character totals from the
+    original table, so any quoting/escaping loss in the round-trip —
+    sheared rows, swallowed quotes, CRLF mangling — shifts a count or a
+    length and hash-fails.
+
+    Scale note: multiLine forces whole-file parsing (records can span
+    line boundaries, so the reader cannot split files); at 100 TB that
+    means MANY FILES carry the parallelism, not intra-file splits — the
+    documented cost of quoted-newline CSV, and the reason columnar
+    formats win for ingest."""
+    path = _staging("source_csv_multiline_quoted", sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('v,"'), F.col("text"), F.lit('"\n'), F.col("lang")
+        ).alias("payload"),
+    )
+    d.write.mode("overwrite").option("header", "true").option("escape", '"').csv(path)
+    back = (
+        spark.read.schema("doc_id long, lang string, payload string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("payload")).cast("long").alias("payload_chars"),
+        )
+        .orderBy("lang")
+    )

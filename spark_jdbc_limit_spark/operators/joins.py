@@ -841,3 +841,64 @@ def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("naaj_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders")
     return spark.sql(_NOT_IN_SQL.format(customer="naaj_customer", orders="naaj_orders"))
+
+
+@query(
+    "join_asof_forward",
+    category="join",
+    description="Forward as-of join: each event picks up the user's NEXT order at-or-after the event",
+    oracle="""
+        WITH r AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey ASC) AS rn
+            FROM orders
+        ), dedup AS (SELECT * FROM r WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               d.o_orderkey AS next_orderkey,
+               ROUND(d.o_totalprice, 2) AS next_totalprice
+        FROM events e
+        ASOF LEFT JOIN dedup d
+          ON e.user_id = d.o_custkey AND e.ts <= d.o_orderdate
+        ORDER BY e.event_id
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-inclusive as-of — "what did the user buy NEXT after this
+    event": the attribution-window direction (backward as-of answers
+    state-at-time; forward answers outcome-after-event, the label a
+    conversion model trains on). Same union-merge operator (asof.py),
+    mirrored: one shuffle on user_id, [current, following] frame,
+    first(ignorenulls); the right side pre-dedupes to one order per
+    (custkey, orderdate) — EARLIEST orderkey wins, mirroring the
+    backward twin's latest-wins — so the match is deterministic. The
+    oracle is DuckDB's native forward ASOF (ON e.ts <= d.o_orderdate),
+    a definitionally independent implementation."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.asc("o_orderkey"))
+    dedup = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    joined = asof_join(
+        ev,
+        dedup,
+        on_left="ts",
+        on_right="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_payload=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.round("o_totalprice", 2).alias("next_totalprice"),
+    )

@@ -543,3 +543,52 @@ def scalar_collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type_ci")
     )
+
+
+@query(
+    "scalar_regexp_funcs",
+    category="scalar",
+    description="Regexp function family: extract / extract-group / replace / count / boolean match",
+    oracle=r"""
+        SELECT p_partkey,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+               regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               CAST(LENGTH(p_name) - LENGTH(regexp_replace(p_name, '[aeiou]', '', 'g'))
+                    AS BIGINT) AS n_vowels,
+               regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words_exact
+        FROM part
+        WHERE p_partkey <= 500
+        ORDER BY p_partkey
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regexp function family on one relation — extraction (whole
+    match and a numbered group), global replacement, occurrence counting
+    (spelled as a length delta, the one formulation both engines share
+    verbatim), and boolean full-match. Patterns stay inside the
+    character-class/anchor/group subset where Java regex (Spark) and RE2
+    (DuckDB) agree by construction — the documented boundary: lookaround
+    or backreferences would be Java-only and do NOT belong in a
+    cross-engine pipeline contract. Spark's regexp_replace is
+    global-by-default where DuckDB needs the 'g' flag; the oracle spells
+    that explicitly.
+
+    Plan shape: pure projection over the pruned, filter-pushed scan —
+    regexps run inside whole-stage codegen, no UDF."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    devow = F.regexp_replace(name, "[aeiou]", "_")
+    gone = F.regexp_replace(name, "[aeiou]", "")
+    return (
+        p.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.regexp_extract(name, r"([a-z]+)", 1).alias("first_word"),
+            F.regexp_extract(name, r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+            devow.alias("devoweled"),
+            (F.length(name) - F.length(gone)).cast("long").alias("n_vowels"),
+            name.rlike(r"^[a-z]+ [a-z]+$").alias("two_words_exact"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -98,6 +98,10 @@ RECENT_ADDITIONS = [
     "sql_lateral_column_alias",
     # round 9b: graph link prediction
     "graph_jaccard_link_prediction",
+    # round 9b: forward as-of / regexp family / RFC-hostile CSV
+    "join_asof_forward",
+    "scalar_regexp_funcs",
+    "source_csv_multiline_quoted",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
