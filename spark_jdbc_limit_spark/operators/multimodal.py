@@ -664,3 +664,90 @@ def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= DHASH_HAMMING_T)
     )
+
+
+#: fingerprint framing: fixed-length frames; the bit string is the sign
+#: of successive frame-energy deltas (the Shazam-family primitive).
+FP_FRAME = 16
+
+
+def compute_audio_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas fingerprinter: REAL decode, frame into FP_FRAME-sample
+    windows, exact int64 energies, then one bit per successive-energy
+    comparison packed little-endian. Integer arithmetic end to end."""
+    for pdf in batches:
+        nfs, tes, fps = [], [], []
+        for payload in pdf["payload"]:
+            s = decode_wav(bytes(payload))["samples"].astype(np.int64)
+            nf = len(s) // FP_FRAME
+            eng = (s[: nf * FP_FRAME] ** 2).reshape(nf, FP_FRAME).sum(axis=1)
+            bits = (eng[1:] > eng[:-1]).astype(np.int64)
+            fps.append(int((bits << np.arange(nf - 1)).sum()))
+            nfs.append(nf)
+            tes.append(int(eng.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": np.asarray(nfs, dtype=np.int64),
+                "total_energy": np.asarray(tes, dtype=np.int64),
+                "fingerprint": np.asarray(fps, dtype=np.int64),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    category="llm_multimodal",
+    description=f"Audio fingerprint: sign-of-delta energies over {FP_FRAME}-sample frames, packed bits (exact int64)",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   (64 + (doc_id % 16) * 16) // {FP_FRAME} AS nf
+            FROM documents
+            WHERE n_chars >= 1
+        ),
+        e AS (
+            SELECT doc_id, nf,
+                   list_transform(range(0, nf), f ->
+                       list_sum(list_transform(range(0, {FP_FRAME}), i ->
+                           ((unicode(substring(text, ((f * {FP_FRAME} + i) % n) + 1, 1))
+                             - {WAV_CENTER}) * 256)
+                           * ((unicode(substring(text, ((f * {FP_FRAME} + i) % n) + 1, 1))
+                              - {WAV_CENTER}) * 256)
+                       ))) AS eng
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(list_sum(eng) AS BIGINT) AS total_energy,
+               CAST(COALESCE(list_sum(list_transform(range(0, nf - 1), f ->
+                   CASE WHEN eng[f + 2] > eng[f + 1]
+                        THEN (CAST(1 AS BIGINT) << f) ELSE 0 END)), 0) AS BIGINT)
+                   AS fingerprint
+        FROM e ORDER BY doc_id
+    """,
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprinting — the acoustic sibling of dHash:
+    render → REAL RIFF decode → fixed frames → one bit per successive
+    frame-energy comparison (the Shazam-family sign-of-delta primitive,
+    robust to gain because energy ORDER survives uniform scaling). Every
+    energy is an exact int64 sum of squared int16 samples, so unlike a
+    spectral hash there is no float threshold to flip — the DuckDB twin
+    recomputes every sample, energy, and packed bit from the source text
+    and must match bit-for-bit. Downstream, exact/banded Hamming dedup
+    on the fingerprint reuses the SimHash machinery in dedup.py, same as
+    the image path.
+
+    Plan shape: two payload-local mapInPandas stages, no shuffle; the
+    output is 3 longs per clip regardless of audio length. At 100 TB
+    the fingerprint replaces the waveform in every downstream join."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    with_payload = d.select("doc_id", "text").mapInPandas(
+        render_wav_payloads, "doc_id long, payload binary"
+    )
+    return with_payload.mapInPandas(
+        compute_audio_fingerprint,
+        "doc_id long, n_frames long, total_energy long, fingerprint long",
+    )

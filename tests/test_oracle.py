@@ -102,6 +102,8 @@ RECENT_ADDITIONS = [
     "join_asof_forward",
     "scalar_regexp_funcs",
     "source_csv_multiline_quoted",
+    # round 9b: acoustic fingerprint (multimodal)
+    "multimodal_audio_fingerprint",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
