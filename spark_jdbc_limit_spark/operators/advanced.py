@@ -1051,6 +1051,36 @@ def subquery_exists_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_feature_agg(ev: DataFrame) -> DataFrame:
+    """The feature-matrix aggregation itself, reusable on a batch OR a
+    streaming events relation (the streaming twin in streaming/windows.py
+    runs this verbatim in complete mode — a running per-user feature
+    store). No trailing sort here: streaming aggs cannot sort, and the
+    driver compare is order-insensitive."""
+
+    def n(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    pv = F.sum(
+        F.when(
+            F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)")
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    )
+    ctr = F.when(
+        n("view") > 0,
+        F.floor((n("click").cast("double") / n("view")) * 10000.0 + 0.5) / 10000.0,
+    )
+    return ev.groupBy("user_id").agg(
+        n("view").cast("long").alias("n_view"),
+        n("click").cast("long").alias("n_click"),
+        n("purchase").cast("long").alias("n_purchase"),
+        n("signup").cast("long").alias("n_signup"),
+        n("error").cast("long").alias("n_error"),
+        F.round(pv, 2).cast("double").alias("purchase_value"),
+        ctr.alias("click_through_rate"),
+    )
+
+
 @query(
     "reshape_user_feature_matrix",
     category="reshape",
@@ -1093,31 +1123,7 @@ def reshape_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable form — a single map-side-combined shuffle on ``user_id``
     with no second pass to discover the column set (the feature schema
     is fixed by the pipeline contract, exactly as it must be for a
-    downstream trainer)."""
-    ev = load_table(spark, sf_dir, "events")
-
-    def n(t: str):
-        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
-
-    pv = F.sum(
-        F.when(
-            F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)")
-        ).otherwise(F.lit(0).cast("decimal(18,6)"))
-    )
-    ctr = F.when(
-        n("view") > 0,
-        F.floor((n("click").cast("double") / n("view")) * 10000.0 + 0.5) / 10000.0,
-    )
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            n("view").cast("long").alias("n_view"),
-            n("click").cast("long").alias("n_click"),
-            n("purchase").cast("long").alias("n_purchase"),
-            n("signup").cast("long").alias("n_signup"),
-            n("error").cast("long").alias("n_error"),
-            F.round(pv, 2).cast("double").alias("purchase_value"),
-            ctr.alias("click_through_rate"),
-        )
-        .orderBy("user_id")
-    )
+    downstream trainer). The aggregation body is shared verbatim with
+    the streaming twin (``streaming.windows.stream_user_feature_matrix``,
+    pinned stream == batch in tests/test_streaming.py)."""
+    return user_feature_agg(load_table(spark, sf_dir, "events")).orderBy("user_id")

@@ -17,6 +17,7 @@ from spark_jdbc_limit_spark.streaming.windows import (
     stream_session_windows,
     stream_sliding_counts,
     stream_tumbling_counts,
+    stream_user_feature_matrix,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",
+    "stream_user_feature_matrix",
 ]

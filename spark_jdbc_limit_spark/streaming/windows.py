@@ -302,3 +302,17 @@ def stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v") % _FP_SUM_MOD).alias("sum_fp"),
         )
     )
+
+
+def stream_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user feature store: the SAME conditional-aggregation
+    body as the batch reshape_user_feature_matrix entry (imported, not
+    copied), running as a complete-mode streaming aggregation — each
+    trigger updates every user's fixed-width feature row. State is one
+    row per user (bounded by the entity universe, not the stream); on a
+    real cluster this is the online half of a feature store, and the
+    stream==batch pin in tests/test_streaming.py is exactly the
+    online/offline consistency check feature platforms audit."""
+    from spark_jdbc_limit_spark.operators.advanced import user_feature_agg
+
+    return user_feature_agg(events_stream(spark, sf_dir))

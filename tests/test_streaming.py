@@ -254,3 +254,16 @@ def test_fingerprint_stream_matches_batch_channels(spark, sf_dir):
         .toPandas()
     )
     compare_frames(got, want, "stream fingerprint vs batch")
+
+
+def test_feature_matrix_stream_matches_batch(spark, sf_dir):
+    """Online/offline feature-store consistency: the complete-mode
+    streaming feature matrix equals the batch reshape entry row-for-row
+    (same aggregation body, imported not copied)."""
+    from spark_jdbc_limit_spark.streaming.windows import stream_user_feature_matrix
+
+    got = run_stream_to_memory(
+        stream_user_feature_matrix(spark, sf_dir), "complete"
+    ).toPandas()
+    want = get_query("reshape_user_feature_matrix").builder(spark, sf_dir).toPandas()
+    compare_frames(got, want, "stream feature matrix vs batch twin")
