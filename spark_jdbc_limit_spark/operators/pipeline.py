@@ -1330,3 +1330,80 @@ def split_group_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "pipeline_dataset_card_report",
+    category="llm_pipeline",
+    description="Dataset-card corpus profile: per-language doc/token shares and exact means in one pass",
+    oracle="""
+        WITH g AS (
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS chars,
+                   SUM(len(string_split(text, ' '))) AS toks
+            FROM documents GROUP BY lang
+        ),
+        t AS (
+            SELECT lang, n_docs, chars, toks,
+                   SUM(n_docs) OVER () AS td, SUM(toks) OVER () AS tt
+            FROM g
+        )
+        SELECT lang,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               FLOOR((CAST(n_docs AS DOUBLE) / td) * 1000000.0 + 0.5) / 1000000.0
+                   AS doc_share,
+               CAST(toks AS BIGINT) AS n_tokens,
+               FLOOR((CAST(toks AS DOUBLE) / tt) * 1000000.0 + 0.5) / 1000000.0
+                   AS token_share,
+               FLOOR((CAST(chars AS DOUBLE) / n_docs) * 100.0 + 0.5) / 100.0
+                   AS mean_chars,
+               FLOOR((CAST(toks AS DOUBLE) / n_docs) * 100.0 + 0.5) / 100.0
+                   AS mean_tokens
+        FROM t ORDER BY lang
+    """,
+)
+def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card's composition table — the per-language doc/token
+    shares and density means every corpus release publishes (and every
+    mixture decision reads first). One partial-aggregated pass computes
+    exact integer doc/char/token counts per language; shares and means
+    are single double divisions from those integers, so the whole card
+    hash-matches. Token counts reuse the suite's canonical space-split
+    tokenizer, so the card cannot drift from the text-family entries.
+
+    Plan shape: one corpus scan → ≤ 5-row language relation → window
+    totals on that micro relation. At 100 TB this is the cheapest query
+    in the catalog per byte scanned — and the one you run on every
+    snapshot."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("toks"),
+    )
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+    t = g.select(
+        "lang",
+        "n_docs",
+        "chars",
+        "toks",
+        F.sum("n_docs").over(wall).alias("td"),
+        F.sum("toks").over(wall).alias("tt"),
+    )
+
+    def r(col, scale):
+        s = float(10**scale)
+        return F.floor(col * s + 0.5) / s
+
+    return t.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        r(F.col("n_docs").cast("double") / F.col("td"), 6).alias("doc_share"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        r(F.col("toks").cast("double") / F.col("tt"), 6).alias("token_share"),
+        r(F.col("chars").cast("double") / F.col("n_docs"), 2).alias("mean_chars"),
+        r(F.col("toks").cast("double") / F.col("n_docs"), 2).alias("mean_tokens"),
+    ).orderBy("lang")

@@ -104,6 +104,8 @@ RECENT_ADDITIONS = [
     "source_csv_multiline_quoted",
     # round 9b: acoustic fingerprint (multimodal)
     "multimodal_audio_fingerprint",
+    # round 9b: dataset-card composition profile
+    "pipeline_dataset_card_report",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

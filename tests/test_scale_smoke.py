@@ -114,6 +114,15 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         # and the min-plus iterative twin of CC
         "events_attribution_multitouch",
         "graph_bfs_hops",
+        # round-9b additions: wedge pair-space (link prediction), the
+        # 32x replicate explode (bootstrap), the value-domain claim of
+        # quantile normalization under 10x docs, the vocabulary shuffle,
+        # and the payload-local fingerprint path
+        "graph_jaccard_link_prediction",
+        "agg_poisson_bootstrap_ci",
+        "pipeline_quantile_normalize_sources",
+        "text_vocabulary_hapax",
+        "multimodal_audio_fingerprint",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
