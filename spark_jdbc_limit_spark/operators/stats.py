@@ -1072,8 +1072,8 @@ def pipeline_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> Dat
 # OLS via normal equations (closed form, distributed power sums)
 # ---------------------------------------------------------------------------
 
-def _ols_sums_sql() -> str:
-    return """
+def _ols_sums_sql(src: str = "feat") -> str:
+    return f"""
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                CAST(SUM(x1) AS DOUBLE) AS s1,
                CAST(SUM(x2) AS DOUBLE) AS s2,
@@ -1084,7 +1084,7 @@ def _ols_sums_sql() -> str:
                CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
                CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
                CAST(SUM(y * y) AS DOUBLE) AS syy
-        FROM feat
+        FROM {src}
     """
 
 
@@ -1113,7 +1113,7 @@ OLS_B2 = (
 )
 
 
-def _ols_select_sql() -> str:
+def _ols_select_sql(src: str = "sums") -> str:
     b0, b1, b2 = (f"({e} / {OLS_DET})" for e in (OLS_B0, OLS_B1, OLS_B2))
     sse = f"(syy - {b0} * sy - {b1} * s1y - {b2} * s2y)"
     sst = "(syy - sy * sy / n)"
@@ -1123,7 +1123,7 @@ def _ols_select_sql() -> str:
                {sql_round_dbl(b1, 6)} AS beta_month,
                {sql_round_dbl(b2, 6)} AS beta_urgent,
                {sql_round_dbl(f'1.0 - {sse} / {sst}', 6)} AS r_squared
-        FROM sums
+        FROM {src}
     """
 
 
@@ -1163,13 +1163,18 @@ def orders_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
-    feat.createOrReplaceTempView("feat")
-    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW sums AS {_ols_sums_sql()}")
+    # namespaced view names: generic "feat"/"sums" could collide with
+    # user views in a shared session
+    feat.createOrReplaceTempView("feat_ols_ne")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW sums_ols_ne AS "
+        + _ols_sums_sql("feat_ols_ne")
+    )
     # Spark's SQL parser types the rounding literal 1000000.0 as DECIMAL
     # (DuckDB types it DOUBLE), so the shared select lands in exact
     # decimals here — cast to double (the exact quotient rounds to the
     # identical IEEE double the oracle's double division produces).
-    out = spark.sql(_ols_select_sql())
+    out = spark.sql(_ols_select_sql("sums_ols_ne"))
     return out.select(
         "n_orders",
         *[
