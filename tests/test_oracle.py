@@ -106,6 +106,8 @@ RECENT_ADDITIONS = [
     "multimodal_audio_fingerprint",
     # round 9b: dataset-card composition profile
     "pipeline_dataset_card_report",
+    # round 9b: aggregate-as-window moving median
+    "window_moving_median_revenue",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
