@@ -458,3 +458,80 @@ def udf_arrow_map_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dbl(F.col("l2_norm"), 4).alias("l2_norm"),
         "dominant_dim",
     ).orderBy("vec_id")
+
+
+def _make_cents_sum_udaf():
+    """Grouped-agg pandas UDAF returning an exact int64 cents sum — built
+    for WINDOW use: int64 accumulation is order-independent (unlike the
+    float UDAF above), so the windowed result hash-matches SQL exactly."""
+
+    @F.pandas_udf("long")
+    def cents_sum(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    return cents_sum
+
+
+@query(
+    "udf_pandas_window_agg",
+    category="udf",
+    description="pandas grouped-agg UDAF applied AS A WINDOW FUNCTION: segment revenue share per customer",
+    oracle="""
+        WITH rev AS (
+            SELECT o.o_custkey, c.c_mktsegment,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT o_custkey, c_mktsegment,
+               cents AS revenue_cents,
+               CAST(SUM(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+                   AS segment_cents,
+               FLOOR((CAST(cents AS DOUBLE)
+                      / SUM(cents) OVER (PARTITION BY c_mktsegment))
+                     * 1000000.0 + 0.5) / 1000000.0 AS segment_share
+        FROM rev ORDER BY o_custkey
+    """,
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one Python-extension execution path the family did not yet
+    cover: a grouped-aggregate pandas UDAF invoked OVER A WINDOW
+    (Spark ships the whole partition's column to Python as one Arrow
+    batch per window partition and broadcasts the scalar back to its
+    rows). The UDAF accumulates exact int64 CENTS, so unlike a float
+    UDAF the windowed total is order-independent and the oracle's SQL
+    window SUM must match bit-for-bit — machinery verification with no
+    tolerance. The share is then one double division per row.
+
+    Plan shape: one join + partial-aggregated rollup to customer grain,
+    then a window per segment whose Python cost is one Arrow batch per
+    segment (5 here; entity-bounded). In production you'd only pay the
+    Python hop for semantics SQL lacks — this entry exists to pin that
+    the hop itself is lossless."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    cents_sum = _make_cents_sum_udaf()
+    w = W.partitionBy("c_mktsegment")
+    seg = cents_sum(F.col("cents")).over(w)
+    return rev.select(
+        "o_custkey",
+        "c_mktsegment",
+        F.col("cents").alias("revenue_cents"),
+        seg.alias("segment_cents"),
+        (F.floor((F.col("cents").cast("double") / seg) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "segment_share"
+        ),
+    ).orderBy("o_custkey")

@@ -108,6 +108,8 @@ RECENT_ADDITIONS = [
     "pipeline_dataset_card_report",
     # round 9b: aggregate-as-window moving median
     "window_moving_median_revenue",
+    # round 9b: pandas UDAF as a window function
+    "udf_pandas_window_agg",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
