@@ -1,7 +1,9 @@
 """Distribution-drift and model-eval statistics for training-data
-pipelines: AUC (rank-sum / Mann-Whitney), PSI, two-sample KS,
-chi-square independence, Cohen's kappa, Jensen-Shannon divergence, and
-the Gini/Lorenz concentration audit.
+pipelines: AUC (rank-sum / Mann-Whitney), PSI, two-sample KS, CUSUM,
+chi-square independence, Cohen's kappa, Jensen-Shannon divergence,
+calibration bins, the Gini/Lorenz concentration audit, the Poisson
+bootstrap CI, winsorized/trimmed means, closed-form OLS, effective
+source count, and cross-source quantile normalization.
 
 Why these live in a 100 TB data engine: every serious pretraining
 pipeline gates ingest behind exactly this family — a quality-classifier
