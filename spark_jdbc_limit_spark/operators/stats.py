@@ -1445,3 +1445,263 @@ def drift_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dbl(sd, 6).alias("cusum_down"),
         ((su > CUSUM_H) | (sd > CUSUM_H)).alias("alarm"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Correlation family: Pearson (exact power sums) and Spearman (tie-aware)
+# ---------------------------------------------------------------------------
+
+def _pearson_sql(x: str, y: str, n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    """One shared Cauchy-Schwarz-form Pearson expression over named sums —
+    rendered into BOTH engines so the float dags are identical."""
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    return (
+        f"({num} / (sqrt({n} * {sxx} - {sx} * {sx})"
+        f" * sqrt({n} * {syy} - {sy} * {sy})))"
+    )
+
+
+def _corr_oracle() -> str:
+    p = lambda a, b: _pearson_sql(
+        a, b, "n", f"s_{a}", f"s_{b}", f"s_{a}{a}", f"s_{b}{b}",
+        f"s_{a}{b}" if a < b else f"s_{b}{a}",
+    )
+    return f"""
+        WITH c AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS rev,
+                   COUNT(*) AS cnt, o_custkey
+            FROM orders GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+                   c.rev, c.cnt
+            FROM c JOIN customer cu ON cu.c_custkey = c.o_custkey
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(bal) AS DOUBLE) AS s_bal,
+                   CAST(SUM(rev) AS DOUBLE) AS s_rev,
+                   CAST(SUM(cnt) AS DOUBLE) AS s_cnt,
+                   CAST(SUM(CAST(bal AS DECIMAL(38,0)) * bal) AS DOUBLE) AS s_balbal,
+                   CAST(SUM(CAST(rev AS DECIMAL(38,0)) * rev) AS DOUBLE) AS s_revrev,
+                   CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DOUBLE) AS s_cntcnt,
+                   CAST(SUM(CAST(bal AS DECIMAL(38,0)) * rev) AS DOUBLE) AS s_balrev,
+                   CAST(SUM(CAST(bal AS DECIMAL(38,0)) * cnt) AS DOUBLE) AS s_balcnt,
+                   CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * rev) AS DOUBLE) AS s_cntrev
+            FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {sql_round_dbl(p('bal', 'rev'), 6)} AS corr_balance_revenue,
+               {sql_round_dbl(p('bal', 'cnt'), 6)} AS corr_balance_orders,
+               {sql_round_dbl(p('cnt', 'rev'), 6)} AS corr_orders_revenue
+        FROM s
+    """
+
+
+@query(
+    "agg_pearson_corr_matrix",
+    category="aggregation",
+    description="Pairwise Pearson correlations (balance/revenue/order-count) from one exact power-sum pass",
+    oracle=_corr_oracle(),
+)
+def agg_pearson_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairwise correlation matrix over customer-grain metrics,
+    computed the distributed way: ONE partial-aggregated pass collects
+    the nine cross power sums as exact integers (cents in int64,
+    cross-products widened to DECIMAL(38,0)/HUGEINT — int64 would
+    overflow Σ bal·rev at ~10× this SF), then each Pearson coefficient
+    is one shared expression string over those sums, IEEE-identical in
+    both engines. Deliberately NOT the built-in ``corr()``: engines
+    disagree on accumulation order and algorithm (Welford vs naive),
+    so the power-sum form is both the scalable spelling AND the only
+    hash-matchable one.
+
+    Plan shape: fact rollup to customer grain (one shuffle), broadcast
+    dim join, one global fold. At 100 TB the corr matrix costs exactly
+    one pass over the customer relation."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    c = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = c.join(
+        F.broadcast(
+            cu.select(
+                "c_custkey",
+                (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("bal"),
+            )
+        ),
+        c["o_custkey"] == F.col("c_custkey"),
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("bal").cast("double").alias("s_bal"),
+        F.sum("rev").cast("double").alias("s_rev"),
+        F.sum("cnt").cast("double").alias("s_cnt"),
+        F.sum(d38("bal") * F.col("bal")).cast("double").alias("s_balbal"),
+        F.sum(d38("rev") * F.col("rev")).cast("double").alias("s_revrev"),
+        F.sum(d38("cnt") * F.col("cnt")).cast("double").alias("s_cntcnt"),
+        F.sum(d38("bal") * F.col("rev")).cast("double").alias("s_balrev"),
+        F.sum(d38("bal") * F.col("cnt")).cast("double").alias("s_balcnt"),
+        F.sum(d38("cnt") * F.col("rev")).cast("double").alias("s_cntrev"),
+    )
+    s.createOrReplaceTempView("sums_corr_mx")
+    p = lambda a, b: _pearson_sql(
+        a, b, "n", f"s_{a}", f"s_{b}", f"s_{a}{a}", f"s_{b}{b}",
+        f"s_{a}{b}" if a < b else f"s_{b}{a}",
+    )
+    out = spark.sql(
+        f"""
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {sql_round_dbl(p('bal', 'rev'), 6)} AS corr_balance_revenue,
+               {sql_round_dbl(p('bal', 'cnt'), 6)} AS corr_balance_orders,
+               {sql_round_dbl(p('cnt', 'rev'), 6)} AS corr_orders_revenue
+        FROM sums_corr_mx
+        """
+    )
+    # Spark parses the rounding literal as DECIMAL (DuckDB: DOUBLE) — cast
+    # back; the exact decimal quotient rounds to the identical IEEE double.
+    return out.select(
+        "n_customers",
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in (
+                "corr_balance_revenue",
+                "corr_balance_orders",
+                "corr_orders_revenue",
+            )
+        ],
+    )
+
+
+def _spearman_oracle() -> str:
+    # tie-averaged ranks in doubled-integer form (2r = 2·below + t + 1),
+    # Pearson over those integers — exact until the final division.
+    p = _pearson_sql("x", "y", "n", "sx", "sy", "sxx", "syy", "sxy")
+    return f"""
+        WITH base AS (
+            SELECT CAST(CAST(cu.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+                   c.rev
+            FROM (SELECT o_custkey,
+                         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                              AS BIGINT) AS rev
+                  FROM orders GROUP BY o_custkey) c
+            JOIN customer cu ON cu.c_custkey = c.o_custkey
+        ),
+        rx AS (
+            SELECT bal,
+                   2 * (COALESCE(SUM(t) OVER (ORDER BY bal
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   + t + 1 AS r2
+            FROM (SELECT bal, COUNT(*) AS t FROM base GROUP BY bal)
+        ),
+        ry AS (
+            SELECT rev,
+                   2 * (COALESCE(SUM(t) OVER (ORDER BY rev
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                   + t + 1 AS r2
+            FROM (SELECT rev, COUNT(*) AS t FROM base GROUP BY rev)
+        ),
+        ranked AS (
+            SELECT rx.r2 AS x, ry.r2 AS y
+            FROM base JOIN rx USING (bal) JOIN ry USING (rev)
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {sql_round_dbl(p, 6)} AS spearman_rho
+        FROM s
+    """
+
+
+@query(
+    "agg_spearman_rank_correlation",
+    category="aggregation",
+    description="Spearman rank correlation (balance vs revenue) via tie-averaged doubled-integer ranks",
+    oracle=_spearman_oracle(),
+)
+def agg_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's rho — the MONOTONIC association the Pearson matrix
+    can't see (robust to outliers and any monotone transform): Pearson
+    over tie-averaged ranks. Ranks use the AUC entry's doubled-integer
+    form (2r = 2·below + t + 1 per tied value group, assembled via a
+    value-domain groupBy + cumulative window + a join back by value),
+    so every rank and power sum is an exact integer and rho is one
+    shared expression from bit-identical sums. The popular
+    1 − 6Σd²/(n(n²−1)) shortcut is WRONG under ties, which is exactly
+    why this entry computes the general form.
+
+    Plan shape: one fact rollup, one broadcast dim join, two
+    value-domain rank relations (each ≤ n rows, windows on the grouped
+    relation only), two hash joins back by value, one global fold. The
+    value-domain windows are single-task over distinct values — swap to
+    two_phase_rank if a variable's domain ever approaches row count at
+    scale (documented, same trade as the equi-depth audit)."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("rev")
+        )
+        .join(
+            F.broadcast(
+                cu.select(
+                    "c_custkey",
+                    (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+                    .cast("long")
+                    .alias("bal"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("bal", "rev")
+    )
+
+    def rank2(col: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return g.select(
+            col,
+            (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    ranked = base.join(rank2("bal"), "bal").join(rank2("rev"), "rev")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r2_bal").cast("double").alias("sx"),
+        F.sum("r2_rev").cast("double").alias("sy"),
+        F.sum(d38("r2_bal") * F.col("r2_bal")).cast("double").alias("sxx"),
+        F.sum(d38("r2_rev") * F.col("r2_rev")).cast("double").alias("syy"),
+        F.sum(d38("r2_bal") * F.col("r2_rev")).cast("double").alias("sxy"),
+    )
+    s.createOrReplaceTempView("sums_spearman")
+    out = spark.sql(
+        f"""
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               {sql_round_dbl(_pearson_sql('x', 'y', 'n', 'sx', 'sy', 'sxx', 'syy', 'sxy'), 6)}
+                   AS spearman_rho
+        FROM sums_spearman
+        """
+    )
+    return out.select(
+        "n_customers", F.col("spearman_rho").cast("double").alias("spearman_rho")
+    )

@@ -110,6 +110,9 @@ RECENT_ADDITIONS = [
     "window_moving_median_revenue",
     # round 9b: pandas UDAF as a window function
     "udf_pandas_window_agg",
+    # round 9b: correlation family (power-sum Pearson, tie-aware Spearman)
+    "agg_pearson_corr_matrix",
+    "agg_spearman_rank_correlation",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
