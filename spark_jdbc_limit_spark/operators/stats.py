@@ -1705,3 +1705,178 @@ def agg_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "n_customers", F.col("spearman_rho").cast("double").alias("spearman_rho")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR fences
+# ---------------------------------------------------------------------------
+
+IQR_K = 1.5
+
+
+def _iqr_oracle() -> str:
+    return f"""
+        WITH q AS (
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, 0.25) AS q1,
+                   quantile_cont(c_acctbal, 0.75) AS q3
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_round_dbl('MAX(q.q1)', 4)} AS q1,
+               {sql_round_dbl('MAX(q.q3)', 4)} AS q3,
+               {sql_round_dbl(f'MAX(q.q3 - q.q1)', 4)} AS iqr,
+               CAST(SUM(CASE WHEN c.c_acctbal < q.q1 - {IQR_K} * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+               CAST(SUM(CASE WHEN c.c_acctbal > q.q3 + {IQR_K} * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+        FROM customer c JOIN q USING (c_mktsegment)
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """
+
+
+@query(
+    "dq_outlier_iqr_fences",
+    category="aggregation",
+    description=f"Tukey fences per segment: Q1/Q3 +- {IQR_K}*IQR with exact outlier counts",
+    oracle=_iqr_oracle(),
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's boxplot fences — the third robust-statistics leg (the
+    winsorized entry fixes LOCATION, MAD fixes SCALE, the fences flag
+    MEMBERSHIP): per segment, Q1/Q3 via the pinned exact-percentile
+    parity, and counts outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. The fence
+    comparisons evaluate one fixed double dag per row from
+    bit-identical quantiles, so both counts are exact.
+
+    Plan shape: two passes over the customer relation joined by a
+    5-row broadcast — identical to the winsorized entry, and the same
+    approx-percentile swap applies at 100 TB."""
+    cu = load_table(spark, sf_dir, "customer")
+    q = cu.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    j = cu.join(F.broadcast(q), "c_mktsegment")
+    lo = F.col("q1") - IQR_K * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + IQR_K * (F.col("q3") - F.col("q1"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_dbl(F.max("q1"), 4).alias("q1"),
+            round_dbl(F.max("q3"), 4).alias("q3"),
+            round_dbl(F.max(F.col("q3") - F.col("q1")), 4).alias("iqr"),
+            F.sum(F.when(F.col("c_acctbal") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("c_acctbal") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation at seasonal lags
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 7, 30)
+
+
+def _acf_oracle() -> str:
+    arms = []
+    for k in ACF_LAGS:
+        arms.append(f"""
+        SELECT CAST({k} AS BIGINT) AS lag,
+               CAST(cnt AS BIGINT) AS n_pairs,
+               {sql_round_dbl(
+                   '(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)'
+                   ' * sqrt(n * syy - sy * sy))', 6)} AS acf
+        FROM (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(a.cents) AS DOUBLE) AS sx,
+                   CAST(SUM(b.cents) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.cents AS DECIMAL(38,0)) * a.cents) AS DOUBLE)
+                       AS sxx,
+                   CAST(SUM(CAST(b.cents AS DECIMAL(38,0)) * b.cents) AS DOUBLE)
+                       AS syy,
+                   CAST(SUM(CAST(a.cents AS DECIMAL(38,0)) * b.cents) AS DOUBLE)
+                       AS sxy,
+                   COUNT(*) AS cnt
+            FROM daily a JOIN daily b ON b.di = a.di + {k}
+        )""")
+    body = "\n        UNION ALL\n".join(arms)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS di,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY 1
+        )
+        {body}
+        ORDER BY lag
+    """
+
+
+@query(
+    "agg_autocorrelation_seasonal_lags",
+    category="aggregation",
+    description=f"Sample autocorrelation of daily revenue at lags {ACF_LAGS} (exact integer power sums)",
+    oracle=_acf_oracle(),
+)
+def agg_autocorrelation_seasonal_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation at the calendar's natural lags — lag 7 is THE
+    weekly-seasonality detector (complementing the day-of-week index
+    entry's magnitude view with a correlation view), lag 1 is
+    persistence, lag 30 the monthly echo. Each lag's ACF is the Pearson
+    coefficient of the (x_t, x_{t+k}) pair relation: revenue reduces to
+    exact integer cents, the lag join runs on integer day indices, and
+    the five power sums stay exact (DECIMAL(38,0)/HUGEINT) until the
+    one shared-form division — bit-identical in both engines.
+
+    Plan shape: one fact rollup to the calendar-bounded daily relation,
+    then per-lag self-joins and folds on that ~2.4k-row micro relation.
+    At any corpus scale only the first rollup touches the data."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01")).alias("di")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    outs = []
+    for k in ACF_LAGS:
+        a, b = daily.alias("a"), daily.alias("b")
+        pairs = a.join(b, F.col("b.di") == F.col("a.di") + k).select(
+            F.col("a.cents").alias("x"), F.col("b.cents").alias("y")
+        )
+        s = pairs.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(d38("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(d38("y") * F.col("y")).cast("double").alias("syy"),
+            F.sum(d38("x") * F.col("y")).cast("double").alias("sxy"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        acf = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+        outs.append(
+            s.select(
+                F.lit(k).cast("long").alias("lag"),
+                F.col("cnt").cast("long").alias("n_pairs"),
+                round_dbl(acf, 6).alias("acf"),
+            )
+        )
+    out = outs[0]
+    for rest in outs[1:]:
+        out = out.unionAll(rest)
+    return out.orderBy("lag")

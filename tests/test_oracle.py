@@ -113,6 +113,9 @@ RECENT_ADDITIONS = [
     # round 9b: correlation family (power-sum Pearson, tie-aware Spearman)
     "agg_pearson_corr_matrix",
     "agg_spearman_rank_correlation",
+    # round 9b: robust membership fences + seasonal autocorrelation
+    "dq_outlier_iqr_fences",
+    "agg_autocorrelation_seasonal_lags",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
