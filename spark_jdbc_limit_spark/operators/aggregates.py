@@ -1982,3 +1982,58 @@ def orders_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev"), 2).cast("double").alias("revenue"),
         F.round(F.sum("rev").over(wc), 2).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_month", "month_offset")
+
+
+@query(
+    "agg_rollup_grouping_id",
+    category="aggregation",
+    description="ROLLUP with GROUPING() flags: subtotal rows disambiguated from data NULLs",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS grouping_level,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY grouping_level, status, priority
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The disambiguation every ROLLUP consumer eventually needs:
+    subtotal rows carry NULL group keys, which is ambiguous the moment
+    a grouping column can itself be NULL in the data — ``GROUPING(col)``
+    is the standard's answer (1 = this NULL means "all values", 0 = a
+    real data value), and the packed grouping level is the bitmask
+    downstream BI tools key legends on. Both engines implement the
+    standard function, so the flags, the level, and the COALESCE'd
+    display keys hash-match exactly.
+
+    Plan shape: a single Expand + partial-aggregated hash aggregate —
+    identical physical shape to the plain rollup entry; the flags are
+    free metadata from the Expand's grouping-set id."""
+    o = load_table(spark, sf_dir, "orders")
+    # grouping() is only resolvable INSIDE the rollup's aggregate list
+    # (it reads the Expand's grouping-set id), so the flags are computed
+    # in agg() and the display projection runs downstream.
+    g_s = F.grouping("o_orderstatus").cast("long")
+    g_p = F.grouping("o_orderpriority").cast("long")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            g_s.alias("g_status"),
+            g_p.alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            (F.col("g_status") * 2 + F.col("g_priority")).alias("grouping_level"),
+            "n_orders",
+        )
+        .orderBy("grouping_level", "status", "priority")
+    )

@@ -116,6 +116,8 @@ RECENT_ADDITIONS = [
     # round 9b: robust membership fences + seasonal autocorrelation
     "dq_outlier_iqr_fences",
     "agg_autocorrelation_seasonal_lags",
+    # round 9b: GROUPING() subtotal disambiguation
+    "agg_rollup_grouping_id",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
