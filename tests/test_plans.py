@@ -1051,3 +1051,67 @@ def test_analyze_statistics_feed_cbo_estimates(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS stats_demo_t")
+
+
+def test_quantified_subquery_decomposition_shape(spark, sf_dir):
+    """The EXISTS/NOT EXISTS/ANY/ALL decomposition must plan as broadcast
+    semi/anti hash joins with the priority/status predicates pushed into
+    the orders scans and the quantifier sets reduced to broadcast
+    one-row extrema — never a per-row subquery or a cartesian."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("subquery_exists_any_all").builder(spark, sf_dir)
+    txt = plan_text(df)
+    assert "LeftSemi" in txt and "LeftAnti" in txt
+    assert_pushed_filters(df, "1-URGENT")
+    assert_no_python_udf_in_plan(df)
+    assert "CartesianProduct" not in txt
+
+
+def test_feature_matrix_single_agg_exchange(spark, sf_dir):
+    """Conditional aggregation = ONE map-side-combined shuffle on
+    user_id (plus the trailing presentation sort) — the reason it is
+    the scale-stable alternative to pivot."""
+    df = get_query("reshape_user_feature_matrix").builder(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert_no_python_udf_in_plan(df)
+
+
+def test_bootstrap_stays_jvm_side_one_exchange(spark, sf_dir):
+    """The Poisson draws are codegen'd hash arithmetic, not Python; the
+    only corpus-sized exchange is the 32-group partial aggregate."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("agg_poisson_bootstrap_ci").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    txt = plan_text(df)
+    assert "Generate" in txt  # the replicate explode
+    # exchanges: agg shuffle + micro-relation window/sort/broadcast plumbing;
+    # the corpus passes through exactly one of them
+    assert count_exchanges(df) <= 5
+
+
+def test_regexp_funcs_scan_shape(spark, sf_dir):
+    df = get_query("scalar_regexp_funcs").builder(spark, sf_dir)
+    assert_pushed_filters(df, "p_partkey")
+    assert_read_schema_cols(df, "part", {"p_partkey", "p_name"})
+    assert_no_python_udf_in_plan(df)
+
+
+def test_link_prediction_broadcasts_degrees_no_cartesian(spark, sf_dir):
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("graph_jaccard_link_prediction").builder(spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastHashJoin" in txt
+    assert "LeftAnti" in txt  # existing edges drop via anti join
+    assert "CartesianProduct" not in txt
+    assert_no_python_udf_in_plan(df)
+
+
+def test_correlation_matrix_single_fold(spark, sf_dir):
+    """Nine power sums in one partial-aggregated pass: fact shuffle on
+    custkey + the one-row global fold — nothing else."""
+    df = get_query("agg_pearson_corr_matrix").builder(spark, sf_dir)
+    assert_no_python_udf_in_plan(df)
+    assert count_exchanges(df) <= 3
