@@ -118,6 +118,8 @@ RECENT_ADDITIONS = [
     "agg_autocorrelation_seasonal_lags",
     # round 9b: GROUPING() subtotal disambiguation
     "agg_rollup_grouping_id",
+    # round 9b: experiment power analysis
+    "events_ab_power_analysis",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
