@@ -1880,3 +1880,110 @@ def agg_autocorrelation_seasonal_lags(spark: SparkSession, sf_dir: str) -> DataF
     for rest in outs[1:]:
         out = out.unionAll(rest)
     return out.orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (customer churn)
+# ---------------------------------------------------------------------------
+
+#: churn definition: a customer whose LAST order precedes the corpus
+#: horizon (global max order date) by more than this many days has
+#: "died" (churned); later last-orders are right-censored at horizon.
+KM_CHURN_DAYS = 90
+
+
+def _km_oracle() -> str:
+    return f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(MAX(CAST(o_orderdate AS DATE))
+                        - MIN(CAST(o_orderdate AS DATE)) AS BIGINT) AS dur,
+                   CASE WHEN MAX(CAST(o_orderdate AS DATE))
+                             <= (SELECT MAX(CAST(o_orderdate AS DATE))
+                                 FROM orders) - {KM_CHURN_DAYS}
+                        THEN 1 ELSE 0 END AS churned
+            FROM orders GROUP BY o_custkey
+        ),
+        t AS (
+            SELECT dur,
+                   CAST(SUM(churned) AS BIGINT) AS d,
+                   CAST(SUM(1 - churned) AS BIGINT) AS c
+            FROM cust GROUP BY dur
+        ),
+        r AS (
+            SELECT dur, d, c,
+                   SUM(d + c) OVER (ORDER BY dur DESC) AS n_risk
+            FROM t
+        )
+        SELECT dur AS duration_days,
+               CAST(n_risk AS BIGINT) AS n_at_risk,
+               d AS n_churned,
+               c AS n_censored,
+               {sql_round_dbl(
+                   'EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER (ORDER BY dur))',
+                   6)} AS survival
+        FROM r ORDER BY duration_days
+    """
+
+
+@query(
+    "customer_survival_kaplan_meier",
+    category="aggregation",
+    description=f"Kaplan-Meier churn survival curve with right-censoring at the {KM_CHURN_DAYS}-day horizon",
+    oracle=_km_oracle(),
+)
+def customer_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier — the product-limit survival estimator, and the
+    correct way to compute retention when observation windows are
+    unequal: naive churn rates throw away every still-active customer,
+    KM right-censors them (a customer whose last order is within 90
+    days of the corpus horizon hasn't 'died', we just stopped looking).
+    Per distinct activity-span duration t: at-risk n_t is a DESCENDING
+    cumulative count, and S(t) = Π_{{u≤t}}(1 − d_u/n_u) evaluates as
+    exp of a cumulative sum of logs — the one spelling whose per-step
+    float dag both engines share exactly (a literal running product
+    would fold differently). Counts are exact integers; each factor is
+    one division; the 1e-6 round sits far above the ≤1-ulp-per-term log
+    accumulation. A terminal d = n row yields ln(0) → −inf → S = 0
+    identically in both engines.
+
+    Plan shape: one fact-table shuffle to customer grain (with the
+    horizon as a broadcast scalar), then the duration-domain micro
+    relation (calendar-bounded, ≤ ~2.4k rows at any corpus scale)
+    carries the cumulative windows. This is the 100 TB form of survival
+    analysis: the corpus is touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("hmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last", "first").cast("long").alias("dur"),
+            F.when(
+                F.col("last") <= F.date_sub(F.col("hmax"), KM_CHURN_DAYS), 1
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    t = cust.groupBy("dur").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(1 - F.col("churned")).cast("long").alias("c"),
+    )
+    w_desc = Window.orderBy(F.desc("dur"))
+    r = t.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc))
+    w_asc = Window.orderBy("dur")
+    surv = F.exp(
+        F.sum(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))).over(w_asc)
+    )
+    return r.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        round_dbl(surv, 6).alias("survival"),
+    ).orderBy("duration_days")

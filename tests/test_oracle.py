@@ -120,6 +120,8 @@ RECENT_ADDITIONS = [
     "agg_rollup_grouping_id",
     # round 9b: experiment power analysis
     "events_ab_power_analysis",
+    # round 9b: survival analysis
+    "customer_survival_kaplan_meier",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

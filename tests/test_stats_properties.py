@@ -243,3 +243,26 @@ def test_quantile_normalization_is_rank_preserving_and_onto(spark):
     for _, grp in pdf.groupby("source"):
         g = grp.sort_values("n_chars")
         assert (g["norm_chars"].diff().dropna() >= 0).all()
+
+
+def test_kaplan_meier_matches_numpy_product_limit(spark):
+    o = _orders()
+    dt = pd.to_datetime(o["o_orderdate"]).dt.normalize()
+    g = pd.DataFrame({"k": o["o_custkey"], "d": dt}).groupby("k")["d"]
+    last, first = g.max(), g.min()
+    horizon = dt.max()
+    dur = (last - first).dt.days.to_numpy()
+    churned = (last <= horizon - pd.Timedelta(days=90)).to_numpy()
+    times = np.sort(np.unique(dur))
+    surv, s = {}, 1.0
+    for t in times:
+        n_risk = int((dur >= t).sum())
+        d = int(((dur == t) & churned).sum())
+        s *= 1.0 - d / n_risk
+        surv[t] = (n_risk, d, int(((dur == t) & ~churned).sum()), s)
+    rows = get_query("customer_survival_kaplan_meier").builder(spark, SF).collect()
+    assert len(rows) == len(times)
+    for r in rows:
+        n_risk, d, c, s = surv[r.duration_days]
+        assert (r.n_at_risk, r.n_churned, r.n_censored) == (n_risk, d, c)
+        assert abs(r.survival - s) < 1.1e-6, r.duration_days
