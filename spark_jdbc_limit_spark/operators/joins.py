@@ -902,3 +902,110 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("next_orderkey"),
         F.round("o_totalprice", 2).alias("next_totalprice"),
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    category="join",
+    description="Point-in-time join: each order picks the SCD2 user-state valid AT its order date (leakage-safe lookup)",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts AS valid_from, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        dedup AS (
+            SELECT user_id, event_type, valid_from
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id, valid_from
+                      ORDER BY event_id DESC) AS rn
+                  FROM changes)
+            WHERE rn = 1
+        ),
+        scd2 AS (
+            SELECT user_id, event_type, valid_from,
+                   LEAD(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY valid_from
+                   ) AS valid_to
+            FROM dedup
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               s.event_type AS state_at_order
+        FROM orders o
+        LEFT JOIN scd2 s
+          ON s.user_id = o.o_custkey
+         AND s.valid_from <= o.o_orderdate
+         AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+        ORDER BY o.o_orderkey
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The POINT-IN-TIME join — the feature-store operation that keeps
+    training data leakage-free: each fact row (an order) must see the
+    dimension state that was valid AT its own timestamp, never a later
+    one. Because SCD2 intervals partition each user's timeline, the PIT
+    lookup IS a backward as-of join against the interval START rows —
+    so the builder composes two existing operators (the SCD2
+    change-suppression build and asof.py's union-merge) into one
+    shuffle-on-user plan with no range-join row blowup. The oracle
+    instead joins the genuine interval predicate
+    [valid_from, valid_to) — a definitionally independent formulation,
+    so agreement pins that as-of-on-starts == interval-membership.
+    Change rows tied on (user, valid_from) pre-dedupe to the highest
+    event_id, the suite's as-of convention, making the match
+    deterministic.
+
+    Plan shape at 100 TB: the SCD2 build is one exchange + sort per its
+    entry; the PIT lookup is one more shuffle on the same key. Nothing
+    here multiplies rows — the classic naive PIT (range join then
+    row_number) pays an O(|facts|·|intervals-per-user|) intermediate
+    this formulation never materializes."""
+    from pyspark.sql import Window as W
+
+    from spark_jdbc_limit_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_ev).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w_tie = W.partitionBy("user_id", "valid_from").orderBy(F.desc("event_id"))
+    dedup = (
+        changes.withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "valid_from", F.col("event_type").alias("state_at_order"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = asof_join(
+        o,
+        dedup,
+        on_left="o_orderdate",
+        on_right="valid_from",
+        by_left="o_custkey",
+        by_right="user_id",
+        right_payload=["state_at_order"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "state_at_order",
+    ).orderBy("o_orderkey")

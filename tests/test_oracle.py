@@ -122,6 +122,8 @@ RECENT_ADDITIONS = [
     "events_ab_power_analysis",
     # round 9b: survival analysis
     "customer_survival_kaplan_meier",
+    # round 9b: point-in-time feature lookup (as-of == interval membership)
+    "join_point_in_time_scd2",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
