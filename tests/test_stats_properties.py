@@ -266,3 +266,109 @@ def test_kaplan_meier_matches_numpy_product_limit(spark):
         n_risk, d, c, s = surv[r.duration_days]
         assert (r.n_at_risk, r.n_churned, r.n_censored) == (n_risk, d, c)
         assert abs(r.survival - s) < 1.1e-6, r.duration_days
+
+
+def test_psi_matches_numpy(spark):
+    d = _docs()
+    ref = d[d["doc_id"] % 2 == 0]["n_chars"].to_numpy()
+    cur = d[d["doc_id"] % 2 == 1]["n_chars"].to_numpy()
+    mn, mx = int(ref.min()), int(ref.max())
+
+    def bucket(v):
+        v = np.clip(v, mn, mx)
+        return np.minimum(9, (v - mn) * 10 // (mx - mn + 1))
+
+    cr = np.bincount(bucket(ref), minlength=10)[:10]
+    cc = np.bincount(bucket(cur), minlength=10)[:10]
+    pr = (cr + 0.5) / (len(ref) + 5.0)
+    pc = (cc + 0.5) / (len(cur) + 5.0)
+    want = ((pc - pr) * np.log(pc / pr)).sum()
+    rows = get_query("drift_psi_snapshot_halves").builder(spark, SF).collect()
+    got = {r.bucket: r for r in rows}
+    for b in range(10):
+        assert (got[b].cnt_ref, got[b].cnt_cur) == (int(cr[b]), int(cc[b]))
+    assert abs(rows[0].psi_total - want) < 1.1e-6
+
+
+def test_ks_matches_numpy(spark):
+    d = _docs()
+    a = np.sort(d[d["doc_id"] % 2 == 0]["n_chars"].to_numpy())
+    b = np.sort(d[d["doc_id"] % 2 == 1]["n_chars"].to_numpy())
+    vals = np.unique(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(a, vals, side="right") / len(a)
+    ecdf_b = np.searchsorted(b, vals, side="right") / len(b)
+    want = np.abs(ecdf_a - ecdf_b).max()
+    row = get_query("drift_ks_two_sample").builder(spark, SF).collect()[0]
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert abs(row.d_stat - want) < 1.1e-6
+
+
+def test_js_divergence_matches_numpy(spark):
+    d = _docs()
+    langs = sorted(d["lang"].unique())
+    ce = d[d["doc_id"] % 2 == 0]["lang"].value_counts().reindex(langs).fillna(0)
+    co = d[d["doc_id"] % 2 == 1]["lang"].value_counts().reindex(langs).fillna(0)
+    L = len(langs)
+    p = (ce.to_numpy() + 0.5) / (ce.sum() + 0.5 * L)
+    q = (co.to_numpy() + 0.5) / (co.sum() + 0.5 * L)
+    m = (p + q) / 2
+    want = 0.5 * (p * np.log(p / m)).sum() + 0.5 * (q * np.log(q / m)).sum()
+    rows = get_query("drift_js_divergence_lang").builder(spark, SF).collect()
+    assert abs(rows[0].js_total - want) < 1.1e-8
+    assert want <= np.log(2) + 1e-12  # the in-query bound, independently
+
+
+def test_calibration_bins_match_numpy(spark):
+    d = _docs()
+    v = d["n_chars"].to_numpy()
+    pos = (d["lang"] == "en").to_numpy()
+    mn, mx = int(v.min()), int(v.max())
+    b = np.minimum(9, (np.clip(v, mn, mx) - mn) * 10 // (mx - mn + 1))
+    rows = get_query("eval_calibration_bins").builder(spark, SF).collect()
+    base = pos.mean()
+    for r in rows:
+        sel = b == r.bin
+        assert r.n == int(sel.sum()) and r.n_pos == int(pos[sel].sum())
+        assert abs(r.pos_rate - pos[sel].mean()) < 1.1e-6
+        assert abs(r.base_rate - base) < 1.1e-6
+
+
+def test_effective_source_count_matches_numpy(spark):
+    d = _docs()
+    c = d["source"].value_counts().to_numpy(dtype=float)
+    p = c / c.sum()
+    h = -(p * np.log(p)).sum()
+    row = get_query("mix_effective_source_count").builder(spark, SF).collect()[0]
+    assert row.n_sources == len(c)
+    assert abs(row.entropy_nats - h) < 1.1e-8
+    assert abs(row.effective_sources - np.exp(h)) < 1.1e-6
+    assert row.within_count_bound
+
+
+def test_power_analysis_matches_numpy(spark):
+    from spark_jdbc_limit_spark.operators.windowed_events import (
+        AB_CONV_MIN_VALUE,
+        POWER_MDE_REL,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ctl = ev[ev["user_id"] % 2 == 0]
+    conv = (
+        ctl[ctl["event_type"] == "purchase"].groupby("user_id")["value"].max()
+        > AB_CONV_MIN_VALUE
+    )
+    n = ctl["user_id"].nunique()
+    c = int(conv.sum())
+    p1 = c / n
+    p2 = p1 * (1 + POWER_MDE_REL)
+    pbar = (p1 + p2) / 2
+    num = POWER_Z_ALPHA * np.sqrt(2 * pbar * (1 - pbar)) + POWER_Z_BETA * np.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    want = int(np.ceil(num * num / (p2 - p1) ** 2))
+    row = get_query("events_ab_power_analysis").builder(spark, SF).collect()[0]
+    assert (row.n_control, row.c_control) == (n, c)
+    assert row.n_required_per_arm == want
+    assert row.currently_powered == (n >= want)
