@@ -1987,3 +1987,100 @@ def customer_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("c").alias("n_censored"),
         round_dbl(surv, 6).alias("survival"),
     ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes (beta-binomial) shrinkage
+# ---------------------------------------------------------------------------
+
+#: the per-document "quality pass" the source rates are computed from —
+#: same gate as the kappa entry's rater A, so the two stay comparable.
+EB_CHAR_GATE = 200
+
+
+def _eb_oracle() -> str:
+    return f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN n_chars >= {EB_CHAR_GATE}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ),
+        r AS (SELECT source, n, c, CAST(c AS DOUBLE) / n AS rate FROM src),
+        mom AS (
+            SELECT AVG(rate) AS m,
+                   SUM((rate - (SELECT AVG(rate) FROM r))
+                       * (rate - (SELECT AVG(rate) FROM r))) / COUNT(*) AS v
+            FROM r
+        ),
+        prior AS (
+            SELECT m, v, m * (1.0 - m) / v - 1.0 AS k FROM mom
+        )
+        SELECT r.source, r.n, r.c,
+               {sql_round_dbl('r.rate', 6)} AS raw_rate,
+               {sql_round_dbl('(r.c + p.m * p.k) / (r.n + p.k)', 6)}
+                   AS shrunk_rate,
+               {sql_round_dbl('p.k', 4)} AS prior_strength,
+               ABS((r.c + p.m * p.k) / (r.n + p.k) - p.m) <= ABS(r.rate - p.m)
+                   AS pulled_toward_prior
+        FROM r, prior p
+        ORDER BY r.source
+    """
+
+
+@query(
+    "mix_empirical_bayes_shrinkage",
+    category="llm_pipeline",
+    description="Beta-binomial empirical-Bayes shrinkage of per-source quality rates toward the method-of-moments prior",
+    oracle=_eb_oracle(),
+)
+def mix_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage — the fix for the leaderboard fallacy
+    every per-source quality ranking suffers (a 3-document source with
+    3 passes is NOT a 100% source): fit a Beta(α, β) prior to the
+    observed rate distribution by method of moments (prior strength
+    k = α+β = m(1−m)/v − 1), then report the posterior mean
+    (c + m·k)/(n + k), which pulls small-n sources toward the global
+    mean and leaves well-measured ones alone. The contraction property
+    (|shrunk − m| ≤ |raw − m|, strict for finite k > 0) is emitted as a
+    per-row in-query invariant both engines must assert. Counts are
+    exact; the rate/moment/posterior algebra is one fixed dag over ≤ 20
+    source rows, spelled identically in both engines.
+
+    Plan shape: one partial-aggregated groupBy(source) does all corpus
+    work; moments and posteriors run on the source micro relation with
+    a broadcast one-row prior. At 100 TB this is how mixture weights
+    actually get set."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("n_chars") >= EB_CHAR_GATE).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    r = src.withColumn("rate", F.col("c").cast("double") / F.col("n"))
+    wall = Window.partitionBy()
+    m_col = F.avg("rate").over(wall)
+    withm = r.withColumn("m", m_col)
+    mom = withm.agg(
+        F.max("m").alias("m"),
+        (F.sum((F.col("rate") - F.col("m")) * (F.col("rate") - F.col("m")))
+         / F.count(F.lit(1))).alias("v"),
+    )
+    prior = mom.select(
+        "m", "v", (F.col("m") * (1.0 - F.col("m")) / F.col("v") - 1.0).alias("k")
+    )
+    j = r.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("c") + F.col("m") * F.col("k")) / (F.col("n") + F.col("k"))
+    return j.select(
+        "source",
+        "n",
+        "c",
+        round_dbl(F.col("rate"), 6).alias("raw_rate"),
+        round_dbl(shrunk, 6).alias("shrunk_rate"),
+        round_dbl(F.col("k"), 4).alias("prior_strength"),
+        (F.abs(shrunk - F.col("m")) <= F.abs(F.col("rate") - F.col("m"))).alias(
+            "pulled_toward_prior"
+        ),
+    ).orderBy("source")

@@ -124,6 +124,8 @@ RECENT_ADDITIONS = [
     "customer_survival_kaplan_meier",
     # round 9b: point-in-time feature lookup (as-of == interval membership)
     "join_point_in_time_scd2",
+    # round 9b: empirical-Bayes mixture-rate shrinkage
+    "mix_empirical_bayes_shrinkage",
 ]
 _RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]

@@ -372,3 +372,22 @@ def test_power_analysis_matches_numpy(spark):
     assert (row.n_control, row.c_control) == (n, c)
     assert row.n_required_per_arm == want
     assert row.currently_powered == (n >= want)
+
+
+def test_empirical_bayes_shrinkage_matches_numpy(spark):
+    d = _docs()
+    g = d.groupby("source")["n_chars"]
+    n = g.size().sort_index()
+    c = g.apply(lambda s: int((s >= 200).sum())).sort_index()
+    rate = c / n
+    m, v = rate.mean(), rate.var(ddof=0)
+    k = m * (1 - m) / v - 1
+    shrunk = (c + m * k) / (n + k)
+    rows = get_query("mix_empirical_bayes_shrinkage").builder(spark, SF).collect()
+    for r in rows:
+        assert (r.n, r.c) == (int(n[r.source]), int(c[r.source]))
+        assert abs(r.shrunk_rate - shrunk[r.source]) < 1.1e-6
+        assert abs(r.prior_strength - k) < 1.1e-4
+        assert r.pulled_toward_prior
+    # contraction is strict for any finite k > 0 unless raw == m exactly
+    assert k > 0
