@@ -756,17 +756,24 @@ def two_phase_rank(
 ) -> DataFrame:
     """Global contiguous row rank WITHOUT a single-task window — the
     reusable form of ``global_rownum_two_phase``'s pattern, shared by
-    the z-order layout audit and the batch-padding audit. ``lead`` must
-    be the LEADING column of ``order_cols`` and numeric non-negative:
-    the adaptive-width monotonic bucket ``lead div w`` then preserves
-    the global order across buckets, every bucket ranks in parallel,
-    and per-bucket counts roll into offsets over a micro relation.
+    the z-order layout audit, the batch-padding audit, Gini, and
+    Spearman. ``lead`` must be the LEADING column of ``order_cols``
+    and numeric (negatives allowed: the extent is shifted to zero
+    before bucketing): the adaptive-width monotonic bucket
+    ``(lead - min) div w`` preserves the global order across buckets,
+    every bucket ranks in parallel, and per-bucket counts roll into
+    offsets over a micro relation (≤ ``buckets`` + 1 rows).
     Returns ``base``'s columns plus ``rank`` (1-based, long)."""
     from pyspark.sql.window import Window
 
-    width = F.greatest((F.max(lead) / buckets).cast("long") + 1, F.lit(1)).alias("w")
-    b = base.crossJoin(F.broadcast(base.agg(width))).withColumn(
-        "bkt", (F.col(lead) / F.col("w")).cast("long")
+    ext = base.agg(
+        F.min(lead).cast("long").alias("mn"),
+        F.greatest(
+            ((F.max(lead) - F.min(lead)) / buckets).cast("long") + 1, F.lit(1)
+        ).alias("w"),
+    )
+    b = base.crossJoin(F.broadcast(ext)).withColumn(
+        "bkt", ((F.col(lead) - F.col("mn")) / F.col("w")).cast("long")
     )
     local = b.withColumn(
         "local_rn",
@@ -789,7 +796,7 @@ def two_phase_rank(
     return (
         local.join(F.broadcast(offsets), "bkt")
         .withColumn("rank", (F.col("offset") + F.col("local_rn")).cast("long"))
-        .drop("bkt", "w", "local_rn", "offset")
+        .drop("bkt", "mn", "w", "local_rn", "offset")
     )
 
 

@@ -262,19 +262,33 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE; the inlined AVG is the same double) nor changes semantics.
     Scale-wise the variable materializes a 1-row driver value — the
     SQL-script spelling of the broadcast-scalar pattern used across
-    this catalog."""
-    for t in ("customer",):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    spark.sql("DECLARE OR REPLACE VARIABLE v_cut DOUBLE")
-    spark.sql("SET VAR v_cut = (SELECT 2.0 * AVG(c_acctbal) FROM customer)")
-    return spark.sql(
+    this catalog.
+
+    The temp view and the variable are NAMESPACED (customer_sessvar /
+    v_cut_sessvar) and the variable is dropped after the plan is built,
+    so a shared session's user views and state are never clobbered —
+    the same hygiene rule stats.py's feat_ols_ne views follow."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_sessvar"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE v_cut_sessvar DOUBLE")
+    spark.sql(
+        "SET VAR v_cut_sessvar ="
+        " (SELECT 2.0 * AVG(c_acctbal) FROM customer_sessvar)"
+    )
+    out = spark.sql(
         """
         SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
-        FROM customer
-        WHERE c_acctbal > v_cut
+        FROM customer_sessvar
+        WHERE c_acctbal > v_cut_sessvar
         ORDER BY c_custkey
         """
     )
+    # The variable's value is already bound into `out`'s analyzed plan
+    # (variable references resolve at analysis time), so dropping the
+    # session state here cannot change the result.
+    spark.sql("DROP TEMPORARY VARIABLE IF EXISTS v_cut_sessvar")
+    return out
 
 
 SQL_LATERAL_ALIAS = """

@@ -181,7 +181,8 @@ def _psi_oracle() -> str:
                CAST(cnt_cur AS BIGINT) AS cnt_cur,
                {sql_round_dbl('term', 6)} AS psi_term,
                {sql_round_dbl('SUM(term) OVER ()', 6)} AS psi_total,
-               SUM(term) OVER () < {PSI_MAJOR} AS stable_population
+               {sql_round_dbl('SUM(term) OVER ()', 6)} < {PSI_MAJOR}
+                   AS stable_population
         FROM terms ORDER BY bucket
     """
 
@@ -250,7 +251,10 @@ def drift_psi_snapshot_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_cur",
         round_dbl(F.col("term"), 6).alias("psi_term"),
         round_dbl(total, 6).alias("psi_total"),
-        (total < PSI_MAJOR).alias("stable_population"),
+        # The verdict compares the SAME rounded double that is emitted, so a
+        # total within fold-order ulps of the threshold cannot flip between
+        # Spark's and DuckDB's accumulation orders (ADVICE r9).
+        (round_dbl(total, 6) < PSI_MAJOR).alias("stable_population"),
     ).orderBy("bucket")
 
 
@@ -287,7 +291,8 @@ def _ks_oracle() -> str:
                {sql_round_dbl('d', 6)} AS d_stat,
                {sql_round_dbl(f'{KS_C_ALPHA} * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))', 6)}
                    AS ks_crit,
-               d > {KS_C_ALPHA} * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
+               {sql_round_dbl('d', 6)} >
+                   {sql_round_dbl(f'{KS_C_ALPHA} * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))', 6)}
                    AS distributions_differ
         FROM s
     """
@@ -335,7 +340,9 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.cast("long").alias("n_b"),
         round_dbl(dstat, 6).alias("d_stat"),
         round_dbl(crit, 6).alias("ks_crit"),
-        (dstat > crit).alias("distributions_differ"),
+        # Compare the emitted (rounded) doubles, not the raw folds — keeps
+        # the verdict engine-stable at threshold-grazing D (ADVICE r9).
+        (round_dbl(dstat, 6) > round_dbl(crit, 6)).alias("distributions_differ"),
     )
 
 
@@ -379,7 +386,7 @@ def _chi2_oracle() -> str:
                {sql_round_dbl('e', 4)} AS expected,
                {sql_round_dbl('SUM((o - e) * (o - e) / e) OVER ()', 4)} AS chi2_stat,
                CAST(dof AS BIGINT) AS dof,
-               SUM((o - e) * (o - e) / e) OVER () > {crit_case}
+               {sql_round_dbl('SUM((o - e) * (o - e) / e) OVER ()', 4)} > {crit_case}
                    AS independence_rejected
         FROM cells ORDER BY o_orderpriority, o_orderstatus
     """
@@ -439,7 +446,9 @@ def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dbl(F.col("e"), 4).alias("expected"),
         round_dbl(chi2, 4).alias("chi2_stat"),
         F.col("dof").cast("long").alias("dof"),
-        (chi2 > crit).alias("independence_rejected"),
+        # Rounded-statistic comparison: both engines test the identical
+        # emitted double against the exact table constant (ADVICE r9).
+        (round_dbl(chi2, 4) > crit).alias("independence_rejected"),
     ).orderBy("o_orderpriority", "o_orderstatus")
 
 
@@ -682,8 +691,13 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    ranked = two_phase_rank(rev, "cents", ["cents", "o_custkey"]).withColumnRenamed(
-        "rank", "i"
+    # `ranked` feeds the moment agg AND the top-decile filter; without the
+    # checkpoint the orders groupBy + whole rank pipeline would recompute
+    # per consumer (ADVICE r9). eager=False: materialized on first action.
+    ranked = (
+        two_phase_rank(rev, "cents", ["cents", "o_custkey"])
+        .withColumnRenamed("rank", "i")
+        .localCheckpoint(eager=False)
     )
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -691,7 +705,7 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
     )
     top = (
-        ranked.crossJoin(F.broadcast(ranked.agg(F.count(F.lit(1)).alias("nn"))))
+        ranked.crossJoin(F.broadcast(s.select(F.col("n").alias("nn"))))
         .filter(F.col("i") > F.col("nn") - F.floor(F.col("nn") / 10))
         .agg(F.sum("cents").cast("decimal(38,0)").alias("top_cents"))
     )
@@ -985,7 +999,8 @@ def _qnorm_oracle() -> str:
         idxd AS (
             SELECT s.source, s.n_chars, s.t,
                    GREATEST(1, LEAST(ng.n_g,
-                       ((2 * s.below + s.t + 1) * ng.n_g) // (2 * s.ns)))
+                       (CAST(2 * s.below + s.t + 1 AS HUGEINT) * ng.n_g)
+                           // (2 * s.ns)))
                        AS idx
             FROM sc s CROSS JOIN ng
         )
@@ -1011,9 +1026,11 @@ def pipeline_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> Dat
     empirical distribution onto the global quantile profile they
     don't). Each (source, value) group takes its tie-averaged
     within-source rank, rescales it to a global rank in PURE INTEGER
-    arithmetic (doubled-rank form, one floor-div), and looks up the
-    global value whose cumulative-count interval covers that rank —
-    every step exact, both engines bit-identical.
+    arithmetic (doubled-rank form, one DECIMAL(38,0) `div` here /
+    HUGEINT `//` in the oracle — 38-digit headroom, no double
+    round-trip), and looks up the global value whose cumulative-count
+    interval covers that rank — every step exact, both engines
+    bit-identical at any corpus scale.
 
     Plan shape: two partial-aggregated groupBys onto VALUE-DOMAIN
     relations (distinct lengths ≈ 500, × ≤ 20 sources), cumulative
@@ -1044,17 +1061,28 @@ def pipeline_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> Dat
         (F.coalesce(F.sum("gc").over(g_below), F.lit(0)) + F.col("gc")).alias("hi"),
     )
     ng = d.agg(F.count(F.lit(1)).alias("n_g"))
-    idx = F.greatest(
-        F.lit(1),
-        F.least(
-            F.col("n_g"),
-            F.floor(
-                ((2 * F.col("below") + F.col("t") + 1) * F.col("n_g"))
-                / (2 * F.col("ns"))
+    # The rescale quotient is done as DECIMAL(38,0) `div` — exact integral
+    # division, no double round-trip. long/long `/` yields a DOUBLE whose
+    # 2^53 mantissa would silently truncate the (2*below+t+1)*n_g product
+    # past ~7e7 docs (and the long product itself wraps at ~2e9 docs); the
+    # decimal product holds 38 digits and `div` floors exactly, matching
+    # the oracle's HUGEINT `//` at any corpus scale (ADVICE r9).
+    idxd = (
+        sc.crossJoin(F.broadcast(ng))
+        .withColumn(
+            "qnum",
+            (2 * F.col("below") + F.col("t") + 1).cast("decimal(19,0)")
+            * F.col("n_g").cast("decimal(19,0)"),
+        )
+        .withColumn("qden", (2 * F.col("ns")).cast("decimal(19,0)"))
+        .withColumn(
+            "idx",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.least(F.col("n_g"), F.expr("qnum div qden")),
             ),
-        ),
+        )
     )
-    idxd = sc.crossJoin(F.broadcast(ng)).withColumn("idx", idx)
     return (
         idxd.join(
             F.broadcast(gi),
@@ -1380,7 +1408,8 @@ def _cusum_oracle() -> str:
                {sql_round_dbl('rev', 2)} AS revenue,
                {sql_round_dbl('su', 6)} AS cusum_up,
                {sql_round_dbl('sd', 6)} AS cusum_down,
-               su > {CUSUM_H} OR sd > {CUSUM_H} AS alarm
+               {sql_round_dbl('su', 6)} > {CUSUM_H}
+                   OR {sql_round_dbl('sd', 6)} > {CUSUM_H} AS alarm
         FROM s ORDER BY day
     """
 
@@ -1443,7 +1472,9 @@ def drift_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_dbl(F.col("rev"), 2).alias("revenue"),
         round_dbl(su, 6).alias("cusum_up"),
         round_dbl(sd, 6).alias("cusum_down"),
-        ((su > CUSUM_H) | (sd > CUSUM_H)).alias("alarm"),
+        # Alarm from the emitted rounded sums so a threshold-grazing CUSUM
+        # cannot flip between engine accumulation orders (ADVICE r9).
+        ((round_dbl(su, 6) > CUSUM_H) | (round_dbl(sd, 6) > CUSUM_H)).alias("alarm"),
     ).orderBy("day")
 
 
@@ -1644,12 +1675,20 @@ def agg_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     1 − 6Σd²/(n(n²−1)) shortcut is WRONG under ties, which is exactly
     why this entry computes the general form.
 
-    Plan shape: one fact rollup, one broadcast dim join, two
-    value-domain rank relations (each ≤ n rows, windows on the grouped
-    relation only), two hash joins back by value, one global fold. The
-    value-domain windows are single-task over distinct values — swap to
-    two_phase_rank if a variable's domain ever approaches row count at
-    scale (documented, same trade as the equi-depth audit)."""
+    Plan shape: one fact rollup, one broadcast dim join, then each
+    variable's doubled rank comes from the shared ``two_phase_rank``
+    (monotonic bucket → per-bucket parallel row_number → micro offset
+    roll-up — NO single-task window anywhere): for the tied group of a
+    value, min(rank) + max(rank) = (below+1) + (below+t) = 2·below+t+1,
+    exactly the doubled tie-averaged rank, so one groupBy over the
+    ranked rows recovers r2 per value. Two hash joins back by value,
+    one global fold. Every relation after the rollup is
+    customer-cardinality-bounded and fully parallel (VERDICT r9 #2 —
+    the revenue-cents domain tracks customer cardinality, so the old
+    value-domain window was the repo's last unbounded single-task
+    sort)."""
+    from spark_jdbc_limit_spark.operators.advanced import two_phase_rank
+
     o = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
     base = (
@@ -1670,17 +1709,17 @@ def agg_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .select("bal", "rev")
+        # o_custkey is the unique tie-break the per-row global rank needs
+        .select("o_custkey", "bal", "rev")
+        # consumed by both rank pipelines and the final join — checkpoint
+        # so the rollup+dim join runs once, not three times
+        .localCheckpoint(eager=False)
     )
 
     def rank2(col: str) -> DataFrame:
-        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return g.select(
-            col,
-            (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias(
-                f"r2_{col}"
-            ),
+        rr = two_phase_rank(base.select(col, "o_custkey"), col, [col, "o_custkey"])
+        return rr.groupBy(col).agg(
+            (F.min("rank") + F.max("rank")).alias(f"r2_{col}")
         )
 
     ranked = base.join(rank2("bal"), "bal").join(rank2("rev"), "rev")

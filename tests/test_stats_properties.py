@@ -10,12 +10,17 @@ shipped corpus never exercises.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
 from spark_jdbc_limit_spark.operators import get_query
 
-SF = "/root/testdata/sf0.001"
+# Same resolution as conftest's sf_dir fixture, so the numpy replays and
+# the builders run against the SAME data the rest of the suite uses when
+# SPARK_GRAFT_TEST_SF_DIR overrides the smoke SF (ADVICE r9).
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _docs() -> pd.DataFrame:
