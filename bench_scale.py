@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Scaling bench (round-9 verdict #1): measure — don't argue — how the
+heaviest operators' wall-time grows with data volume.
+
+The corpus at ``$SPARK_GRAFT_SCALE_BASE`` (default sf0.01) is replicated
+R× for each R in ``$SPARK_GRAFT_SCALE_REPS`` (default ``1,10,100``) with
+replica-DISJOINT identity:
+
+- ``lineitem``: l_orderkey / l_suppkey / l_partkey shifted per replica →
+  the supplier co-order graph becomes R disjoint isomorphic copies (node
+  and edge count scale ×R, diameter and degree distribution constant —
+  volume scaling with structure held fixed).
+- ``orders``: o_orderkey / o_custkey shifted → R× the customer
+  population for the two-phase-rank entries.
+- ``documents``: doc_id shifted AND every non-leading token prefixed
+  with a replica tag, so replicas share (almost) no shingles — the
+  near-dup pair space scales ×R (each replica reproduces the base
+  corpus's internal duplicates), NOT ×R² as identical replicas would.
+- ``embeddings``: vec_id shifted AND the vector cyclically rolled by
+  ``rep mod dim`` — a norm-preserving direction change, so LSH buckets
+  and IVF cells fill ×R instead of stacking R identical vectors into
+  the same cell.
+
+Each (query, R) is timed with the noop sink (full JVM plan, no driver
+collection), two round-robin passes, MIN taken (shared-VM noise inflates
+but never deflates; queries whose first pass exceeds the cap run once).
+The per-query scaling exponent is the least-squares slope of
+log(wall) vs log(R) — ~1.0 is linear, the bar everything except the
+exact kNN join (inherently |Q|×|C| compute; its IVF twin is the linear
+scale path and is benched alongside as the comparator) must meet.
+
+Run:  python bench_scale.py          # writes BENCH_SCALE.json
+Env:  SPARK_GRAFT_SCALE_BASE  (default /root/testdata/sf0.01)
+      SPARK_GRAFT_SCALE_REPS  (default 1,10,100)
+      SPARK_GRAFT_SCALE_CPUS  (default 32)
+      SPARK_GRAFT_SCALE_WORK  (default /tmp/spark_graft_scale)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_jdbc_limit_spark import build_session  # noqa: E402
+from spark_jdbc_limit_spark.operators import REGISTRY  # noqa: E402
+
+#: The measured set: the verdict's named heavy family. `expected` is the
+#: a-priori complexity in the replication regime (R disjoint copies);
+#: anything measured materially above its expectation is a finding.
+QUERIES: dict[str, str] = {
+    "graph_connected_components": "linear",
+    "graph_kcore_peeling": "linear",
+    "graph_bfs_hops": "linear",
+    "graph_pagerank_supplier": "linear",
+    "dedup_jaccard_prefix_filter": "linear",
+    "dedup_minhash_verified": "linear",
+    "dedup_semantic_semdedup": "linear",
+    "agg_count_min_frequency_audit": "linear",
+    "customer_gini_revenue": "linear",
+    "ann_ivf_topk": "linear",
+    # exact kNN join: |Q| and |C| both scale with R, so compute is
+    # inherently R² — benched to MEASURE that honesty, with ann_ivf_topk
+    # right above it as the documented linear alternative at scale.
+    "ann_knn_join": "quadratic",
+}
+
+#: A first pass above this many seconds skips the second pass (the min
+#: of one sample is that sample; the cap bounds total bench time).
+SECOND_PASS_CAP_S = 150.0
+
+
+def _replicate(spark: SparkSession, base: str, out: str, r: int) -> None:
+    """Write the R×-replicated corpus under ``out`` (all scales — R=1
+    included — go through this writer so every scale reads the same
+    storage layout and the 1× point isn't advantaged by OS cache)."""
+    # rep must be LONG before any shift product: rep * 100_000_000 in
+    # int32 overflows at rep >= 22 (ANSI mode raises, not wraps). A
+    # generator can't be cast inline, so the sequence itself is long.
+    reps = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.lit(r - 1).cast("long"))
+    ).alias("rep")
+
+    d = spark.read.parquet(f"{base}/documents.parquet").select("*", reps)
+    d.select(
+        (F.col("doc_id").cast("long") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(" "),
+                F.concat(F.lit(" r"), F.col("rep").cast("string"), F.lit("_")),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    e = spark.read.parquet(f"{base}/embeddings.parquet").select("*", reps)
+    e.select(
+        (F.col("vec_id").cast("long") + F.col("rep") * 10_000_000).alias("vec_id"),
+        F.expr(
+            "concat(slice(embedding, pmod(rep, size(embedding)) + 1,"
+            "             size(embedding) - pmod(rep, size(embedding))),"
+            "       slice(embedding, 1, pmod(rep, size(embedding))))"
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet").select("*", reps)
+    li.select(
+        *[
+            (
+                (F.col(c).cast("long") + F.col("rep") * 100_000_000).alias(c)
+                if c == "l_orderkey"
+                else (F.col(c).cast("long") + F.col("rep") * 10_000_000).alias(c)
+                if c in ("l_suppkey", "l_partkey")
+                else F.col(c)
+            )
+            for c in spark.read.parquet(f"{base}/lineitem.parquet").columns
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    o = spark.read.parquet(f"{base}/orders.parquet").select("*", reps)
+    o.select(
+        *[
+            (
+                (F.col(c).cast("long") + F.col("rep") * 100_000_000).alias(c)
+                if c == "o_orderkey"
+                else (F.col(c).cast("long") + F.col("rep") * 10_000_000).alias(c)
+                if c == "o_custkey"
+                else F.col(c)
+            )
+            for c in spark.read.parquet(f"{base}/orders.parquet").columns
+        ]
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+        spark.read.parquet(f"{base}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.01")
+    reps = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_REPS", "1,10,100").split(",")
+    ]
+    cpus = int(os.environ.get("SPARK_GRAFT_SCALE_CPUS", "32"))
+    work = os.environ.get("SPARK_GRAFT_SCALE_WORK", "/tmp/spark_graft_scale")
+
+    spark = build_session(
+        app_name="bench_scale", cpus=cpus, shuffle_partitions=cpus
+    )
+
+    times: dict[str, dict[int, float]] = {name: {} for name in QUERIES}
+    for r in reps:
+        rd = f"{work}/x{r}"
+        shutil.rmtree(rd, ignore_errors=True)
+        t0 = time.perf_counter()
+        _replicate(spark, base, rd, r)
+        print(
+            f"# built {rd} in {time.perf_counter() - t0:.1f}s", file=sys.stderr
+        )
+        # warm: touch every table (footer + page reads → OS cache) and the
+        # Arrow worker pool, so the first measured query isn't charged it.
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            _noop(spark.read.parquet(f"{rd}/{t}.parquet"))
+        spark.range(0, cpus * 10, 1, cpus).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+
+        skip_second: set[str] = set()
+        for pass_i in range(2):
+            for name in QUERIES:
+                if pass_i == 1 and name in skip_second:
+                    continue
+                t0 = time.perf_counter()
+                _noop(REGISTRY[name].builder(spark, rd))
+                dt = time.perf_counter() - t0
+                cur = times[name].get(r)
+                times[name][r] = round(min(dt, cur) if cur else dt, 3)
+                if pass_i == 0 and dt > SECOND_PASS_CAP_S:
+                    skip_second.add(name)
+                print(
+                    f"# x{r} pass{pass_i + 1} {name}: {dt:.2f}s",
+                    file=sys.stderr,
+                )
+        shutil.rmtree(rd, ignore_errors=True)
+
+    out: dict[str, object] = {
+        "metric": "scale_exponent_max_linear_family",
+        "unit": "exponent",
+        "base": base,
+        "reps": reps,
+        "queries": {},
+    }
+    worst_linear = 0.0
+    for name, by_r in times.items():
+        xs = [math.log(r) for r in sorted(by_r)]
+        ys = [math.log(max(by_r[r], 1e-3)) for r in sorted(by_r)]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        slope = (
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+            if denom
+            else 0.0
+        )
+        out["queries"][name] = {  # type: ignore[index]
+            "t_by_replication": {str(r): by_r[r] for r in sorted(by_r)},
+            "exponent": round(slope, 3),
+            "expected": QUERIES[name],
+        }
+        if QUERIES[name] == "linear":
+            worst_linear = max(worst_linear, slope)
+    out["value"] = round(worst_linear, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -424,13 +424,18 @@ def _lpa_oracle() -> str:
 @query(
     "graph_label_propagation",
     category="graph",
-    description=f"Label-propagation communities ({LPA_ITERS} synchronous iterations) on the supplier co-order graph",
+    description=f"Label-propagation TRAJECTORY SNAPSHOT ({LPA_ITERS} synchronous iterations, NOT the fixpoint — see graph_lpa_until_settled) on the supplier co-order graph",
     oracle=_lpa_oracle(),
 )
 def graph_label_propagation(
     spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
 ) -> DataFrame:
-    """Community detection by synchronous label propagation: start every
+    """TRAJECTORY SNAPSHOT, not a fixpoint: this entry compares both
+    engines' state after exactly {LPA_ITERS} iterations (convergence on
+    this data arrives at round 10 — ``graph_lpa_until_settled`` is the
+    registry entry for the settled communities).
+
+    Community detection by synchronous label propagation: start every
     node at its own id; each iteration adopts the label most frequent
     among neighbors AND itself (the self-vote), ties to the SMALLEST
     label — the determinism that makes an iterative heuristic
@@ -1288,4 +1293,259 @@ def graph_jaccard_link_prediction(
             round_dbl(F.col("jac"), 6).alias("jaccard"),
         )
         .orderBy("s1", "s2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry entries for the UNTIL-SETTLED family (round-9 verdict #3)
+# ---------------------------------------------------------------------------
+#
+# The fixed-unroll entries above are the differential-testability trade;
+# the *_until_settled library loops are the 100x production posture. These
+# entries put the SETTLED variants in front of the driver too: the Spark
+# side runs the actual convergence loop (data-dependent round count, one
+# count() per round — the Pregel check), and the oracle computes the SAME
+# fixpoint independently — recursive CTEs for CC/BFS (whose fixpoints are
+# closed-form reachability/shortest-path), capped materialized unrolls
+# with stop detection for k-core/LPA (whose fixpoints are only defined by
+# their own iteration) — PLUS the settlement-audit columns:
+#
+# - ``rounds_run``: for the synchronous min-label/min-plus loops the
+#   first no-change round is analytically 1 + max over nodes of the
+#   shortest-path distance to the node's "source" (its component's min
+#   label, or the BFS root): state(k) = min within distance k, so state
+#   stops changing exactly when k exceeds that eccentricity. The oracle
+#   derives it from distances; the Spark side COUNTS it by looping. The
+#   two agreeing is a genuine cross-engine audit of the loop mechanics,
+#   not a copied constant. For the peel/vote loops the oracle finds the
+#   first step whose state equals its predecessor (set counts for the
+#   monotone-shrinking k-core; per-node label diffs for LPA).
+# - ``settled``: Spark emits the loop's own flag; the oracle emits TRUE
+#   (a fixpoint query IS settled by construction). A loop that hits
+#   max_rounds mismatches and the driver records red — that is the audit.
+
+#: Unroll cap for the k-core / LPA settled oracles: DuckDB can only
+#: express "iterate until no change" as a capped materialized unroll with
+#: stop detection. 24 covers the shipped SFs ~2.4x over (k-core settles
+#: in 3 rounds, LPA in 10 at sf0.01); past the cap the oracle's
+#: rounds_run goes NULL and the row goes red — loud, not silent.
+SETTLED_ORACLE_CAP = 24
+
+
+def _cc_settled_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        bi AS (SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
+        n0 AS (SELECT DISTINCT u AS node FROM bi),
+        reach(node, lbl) AS (
+            SELECT node, node FROM n0
+            UNION
+            SELECT b.v, r.lbl FROM reach r JOIN bi b ON b.u = r.node
+        ),
+        finl AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+        seeds AS (SELECT node FROM finl WHERE lbl = node),
+        dist(node, d) AS (
+            SELECT node, 0 FROM seeds
+            UNION
+            SELECT b.v, dd.d + 1 FROM dist dd JOIN bi b ON b.u = dd.node
+            WHERE dd.d < (SELECT COUNT(*) FROM n0)
+        ),
+        md AS (SELECT node, MIN(d) AS d FROM dist GROUP BY node),
+        rr AS (SELECT MAX(d) + 1 AS rounds FROM md)
+        SELECT CAST(f.lbl AS BIGINT) AS component,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run,
+               TRUE AS settled
+        FROM finl f CROSS JOIN rr GROUP BY f.lbl ORDER BY component
+    """
+
+
+@query(
+    "graph_cc_until_settled",
+    category="graph",
+    description="Connected components by min-label propagation looped to convergence, with driver-verified round count",
+    oracle=_cc_settled_oracle(),
+)
+def graph_cc_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``connected_components_until_settled`` as a registry entry: the
+    convergence LOOP (not a fixed unroll) runs on the Spark side, and
+    the oracle recomputes the fixpoint via a recursive reachability CTE
+    plus the analytic round count (1 + max shortest-path distance from
+    any node to its component's min-label node — the exact round the
+    synchronous min-with-self-loop propagation first produces no
+    change). Both engines agreeing on ``rounds_run`` verifies the loop
+    MECHANICS cross-engine, which the fixed entries cannot.
+
+    Scale posture: identical per-round plan to the fixed entry (edge
+    join + map-side-combined MIN, lineage cut per round); the loop adds
+    one node-cardinality count per round. The recursive oracle is
+    test-scale-only (its reach closure is O(component size²))."""
+    state, rounds, settled = connected_components_until_settled(spark, sf_dir)
+    return (
+        state.groupBy(F.col("lbl").cast("long").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("rounds_run", F.lit(int(rounds)).cast("long"))
+        .withColumn("settled", F.lit(bool(settled)))
+        .orderBy("component")
+    )
+
+
+def _bfs_settled_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        bi AS (SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
+        n0 AS (SELECT DISTINCT u AS node FROM bi),
+        src AS (SELECT MIN(node) AS node FROM n0),
+        dist(node, d) AS (
+            SELECT node, 0 FROM src
+            UNION
+            SELECT b.v, dd.d + 1 FROM dist dd JOIN bi b ON b.u = dd.node
+            WHERE dd.d < (SELECT COUNT(*) FROM n0)
+        ),
+        md AS (SELECT node, MIN(d) AS d FROM dist GROUP BY node),
+        rr AS (SELECT MAX(d) + 1 AS rounds FROM md)
+        SELECT CAST(m.d AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run, TRUE AS settled
+        FROM md m CROSS JOIN rr GROUP BY m.d ORDER BY hops
+    """
+
+
+@query(
+    "graph_bfs_until_settled",
+    category="graph",
+    description="BFS hop histogram from the min-id node, frontier looped to convergence, with driver-verified round count",
+    oracle=_bfs_settled_oracle(),
+)
+def graph_bfs_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bfs_hops_until_settled`` as a registry entry (reached nodes
+    only — the fixed entry's ``hops = -1`` bucket is an anti-join
+    unaffected by when the loop stops). The min-plus frontier GROWS, so
+    this exercises the settlement check's appears-counts-as-changed
+    side. rounds_run = source eccentricity + 1 (the first round the
+    frontier adds nothing), which the oracle derives from recursive
+    shortest-path distances."""
+    state, rounds, settled = bfs_hops_until_settled(spark, sf_dir)
+    return (
+        state.groupBy(F.col("d").cast("long").alias("hops"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn("rounds_run", F.lit(int(rounds)).cast("long"))
+        .withColumn("settled", F.lit(bool(settled)))
+        .orderBy("hops")
+    )
+
+
+def _kcore_settled_oracle() -> str:
+    steps = "".join(
+        f""",
+        n{k} AS MATERIALIZED (
+            SELECT b.u AS node FROM bi b
+            JOIN n{k - 1} x ON x.node = b.u
+            JOIN n{k - 1} y ON y.node = b.v
+            GROUP BY b.u HAVING COUNT(*) >= {KCORE_K}
+        )"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    counts = " UNION ALL ".join(
+        f"SELECT {k} AS step, (SELECT COUNT(*) FROM n{k}) AS n"
+        for k in range(0, SETTLED_ORACLE_CAP + 1)
+    )
+    return f"""
+        WITH {_EDGES_CTE},
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi){steps},
+        cnt AS ({counts}),
+        rr AS (SELECT MIN(c.step) AS rounds FROM cnt c
+               JOIN cnt p ON p.step = c.step - 1 WHERE p.n = c.n)
+        SELECT CAST(n.node AS BIGINT) AS node,
+               CAST(rr.rounds AS BIGINT) AS rounds_run, TRUE AS settled
+        FROM n{SETTLED_ORACLE_CAP} n CROSS JOIN rr ORDER BY node
+    """
+
+
+@query(
+    "graph_kcore_until_settled",
+    category="graph",
+    description=f"{KCORE_K}-core membership by peeling looped to convergence, with driver-verified round count",
+    oracle=_kcore_settled_oracle(),
+)
+def graph_kcore_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kcore_until_settled`` as a registry entry: the SHRINKING-state
+    member of the settled family (a disappearing node IS the change
+    signal — the full-outer presence markers, not value diffs). The
+    oracle unrolls {SETTLED_ORACLE_CAP} materialized peel steps and
+    takes rounds_run = the first step whose survivor COUNT equals its
+    predecessor's — valid as set equality because peeling is monotone
+    (each step selects only nodes already in the previous set), exactly
+    matching the loop's first-no-change round."""
+    state, rounds, settled = kcore_until_settled(spark, sf_dir)
+    return (
+        state.select(F.col("node").cast("long").alias("node"))
+        .withColumn("rounds_run", F.lit(int(rounds)).cast("long"))
+        .withColumn("settled", F.lit(bool(settled)))
+        .orderBy("node")
+    )
+
+
+def _lpa_settled_oracle() -> str:
+    steps = "".join(
+        f""",
+        l{k} AS MATERIALIZED (
+            SELECT node, lbl FROM (
+                SELECT b.v AS node, l.lbl AS lbl,
+                       ROW_NUMBER() OVER (PARTITION BY b.v
+                           ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+                FROM bis b JOIN l{k - 1} l ON l.node = b.u
+                GROUP BY b.v, l.lbl
+            ) WHERE rn = 1
+        )"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    diffs = " UNION ALL ".join(
+        f"SELECT {k} AS step, (SELECT COUNT(*) FROM l{k} a"
+        f" JOIN l{k - 1} b USING (node) WHERE a.lbl <> b.lbl) AS ch"
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    return f"""
+        WITH {_EDGES_CTE},
+        bi0 AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi0),
+        bis AS MATERIALIZED (SELECT u, v FROM bi0
+               UNION ALL SELECT node, node FROM n0),
+        l0 AS MATERIALIZED (SELECT node, node AS lbl FROM n0){steps},
+        diffs AS ({diffs}),
+        rr AS (SELECT MIN(step) AS rounds FROM diffs WHERE ch = 0)
+        SELECT CAST(l.lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run,
+               TRUE AS settled
+        FROM l{SETTLED_ORACLE_CAP} l CROSS JOIN rr
+        GROUP BY l.lbl ORDER BY community
+    """
+
+
+@query(
+    "graph_lpa_until_settled",
+    category="graph",
+    description="Label propagation looped to its fixpoint (vs the fixed entry's trajectory snapshot), with driver-verified round count",
+    oracle=_lpa_settled_oracle(),
+)
+def graph_lpa_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``label_propagation_until_settled`` as a registry entry — the
+    FIXPOINT communities, where ``graph_label_propagation`` is the
+    {LPA_ITERS}-iteration TRAJECTORY SNAPSHOT (it settles at round 10
+    on sf0.01; the fixed entry deliberately stops earlier so both
+    engines compare mid-flight state). The oracle unrolls
+    {SETTLED_ORACLE_CAP} materialized argmax steps with the identical
+    (count DESC, label ASC) tie-break and takes rounds_run = the first
+    step with zero per-node label diffs — the node set is constant
+    (every node self-votes), so an inner join sees every change."""
+    state, rounds, settled = label_propagation_until_settled(spark, sf_dir)
+    return (
+        state.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("rounds_run", F.lit(int(rounds)).cast("long"))
+        .withColumn("settled", F.lit(bool(settled)))
+        .orderBy("community")
     )

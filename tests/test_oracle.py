@@ -126,8 +126,25 @@ RECENT_ADDITIONS = [
     "join_point_in_time_scd2",
     # round 9b: empirical-Bayes mixture-rate shrinkage
     "mix_empirical_bayes_shrinkage",
+    # round 10: the until-settled graph family (convergence loops in
+    # front of the driver, rounds_run cross-checked analytically)
+    "graph_cc_until_settled",
+    "graph_bfs_until_settled",
+    "graph_kcore_until_settled",
+    "graph_lpa_until_settled",
+    # round 10: materially reworked (two_phase_rank ranks; decimal div;
+    # rounded-verdict booleans; checkpointed rank relation)
+    "agg_spearman_rank_correlation",
+    "customer_gini_revenue",
+    "pipeline_quantile_normalize_sources",
+    "drift_psi_snapshot_halves",
+    "drift_ks_two_sample",
+    "dq_chi_square_independence",
+    "drift_cusum_daily_revenue",
 ]
-_RECENT_NAMES = [n for n in RECENT_ADDITIONS if n in REGISTRY]
+# dict.fromkeys: a query reworked in a later round than it was added
+# appears twice in the list above; the sweep should run it once.
+_RECENT_NAMES = [n for n in dict.fromkeys(RECENT_ADDITIONS) if n in REGISTRY]
 _RECENT_SPECS = [REGISTRY[n] for n in _RECENT_NAMES]
 
 
