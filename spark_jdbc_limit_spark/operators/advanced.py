@@ -729,13 +729,21 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Z-order audit shape: 15 interleaved bits per dimension (covers the
-#: sf0.1 key ranges, partkey<20000 / suppkey<1000), 64 equal-count
-#: blocks cut by (rank-1)·B div n over a two-phase parallel rank, and
-#: two single-dimension probe boxes derived from the data itself in
-#: pure integer arithmetic (max//8 .. max//4) so selectivity stays
-#: comparable across SFs.
-ZORDER_BITS = 15
+#: Z-order audit shape: the ORACLE always interleaves ZORDER_MAX_BITS
+#: bits per dimension — the most two dimensions can share in a signed
+#: long (2·31 = 62 bit positions) — while the SPARK side derives its bit
+#: count from the OBSERVED key maxima (one 1-row parameter fetch, the
+#: PQ-codebook convention), so the audit adapts to any SF instead of
+#: aborting past a tuned constant (round-9 verdict #5). The two z-value
+#: definitions agree because interleave terms above a key's bit length
+#: contribute exactly zero: any bits ≥ needed produces the same Morton
+#: key. Keys past 2^31 raise a named error — a 2-D Morton key over
+#: longs physically cannot cover them; that is the honest boundary, not
+#: a tuning choice. 64 equal-count blocks are cut by (rank-1)·B div n
+#: over a two-phase parallel rank, and the two single-dimension probe
+#: boxes derive from the data in pure integer arithmetic
+#: (max//8 .. max//4) so selectivity stays comparable across SFs.
+ZORDER_MAX_BITS = 31
 ZORDER_BLOCKS = 64
 
 
@@ -747,7 +755,7 @@ def _interleave_sql(col: str, offset: int) -> str:
     Integer-div/mod arithmetic only (DuckDB spells integer div `//`)."""
     return " + ".join(
         f"(((CAST({col} AS BIGINT) DIV {1 << b}) % 2) * {1 << (2 * b + offset)})"
-        for b in range(ZORDER_BITS)
+        for b in range(ZORDER_MAX_BITS)
     )
 
 
@@ -906,7 +914,25 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_jdbc_limit_spark.sources.zorder import interleave_bits
 
     li = load_table(spark, sf_dir, "lineitem")
-    z = interleave_bits([F.col("l_partkey"), F.col("l_suppkey")], bits=ZORDER_BITS)
+    # ADAPTIVE bit width (round-9 verdict #5): one 1-row parameter fetch
+    # (the bounded driver-side convention, like the PQ codebook sample)
+    # reads the key maxima; the Morton key interleaves exactly the bits
+    # those maxima need. The oracle's fixed ZORDER_MAX_BITS expression
+    # produces the identical z (higher terms are zero), so the audit now
+    # follows the data instead of aborting past a tuned constant. The
+    # maxima also feed the probe-box extents as literals below.
+    mrow = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).head()
+    mp, ms = int(mrow.mp), int(mrow.ms)
+    zbits = max(mp.bit_length(), ms.bit_length(), 1)
+    if zbits > ZORDER_MAX_BITS:
+        raise ValueError(
+            f"z-order audit: key maxima need {zbits} bits/dimension but a"
+            f" 2-D Morton key over signed longs holds at most"
+            f" {ZORDER_MAX_BITS}; remap or bucket the keys first"
+        )
+    z = interleave_bits([F.col("l_partkey"), F.col("l_suppkey")], bits=zbits)
     base = li.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.alias("z")
     ).localCheckpoint(eager=False)
@@ -931,27 +957,15 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex", "l_partkey", ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"]
         )
     )
-    # interleave_bits TRUNCATES keys above 2^ZORDER_BITS-1 (l_partkey
-    # crosses 2^15 around SF>=0.2), silently degrading z-block envelopes
-    # until the oracle's hardcoded layout booleans mismatch — so the key
-    # range is ASSERTED in-plan, folded into the probe-box extents (an
-    # unused assert_true column would be pruned away), turning a future
-    # SF bump into a clear error instead of a differential mystery.
-    def _bits_guard(col: str) -> F.Column:
-        return F.coalesce(
-            F.assert_true(
-                F.max(col) < F.lit(1 << ZORDER_BITS),
-                f"max({col}) exceeds 2^{ZORDER_BITS}-1: raise ZORDER_BITS "
-                "(z-values would truncate and the audit booleans drift)",
-            ).cast("long"),
-            F.lit(0),
-        )
-
-    ext = li.agg(
-        ((F.max("l_partkey") / 8).cast("long") + _bits_guard("l_partkey")).alias("plo"),
-        (F.max("l_partkey") / 4).cast("long").alias("phi"),
-        ((F.max("l_suppkey") / 8).cast("long") + _bits_guard("l_suppkey")).alias("slo"),
-        (F.max("l_suppkey") / 4).cast("long").alias("shi"),
+    # Probe-box extents from the already-fetched maxima (python // ==
+    # the oracle's `MAX(...) // k` on non-negative ints). The former
+    # in-plan assert_true bits guard is gone: the bit width now ADAPTS
+    # to these maxima, so there is no constant left to outgrow.
+    ext = spark.range(1).select(
+        F.lit(mp // 8).cast("long").alias("plo"),
+        F.lit(mp // 4).cast("long").alias("phi"),
+        F.lit(ms // 8).cast("long").alias("slo"),
+        F.lit(ms // 4).cast("long").alias("shi"),
     )
     blocks = laid.groupBy("layout", "blk").agg(
         F.min("l_suppkey").alias("mns"),

@@ -163,15 +163,30 @@ def test_zorder_audit_oracle_interleave_matches_spark_helper(spark):
     so the two definitions can never drift apart silently."""
     import duckdb
 
-    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS, zorder_z_sql
+    from spark_jdbc_limit_spark.operators.advanced import (
+        ZORDER_MAX_BITS,
+        zorder_z_sql,
+    )
 
-    vals = [(0, 0), (1, 1), (32767, 32767), (21845, 10922), (19999, 999), (2, 1)]
+    vals = [
+        (0, 0),
+        (1, 1),
+        (32767, 32767),
+        (21845, 10922),
+        (19999, 999),
+        (2, 1),
+        # beyond the pre-round-10 15-bit constant: the oracle expression
+        # is fixed at ZORDER_MAX_BITS, the helper must agree up there too
+        (65541, 131072),
+        ((1 << 20) + 3, (1 << 19) + 1),
+        ((1 << 31) - 1, (1 << 31) - 1),
+    ]
     df = spark.createDataFrame(vals, "l_partkey long, l_suppkey long")
     spark_z = [
         r.z
         for r in df.select(
             interleave_bits(
-                [F.col("l_partkey"), F.col("l_suppkey")], bits=ZORDER_BITS
+                [F.col("l_partkey"), F.col("l_suppkey")], bits=ZORDER_MAX_BITS
             ).alias("z")
         ).collect()
     ]
@@ -209,54 +224,53 @@ def test_zorder_audit_scanned_rows_conserve(spark, sf_correct):
         assert r.scanned_trailing >= total - (total // 64 + 1) * r.pruned_trailing
 
 
-def test_zorder_bits_cover_key_ranges_at_all_shipped_sfs():
-    """ZORDER_BITS silently truncates keys at 2^bits (l_partkey crosses
-    2^15 around SF>=0.2) — pin that every shipped corpus fits, reading
-    parquet footer stats only, so a future SF bump fails HERE with the
-    named constant instead of as a differential mismatch."""
+def _clone_sf0001_with_shifted_partkeys(tmp_path, shift: int) -> str:
+    """Copy every sf0.001 table into tmp_path, shifting lineitem's
+    l_partkey by ``shift`` — the synthetic-huge-key fixture for the
+    adaptive-bits audit (the keys stay distinct and positive; only their
+    magnitude changes). Written via pyarrow as SINGLE parquet files so
+    the DuckDB oracle's exact-path views read them like the shipped
+    testdata layout."""
     import os
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS
+    from spark_jdbc_limit_spark.sources.catalog import TABLES, table_path
 
-    checked = 0
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/lineitem.parquet"
-        if not os.path.exists(path):
-            continue
-        md = pq.ParquetFile(path).metadata
-        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
-        for col in ("l_partkey", "l_suppkey"):
-            ci = schema_names.index(col)
-            mx = max(
-                md.row_group(r).column(ci).statistics.max
-                for r in range(md.num_row_groups)
-            )
-            assert mx < (1 << ZORDER_BITS), (
-                f"{sf}: max({col})={mx} >= 2^{ZORDER_BITS} — raise ZORDER_BITS"
-            )
-            checked += 1
-    assert checked >= 4
+    out = str(tmp_path / f"bigkeys_{shift}")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(table_path("/root/testdata/sf0.001", t))
+        if t == "lineitem":
+            i = tbl.schema.get_field_index("l_partkey")
+            shifted = pc.add(tbl.column("l_partkey").cast(pa.int64()), shift)
+            tbl = tbl.set_column(i, "l_partkey", shifted)
+        pq.write_table(tbl, f"{out}/{t}.parquet")
+    return out
 
 
-def test_zorder_bits_guard_raises_on_overflowing_keys(spark):
-    """The in-plan assert_true guard must actually fire (not get pruned
-    away) when a key exceeds the interleave range."""
+def test_zorder_audit_adapts_past_15_bit_keys(spark, tmp_path):
+    """Round-9 verdict #5 'done' criterion: keys beyond the old 15-bit
+    constant (here max(l_partkey) ≈ 2^17) run GREEN through the full
+    audit + DuckDB oracle differential — the bit width now derives from
+    the observed maxima instead of aborting on a tuned constant."""
+    from spark_jdbc_limit_spark.operators import REGISTRY
+
+    from tests.oracle_utils import run_differential
+
+    d = _clone_sf0001_with_shifted_partkeys(tmp_path, 3 << 15)
+    run_differential(spark, REGISTRY["sort_zorder_skipping_audit"], d)
+
+
+def test_zorder_audit_raises_past_long_capacity(spark, tmp_path):
+    """Past 2^31 a 2-D Morton key cannot fit a signed long at all — the
+    audit must refuse with the named error, not truncate silently."""
     import pytest
 
-    from spark_jdbc_limit_spark.operators.advanced import ZORDER_BITS
+    from spark_jdbc_limit_spark.operators import get_query
 
-    big = spark.range(3).select(
-        (F.col("id") + (1 << ZORDER_BITS)).alias("l_partkey"),
-        F.col("id").alias("l_suppkey"),
-    )
-    guard = F.coalesce(
-        F.assert_true(
-            F.max("l_partkey") < F.lit(1 << ZORDER_BITS), "overflow"
-        ).cast("long"),
-        F.lit(0),
-    )
-    probe = big.agg(((F.max("l_partkey") / 8).cast("long") + guard).alias("plo"))
-    with pytest.raises(Exception, match="overflow"):
-        probe.collect()
+    d = _clone_sf0001_with_shifted_partkeys(tmp_path, 1 << 40)
+    with pytest.raises(ValueError, match="Morton"):
+        get_query("sort_zorder_skipping_audit").builder(spark, d)
