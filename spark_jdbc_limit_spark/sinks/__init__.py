@@ -10,8 +10,10 @@ from spark_jdbc_limit_spark.sinks.observed import (
 )
 from spark_jdbc_limit_spark.sinks.transactional import (
     AtomicWriteError,
+    append_jdbc_epoch,
     recover_atomic_publish,
     recover_partition_publish,
+    run_stream_jdbc_atomic,
     write_jdbc_atomic,
     write_parquet_atomic,
     write_parquet_overwrite_partitions,
@@ -19,10 +21,12 @@ from spark_jdbc_limit_spark.sinks.transactional import (
 
 __all__ = [
     "AtomicWriteError",
+    "append_jdbc_epoch",
     "standard_sink_metrics",
     "write_with_observations",
     "recover_atomic_publish",
     "recover_partition_publish",
+    "run_stream_jdbc_atomic",
     "write_jdbc_atomic",
     "write_parquet_atomic",
     "write_parquet_overwrite_partitions",

@@ -784,3 +784,146 @@ def _fs_read_text(jvm, fs, path) -> str:
         return "\n".join(lines)
     finally:
         reader.close()
+
+
+# ---------------------------------------------------------------------------
+# Streaming composition: exactly-once micro-batch appends into JDBC
+# (round-9 verdict #4 — the one reference-semantics composition missing:
+# stream → all-or-nothing DB write)
+# ---------------------------------------------------------------------------
+
+
+def _ensure_epoch_ledger(spark, url: str, props: dict[str, str], ledger: str) -> None:
+    """Create the epoch ledger if absent. The PRIMARY KEY is a DB-level
+    double-commit guard: even a concurrent duplicate publisher fails the
+    transaction instead of double-appending."""
+    try:
+        _jdbc_exec(
+            spark, url, props,
+            [f"CREATE TABLE {ledger} (epoch BIGINT NOT NULL PRIMARY KEY)"],
+            autocommit=True,
+        )
+    except Exception:
+        # creation failed — acceptable ONLY because it already exists;
+        # re-raise anything else via the probe
+        _jdbc_exec(
+            spark, url, props, [f"SELECT 1 FROM {ledger} WHERE 1=0"], autocommit=True
+        )
+
+
+def _epoch_already_committed(
+    spark, url: str, props: dict[str, str], ledger: str, epoch_id: int
+) -> bool:
+    from spark_jdbc_limit_spark.sources.jdbc import map_reference_options
+
+    probe = f"(SELECT COUNT(*) AS n FROM {ledger} WHERE epoch = {int(epoch_id)}) t"
+    opts = map_reference_options({"url": url, "table": probe, **props})
+    return int(spark.read.format("jdbc").options(**opts).load().head()[0]) > 0
+
+
+def append_jdbc_epoch(
+    batch_df: DataFrame,
+    url: str,
+    table: str,
+    epoch_id: int,
+    properties: dict[str, str] | None = None,
+) -> bool:
+    """Exactly-once idempotent micro-batch append into a JDBC table.
+
+    foreachBatch delivers AT-LEAST-ONCE: a crash between the sink commit
+    and the checkpoint commit replays the epoch. The standard epoch-keyed
+    transactional-sink contract turns that into exactly-once OUTPUT: the
+    data publish (INSERT target SELECT * FROM staging) and the epoch
+    marker (INSERT into ``<table>__epochs``) happen in ONE driver-side
+    transaction, so either both are visible or neither — a replayed
+    epoch finds its marker in the ledger and is skipped, and a reader
+    can never observe a batch's rows without its marker (or vice versa).
+    The distributed staging write itself stays outside the transaction —
+    it writes to a table nobody reads (same protocol as
+    ``write_jdbc_atomic``; mirrors the file-side
+    ``versioned.append_snapshot_epoch``, where the manifest meta plays
+    the ledger's role).
+
+    The target is created from the staging schema on first use (ANSI
+    ``CREATE TABLE .. AS SELECT .. WITH NO DATA``, Derby/Postgres
+    spelling). Returns True when the epoch committed, False when it was
+    a detected replay or an empty batch."""
+    spark = batch_df.sparkSession
+    props = properties or {}
+    ledger = f"{table}__epochs"
+    _ensure_epoch_ledger(spark, url, props, ledger)
+    if _epoch_already_committed(spark, url, props, ledger, epoch_id):
+        return False
+    if batch_df.isEmpty():
+        return False
+
+    from spark_jdbc_limit_spark.sources.jdbc import map_reference_options
+
+    staging = f"{table}__staging_{uuid.uuid4().hex[:12]}"
+    opts = map_reference_options({"url": url, "table": staging, **props})
+    try:
+        batch_df.write.format("jdbc").options(**opts).mode("overwrite").save()
+    except Exception as exc:
+        _drop_table_quiet(spark, url, props, staging)
+        raise AtomicWriteError(
+            f"epoch {epoch_id}: staging write to {staging} failed; staging dropped"
+        ) from exc
+    try:
+        _jdbc_exec(
+            spark, url, props, [f"SELECT 1 FROM {table} WHERE 1=0"], autocommit=True
+        )
+    except Exception:
+        try:
+            _jdbc_exec(
+                spark, url, props,
+                [f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA"],
+                autocommit=True,
+            )
+        except Exception as exc:
+            _drop_table_quiet(spark, url, props, staging)
+            raise AtomicWriteError(
+                f"epoch {epoch_id}: target {table} absent and could not be created"
+            ) from exc
+    try:
+        _jdbc_exec(
+            spark, url, props,
+            [
+                f"INSERT INTO {table} SELECT * FROM {staging}",
+                f"INSERT INTO {ledger} VALUES ({int(epoch_id)})",
+            ],
+            autocommit=False,
+            isolation=props.get("isolationLevel"),
+        )
+    except Exception as exc:
+        _drop_table_quiet(spark, url, props, staging)
+        raise AtomicWriteError(
+            f"epoch {epoch_id}: publish transaction failed; target {table} "
+            f"unchanged, ledger unchanged, staging dropped"
+        ) from exc
+    _drop_table_quiet(spark, url, props, staging)
+    return True
+
+
+def run_stream_jdbc_atomic(
+    stream_df: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Drive a (finite) stream into a JDBC table with exactly-once
+    output: source offsets live in the checkpoint, output idempotence in
+    the ``<table>__epochs`` ledger committed atomically with each
+    batch's rows — the streaming twin of ``write_jdbc_atomic`` and the
+    JDBC twin of ``versioned.run_stream_snapshot_appends``."""
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        append_jdbc_epoch(batch_df, url, table, epoch_id, properties)
+
+    q = (
+        stream_df.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

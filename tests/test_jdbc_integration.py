@@ -454,3 +454,126 @@ spark.stop()
     assert v["limit_plan"] is True
     assert v["limit_rows"] == 7
     assert v["offset_ids"] == [10, 11, 12, 13, 14]
+
+
+# ---------------------------------------------------------------------------
+# Streaming -> transactional JDBC composition (round-9 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def _read_tbl(spark, url, table):
+    return jdbc_reader(spark, url=url, table=table, driver=DRIVER).load()
+
+
+def test_stream_into_jdbc_atomic_exactly_once(spark, derby, sf_dir, tmp_path):
+    """The stream -> all-or-nothing DB write composition: every micro-batch
+    publishes (rows + epoch marker) in ONE Derby transaction; a restart
+    over the unchanged source adds nothing; a forced epoch replay is a
+    ledger-detected no-op; a poisoned batch leaves the target AND the
+    ledger byte-identical."""
+    from spark_jdbc_limit_spark.sinks import append_jdbc_epoch, run_stream_jdbc_atomic
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+    from spark_jdbc_limit_spark.streaming.stateful import events_file_stream
+    from test_stateful_streaming import _split_events
+
+    src = _split_events(spark, sf_dir, tmp_path)
+    ckpt = str(tmp_path / "ckpt_jdbc")
+    stream = events_file_stream(spark, src).select("event_id", "user_id", "value")
+    props = {"driver": DRIVER}
+
+    run_stream_jdbc_atomic(stream, derby, "stream_tgt", ckpt, props)
+    total = load_table(spark, sf_dir, "events").count()
+    got = _read_tbl(spark, derby, "stream_tgt")
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total  # no dupes
+    epochs = _read_tbl(spark, derby, "stream_tgt__epochs")
+    n_epochs = epochs.count()
+    assert n_epochs >= 2, "maxFilesPerTrigger=1 over 4 files must multi-batch"
+
+    # restart over the same source: checkpoint offsets -> nothing new
+    run_stream_jdbc_atomic(stream, derby, "stream_tgt", ckpt, props)
+    assert _read_tbl(spark, derby, "stream_tgt").count() == total
+    assert _read_tbl(spark, derby, "stream_tgt__epochs").count() == n_epochs
+
+    # forced replay of a committed epoch: ledger makes it a no-op
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .limit(7)
+    )
+    assert append_jdbc_epoch(batch, derby, "stream_tgt", 0, props) is False
+    assert _read_tbl(spark, derby, "stream_tgt").count() == total
+
+    # poisoned batch: staging dies mid-write -> AtomicWriteError, zero
+    # partial rows, no ledger entry, staging dropped
+    @F.udf("long")
+    def poison(v):
+        if v is not None and v % 5 == 0:
+            raise RuntimeError("injected staging failure")
+        return v
+
+    bad = batch.repartition(4).select(
+        poison(F.col("event_id")).alias("event_id"), "user_id", "value"
+    )
+    with pytest.raises(AtomicWriteError, match="staging"):
+        append_jdbc_epoch(bad, derby, "stream_tgt", 999, props)
+    assert _read_tbl(spark, derby, "stream_tgt").count() == total
+    assert (
+        _read_tbl(spark, derby, "stream_tgt__epochs")
+        .filter(F.col("epoch") == 999)
+        .count()
+        == 0
+    )
+    # the failed epoch retries cleanly afterwards (at-least-once delivery)
+    assert append_jdbc_epoch(batch, derby, "stream_tgt", 999, props) is True
+    assert _read_tbl(spark, derby, "stream_tgt").count() == total + 7
+
+
+def test_stream_jdbc_atomic_crash_after_publish_replays_as_noop(
+    spark, derby, sf_dir, tmp_path
+):
+    """The exactly-once crash window itself: the driver dies AFTER a
+    batch's transaction commits but BEFORE the checkpoint commit. The
+    restart replays that epoch (at-least-once delivery); the ledger row
+    committed atomically with the data makes the replay a no-op, so the
+    final table has exactly the source rows — no dupes, no holes."""
+    from spark_jdbc_limit_spark.sinks import append_jdbc_epoch, run_stream_jdbc_atomic
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+    from spark_jdbc_limit_spark.streaming.stateful import events_file_stream
+    from test_stateful_streaming import _split_events
+
+    src = _split_events(spark, sf_dir, tmp_path)
+    ckpt = str(tmp_path / "ckpt_crash")
+    stream = events_file_stream(spark, src).select("event_id", "user_id", "value")
+    props = {"driver": DRIVER}
+
+    def crashing_publish(batch_df, epoch_id):
+        append_jdbc_epoch(batch_df, derby, "stream_tgt_crash", epoch_id, props)
+        if epoch_id == 1:
+            raise RuntimeError("injected crash after publish")
+
+    q = (
+        stream.writeStream.foreachBatch(crashing_publish)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception) as excinfo:
+        q.awaitTermination()
+    assert "injected crash after publish" in str(excinfo.value)
+    # epoch 1's rows ARE in the DB (the transaction committed before the
+    # crash) — this is exactly the window the ledger exists for
+    assert (
+        _read_tbl(spark, derby, "stream_tgt_crash__epochs")
+        .filter(F.col("epoch") == 1)
+        .count()
+        == 1
+    )
+
+    # clean restart: epoch 1 replays (its offsets never committed) and is
+    # skipped via the ledger; the remaining epochs drain normally
+    run_stream_jdbc_atomic(stream, derby, "stream_tgt_crash", ckpt, props)
+    total = load_table(spark, sf_dir, "events").count()
+    got = _read_tbl(spark, derby, "stream_tgt_crash")
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
