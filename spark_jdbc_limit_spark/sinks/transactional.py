@@ -331,6 +331,31 @@ def _live_manifest_refs(jvm, fs, target_path) -> set:
     return refs
 
 
+def jdbc_publish_statements(table: str, staging: str, mode: str) -> list[str]:
+    """The EXACT statement list the atomic publish transaction runs —
+    single-sourced so ``write_jdbc_atomic`` and the real-Postgres
+    protocol tests (tests/test_postgres_protocol.py) can never drift:
+    what the tests prove transactional on Postgres is literally what the
+    sink executes."""
+    publish = []
+    if mode == "overwrite":
+        publish.append(f"DELETE FROM {table}")
+    publish.append(f"INSERT INTO {table} SELECT * FROM {staging}")
+    return publish
+
+
+def epoch_publish_statements(
+    table: str, staging: str, ledger: str, epoch_id: int
+) -> list[str]:
+    """The exactly-once micro-batch publish transaction: data insert +
+    epoch marker, atomically or not at all. Single-sourced for
+    ``append_jdbc_epoch`` and the real-Postgres protocol tests."""
+    return [
+        f"INSERT INTO {table} SELECT * FROM {staging}",
+        f"INSERT INTO {ledger} VALUES ({int(epoch_id)})",
+    ]
+
+
 def write_jdbc_atomic(
     df: DataFrame,
     url: str,
@@ -366,10 +391,7 @@ def write_jdbc_atomic(
         _drop_table_quiet(spark, url, props, staging)
         raise AtomicWriteError(f"staging write to {staging} failed; staging dropped") from exc
 
-    publish = []
-    if mode == "overwrite":
-        publish.append(f"DELETE FROM {table}")
-    publish.append(f"INSERT INTO {table} SELECT * FROM {staging}")
+    publish = jdbc_publish_statements(table, staging, mode)
     try:
         # honor Spark's isolationLevel write option on the publish
         # transaction, negotiated down against database metadata
@@ -887,10 +909,7 @@ def append_jdbc_epoch(
     try:
         _jdbc_exec(
             spark, url, props,
-            [
-                f"INSERT INTO {table} SELECT * FROM {staging}",
-                f"INSERT INTO {ledger} VALUES ({int(epoch_id)})",
-            ],
+            epoch_publish_statements(table, staging, ledger, epoch_id),
             autocommit=False,
             isolation=props.get("isolationLevel"),
         )
