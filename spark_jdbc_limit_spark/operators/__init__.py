@@ -81,7 +81,7 @@ CATEGORY_TO_SURVEY: dict[str, str] = {
 # CORRECTNESS files themselves, so each round's rotation is automatic — no
 # hand-maintained name list to fall out of date.
 
-def _driver_sampled_names() -> set[str]:
+def _driver_sampled_rounds() -> dict[str, int]:
     import glob
     import json
     import os
@@ -117,7 +117,7 @@ def _driver_sampled_names() -> set[str]:
                 RuntimeWarning,
                 stacklevel=2,
             )
-    names: set[str] = set()
+    rounds: dict[str, int] = {}
     # A record whose driver check CRASHED (non-null err other than the
     # by-design 'no_oracle' rows-only marker) is NOT verified: leave it
     # out of the sampled set so it re-enters the next round's window once
@@ -132,14 +132,16 @@ def _driver_sampled_names() -> set[str]:
     # green row — otherwise a one-round red rotates to the back and the
     # fix never gets a driver signature (this bit round 6-8:
     # sql_shared_text_rollup / join_bloom_prefilter).
-    for n, (_, rec) in latest.items():
+    # The VALUE is the verifying record's round — the staleness key the
+    # rotation sorts the already-verified block by (round-9 verdict #7).
+    for n, (rnd, rec) in latest.items():
         if rec.get("err"):
             if rec["err"] != "no_oracle":
                 continue  # crashed check — unverified
             spec = REGISTRY.get(n)
             if spec is not None and spec.oracle is not None:
                 continue  # rows-only record, oracle now exists
-            names.add(n)
+            rounds[n] = rnd
             continue
         if not (
             rec.get("rows_match", False)
@@ -147,15 +149,19 @@ def _driver_sampled_names() -> set[str]:
             and rec.get("hash_match", False)
         ):
             continue  # red three-way record — re-queue at front
-        names.add(n)
-    if files and not names:
+        rounds[n] = rnd
+    if files and not rounds:
         warnings.warn(
             "rotation: CORRECTNESS files present but no sampled names parsed; "
             "registry order will not rotate this round",
             RuntimeWarning,
             stacklevel=2,
         )
-    return names
+    return rounds
+
+
+def _driver_sampled_names() -> set[str]:
+    return set(_driver_sampled_rounds())
 
 
 #: Within the never-sampled set, carried-over queries outrank later
@@ -213,7 +219,8 @@ _QUEUE_BEHIND = (
 
 
 def _rotate_registry() -> None:
-    sampled = _driver_sampled_names() & set(REGISTRY)
+    rounds = _driver_sampled_rounds()
+    sampled = set(rounds) & set(REGISTRY)
     behind = set(_QUEUE_BEHIND)
     fresh = {
         n: s
@@ -225,7 +232,19 @@ def _rotate_registry() -> None:
         for n in _QUEUE_BEHIND
         if n in REGISTRY and n not in sampled
     }
-    seen = {n: s for n, s in REGISTRY.items() if n in sampled}
+    # The already-verified block is ordered STALEST-GREEN FIRST (ascending
+    # verifying round, ties by insertion order): with a ~50-row sample
+    # window over 292 entries, a full re-confirmation cycle is ~6 rounds —
+    # without this sort, an entry greened early could sit behind
+    # recently-green ones indefinitely once the never-green pool drains
+    # (round-9 verdict #7). Max rounds-since-last-green is thereby bounded
+    # by ceil(n_verified / window) plus the rounds the fresh/queued pools
+    # occupy — pinned in tests/test_scale_ops.py::test_rotation_staleness.
+    pos = {n: i for i, n in enumerate(REGISTRY)}
+    seen = {
+        n: REGISTRY[n]
+        for n in sorted(sampled, key=lambda n: (rounds[n], pos[n]))
+    }
     REGISTRY.clear()
     REGISTRY.update(fresh)
     REGISTRY.update(queued)

@@ -289,3 +289,65 @@ def test_queue_behind_names_all_exist_in_registry():
 
     missing = [n for n in ops._QUEUE_BEHIND if n not in ops.REGISTRY]
     assert not missing, f"_QUEUE_BEHIND names not in registry: {missing}"
+
+
+def test_rotation_staleness(monkeypatch, tmp_path):
+    """Round-9 verdict #7: within the already-verified block, STALEST
+    green first — an entry verified in an earlier round must precede one
+    verified later, so the ~50-row sample window re-confirms
+    long-unverified entries first and rounds-since-last-green is bounded
+    by ceil(n_verified / window) once the never-green pools drain.
+    Pinned against synthetic two-round history AND the real repo
+    history's resulting order."""
+    import importlib
+    import json
+    import math
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    names = list(ops.REGISTRY)
+    old_green = names[:3]  # verified long ago (round 1)
+    new_green = names[3:6]  # verified last round (round 9)
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    f1 = tmp_path / "CORRECTNESS_r01.json"
+    f1.write_text(json.dumps({n: green for n in old_green}))
+    f9 = tmp_path / "CORRECTNESS_r09.json"
+    f9.write_text(json.dumps({n: green for n in new_green}))
+
+    real_glob = importlib.import_module("glob").glob
+    monkeypatch.setattr(
+        "glob.glob",
+        lambda pattern: [str(f1), str(f9)]
+        if "CORRECTNESS_r" in pattern
+        else real_glob(pattern),
+    )
+    rounds = ops._driver_sampled_rounds()
+    assert all(rounds[n] == 1 for n in old_green)
+    assert all(rounds[n] == 9 for n in new_green)
+
+    before = dict(ops.REGISTRY)
+    try:
+        ops._rotate_registry()
+        rotated = list(ops.REGISTRY)
+        seen_block = rotated[-6:]
+        # stalest greens (round 1) come before the recent greens (round 9)
+        assert seen_block[:3] == old_green
+        assert seen_block[3:] == new_green
+    finally:
+        ops.REGISTRY.clear()
+        ops.REGISTRY.update(before)
+
+    # real history: the verified block of the live registry must be
+    # monotone in verifying round, which bounds the redraw distance of
+    # the stalest entry to ceil(n_verified/window) sample windows
+    real_rounds = ops._driver_sampled_rounds()
+    verified_in_order = [n for n in ops.REGISTRY if n in real_rounds]
+    rs = [real_rounds[n] for n in verified_in_order]
+    assert rs == sorted(rs), "verified block must be stalest-first"
+    window = 50
+    if verified_in_order:
+        worst_windows = math.ceil(len(verified_in_order) / window)
+        stalest_pos = verified_in_order.index(
+            min(verified_in_order, key=lambda n: real_rounds[n])
+        )
+        assert stalest_pos < window <= window * worst_windows
