@@ -136,17 +136,25 @@ def test_prefix_index_is_smaller_than_full_index(spark):
 
 
 def test_prefix_join_subset_of_exhaustive(spark):
-    got = {
-        (r.d1, r.d2)
-        for r in get_query("dedup_jaccard_prefix_filter").builder(spark, SF).collect()
-    }
+    """BOTH arms of the round-10 cost-based path switch must equal the
+    independent exhaustive query's thresholded pairs: the forced PREFIX
+    arm (the lossless-filter claim — no longer exercised by the auto
+    entry on this short-posting-list corpus, where auto correctly picks
+    exhaustive) and the forced EXHAUSTIVE arm, plus the auto choice."""
+    from spark_jdbc_limit_spark.operators.dedup import dedup_jaccard_prefix_filter
+
     exhaustive = {
         (r.d1, r.d2, r.jaccard)
         for r in get_query("dedup_ngram_jaccard_exhaustive").builder(spark, SF).collect()
     }
     tau = PREFIX_TAU_NUM / PREFIX_TAU_DEN
     expected = {(d1, d2) for d1, d2, j in exhaustive if j >= tau}
-    assert got == expected
+    for path in ("auto", "prefix", "exhaustive"):
+        got = {
+            (r.d1, r.d2)
+            for r in dedup_jaccard_prefix_filter(spark, SF, path=path).collect()
+        }
+        assert got == expected, f"path={path} diverged from exhaustive truth"
 
 
 # ------------------------------------------------------------------ bm25
