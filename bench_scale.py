@@ -71,6 +71,11 @@ QUERIES: dict[str, str] = {
     # inherently R² — benched to MEASURE that honesty, with ann_ivf_topk
     # right above it as the documented linear alternative at scale.
     "ann_knn_join": "quadratic",
+    # the until-settled loops: replication preserves per-replica graph
+    # structure, so the ROUND COUNT stays constant while per-round work
+    # scales xR — wall should track the fixed entries' linear posture
+    "graph_cc_until_settled": "linear",
+    "graph_kcore_until_settled": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min
@@ -164,11 +169,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_SCALE_CPUS", "32"))
     work = os.environ.get("SPARK_GRAFT_SCALE_WORK", "/tmp/spark_graft_scale")
 
+    # optional subset (comma-separated names): bench additions without
+    # re-timing the whole family; merge the JSON into BENCH_SCALE.json
+    only = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    queries = {
+        n: e for n, e in QUERIES.items() if not only or n in only.split(",")
+    }
+
     spark = build_session(
         app_name="bench_scale", cpus=cpus, shuffle_partitions=cpus
     )
 
-    times: dict[str, dict[int, float]] = {name: {} for name in QUERIES}
+    times: dict[str, dict[int, float]] = {name: {} for name in queries}
     for r in reps:
         rd = f"{work}/x{r}"
         shutil.rmtree(rd, ignore_errors=True)
@@ -190,7 +202,7 @@ def main() -> None:
 
         skip_second: set[str] = set()
         for pass_i in range(2):
-            for name in QUERIES:
+            for name in queries:
                 if pass_i == 1 and name in skip_second:
                     continue
                 t0 = time.perf_counter()

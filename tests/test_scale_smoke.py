@@ -126,6 +126,12 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "pipeline_quantile_normalize_sources",
         "text_vocabulary_hapax",
         "multimodal_audio_fingerprint",
+        # round-10 additions: the convergence loops under 10x volume —
+        # lineitem rides through unreplicated here, so these smoke the
+        # loop mechanics (rounds bounded, lineage cut per round), while
+        # bench_scale.py measures them on the replicated graph
+        "graph_cc_until_settled",
+        "graph_kcore_until_settled",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
