@@ -369,13 +369,22 @@ def _canon(df: DataFrame):
             return float(v)
         return v
 
+    def sort_key(row):
+        # quantize floats in the SORT KEY (not the compared values) so two
+        # arms whose floats differ within the comparison tolerance still
+        # sort into the same positions — raw-repr sorting would misalign
+        # the pairwise zip on the first sub-tolerance difference
+        return repr(
+            tuple(round(v, 3) if isinstance(v, float) else v for v in row)
+        )
+
     pdf = df.toPandas()
     cols = sorted(pdf.columns)
     rows = [
         tuple(cell(v) for v in r)
         for r in pdf[cols].itertuples(index=False, name=None)
     ]
-    return cols, sorted(rows, key=repr)
+    return cols, sorted(rows, key=sort_key)
 
 
 def _rows_equal(a, b, tol=2e-4) -> bool:

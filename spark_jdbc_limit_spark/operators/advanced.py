@@ -924,6 +924,10 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mrow = li.agg(
         F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
     ).head()
+    if mrow.mp is None or mrow.ms is None:
+        raise ValueError(
+            "z-order audit: lineitem is empty — no keys to lay out"
+        )
     mp, ms = int(mrow.mp), int(mrow.ms)
     zbits = max(mp.bit_length(), ms.bit_length(), 1)
     if zbits > ZORDER_MAX_BITS:

@@ -364,6 +364,33 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exhaustive_jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
+    """(d1, d2, jaccard≥tau) via the inverted shingle index (join on
+    shingle hash, never a cross join) — ONE definition shared by
+    ``dedup_ngram_jaccard_exhaustive`` and the prefix-filter entry's
+    cost-chosen exhaustive arm, so the two can never drift. ``sh``
+    should be checkpointed by the caller (it feeds four branches)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    common = (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        common.join(z1, "d1")
+        .join(z2, "d2")
+        .filter(jac >= tau)
+        .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
+    )
+
+
 @query(
     "dedup_ngram_jaccard_exhaustive",
     category="llm_dedup",
@@ -393,23 +420,7 @@ def dedup_ngram_jaccard_exhaustive(spark: SparkSession, sf_dir: str) -> DataFram
     # sh feeds sizes (twice, via z1/z2) and both join sides — checkpoint so
     # the corpus is shingled once, not four times (no CSE across branches)
     sh = shingle_hashes(d).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "h")
-    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
-    common = (
-        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
-        common.join(z1, "d1")
-        .join(z2, "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
-    )
+    return _exhaustive_jaccard_pairs(sh, JACCARD_THRESHOLD)
 
 
 SIMHASH_BITS = 24
@@ -1687,30 +1698,7 @@ def dedup_jaccard_prefix_filter(
             else "prefix"
         )
     if path == "exhaustive":
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        common = (
-            sh.alias("a")
-            .join(
-                sh.alias("b"),
-                (F.col("a.h") == F.col("b.h"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        jac2 = F.col("n_common").cast("double") / (
-            F.col("n1") + F.col("n2") - F.col("n_common")
-        )
-        return (
-            common.join(
-                sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1"
-            )
-            .join(
-                sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2"
-            )
-            .filter(jac2 >= PREFIX_TAU)
-            .select("d1", "d2", round_dbl(jac2, 4).alias("jaccard"))
-        )
+        return _exhaustive_jaccard_pairs(sh, PREFIX_TAU)
     n_per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # TRUE integer division (SQL `div`), matching the lemma test's `//`
     # form exactly — a float quotient + floor happens to be safe at these

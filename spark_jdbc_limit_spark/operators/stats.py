@@ -699,11 +699,14 @@ def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("rank", "i")
         .localCheckpoint(eager=False)
     )
+    # s feeds the top-decile filter's broadcast AND the final crossJoin —
+    # checkpoint the 1-row aggregate so the moment pass over `ranked`
+    # runs once, not twice (round-10 self-review)
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s0"),
         F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("s1"),
-    )
+    ).localCheckpoint(eager=False)
     top = (
         ranked.crossJoin(F.broadcast(s.select(F.col("n").alias("nn"))))
         .filter(F.col("i") > F.col("nn") - F.floor(F.col("nn") / 10))

@@ -818,19 +818,31 @@ def _fs_read_text(jvm, fs, path) -> str:
 def _ensure_epoch_ledger(spark, url: str, props: dict[str, str], ledger: str) -> None:
     """Create the epoch ledger if absent. The PRIMARY KEY is a DB-level
     double-commit guard: even a concurrent duplicate publisher fails the
-    transaction instead of double-appending."""
+    transaction instead of double-appending.
+
+    PROBE-FIRST: in steady state (every micro-batch after the first)
+    this is one cheap existence probe, not a guaranteed-failing CREATE
+    per epoch; and when the ledger genuinely cannot be created, the
+    raised error CHAINS the create failure instead of masking it with
+    an unrelated probe error."""
     try:
-        _jdbc_exec(
-            spark, url, props,
-            [f"CREATE TABLE {ledger} (epoch BIGINT NOT NULL PRIMARY KEY)"],
-            autocommit=True,
-        )
-    except Exception:
-        # creation failed — acceptable ONLY because it already exists;
-        # re-raise anything else via the probe
         _jdbc_exec(
             spark, url, props, [f"SELECT 1 FROM {ledger} WHERE 1=0"], autocommit=True
         )
+        return
+    except Exception as probe_exc:
+        try:
+            _jdbc_exec(
+                spark, url, props,
+                [f"CREATE TABLE {ledger} (epoch BIGINT NOT NULL PRIMARY KEY)"],
+                autocommit=True,
+            )
+        except Exception as create_exc:
+            raise AtomicWriteError(
+                f"epoch ledger {ledger} unusable (probe: "
+                f"{type(probe_exc).__name__}: {probe_exc}) and could not be "
+                f"created"
+            ) from create_exc
 
 
 def _epoch_already_committed(

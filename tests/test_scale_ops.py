@@ -339,7 +339,10 @@ def test_rotation_staleness(monkeypatch, tmp_path):
 
     # real history: the verified block of the live registry must be
     # monotone in verifying round, which bounds the redraw distance of
-    # the stalest entry to ceil(n_verified/window) sample windows
+    # the stalest entry to ceil(n_verified/window) sample windows.
+    # UNDO the glob monkeypatch first — otherwise this half re-reads the
+    # synthetic fixture and pins nothing about the repo's actual files.
+    monkeypatch.undo()
     real_rounds = ops._driver_sampled_rounds()
     verified_in_order = [n for n in ops.REGISTRY if n in real_rounds]
     rs = [real_rounds[n] for n in verified_in_order]
