@@ -76,6 +76,11 @@ QUERIES: dict[str, str] = {
     # scales xR — wall should track the fixed entries' linear posture
     "graph_cc_until_settled": "linear",
     "graph_kcore_until_settled": "linear",
+    # round-10 rework (verdict #2): Spearman's ranks moved onto
+    # two_phase_rank because its revenue-cents domain tracks customer
+    # cardinality (xR under replication) — this row is the measured
+    # proof the rework removed the unbounded single-task window
+    "agg_spearman_rank_correlation": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min
