@@ -1549,3 +1549,130 @@ def graph_lpa_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("settled", F.lit(bool(settled)))
         .orderBy("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction (Zhou, Lü & Zhang 2009)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the RA index: score = Σ_w floor(10^12 / deg(w))
+#: over common neighbors w — PURE int64 arithmetic (deg ≥ 1, so each term
+#: ≤ 10^12 and a node pair would need ~9·10^6 common neighbors to overflow
+#: int64), hence bit-identical across engines with no float fold anywhere.
+RA_SCALE = 1_000_000_000_000
+RA_TOP_K = 20
+
+
+@query(
+    "graph_resource_allocation_links",
+    category="graph",
+    description=f"Link prediction: top-{RA_TOP_K} non-edges by resource-allocation index (Σ 1/deg over common neighbors), fixed-point exact",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        adj AS (SELECT s1 AS node, s2 AS nbr FROM e
+                UNION ALL SELECT s2, s1 FROM e),
+        deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+        wedge AS (
+            SELECT a.node AS u, b.node AS v, {RA_SCALE} // dh.d AS t
+            FROM adj a
+            JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+            JOIN deg dh ON dh.node = a.nbr
+        ),
+        cn AS (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+                   CAST(SUM(t) AS BIGINT) AS ra_scaled
+            FROM wedge GROUP BY u, v
+        ),
+        cand AS (
+            SELECT u, v, cn, ra_scaled FROM cn c
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s1 = c.u AND e.s2 = c.v)
+        ),
+        ranked AS (
+            SELECT u, v, cn, ra_scaled,
+                   ROW_NUMBER() OVER (ORDER BY ra_scaled DESC, cn DESC, u, v) AS rk
+            FROM cand
+        )
+        SELECT CAST(u AS BIGINT) AS s1, CAST(v AS BIGINT) AS s2,
+               cn AS common_neighbors, ra_scaled,
+               {sql_round_dbl(f'CAST(ra_scaled AS DOUBLE) / {RA_SCALE}.0', 6)}
+                   AS ra_index
+        FROM ranked WHERE rk <= {RA_TOP_K} ORDER BY s1, s2
+    """,
+)
+def graph_resource_allocation_links(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou/Lü/Zhang 2009) — the
+    degree-punishing sibling of the Jaccard entry: a candidate non-edge
+    (u, v) scores Σ over common neighbors w of 1/deg(w), so hubs that
+    connect everyone contribute almost nothing while rare shared
+    partners dominate. Unlike the Jaccard entry's one float division,
+    the RA sum is a genuine float SUM over a variable term set — so it
+    is computed in FIXED-POINT int64 instead (Σ floor(10^12/deg(w))),
+    making the score, its ranking, and the emitted double all
+    bit-exact in both engines: no fold-order exposure at any scale.
+
+    Candidate generation reuses the module's wedge trick: each hub
+    expands its sorted neighbor set into C(deg, 2) in-row pairs, each
+    pair carrying the HUB's 10^12//deg value — degree-bounded per hub,
+    never an all-pairs node join; the oracle's adjacency self-join is
+    the same semantics spelled relationally. Plan shape at 100 TB:
+    fact-scale work is only the shared edge derivation; adjacency/
+    degree/wedge relations are graph-sized, deg broadcasts, and the
+    top-k window runs over the candidate shortlist domain (the
+    two_phase_rank swap stands by if candidates outgrow one task).
+    At sf0.001 the thresholded graph has no wedges → EMPTY in both
+    engines (agreement-on-emptiness still checked); sf0.01 fills the
+    shortlist. Reference scope: no graph surface (README.md:1-9)."""
+    from pyspark.sql.window import Window as W
+
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    adj = edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr")).unionAll(
+        edges.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # per-hub neighbor sets joined with the hub's own degree: every emitted
+    # wedge pair carries t = 10^12 // deg(hub) computed ONCE per hub.
+    sets = adj.groupBy("node").agg(
+        F.array_sort(F.collect_set("nbr")).alias("ns")
+    ).join(F.broadcast(deg), "node")
+    pair_structs = F.flatten(
+        F.transform(
+            "ns",
+            lambda x, i: F.transform(
+                F.slice("ns", i + 2, F.size("ns")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    wedges = sets.select(
+        F.explode(pair_structs).alias("p"),
+        F.expr(f"{RA_SCALE}L div d").alias("t"),
+    ).select("p.u", "p.v", "t")
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum("t").cast("long").alias("ra_scaled"),
+    )
+    cand = cn.join(
+        edges, (cn["u"] == edges["s1"]) & (cn["v"] == edges["s2"]), "leftanti"
+    )
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.desc("ra_scaled"), F.desc("cn"), F.col("u"), F.col("v"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= RA_TOP_K)
+        .select(
+            F.col("u").cast("long").alias("s1"),
+            F.col("v").cast("long").alias("s2"),
+            F.col("cn").alias("common_neighbors"),
+            F.col("ra_scaled"),
+            round_dbl(F.col("ra_scaled").cast("double") / float(RA_SCALE), 6).alias(
+                "ra_index"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )

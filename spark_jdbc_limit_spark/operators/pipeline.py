@@ -1407,3 +1407,137 @@ def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         r(F.col("chars").cast("double") / F.col("n_docs"), 2).alias("mean_chars"),
         r(F.col("toks").cast("double") / F.col("n_docs"), 2).alias("mean_tokens"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+#: DSIR target distribution: English documents (the lang with both a large
+#: share and a complement at every shipped SF). Feature space: unigrams of
+#: the space-tokenized text (the paper's hashed n-grams, unhashed — the
+#: synthetic vocabulary is small enough that the feature IS the token, so
+#: both engines agree without sharing a hash function).
+DSIR_TARGET_LANG = "en"
+#: add-half (Jeffreys) smoothing so target-absent tokens stay finite.
+DSIR_SMOOTH = 0.5
+#: shortlist size for the highest-importance documents.
+DSIR_TOP_K = 25
+
+
+def _dsir_oracle() -> str:
+    from spark_jdbc_limit_spark.operators.relational import sql_round_dbl
+
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, lang, source,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        freq AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cr,
+                   CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS ct
+            FROM tok GROUP BY w
+        ),
+        tot AS (
+            SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+                   CAST(SUM(ct) AS DOUBLE) AS nt,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM freq
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   SUM(ln((f.ct + {DSIR_SMOOTH})
+                          / (tot.nt + {DSIR_SMOOTH} * tot.v))
+                       - ln((f.cr + {DSIR_SMOOTH})
+                            / (tot.nr + {DSIR_SMOOTH} * tot.v))) AS lw
+            FROM tok t
+            JOIN freq f USING (w)
+            CROSS JOIN tot
+            GROUP BY t.doc_id
+        ),
+        ranked AS (
+            SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.lw,
+                   ROW_NUMBER() OVER (ORDER BY s.lw DESC, s.doc_id) AS rk
+            FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               {sql_round_dbl('lw', 6)} AS log_weight
+        FROM ranked WHERE rk <= {DSIR_TOP_K} ORDER BY doc_id
+    """
+
+
+@query(
+    "pipeline_dsir_importance_weights",
+    category="llm_pipeline",
+    description=f"DSIR importance weights (unigram log-likelihood ratio vs lang='{DSIR_TARGET_LANG}' target), top-{DSIR_TOP_K} docs",
+    oracle=_dsir_oracle(),
+)
+def pipeline_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by the log-likelihood ratio of a TARGET
+    unigram distribution (English docs) over the RAW corpus
+    distribution — the principled replacement for 'filter by classifier
+    score' when you want web data that LOOKS like your target domain.
+    log w(x) = Σ_tokens [ln p_tgt(w) − ln p_raw(w)] with add-half
+    smoothing over the shared vocabulary; the top-{DSIR_TOP_K} docs by
+    weight are the ones importance resampling would draw first.
+
+    Float discipline: the per-token terms are fixed log expressions
+    over exact integer counts — bit-identical in both engines — and the
+    per-doc Σ is a float fold (order-dependent in the last ulps), the
+    same accepted posture as text_unigram_logprob's avg(log10); the
+    1e-6 round keeps ulp-scale fold noise (relative ~1e-15 on O(1-10²)
+    sums) far under the hash grain, and ranking ties are broken by
+    doc_id in both engines.
+
+    Plan shape at 100 TB: ONE vocabulary aggregation carries both
+    distributions (raw count + conditional target count per token), and
+    the table is vocabulary-bounded (Heaps' law keeps it
+    broadcast-sized); the token stream joins against that single
+    BROADCAST relation and partial-aggregates per doc in place (explode
+    preserves doc locality), so nothing fact-scale shuffles; the
+    shortlist is TakeOrderedAndProject. Reference scope: no statistics
+    surface in the reference (README.md:1-9) — 'beyond' tier."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    # ONE vocabulary aggregation carries both distributions: raw count +
+    # conditional target count per token (instead of two groupBys and a
+    # second hot-path join — one less corpus scan, one less join).
+    freq = tok.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("int")).alias("ct"),
+    )
+    tot = freq.agg(
+        F.sum("cr").cast("double").alias("nr"),
+        F.sum("ct").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    term = F.log(
+        (F.col("ct") + DSIR_SMOOTH) / (F.col("nt") + DSIR_SMOOTH * F.col("v"))
+    ) - F.log((F.col("cr") + DSIR_SMOOTH) / (F.col("nr") + DSIR_SMOOTH * F.col("v")))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), F.sum(term).alias("lw"))
+    )
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    return (
+        scored.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy(F.desc("lw"), "doc_id")
+        .limit(DSIR_TOP_K)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            round_dbl(F.col("lw"), 6).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1597,3 +1597,154 @@ def embedding_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> D
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization recall audit
+# ---------------------------------------------------------------------------
+
+#: binary-quantization audit: anchors and shortlist depth (the matryoshka
+#: audit's shape, at 1 bit/dim instead of a dim prefix).
+BINQ_ANCHORS = 8
+BINQ_K = 10
+
+
+def _binq_hamming_sql(a: str, b: str) -> str:
+    """Hamming distance between the sign patterns of two float lists —
+    spelled as an integer list_sum over an explicit dim range so the
+    whole distance is EXACT integer arithmetic in DuckDB (mirror of the
+    builder's zip_with/aggregate fold)."""
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> CASE WHEN ({a}[i] >= 0) <> ({b}[i] >= 0) THEN 1 ELSE 0 END))"
+    )
+
+
+@query(
+    "embedding_binary_quantization_recall_audit",
+    category="llm_similarity",
+    description=f"Recall@{BINQ_K} of 1-bit sign-quantized Hamming search vs exact cosine, {BINQ_ANCHORS} anchors",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        anchors AS (
+            SELECT vec_id AS a_id, emb AS a_emb FROM v
+            ORDER BY vec_id LIMIT {BINQ_ANCHORS}
+        ),
+        pairs AS (
+            SELECT a.a_id, b.vec_id AS n_id,
+                   list_cosine_similarity(a.a_emb, b.emb) AS full_cos,
+                   {_binq_hamming_sql('a.a_emb', 'b.emb')} AS ham
+            FROM anchors a JOIN v b ON b.vec_id <> a.a_id
+        ),
+        full_top AS (
+            SELECT a_id, n_id FROM (
+                SELECT a_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY a_id ORDER BY full_cos DESC, n_id) AS r
+                FROM pairs) WHERE r <= {BINQ_K}
+        ),
+        ham_top AS (
+            SELECT a_id, n_id, ham FROM (
+                SELECT a_id, n_id, ham, ROW_NUMBER() OVER (
+                    PARTITION BY a_id ORDER BY ham ASC, n_id) AS r
+                FROM pairs) WHERE r <= {BINQ_K}
+        )
+        SELECT f.a_id AS anchor_id,
+               CAST(COUNT(h.n_id) AS BIGINT) AS n_overlap,
+               CAST(COUNT(h.n_id) AS DOUBLE) / {BINQ_K} AS recall_at_k,
+               CAST((SELECT MAX(ham) FROM ham_top t WHERE t.a_id = f.a_id)
+                   AS BIGINT) AS max_ham_in_top
+        FROM full_top f
+        LEFT JOIN ham_top h ON h.a_id = f.a_id AND h.n_id = f.n_id
+        GROUP BY f.a_id ORDER BY anchor_id
+    """,
+)
+def embedding_binary_quantization_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary quantization audit — the 32× compression used for
+    first-stage retrieval in modern vector stores (sign bit per
+    dimension, XOR+popcount distance): for each anchor vector, how
+    much of the exact-cosine top-{BINQ_K} survives when candidates are
+    ranked by HAMMING distance between sign patterns instead. The
+    Hamming distance is exact INTEGER arithmetic in both engines (a
+    zip_with sign-mismatch fold here, an explicit range list_sum in
+    the oracle) — no float enters the binary ranking at all, so its
+    order is bit-exact; the exact-cosine side shares the matryoshka
+    audit's verified posture (floats only RANK, ties break by id,
+    margins pinned on the oracle data by the llm-ops margin test).
+    recall@k and the max-Hamming radius are exact integers.
+
+    Plan shape at 100 TB: anchors are a {BINQ_ANCHORS}-row broadcast;
+    one pass over the anchor×corpus join computes BOTH metrics
+    in-codegen (no UDF); per-anchor top-k windows run over
+    {BINQ_ANCHORS} bounded partitions — the production path packs the
+    sign bits into {EMB_DIM}-bit words once at write time and scans
+    those, which is a column-width change, not a plan change.
+    Reference scope: no vector surface (README.md:1-9)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    anchors = F.broadcast(
+        v.orderBy("vec_id")
+        .limit(BINQ_ANCHORS)
+        .select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    )
+    sign_mismatch = F.zip_with(
+        F.col("a_emb"),
+        F.col("emb"),
+        lambda x, y: ((x >= 0) != (y >= 0)).cast("int"),
+    )
+    pairs = (
+        v.join(anchors, F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            F.col("vec_id").alias("n_id"),
+            (
+                dot_cols(F.col("a_emb"), F.col("emb"))
+                / (_norm(F.col("a_emb")) * _norm(F.col("emb")))
+            ).alias("full_cos"),
+            F.aggregate(
+                sign_mismatch, F.lit(0), lambda acc, x: acc + x
+            ).alias("ham"),
+        )
+        .localCheckpoint(eager=False)  # feeds both rankings
+    )
+    full_r = F.row_number().over(
+        W.partitionBy("a_id").orderBy(F.col("full_cos").desc(), "n_id")
+    )
+    full_top = (
+        pairs.select("a_id", "n_id", full_r.alias("r"))
+        .filter(F.col("r") <= BINQ_K)
+        .select("a_id", "n_id")
+    )
+    ham_r = F.row_number().over(
+        W.partitionBy("a_id").orderBy(F.col("ham").asc(), "n_id")
+    )
+    ham_top = (
+        pairs.select("a_id", "n_id", "ham", ham_r.alias("r"))
+        .filter(F.col("r") <= BINQ_K)
+        .select("a_id", "n_id", "ham")
+    )
+    radius = ham_top.groupBy("a_id").agg(F.max("ham").cast("long").alias("max_ham"))
+    return (
+        full_top.alias("f")
+        .join(
+            ham_top.alias("h"),
+            (F.col("h.a_id") == F.col("f.a_id")) & (F.col("h.n_id") == F.col("f.n_id")),
+            "left",
+        )
+        .groupBy(F.col("f.a_id").alias("anchor_id"))
+        .agg(
+            F.count(F.col("h.n_id")).alias("n_overlap"),
+            (F.count(F.col("h.n_id")).cast("double") / BINQ_K).alias("recall_at_k"),
+        )
+        .join(F.broadcast(radius), F.col("anchor_id") == F.col("a_id"))
+        .select("anchor_id", "n_overlap", "recall_at_k",
+                F.col("max_ham").alias("max_ham_in_top"))
+        .orderBy("anchor_id")
+    )

@@ -332,3 +332,135 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression dags, so the chain hash-matches bit-for-bit. Resolution sugar only — both compile to
     one projection over the pruned, filter-pushed scan."""
     return _run_shared(spark, sf_dir, SQL_LATERAL_ALIAS, ("orders",))
+
+
+#: listagg shortlist depth: names per segment, fully tie-broken.
+LISTAGG_TOP = 5
+
+
+@query(
+    "sql_listagg_within_group",
+    category="sql_text",
+    description=f"listagg(...) WITHIN GROUP (Spark 4.0 SQL:2023 ordered string aggregation) over the top-{LISTAGG_TOP} balances per segment",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_name, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_name) AS rk
+            FROM customer
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               string_agg(c_name, '|' ORDER BY c_acctbal DESC, c_name)
+                   AS top_names
+        FROM ranked WHERE rk <= {LISTAGG_TOP}
+        GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def sql_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`` — the
+    SQL:2023 ordered string aggregation Spark gained in 4.0
+    (SPARK-42746). The aggregation order is part of the SEMANTICS
+    (unordered collect + concat is non-deterministic under shuffle),
+    which is why the entry pins a fully tie-broken ORDER BY
+    (balance DESC, then name): both engines emit the identical
+    byte string. DuckDB spells the same operation string_agg(expr,
+    sep ORDER BY ...) — the oracle demonstrates the dialect mapping.
+    The doubles being ordered are bit-identical parquet values, so
+    raw-float ORDER BY is exact, and the name tiebreak covers equal
+    balances. Inputs are capped to the top-{LISTAGG_TOP} rows per
+    segment first (a ranked filter), so the aggregated string is
+    shortlist-sized — the unbounded-listagg anti-pattern (concat the
+    whole corpus into one value) never appears. Plan: one shuffle for
+    the per-segment rank, one micro agg over {LISTAGG_TOP}·segments
+    rows."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_listagg"
+    )
+    return spark.sql(
+        f"""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_name, c_acctbal,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_name) AS rk
+            FROM customer_listagg
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               listagg(c_name, '|')
+                   WITHIN GROUP (ORDER BY c_acctbal DESC, c_name)
+                   AS top_names
+        FROM ranked WHERE rk <= {LISTAGG_TOP}
+        GROUP BY c_mktsegment ORDER BY segment
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    category="sql_text",
+    description="EXECUTE IMMEDIATE parameterized SQL (Spark 4.0) bound to a session variable, oracle inlines the parameter",
+    oracle="""
+        WITH cut AS (
+            SELECT 2.0 * (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(*)) AS v
+            FROM customer
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_above,
+               FLOOR((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*)) * 100.0 + 0.5) / 100.0 AS avg_above
+        FROM customer, cut
+        WHERE c_acctbal > cut.v
+        GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE ... USING var`` (SPARK-44840, Spark 4.0):
+    run a SQL string with ?-parameters bound from session variables —
+    the SQL-scripting way to parameterize a template without string
+    interpolation (and without its injection surface). The parameter
+    here is a data-derived cutoff (2× the mean balance) computed into
+    a session variable first, so the entry composes the two Spark 4
+    scripting features end-to-end; the oracle inlines the defining
+    subquery, pinning that parameter binding changes nothing
+    semantically.
+
+    Determinism: the cutoff avg uses the exact DECIMAL(18,6) sum (the
+    dec_sum convention) cast to double once — bit-identical in both
+    engines — so the `>` filter selects the identical row set; the
+    reported per-segment mean uses the same exact-sum form rounded
+    half-up at 2dp. View and variable are NAMESPACED
+    (customer_execimm / v_cut_execimm) and the variable is dropped
+    after the plan is built (the sessvar hygiene rule). Plan: one
+    scalar subquery + one partial-aggregated scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_execimm"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE v_cut_execimm DOUBLE")
+    spark.sql(
+        """
+        SET VAR v_cut_execimm =
+            (SELECT 2.0 * (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(*))
+             FROM customer_execimm)
+        """
+    )
+    out = spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_mktsegment AS segment,
+                CAST(COUNT(*) AS BIGINT) AS n_above,
+                CAST(FLOOR((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                            / COUNT(*)) * 100.0D + 0.5D) AS DOUBLE)
+                    / 100.0D AS avg_above
+         FROM customer_execimm
+         WHERE c_acctbal > ?
+         GROUP BY c_mktsegment ORDER BY segment'
+        USING v_cut_execimm
+        """
+    )
+    # parameter already bound into the analyzed plan; dropping session
+    # state afterwards cannot change the result (sessvar precedent).
+    spark.sql("DROP TEMPORARY VARIABLE IF EXISTS v_cut_execimm")
+    return out

@@ -2126,3 +2126,251 @@ def mix_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
             "pulled_toward_prior"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Classical two-sample / k-sample inference: Welch's t-test, one-way ANOVA
+# ---------------------------------------------------------------------------
+
+#: Welch t-test groups: the two largest market segments at every shipped SF.
+TTEST_SEG_A = "BUILDING"
+TTEST_SEG_B = "FURNITURE"
+#: two-sided z critical value at alpha = 0.05 (df is in the hundreds at
+#: every shipped SF, where t_crit is within 0.6% of 1.96 — documented gate).
+T_CRIT = 1.96
+
+#: exact-cents projection shared by the inference oracles (the gini
+#: pattern: decimal cast BEFORE the *100 so float dollars never round).
+_CENTS_SQL = "CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT)"
+
+
+def _welch_side_sql(alias: str, sfx: str) -> str:
+    """n / mean / unbiased-variance scalars for one group — the SAME
+    expression tree the builder's ``_stats`` emits, written once per
+    side (no string surgery; the kfold-`hcol` lesson)."""
+    a = alias
+    return (
+        f"{a}.n AS n{sfx}, {a}.s1 / {a}.n AS m{sfx}, "
+        f"({a}.s2 - {a}.s1 * {a}.s1 / {a}.n) / ({a}.n - 1.0) AS v{sfx}"
+    )
+
+
+def _welch_oracle() -> str:
+    # identical float algebra to the builder: every mean/var is a single
+    # division from exact integer sums, and t / df are fixed expression
+    # trees over those scalars — IEEE-identical before the round.
+    return f"""
+        WITH c AS (
+            SELECT c_mktsegment AS seg, {_CENTS_SQL} AS cents
+            FROM customer
+            WHERE c_mktsegment IN ('{TTEST_SEG_A}', '{TTEST_SEG_B}')
+        ),
+        g AS (
+            SELECT seg,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(cents) AS DOUBLE) AS s1,
+                   CAST(SUM(cents * cents) AS DOUBLE) AS s2
+            FROM c GROUP BY seg
+        ),
+        ab AS (
+            SELECT {_welch_side_sql('a', 'a')},
+                   {_welch_side_sql('b', 'b')}
+            FROM (SELECT * FROM g WHERE seg = '{TTEST_SEG_A}') a,
+                 (SELECT * FROM g WHERE seg = '{TTEST_SEG_B}') b
+        ),
+        t AS (
+            SELECT na, nb, ma, mb, va, vb,
+                   (ma - mb) / sqrt(va / na + vb / nb) AS t_raw,
+                   (va / na + vb / nb) * (va / na + vb / nb)
+                     / ((va / na) * (va / na) / (na - 1.0)
+                        + (vb / nb) * (vb / nb) / (nb - 1.0)) AS df_raw
+            FROM ab
+        )
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               {sql_round_dbl('ma / 100.0', 4)} AS mean_bal_a,
+               {sql_round_dbl('mb / 100.0', 4)} AS mean_bal_b,
+               {sql_round_dbl('t_raw', 6)} AS t_stat,
+               {sql_round_dbl('df_raw', 2)} AS df_welch,
+               ABS({sql_round_dbl('t_raw', 6)}) > {T_CRIT} AS significant
+        FROM t
+    """
+
+
+@query(
+    "stats_welch_ttest_segments",
+    category="aggregation",
+    description=f"Welch's unequal-variance t-test: {TTEST_SEG_A} vs {TTEST_SEG_B} account balances",
+    oracle=_welch_oracle(),
+)
+def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) between the two
+    largest market segments' account balances — the gatekeeper test an
+    experimentation/curation pipeline runs before acting on a mean
+    difference. Engine-exactness discipline (the moments-entry pattern,
+    agg_moments_skew_kurtosis): balances reduce to exact integer CENTS
+    via a decimal cast, the per-group (n, Σx, Σx²) sums are exact
+    DECIMAL(38,0)/HUGEINT, and t plus the Welch–Satterthwaite df are
+    FIXED float expression trees over those six scalars — identical
+    association order in builder and oracle, so the doubles match
+    bit-for-bit before the 1e-6 round. The `significant` verdict
+    compares the ROUNDED t (the ADVICE-r9 rounded-verdict rule) against
+    1.96 — the two-sided alpha=0.05 gate, within 0.6% of the exact t
+    critical value at the df (hundreds+) of every shipped SF.
+
+    Plan shape: ONE partial-aggregated pass over customer (map-side
+    combine into 2 groups), then scalar algebra on a 2-row relation via
+    a broadcast single-row crossJoin. At 100 TB only the scan grows.
+    Reference scope: the reference engine (672-LoC JDBC limit layer)
+    has no statistics surface — this is the 'beyond' tier."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B)
+    )
+    cents = (F.col("c_acctbal").cast("decimal(18,6)") * 100).cast("long")
+    g = (
+        c.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+
+    def _stats(side: DataFrame, sfx: str) -> DataFrame:
+        n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+        return side.select(
+            n.alias(f"n{sfx}"),
+            (s1 / n).alias(f"m{sfx}"),
+            ((s2 - s1 * s1 / n) / (n - 1.0)).alias(f"v{sfx}"),
+        )
+
+    ab = _stats(g.filter(F.col("seg") == TTEST_SEG_A), "a").crossJoin(
+        F.broadcast(_stats(g.filter(F.col("seg") == TTEST_SEG_B), "b"))
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("ma"), F.col("mb")
+    va, vb = F.col("va"), F.col("vb")
+    sea, seb = va / na, vb / nb
+    t_raw = (ma - mb) / F.sqrt(sea + seb)
+    df_raw = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+    )
+    t_rounded = round_dbl(t_raw, 6)
+    return ab.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        round_dbl(ma / 100.0, 4).alias("mean_bal_a"),
+        round_dbl(mb / 100.0, 4).alias("mean_bal_b"),
+        t_rounded.alias("t_stat"),
+        round_dbl(df_raw, 2).alias("df_welch"),
+        (F.abs(t_rounded) > T_CRIT).alias("significant"),
+    )
+
+
+#: one-way ANOVA F critical value, alpha = 0.05, df1 = 4, pinned at the
+#: df2 = 500 table value (conservative for df2 > 500; a reporting gate,
+#: not an exact inverse-F — both engines derive it from the same rounded F).
+ANOVA_F_CRIT = 2.39
+
+
+def _anova_oracle() -> str:
+    return f"""
+        WITH c AS (
+            SELECT c_mktsegment AS seg, {_CENTS_SQL} AS cents FROM customer
+        ),
+        g AS (
+            SELECT seg,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(cents) AS DOUBLE) AS s1,
+                   CAST(SUM(cents * cents) AS DOUBLE) AS s2
+            FROM c GROUP BY seg
+        ),
+        w AS (
+            SELECT seg, n, s1 / n AS m, s2 - s1 * s1 / n AS win,
+                   SUM(n) OVER () AS nn,
+                   COUNT(*) OVER () AS k,
+                   SUM(s1) OVER () / SUM(n) OVER () AS gm
+            FROM g
+        ),
+        f AS (
+            SELECT seg, n, m,
+                   (SUM(n * (m - gm) * (m - gm)) OVER () / (MAX(k) OVER () - 1.0))
+                     / (SUM(win) OVER () / (MAX(nn) OVER () - MAX(k) OVER ()))
+                       AS f_raw
+            FROM w
+        )
+        SELECT seg AS segment,
+               CAST(n AS BIGINT) AS n,
+               {sql_round_dbl('m / 100.0', 4)} AS mean_bal,
+               {sql_round_dbl('f_raw', 6)} AS f_stat,
+               {sql_round_dbl('f_raw', 6)} > {ANOVA_F_CRIT} AS reject_equal_means
+        FROM f ORDER BY segment
+    """
+
+
+@query(
+    "stats_anova_oneway_segments",
+    category="aggregation",
+    description="One-way ANOVA F-test of mean account balance across the five market segments",
+    oracle=_anova_oracle(),
+)
+def stats_anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across all five market segments — the k-sample
+    generalization of the Welch entry, the test a mixture monitor runs
+    before declaring 'segment determines balance'. Same exactness
+    discipline: per-group (n, Σx, Σx²) are exact integer-cents sums
+    (DECIMAL(38,0)/HUGEINT); group means and within-group sums of
+    squares are fixed float expressions over them. The cross-group
+    reductions (SSB, SSW) are float SUM-OVER-() folds over the 5-row
+    group relation — the PSI precedent: ≤5 terms whose fold-order noise
+    (relative ~1e-15) sits nine orders below the 1e-6 rounding grain of
+    an O(1) F statistic. The reject verdict compares the ROUNDED F to
+    the alpha=0.05 df1=4 critical value pinned at its df2=500 table
+    entry (2.39) — a documented reporting gate, identical in both
+    engines because both derive it from the same rounded double.
+
+    Plan shape: one partial-aggregated customer pass into 5 groups;
+    every window below runs over that 5-row micro relation. At 100 TB
+    only the scan grows."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,6)") * 100).cast("long")
+    g = (
+        c.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    wall = Window.partitionBy()
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    w = g.select(
+        "seg",
+        n,
+        (s1 / n).alias("m"),
+        (s2 - s1 * s1 / n).alias("win"),
+        F.sum(n).over(wall).alias("nn"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+        (F.sum(s1).over(wall) / F.sum(n).over(wall)).alias("gm"),
+    )
+    m, gm = F.col("m"), F.col("gm")
+    f_raw = (
+        F.sum(n * (m - gm) * (m - gm)).over(wall) / (F.max("k").over(wall) - 1.0)
+    ) / (F.sum("win").over(wall) / (F.max("nn").over(wall) - F.max("k").over(wall)))
+    f_rounded = round_dbl(f_raw, 6)
+    return (
+        w.select(
+            F.col("seg").alias("segment"),
+            n.cast("long").alias("n"),
+            round_dbl(m / 100.0, 4).alias("mean_bal"),
+            f_rounded.alias("f_stat"),
+            (f_rounded > ANOVA_F_CRIT).alias("reject_equal_means"),
+        )
+        .orderBy("segment")
+    )

@@ -1480,3 +1480,143 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         req.cast("long").alias("n_required_per_arm"),
         (F.col("n_control") >= req).alias("currently_powered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency
+# ---------------------------------------------------------------------------
+
+#: sweep-line time-bucket width for the two-phase running sum (1 hour in
+#: microseconds) — caps any single window task at one hour of boundary
+#: points regardless of corpus scale.
+SWEEP_BUCKET_US = 3_600 * 1_000_000
+
+
+@query(
+    "events_peak_concurrency_sweep",
+    category="window_events",
+    description="Sweep-line peak concurrency per event type (interval = [ts, ts + floor(value) seconds)), two-phase running sum",
+    oracle=f"""
+        WITH iv AS (
+            SELECT event_type,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e_us
+            FROM events
+        ),
+        pts AS (
+            SELECT event_type, s_us AS t_us, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_type, e_us, -1 FROM iv
+        ),
+        net AS (
+            SELECT event_type, t_us, CAST(SUM(delta) AS BIGINT) AS d
+            FROM pts GROUP BY event_type, t_us
+        ),
+        runs AS (
+            SELECT event_type, t_us,
+                   SUM(d) OVER (PARTITION BY event_type ORDER BY t_us) AS cum
+            FROM net
+        ),
+        pk AS (
+            SELECT event_type, MAX(cum) AS peak FROM runs GROUP BY event_type
+        ),
+        firstpk AS (
+            SELECT r.event_type, p.peak, MIN(r.t_us) AS first_us
+            FROM runs r JOIN pk p USING (event_type)
+            WHERE r.cum = p.peak
+            GROUP BY r.event_type, p.peak
+        ),
+        cnt AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM events GROUP BY event_type
+        )
+        SELECT f.event_type,
+               c.n_intervals,
+               CAST(f.peak AS BIGINT) AS peak_concurrent,
+               make_timestamp(f.first_us) AS first_peak_ts
+        FROM firstpk f JOIN cnt c USING (event_type)
+        ORDER BY f.event_type
+    """,
+)
+def events_peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the classic sweep line — 'what is the most
+    sessions this stream ever had open at once, and when did it first
+    happen': each event opens an interval [ts, ts + floor(value)
+    seconds); +1/−1 boundary deltas are NETTED per distinct instant
+    (which also removes any same-instant ordering ambiguity — an
+    interval closing exactly when another opens contributes 0, the
+    half-open [s, e) convention), then a running sum over instants
+    gives the active count and its max is the peak. Everything is
+    integer microseconds — exact in both engines, including the
+    first-peak tie (min instant at the max, via a single struct-max
+    aggregate here and a peak join in the oracle).
+
+    Scale posture: a bare SUM() OVER (PARTITION BY type ORDER BY t)
+    would sort one event type's entire history in ONE task — the
+    pack_tokens_sequential scale-killer — so the running sum is the
+    module's two-phase shape: hour-bucketed local cumsums (parallel,
+    bounded by an hour of boundary points), per-bucket totals rolled
+    into offsets over the bucket-count micro relation, cum = offset +
+    local. One fact shuffle for the netting groupBy, one for the
+    bucketed window; the peak fold is a partial-aggregated groupBy.
+    Reference scope: no windowing surface in the reference
+    (README.md:1-9) — 'beyond' tier."""
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts"))
+    e_us = s_us + F.floor(F.col("value")).cast("long") * 1_000_000
+    pts = ev.select(
+        "event_type", s_us.alias("t_us"), F.lit(1).alias("delta")
+    ).unionAll(ev.select("event_type", e_us.alias("t_us"), F.lit(-1).alias("delta")))
+    net = pts.groupBy("event_type", "t_us").agg(
+        F.sum("delta").cast("long").alias("d")
+    )
+    # two-phase running sum (pack_tokens_sequential pattern): hour buckets
+    # keep every window partition bounded at any scale.
+    bucketed = net.withColumn("bucket", F.floor(F.col("t_us") / SWEEP_BUCKET_US))
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("local_cum", F.sum("d").over(w_local))
+    # the bucket's contribution to downstream offsets is its NET delta sum
+    # (pack_tokens uses max(local_cum) because its values are non-negative;
+    # here closes make the local cumsum non-monotone, so max would be wrong)
+    bucket_totals = local.groupBy("event_type", "bucket").agg(
+        F.sum("d").alias("bucket_sum")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.select(
+        F.col("event_type").alias("o_type"),
+        F.col("bucket").alias("o_bucket"),
+        F.coalesce(F.sum("bucket_sum").over(w_off), F.lit(0)).alias("offset"),
+    )
+    cum_rel = local.join(
+        F.broadcast(offsets),
+        (F.col("event_type") == F.col("o_type"))
+        & (F.col("bucket") == F.col("o_bucket")),
+    ).select(
+        "event_type", "t_us", (F.col("offset") + F.col("local_cum")).alias("cum")
+    )
+    # one aggregate finds BOTH the peak and its first instant: the
+    # lexicographic struct max (cum, -t_us) is (max cum, min t at max).
+    agg = cum_rel.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cum").alias("c"), (-F.col("t_us")).alias("nt"))).alias(
+            "m"
+        )
+    )
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    return (
+        agg.join(cnt, "event_type")
+        .select(
+            "event_type",
+            "n_intervals",
+            F.col("m.c").cast("long").alias("peak_concurrent"),
+            F.timestamp_micros(-F.col("m.nt")).alias("first_peak_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -216,6 +216,26 @@ def test_float_decision_margins_on_oracle_data(sf_correct):
         frac = np.append(frac, np.abs(scaled - np.floor(scaled) - 0.5))
     assert frac.min() > 1e-6, "a centroid norm sits at a round-to-3 boundary"
 
+    # binary-quantization audit top-k boundaries: the exact-cosine side
+    # ranks raw doubles computed by different fold orders (zip_with fold
+    # vs DuckDB's list_cosine_similarity), so the k/k+1 gap per anchor
+    # must clear fold error unless the boundary is id-tie-broken on an
+    # EXACTLY equal value (then both engines order by n_id identically)
+    from spark_jdbc_limit_spark.operators.similarity import BINQ_ANCHORS, BINQ_K
+
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    anchor_rows = order[:BINQ_ANCHORS]
+    for a in anchor_rows:
+        mask = np.arange(len(ids)) != a
+        cos = (u[mask] @ u[a]).astype(np.float64)
+        top = np.sort(cos)[::-1]
+        gap = top[BINQ_K - 1] - top[BINQ_K]
+        assert gap > 1e-9 or gap == 0.0, (
+            f"anchor {ids[a]}: exact-cosine top-{BINQ_K} boundary gap {gap} "
+            "is inside float fold error and not an exact tie"
+        )
+
 
 def test_star_contraction_labels_long_chain(spark):
     """Star contraction converges on a chain of diameter 30 — the exact

@@ -141,6 +141,20 @@ RECENT_ADDITIONS = [
     "drift_ks_two_sample",
     "dq_chi_square_independence",
     "drift_cusum_daily_revenue",
+    # round 10b: classical inference (exact-cents moment sums)
+    "stats_welch_ttest_segments",
+    "stats_anova_oneway_segments",
+    # round 10b: DSIR importance weighting (unigram LLR vs target lang)
+    "pipeline_dsir_importance_weights",
+    # round 10b: degree-punishing link prediction, fixed-point exact
+    "graph_resource_allocation_links",
+    # round 10b: Spark-4 SQL surface (ordered string agg, parameterized exec)
+    "sql_listagg_within_group",
+    "sql_execute_immediate",
+    # round 10b: 1-bit sign quantization recall audit
+    "embedding_binary_quantization_recall_audit",
+    # round 10b: sweep-line peak concurrency (two-phase running sum)
+    "events_peak_concurrency_sweep",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.

@@ -396,3 +396,82 @@ def test_empirical_bayes_shrinkage_matches_numpy(spark):
         assert r.pulled_toward_prior
     # contraction is strict for any finite k > 0 unless raw == m exactly
     assert k > 0
+
+
+def _customer() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/customer.parquet")
+
+
+def _cents(series: pd.Series) -> np.ndarray:
+    # the builders' decimal-cast cents: round the double to 2dp first
+    return (series.astype("float64").round(2) * 100).round().astype("int64").to_numpy()
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    c = _customer()
+    a = _cents(c.loc[c["c_mktsegment"] == "BUILDING", "c_acctbal"]).astype(float)
+    b = _cents(c.loc[c["c_mktsegment"] == "FURNITURE", "c_acctbal"]).astype(float)
+    na, nb = len(a), len(b)
+    ma, mb = a.mean(), b.mean()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / na + vb / nb
+    want_t = (ma - mb) / np.sqrt(se2)
+    want_df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    row = get_query("stats_welch_ttest_segments").builder(spark, SF).collect()[0]
+    assert row.n_a == na and row.n_b == nb
+    assert abs(row.mean_bal_a - ma / 100.0) < 1.1e-4
+    assert abs(row.t_stat - want_t) < 1.1e-6
+    assert abs(row.df_welch - want_df) < 1.1e-2
+    assert row.significant == (abs(row.t_stat) > 1.96)
+
+
+def test_anova_matches_numpy_formula(spark):
+    c = _customer()
+    groups = {
+        seg: _cents(g["c_acctbal"]).astype(float)
+        for seg, g in c.groupby("c_mktsegment")
+    }
+    nn = sum(len(g) for g in groups.values())
+    k = len(groups)
+    gm = sum(g.sum() for g in groups.values()) / nn
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups.values())
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups.values())
+    want_f = (ssb / (k - 1)) / (ssw / (nn - k))
+    rows = get_query("stats_anova_oneway_segments").builder(spark, SF).collect()
+    assert len(rows) == k
+    for row in rows:
+        assert row.n == len(groups[row.segment])
+        assert abs(row.mean_bal - groups[row.segment].mean() / 100.0) < 1.1e-4
+        assert abs(row.f_stat - want_f) < 1.1e-5
+        assert row.reject_equal_means == (row.f_stat > 2.39)
+
+
+def test_dsir_weights_match_numpy(spark):
+    d = _docs()
+    toks = d["text"].str.split(" ")
+    from collections import Counter
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for lang, ws in zip(d["lang"], toks):
+        raw.update(ws)
+        if lang == "en":
+            tgt.update(ws)
+    nr = sum(raw.values())
+    nt = sum(tgt.values())
+    v = len(raw)
+    want = {}
+    for doc_id, ws in zip(d["doc_id"], toks):
+        lw = 0.0
+        for w in ws:
+            lw += np.log((tgt.get(w, 0) + 0.5) / (nt + 0.5 * v)) - np.log(
+                (raw[w] + 0.5) / (nr + 0.5 * v)
+            )
+        want[int(doc_id)] = (lw, len(ws))
+    top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:25]
+    rows = get_query("pipeline_dsir_importance_weights").builder(spark, SF).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(doc for doc, _ in top)
+    for r in rows:
+        lw, n_tok = want[r.doc_id]
+        assert r.n_tokens == n_tok
+        assert abs(r.log_weight - lw) < 1.1e-6
