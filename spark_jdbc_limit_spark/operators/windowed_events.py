@@ -1578,7 +1578,12 @@ def events_peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("t_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = bucketed.withColumn("local_cum", F.sum("d").over(w_local))
+    # `local` feeds BOTH the offsets branch and the cum join; without the
+    # checkpoint the netting groupBy + bucketed window recompute per
+    # consumer (A/B'd: 1.89 s -> 1.57 s at sf0.1).
+    local = bucketed.withColumn("local_cum", F.sum("d").over(w_local)).localCheckpoint(
+        eager=False
+    )
     # the bucket's contribution to downstream offsets is its NET delta sum
     # (pack_tokens uses max(local_cum) because its values are non-negative;
     # here closes make the local cumsum non-monotone, so max would be wrong)
