@@ -52,9 +52,14 @@ TRIANGLE_PCTL = 0.97
 TRIANGLE_MIN_W = 2
 
 
-def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _supplier_edges(
+    spark: SparkSession, sf_dir: str, keep_weight: bool = False
+) -> DataFrame:
     """Canonical (s1 < s2) supplier edge list: pairs whose co-order count
-    clears the adaptive weight threshold.
+    clears the adaptive weight threshold. ``keep_weight`` additionally
+    emits the co-order count ``w`` (the weighted-SSSP entry's cost input)
+    from the SAME derivation, so weighted and unweighted consumers can
+    never disagree on the edge set.
 
     Pair generation: ONE shuffle groups each order's distinct suppliers
     into a sorted set (collect_set absorbs the distinct), then a codegen
@@ -93,10 +98,11 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"percentile(w, {TRIANGLE_PCTL})"),
         ).alias("thr")
     )
-    return (
-        pairs.crossJoin(F.broadcast(thr))  # one-row threshold relation
-        .filter(F.col("w").cast("double") >= F.col("thr"))
-        .select("s1", "s2")
+    filtered = pairs.crossJoin(F.broadcast(thr)).filter(
+        F.col("w").cast("double") >= F.col("thr")
+    )  # one-row threshold relation
+    return filtered.select("s1", "s2", "w") if keep_weight else filtered.select(
+        "s1", "s2"
     )
 
 
@@ -104,7 +110,8 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: -> adaptive-threshold e), single-sourced so the four graph oracles
 #: (pagerank, triangles, LPA, connected components) can never drift
 #: apart on the edge definition. Mirror of ``_supplier_edges``.
-_EDGES_CTE = f"""os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+def _edges_cte(select_cols: str = "s1, s2") -> str:
+    return f"""os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
         pairs AS (
             SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
             FROM os a JOIN os b USING (l_orderkey)
@@ -112,13 +119,19 @@ _EDGES_CTE = f"""os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
             GROUP BY 1, 2
         ),
         e AS (
-            SELECT s1, s2 FROM pairs
+            SELECT {select_cols} FROM pairs
             WHERE CAST(w AS DOUBLE) >= (
                 SELECT GREATEST({float(TRIANGLE_MIN_W)},
                                 quantile_cont(w, {TRIANGLE_PCTL}))
                 FROM pairs
             )
         )"""
+
+
+_EDGES_CTE = _edges_cte()
+#: weighted twin — same derivation, co-order count retained (mirror of
+#: ``_supplier_edges(keep_weight=True)``).
+_EDGES_W_CTE = _edges_cte("s1, s2, w")
 
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 5
@@ -1675,4 +1688,285 @@ def graph_resource_allocation_links(
             ),
         )
         .orderBy("s1", "s2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford min-plus unroll)
+# ---------------------------------------------------------------------------
+
+#: Bellman-Ford relaxation rounds (covers paths of <= 6 edges; settlement
+#: audited in-query like the BFS entry).
+BF_ITERS = 6
+#: integer edge cost: strong co-order ties are cheap to traverse —
+#: cost = floor(10^9 / w). Pure int64: a 6-edge path costs <= 6e9, and
+#: the min-plus fold never leaves BIGINT, so distances are bit-exact.
+BF_COST_SCALE = 1_000_000_000
+#: nearest-node shortlist size (fully tie-broken: distance, then node id).
+BF_TOP_K = 20
+
+
+def _bellman_ford_oracle() -> str:
+    base = f"""
+        WITH {_EDGES_W_CTE},
+        bi AS (SELECT s1 AS u, s2 AS v, {BF_COST_SCALE} // w AS c FROM e
+               UNION ALL SELECT s2, s1, {BF_COST_SCALE} // w FROM e),
+        nodes AS (SELECT DISTINCT u AS node FROM bi),
+        bw AS (SELECT u, v, c FROM bi
+               UNION ALL SELECT node, node, 0 FROM nodes),
+        d0 AS (SELECT (SELECT MIN(node) FROM nodes) AS node, 0 AS d)"""
+    steps = "".join(
+        f""",
+        d{k} AS (
+            SELECT b.v AS node, MIN(l.d + b.c) AS d
+            FROM bw b JOIN d{k - 1} l ON l.node = b.u
+            GROUP BY 1
+        )"""
+        for k in range(1, BF_ITERS + 1)
+    )
+    return (
+        base
+        + steps
+        + f"""
+        ,
+        audit AS (
+            SELECT CAST(SUM(CASE WHEN COALESCE(a.d, -1) <> COALESCE(b.d, -1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_unsettled,
+                   CAST(SUM(CASE WHEN a.d IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_unreachable
+            FROM nodes n
+            LEFT JOIN d{BF_ITERS} a USING (node)
+            LEFT JOIN d{BF_ITERS - 1} b USING (node)
+        ),
+        ranked AS (
+            SELECT node, d, ROW_NUMBER() OVER (ORDER BY d, node) AS rk
+            FROM d{BF_ITERS}
+        )
+        SELECT CAST(r.node AS BIGINT) AS node,
+               CAST(r.d AS BIGINT) AS dist_scaled,
+               {sql_round_dbl(f'CAST(r.d AS DOUBLE) / {BF_COST_SCALE}.0', 6)}
+                   AS dist,
+               a.n_unreachable, a.n_unsettled
+        FROM ranked r CROSS JOIN audit a
+        WHERE r.rk <= {BF_TOP_K} ORDER BY r.node
+    """
+    )
+
+
+@query(
+    "graph_sssp_bellman_ford",
+    category="graph",
+    description=f"Weighted SSSP: {BF_ITERS}-round Bellman-Ford min-plus unroll over integer co-order costs, top-{BF_TOP_K} nearest + settlement audit",
+    oracle=_bellman_ford_oracle(),
+)
+def graph_sssp_bellman_ford(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """WEIGHTED single-source shortest paths — the missing member of the
+    min-plus family (``graph_bfs_hops`` counts hops; this costs them):
+    edge cost = floor(10^9 / co-order-count), so strongly-tied supplier
+    pairs are cheap to traverse and the nearest nodes are the ones
+    reachable through strong relationships. Bellman-Ford relaxation
+    d(v) = min(d(v), min_u d(u) + c(u,v)) unrolled to a FIXED
+    {BF_ITERS} rounds in both engines (the family's differential-
+    testability trade; ``run_until_settled`` is the production loop,
+    same step function), with the family's two audits: ``n_unsettled``
+    counts nodes whose distance changed on the final round (0 proves
+    the fixpoint on this data) and ``n_unreachable`` counts nodes the
+    relaxation never reached. Costs and distances are PURE int64
+    min-plus (a 6-edge path ≤ 6e9), so every value is bit-exact — no
+    float enters until the final display division.
+
+    Plan shape per round: identical to BFS — one join of the
+    node-bounded distance relation onto the weighted bidirectional
+    edge list (+0 self-loops keep lineage linear) + one
+    map-side-combined MIN; the edge weights ride the SAME
+    ``_supplier_edges`` derivation (keep_weight=True), so the weighted
+    and unweighted entries can never disagree on the graph. Shortlist
+    = top-{BF_TOP_K} nearest under (distance, node) — deterministic
+    total order. Reference scope: no graph surface (README.md:1-9)."""
+    from pyspark.sql.window import Window as W
+
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
+    cost = F.expr(f"{BF_COST_SCALE}L div w")
+    bi = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v"), cost.alias("c")
+    ).unionAll(
+        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"), cost.alias("c"))
+    )
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bw = bi.unionAll(
+        nodes.select(
+            F.col("node").alias("u"), F.col("node").alias("v"), F.lit(0).cast("long").alias("c")
+        )
+    )
+    dist = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+    prev = dist
+    for i in range(BF_ITERS):
+        if i == BF_ITERS - 1:
+            dist = dist.localCheckpoint(eager=False)
+        prev = dist
+        relax = bw.join(F.broadcast(dist), F.col("u") == F.col("node")).select(
+            "v", (F.col("d") + F.col("c")).alias("d")
+        )
+        dist = relax.groupBy("v").agg(F.min("d").alias("d")).select(
+            F.col("v").alias("node"), "d"
+        )
+    dist = dist.localCheckpoint(eager=False)  # feeds audit + shortlist
+    audit = (
+        nodes.join(dist.withColumnRenamed("d", "da"), "node", "left")
+        .join(prev.withColumnRenamed("d", "db"), "node", "left")
+        .agg(
+            F.sum(
+                (
+                    F.coalesce(F.col("da"), F.lit(-1))
+                    != F.coalesce(F.col("db"), F.lit(-1))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_unsettled"),
+            F.sum(F.col("da").isNull().cast("int")).cast("long").alias("n_unreachable"),
+        )
+    )
+    ranked = dist.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("d"), F.col("node")))
+    ).filter(F.col("rk") <= BF_TOP_K)
+    return (
+        ranked.crossJoin(F.broadcast(audit))
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("d").cast("long").alias("dist_scaled"),
+            round_dbl(F.col("d").cast("double") / float(BF_COST_SCALE), 6).alias(
+                "dist"
+            ),
+            "n_unreachable",
+            "n_unsettled",
+        )
+        .orderBy("node")
+    )
+
+
+def sssp_until_settled(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    edges: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int, bool]:
+    """``graph_sssp_bellman_ford``'s weighted min-plus relaxation looped
+    to convergence (the production posture for long/cheap detour paths a
+    fixed unroll would miss). Returns ``((node, d), rounds, settled)``
+    over reached nodes; the frontier GROWS, so settlement full-outer-
+    joins with presence markers (the BFS posture)."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
+    cost = F.expr(f"{BF_COST_SCALE}L div w")
+    bi = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v"), cost.alias("c")
+    ).unionAll(
+        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"), cost.alias("c"))
+    )
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bw = (
+        bi.unionAll(
+            nodes.select(
+                F.col("node").alias("u"),
+                F.col("node").alias("v"),
+                F.lit(0).cast("long").alias("c"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+
+    def step(dd: DataFrame) -> DataFrame:
+        relax = bw.join(F.broadcast(dd), F.col("u") == F.col("node")).select(
+            "v", (F.col("d") + F.col("c")).alias("d")
+        )
+        return relax.groupBy("v").agg(F.min("d").alias("d")).select(
+            F.col("v").alias("node"), "d"
+        )
+
+    return run_until_settled(
+        dist, step, key_cols=["node"], value_cols=["d"], max_rounds=max_rounds
+    )
+
+
+def _sssp_settled_oracle() -> str:
+    steps = "".join(
+        f""",
+        d{k} AS MATERIALIZED (
+            SELECT b.v AS node, MIN(l.d + b.c) AS d
+            FROM bw b JOIN d{k - 1} l ON l.node = b.u
+            GROUP BY 1
+        )"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    # value-equality settlement per step (the k-core count trick is not
+    # enough here: the reached-node SET can freeze while DISTANCES still
+    # improve through longer-but-cheaper paths)
+    changes = " UNION ALL ".join(
+        f"""SELECT {k} AS step,
+            (SELECT COUNT(*) FROM d{k} a FULL JOIN d{k - 1} b USING (node)
+             WHERE a.d IS DISTINCT FROM b.d) AS nchg"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    return f"""
+        WITH {_EDGES_W_CTE},
+        bi AS MATERIALIZED (
+            SELECT s1 AS u, s2 AS v, {BF_COST_SCALE} // w AS c FROM e
+            UNION ALL SELECT s2, s1, {BF_COST_SCALE} // w FROM e),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+        bw AS MATERIALIZED (SELECT u, v, c FROM bi
+              UNION ALL SELECT node, node, 0 FROM nodes),
+        d0 AS (SELECT (SELECT MIN(node) FROM nodes) AS node, 0 AS d){steps},
+        chg AS ({changes}),
+        rr AS (SELECT MIN(step) AS rounds FROM chg WHERE nchg = 0),
+        ranked AS (
+            SELECT node, d, ROW_NUMBER() OVER (ORDER BY d, node) AS rk
+            FROM d{SETTLED_ORACLE_CAP}
+        )
+        SELECT CAST(r.node AS BIGINT) AS node,
+               CAST(r.d AS BIGINT) AS dist_scaled,
+               CAST(rr.rounds AS BIGINT) AS rounds_run, TRUE AS settled
+        FROM ranked r CROSS JOIN rr
+        WHERE r.rk <= {BF_TOP_K} ORDER BY r.node
+    """
+
+
+@query(
+    "graph_sssp_until_settled",
+    category="graph",
+    description=f"Weighted SSSP looped to convergence, top-{BF_TOP_K} nearest with driver-verified round count",
+    oracle=_sssp_settled_oracle(),
+)
+def graph_sssp_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sssp_until_settled`` as a registry entry: the weighted min-plus
+    relaxation looped until no distance changes, shortlisting the
+    top-{BF_TOP_K} nearest nodes. The oracle unrolls
+    {SETTLED_ORACLE_CAP} materialized relaxation steps and detects the
+    first VALUE-unchanged step (the k-core oracle's count equality is
+    insufficient here: the reached set can freeze while distances still
+    improve through longer-but-cheaper paths), so rounds_run is
+    derived, not trusted. Distances are pure int64 min-plus —
+    bit-exact."""
+    from pyspark.sql.window import Window as W
+
+    state, rounds, settled = sssp_until_settled(spark, sf_dir)
+    ranked = state.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("d"), F.col("node")))
+    ).filter(F.col("rk") <= BF_TOP_K)
+    return (
+        ranked.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("d").cast("long").alias("dist_scaled"),
+        )
+        .withColumn("rounds_run", F.lit(int(rounds)).cast("long"))
+        .withColumn("settled", F.lit(bool(settled)))
+        .orderBy("node")
     )

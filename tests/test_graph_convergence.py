@@ -285,3 +285,30 @@ def test_kcore_until_settled_handles_deeper_k(spark):
     )
     assert settled
     assert rounds > KCORE_ITERS, "K=4 should need more rounds than the fixed window"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_sssp_until_settled_matches_fixed_unroll(spark, sf):
+    """The weighted min-plus loop converges within the fixed unroll's
+    window on the shipped graphs, and its distances equal the fixed
+    entry's shortlist (the fixed entry's audit proves n_unsettled = 0,
+    so the two must agree wherever both are defined)."""
+    from spark_jdbc_limit_spark.operators.graph import (
+        BF_ITERS,
+        BF_TOP_K,
+        sssp_until_settled,
+    )
+
+    dist, rounds, settled = sssp_until_settled(spark, sf)
+    assert settled and rounds <= BF_ITERS + 1
+    fixed = {
+        r.node: r.dist_scaled
+        for r in get_query("graph_sssp_bellman_ford").builder(spark, sf).collect()
+    }
+    loop_top = {
+        r.node: r.d
+        for r in dist.orderBy("d", "node").limit(BF_TOP_K).collect()
+    }
+    assert loop_top == fixed or set(fixed) <= set(loop_top)
+    for node, d in fixed.items():
+        assert loop_top.get(node, d) == d

@@ -155,6 +155,10 @@ RECENT_ADDITIONS = [
     "embedding_binary_quantization_recall_audit",
     # round 10b: sweep-line peak concurrency (two-phase running sum)
     "events_peak_concurrency_sweep",
+    # round 10b: weighted SSSP (fixed-point int64 Bellman-Ford) + its
+    # convergence-looped twin with value-equality round detection
+    "graph_sssp_bellman_ford",
+    "graph_sssp_until_settled",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
