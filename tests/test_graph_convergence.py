@@ -312,3 +312,55 @@ def test_sssp_until_settled_matches_fixed_unroll(spark, sf):
     assert loop_top == fixed or set(fixed) <= set(loop_top)
     for node, d in fixed.items():
         assert loop_top.get(node, d) == d
+
+
+def test_sssp_until_settled_matches_python_dijkstra(spark):
+    """Oracle-independent check on graphs the shipped corpus never
+    shapes: seeded random weighted graphs, loop distances vs a pure-
+    Python Dijkstra (third implementation besides Spark and DuckDB)."""
+    import heapq
+    import random
+
+    from spark_jdbc_limit_spark.operators.graph import (
+        BF_COST_SCALE,
+        sssp_until_settled,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = rng.randint(6, 12)
+        edges = set()
+        # random connected-ish graph: a spine plus random chords
+        for i in range(1, n):
+            edges.add((rng.randrange(i), i))
+        for _ in range(n):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        weights = {e: rng.randint(1, 9) for e in edges}
+        rows = [(s1, s2, w) for (s1, s2), w in weights.items()]
+        edf = spark.createDataFrame(rows, "s1 long, s2 long, w long")
+
+        dist, rounds, settled = sssp_until_settled(spark, "", edges=edf)
+        assert settled
+        got = {r.node: r.d for r in dist.collect()}
+
+        # python Dijkstra over the same integer costs from the min node
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for (a, b), w in weights.items():
+            c = BF_COST_SCALE // w
+            adj.setdefault(a, []).append((b, c))
+            adj.setdefault(b, []).append((a, c))
+        src = min(adj)
+        want = {src: 0}
+        pq = [(0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > want.get(u, 1 << 62):
+                continue
+            for v, c in adj[u]:
+                nd = d + c
+                if nd < want.get(v, 1 << 62):
+                    want[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        assert got == want, f"trial {trial}: {got} != {want}"

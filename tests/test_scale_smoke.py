@@ -136,6 +136,16 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         # same degeneration the link-prediction exclusion above notes.)
         "graph_cc_until_settled",
         "graph_lpa_until_settled",
+        # round-10b additions: the DSIR vocabulary/token-stream path under
+        # 10x docs, the sweep-line two-phase running sum under 10x events,
+        # the anchor×corpus binary-quantization join under 10x embeddings,
+        # and the weighted min-plus loop's round mechanics (lineitem rides
+        # through unreplicated; graph_sssp_bellman_ford's fixed unroll is
+        # covered by the until-settled twin's identical step function).
+        "pipeline_dsir_importance_weights",
+        "events_peak_concurrency_sweep",
+        "embedding_binary_quantization_recall_audit",
+        "graph_sssp_until_settled",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
