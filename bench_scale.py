@@ -81,6 +81,18 @@ QUERIES: dict[str, str] = {
     # cardinality (xR under replication) — this row is the measured
     # proof the rework removed the unbounded single-task window
     "agg_spearman_rank_correlation": "linear",
+    # round-10b additions: per-hub wedge expansion (degree constant under
+    # disjoint replication), the weighted min-plus loop (round count
+    # constant), the DSIR token stream (vocabulary xR via replica tags —
+    # the broadcast freq table grows, the posture's stress case), the
+    # anchor×corpus binary-quantization join, and the sweep-line running
+    # sum under xR boundary points per hour bucket (events now replicate
+    # with a +rep µs shift so the netted point set actually grows).
+    "graph_resource_allocation_links": "linear",
+    "graph_sssp_until_settled": "linear",
+    "pipeline_dsir_importance_weights": "linear",
+    "embedding_binary_quantization_recall_audit": "linear",
+    "events_peak_concurrency_sweep": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min
@@ -155,7 +167,29 @@ def _replicate(spark: SparkSession, base: str, out: str, r: int) -> None:
         ]
     ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
 
-    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+    # events: ids shifted AND ts shifted +rep MICROSECONDS — replicas land
+    # in the same hour buckets but at distinct instants, so the sweep-line
+    # point set (and per-bucket window work) scales xR instead of netting
+    # replicas into the base points
+    ev = spark.read.parquet(f"{base}/events.parquet").select("*", reps)
+    ev.select(
+        (F.col("event_id").cast("long") + F.col("rep") * 100_000_000).alias(
+            "event_id"
+        ),
+        # raw parquet reads give TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
+        # The session is UTC, so the round-trip preserves the wall clock.
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp")) + F.col("rep")
+        )
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        (F.col("user_id").cast("long") + F.col("rep") * 10_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
         spark.read.parquet(f"{base}/{t}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out}/{t}.parquet")
