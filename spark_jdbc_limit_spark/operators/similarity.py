@@ -1670,10 +1670,11 @@ def embedding_binary_quantization_recall_audit(
     dimension, XOR+popcount distance): for each anchor vector, how
     much of the exact-cosine top-{BINQ_K} survives when candidates are
     ranked by HAMMING distance between sign patterns instead. The
-    Hamming distance is exact INTEGER arithmetic in both engines (a
-    zip_with sign-mismatch fold here, an explicit range list_sum in
-    the oracle) — no float enters the binary ranking at all, so its
-    order is bit-exact; the exact-cosine side shares the matryoshka
+    Hamming distance is exact INTEGER arithmetic in both engines (sign
+    bits packed once per vector into two 32-bit words, per-pair
+    distance = XOR + bit_count intrinsics here; an explicit range
+    list_sum in the oracle) — no float enters the binary ranking at
+    all, so its order is bit-exact; the exact-cosine side shares the matryoshka
     audit's verified posture (floats only RANK, ties break by id,
     margins pinned on the oracle data by the llm-ops margin test).
     recall@k and the max-Hamming radius are exact integers.
@@ -1681,24 +1682,53 @@ def embedding_binary_quantization_recall_audit(
     Plan shape at 100 TB: anchors are a {BINQ_ANCHORS}-row broadcast;
     one pass over the anchor×corpus join computes BOTH metrics
     in-codegen (no UDF); per-anchor top-k windows run over
-    {BINQ_ANCHORS} bounded partitions — the production path packs the
-    sign bits into {EMB_DIM}-bit words once at write time and scans
-    those, which is a column-width change, not a plan change.
-    Reference scope: no vector surface (README.md:1-9)."""
+    {BINQ_ANCHORS} bounded partitions. The sign-packing runs inline
+    here (one fold per vector); at write time the packed words would
+    persist as columns and the scan reads 16 bytes/vector for the
+    binary arm instead of the float array — a storage change, same
+    plan. Reference scope: no vector surface (README.md:1-9)."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+
+    def pack(arr):
+        # sign bits folded MSB-first into a long: acc*2 + bit. Two 32-bit
+        # words (not one 64-bit): the doubling fold's top bit would
+        # overflow int64 under ANSI mode at the 64th dim.
+        bits = F.transform(
+            arr,
+            lambda x: F.when(x >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+    emb = F.col("embedding")
+    half = EMB_DIM // 2
+    # the production representation, for real: sign bits packed ONCE per
+    # vector (one fold per ROW); the per-PAIR distance is then
+    # XOR+popcount — a JVM intrinsic, no interpreted lambda in the pair
+    # loop (A/B at 100x replication: 11.9 s -> see BASELINE.md row).
+    v = e.select(
+        "vec_id",
+        _as_double(emb).alias("emb"),
+        pack(F.slice(emb, 1, half)).alias("wlo"),
+        pack(F.slice(emb, half + 1, half)).alias("whi"),
+    )
     anchors = F.broadcast(
         v.orderBy("vec_id")
         .limit(BINQ_ANCHORS)
-        .select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("emb").alias("a_emb"),
+            F.col("wlo").alias("a_wlo"),
+            F.col("whi").alias("a_whi"),
+        )
     )
-    sign_mismatch = F.zip_with(
-        F.col("a_emb"),
-        F.col("emb"),
-        lambda x, y: ((x >= 0) != (y >= 0)).cast("int"),
-    )
+    ham = (
+        F.bit_count(F.col("a_wlo").bitwiseXOR(F.col("wlo")))
+        + F.bit_count(F.col("a_whi").bitwiseXOR(F.col("whi")))
+    ).cast("int")
     pairs = (
         v.join(anchors, F.col("vec_id") != F.col("a_id"))
         .select(
@@ -1708,9 +1738,7 @@ def embedding_binary_quantization_recall_audit(
                 dot_cols(F.col("a_emb"), F.col("emb"))
                 / (_norm(F.col("a_emb")) * _norm(F.col("emb")))
             ).alias("full_cos"),
-            F.aggregate(
-                sign_mismatch, F.lit(0), lambda acc, x: acc + x
-            ).alias("ham"),
+            ham.alias("ham"),
         )
         .localCheckpoint(eager=False)  # feeds both rankings
     )
