@@ -1009,3 +1009,101 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         "state_at_order",
     ).orderBy("o_orderkey")
+
+
+@query(
+    "join_asof_nearest",
+    category="join",
+    description="Nearest as-of join: each event picks the user's order closest in time, either direction (backward wins ties)",
+    oracle="""
+        WITH dedup AS (
+            SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        ),
+        cand AS (
+            SELECT e.event_id,
+                   d.o_orderkey,
+                   ABS(epoch_us(e.ts) - epoch_us(d.o_orderdate)) AS gap_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY ABS(epoch_us(e.ts) - epoch_us(d.o_orderdate)),
+                                d.o_orderdate, d.o_orderkey) AS rk
+            FROM events e JOIN dedup d ON d.o_custkey = e.user_id
+        )
+        SELECT e.event_id, e.user_id,
+               strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+               c.o_orderkey AS nearest_orderkey,
+               c.gap_us
+        FROM events e
+        LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c USING (event_id)
+        ORDER BY e.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of — the third direction the family needs ("which
+    order is this event ABOUT", when the event may precede or follow
+    it): each event matches the user's order with the smallest
+    |event_ts − order_date|, ties broken toward the EARLIER order date
+    (i.e. the backward match) and then the smaller orderkey. Built as
+    the composition of the existing union-merge operator run BOTH ways
+    — one backward pass (latest ≤ ts) and one forward pass (earliest
+    ≥ ts), then a per-row argmin over the two candidates — so nearest
+    costs exactly two as-of shuffles, never a per-user range
+    explosion. The right side pre-dedupes to MIN orderkey per
+    (custkey, orderdate) so both passes and the oracle's exhaustive
+    per-event argmin (a definitionally independent formulation —
+    rank ALL the user's orders by |gap|) share one tie rule. Gaps are
+    exact integer microseconds — no float anywhere.
+
+    Plan shape at 100 TB: two asof.py union-merge passes (shuffle on
+    user, in-partition merge frame) + a columnar per-row choice; the
+    oracle's events×orders-per-user join is the naive baseline this
+    entry exists to avoid."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    dedup = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min("o_orderkey").alias("o_orderkey")
+    )
+    bwd = asof_join(
+        ev,
+        dedup,
+        on_left="ts",
+        on_right="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_payload=["o_orderkey", "o_orderdate"],
+        suffix="_b",
+        direction="backward",
+    ).select("event_id", "user_id", "ts", "o_orderkey_b", "o_orderdate_b")
+    fwd = asof_join(
+        ev.select("event_id", "ts", "user_id"),
+        dedup,
+        on_left="ts",
+        on_right="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_payload=["o_orderkey", "o_orderdate"],
+        suffix="_f",
+        direction="forward",
+    ).select(F.col("event_id").alias("event_id_f"), "o_orderkey_f", "o_orderdate_f")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_b = F.abs(t_us - F.unix_micros(F.col("o_orderdate_b").cast("timestamp")))
+    gap_f = F.abs(t_us - F.unix_micros(F.col("o_orderdate_f").cast("timestamp")))
+    # argmin over the two candidates; ties -> backward (the earlier date);
+    # a missing side loses automatically via null-safe comparison
+    take_b = F.col("o_orderkey_b").isNotNull() & (
+        F.col("o_orderkey_f").isNull() | (gap_b <= gap_f)
+    )
+    return (
+        bwd.join(fwd, F.col("event_id") == F.col("event_id_f"), "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            F.when(take_b, F.col("o_orderkey_b"))
+            .otherwise(F.col("o_orderkey_f"))
+            .alias("nearest_orderkey"),
+            F.when(take_b, gap_b).otherwise(gap_f).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )

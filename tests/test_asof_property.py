@@ -101,3 +101,70 @@ def test_asof_salted_equals_unsalted(spark, lrows, rrows):
     assert _run_asof(spark, lrows, rrows, num_salts=3) == _run_asof(
         spark, lrows, rrows, num_salts=1
     )
+
+
+def test_nearest_composition_matches_pandas_nearest(spark):
+    """The registry's nearest as-of (backward pass + forward pass +
+    per-row argmin, ties -> backward) must equal pandas merge_asof
+    direction='nearest', whose tie rule is also backward. Deterministic
+    seeded cases rather than hypothesis: the composition is pure
+    plumbing over the already-property-tested directional operator."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.asof import asof_join
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        lrows = [
+            (rng.randint(0, 3), rng.randint(0, 50)) for _ in range(rng.randint(1, 12))
+        ]
+        seen: set[tuple[int, int]] = set()
+        rrows = []
+        for _ in range(rng.randint(1, 12)):
+            key = (rng.randint(0, 3), rng.randint(0, 50))
+            if key in seen:
+                continue
+            seen.add(key)
+            rrows.append((key[0], key[1], rng.randint(-5, 5)))
+
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)], LEFT_SCHEMA
+        )
+        rdf = spark.createDataFrame(rrows, RIGHT_SCHEMA)
+        bwd = asof_join(
+            ldf, rdf, on_left="t", on_right="rt", by_left="k", by_right="rk",
+            right_payload=["pay", "rt"], suffix="_b", direction="backward",
+        ).select("k", "t", "lid", "pay_b", "rt_b")
+        fwd = asof_join(
+            ldf, rdf, on_left="t", on_right="rt", by_left="k", by_right="rk",
+            right_payload=["pay", "rt"], suffix="_f", direction="forward",
+        ).select(F.col("lid").alias("lid_f"), "pay_f", "rt_f")
+        gap_b = F.abs(F.col("t") - F.col("rt_b"))
+        gap_f = F.abs(F.col("t") - F.col("rt_f"))
+        take_b = F.col("rt_b").isNotNull() & (F.col("rt_f").isNull() | (gap_b <= gap_f))
+        got = sorted(
+            (r["k"], r["t"], r["lid"], None if r["pay"] is None else int(r["pay"]))
+            for r in bwd.join(fwd, F.col("lid") == F.col("lid_f"), "left")
+            .select(
+                "k", "t", "lid",
+                F.when(take_b, F.col("pay_b")).otherwise(F.col("pay_f")).alias("pay"),
+            )
+            .collect()
+        )
+
+        lpdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)], columns=["k", "t", "lid"]
+        ).astype("int64")
+        rpdf = pd.DataFrame(rrows, columns=["rk", "rt", "pay"]).astype("int64")
+        merged = pd.merge_asof(
+            lpdf.sort_values(["t", "lid"]),
+            rpdf.rename(columns={"rk": "k"}).sort_values("rt"),
+            left_on="t", right_on="rt", by="k", direction="nearest",
+        )
+        want = sorted(
+            (int(r.k), int(r.t), int(r.lid), None if pd.isna(r.pay) else int(r.pay))
+            for r in merged.itertuples()
+        )
+        assert got == want, f"trial {trial}"

@@ -159,6 +159,8 @@ RECENT_ADDITIONS = [
     # convergence-looped twin with value-equality round detection
     "graph_sssp_bellman_ford",
     "graph_sssp_until_settled",
+    # round 10b: nearest as-of (backward+forward composition, argmin)
+    "join_asof_nearest",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
