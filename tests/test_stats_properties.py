@@ -475,3 +475,34 @@ def test_dsir_weights_match_numpy(spark):
         lw, n_tok = want[r.doc_id]
         assert r.n_tokens == n_tok
         assert abs(r.log_weight - lw) < 1.1e-6
+
+
+def test_inference_stats_clear_rounding_boundaries():
+    """The Welch t and ANOVA F are float expression trees whose engine
+    difference is bounded by fold-order ulps; the hash pin is sound only
+    if neither statistic sits within float-error distance of a half-up
+    rounding boundary at its emitted scale (the centroid-norm pin's
+    discipline, applied to the round-10b inference entries)."""
+    c = _customer()
+    a = _cents(c.loc[c["c_mktsegment"] == "BUILDING", "c_acctbal"]).astype(float)
+    b = _cents(c.loc[c["c_mktsegment"] == "FURNITURE", "c_acctbal"]).astype(float)
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    t = (a.mean() - b.mean()) / np.sqrt(va / na + vb / nb)
+    scaled_t = abs(t) * 1e6
+    assert abs(scaled_t - np.floor(scaled_t) - 0.5) > 1e-6
+
+    groups = [
+        _cents(g["c_acctbal"]).astype(float) for _, g in c.groupby("c_mktsegment")
+    ]
+    nn = sum(len(g) for g in groups)
+    k = len(groups)
+    gm = sum(g.sum() for g in groups) / nn
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    scaled_f = f * 1e6
+    assert abs(scaled_f - np.floor(scaled_f) - 0.5) > 1e-6
+    # and the verdict thresholds themselves are not boundary cases
+    assert abs(abs(round(t, 6)) - 1.96) > 1e-4
+    assert abs(round(f, 6) - 2.39) > 1e-4
