@@ -1541,3 +1541,212 @@ def pipeline_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped-proportional budget allocation (waterfilling) + rejection balancing
+# ---------------------------------------------------------------------------
+
+#: global token budget as a fraction of the corpus (numerator/denominator —
+#: integer arithmetic end to end).
+ALLOC_BUDGET_NUM, ALLOC_BUDGET_DEN = 1, 2
+
+
+def _alloc_oracle() -> str:
+    return f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(cap) * {ALLOC_BUDGET_NUM} // {ALLOC_BUDGET_DEN} AS budget
+            FROM src
+        ),
+        ranked AS (
+            -- ratio-ascending order via the integer cross-product compare:
+            -- cap_i/w_i sorts identically to cap_i*w_j <=> cap_j*w_i, so
+            -- ORDER BY cap*1.0/w would do, but the PREFIX sums below are
+            -- what the cap test needs; ties break by source for total order
+            SELECT s.*, t.budget,
+                   COALESCE(SUM(cap) OVER (ORDER BY cap * 1.0 / w, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS prefix_cap,
+                   SUM(w) OVER (ORDER BY cap * 1.0 / w, source
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS suffix_w
+            FROM src s CROSS JOIN tot t
+        ),
+        capped AS (
+            SELECT *,
+                   (budget - prefix_cap) * w >= cap * suffix_w AS is_capped
+            FROM ranked
+        ),
+        waterline AS (
+            SELECT COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0) AS capped_cap,
+                   SUM(CASE WHEN NOT is_capped THEN w END) AS free_w
+            FROM capped
+        )
+        SELECT c.source, c.w AS n_docs, c.cap AS available_tokens,
+               CAST(CASE WHEN c.is_capped THEN c.cap
+                    ELSE (c.budget - wl.capped_cap) * c.w // wl.free_w
+                    END AS BIGINT) AS allocated_tokens,
+               c.is_capped
+        FROM capped c CROSS JOIN waterline wl
+        ORDER BY c.source
+    """
+
+
+@query(
+    "mix_capped_allocation_waterfill",
+    category="llm_pipeline",
+    description=f"Capped-proportional token-budget allocation across sources (waterfilling), budget = {ALLOC_BUDGET_NUM}/{ALLOC_BUDGET_DEN} of corpus",
+    oracle=_alloc_oracle(),
+)
+def mix_capped_allocation_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-planning allocation every budgeted pretraining run
+    solves: split a global token budget across sources proportionally
+    to their weights (doc counts here), EXCEPT no source can contribute
+    more than it has — capped sources saturate and their residual
+    budget redistributes among the rest (waterfilling). Closed form,
+    not a loop: sort sources by capacity/weight ascending; a source is
+    capped iff its fair share of the budget REMAINING at its position
+    already exceeds its capacity — the classic cross-multiplied test
+    (budget − prefix_cap)·w ≥ cap·suffix_w, monotone along the sort,
+    so one window pass decides every source and a second computes the
+    shared waterline. Every quantity is an exact integer (counts,
+    token sums, floor divisions); the only float is the sort key
+    cap/w, whose ORDER is what matters and ties break by source name.
+
+    Plan shape: one partial-aggregated corpus pass into a
+    sources-cardinality micro relation; every window below runs over
+    those ~20 rows. At 100 TB only the scan grows. Reference scope:
+    no mixture surface in the reference (README.md:1-9)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("cap"),
+    )
+    # integer `div`, not `/`: the double quotient would shed exactness
+    # past 2^53 total tokens while the oracle's `//` stays exact
+    tot = src.agg(F.sum("cap").alias("sc")).select(
+        F.expr(f"sc * {ALLOC_BUDGET_NUM} div {ALLOC_BUDGET_DEN}").alias("budget")
+    )
+    order = [(F.col("cap") * 1.0 / F.col("w")), F.col("source")]
+    w_prefix = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    w_suffix = W.orderBy(*order).rowsBetween(W.currentRow, W.unboundedFollowing)
+    ranked = src.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.coalesce(F.sum("cap").over(w_prefix), F.lit(0)).alias("prefix_cap"),
+        F.sum("w").over(w_suffix).alias("suffix_w"),
+    )
+    capped = ranked.withColumn(
+        "is_capped",
+        (F.col("budget") - F.col("prefix_cap")) * F.col("w")
+        >= F.col("cap") * F.col("suffix_w"),
+    )
+    waterline = capped.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("cap"))), F.lit(0)
+        ).alias("capped_cap"),
+        F.sum(F.when(~F.col("is_capped"), F.col("w"))).alias("free_w"),
+    )
+    alloc = F.when(F.col("is_capped"), F.col("cap")).otherwise(
+        F.expr("(budget - capped_cap) * w div free_w")
+    )
+    return (
+        capped.crossJoin(F.broadcast(waterline))
+        .select(
+            "source",
+            F.col("w").alias("n_docs"),
+            F.col("cap").alias("available_tokens"),
+            alloc.cast("long").alias("allocated_tokens"),
+            "is_capped",
+        )
+        .orderBy("source")
+    )
+
+
+#: rejection balancing: the target is a UNIFORM share per source.
+REJECT_TARGET_PCT_SCALE = 100
+
+
+def _rejection_oracle() -> str:
+    h = _sql_hash_pct("doc_id")
+    return f"""
+        WITH src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(n) AS total, COUNT(*) AS k FROM src
+        ),
+        thr AS (
+            SELECT s.source, s.n,
+                   LEAST(100, t.total * {REJECT_TARGET_PCT_SCALE}
+                              // (t.k * s.n)) AS accept_pct
+            FROM src s CROSS JOIN tot t
+        )
+        SELECT d.source,
+               MAX(t.n) AS n_docs,
+               CAST(MAX(t.accept_pct) AS BIGINT) AS accept_pct,
+               CAST(SUM(CASE WHEN {h} < t.accept_pct THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_accepted
+        FROM documents d JOIN thr t USING (source)
+        GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query(
+    "sample_rejection_source_balance",
+    category="llm_pipeline",
+    description="Deterministic rejection sampling toward uniform source shares (integer accept thresholds, Knuth-hash membership)",
+    oracle=_rejection_oracle(),
+)
+def sample_rejection_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source balancing by REJECTION, not quota: over-represented
+    sources get a per-source acceptance threshold
+    min(100, floor(100·(N/k)/n_s)) — the uniform target share divided
+    by the source's actual share — and each document accepts iff its
+    deterministic Knuth-hash percent clears the threshold. Unlike the
+    top-N quota entry (sample_quota_per_source), rejection needs NO
+    per-source ordering or rank state: membership is a pure function
+    of (doc_id, source statistics), so it composes with streaming
+    ingest and backfills (same doc → same verdict, forever). All
+    integer arithmetic; the expected accepted count is n_s·pct/100
+    and the exact realized count is what both engines must agree on.
+
+    Plan shape: one micro aggregation for the thresholds (broadcast
+    back), one scan-speed filter — no shuffle of the corpus at all
+    beyond the count. At 100 TB this is the cheapest balancing
+    operator in the catalog."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = src.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    thr = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.least(
+            F.lit(100).cast("long"),
+            F.expr(f"total * {REJECT_TARGET_PCT_SCALE} div (k * n)"),
+        ).alias("accept_pct"),
+    )
+    return (
+        d.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("accept_pct").cast("long").alias("accept_pct"),
+            F.sum(
+                (_hash_pct_col(F.col("doc_id")) < F.col("accept_pct")).cast("int")
+            )
+            .cast("long")
+            .alias("n_accepted"),
+        )
+        .orderBy("source")
+    )

@@ -161,6 +161,10 @@ RECENT_ADDITIONS = [
     "graph_sssp_until_settled",
     # round 10b: nearest as-of (backward+forward composition, argmin)
     "join_asof_nearest",
+    # round 10b: mixture planning — closed-form waterfilling allocation
+    # and deterministic rejection balancing (both exact-integer)
+    "mix_capped_allocation_waterfill",
+    "sample_rejection_source_balance",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.

@@ -209,3 +209,51 @@ def test_packing_keeps_null_source_stream(spark, tmp_path):
             assert rows[doc_id].n_tokens == n_tok
             assert rows[doc_id].source == source
             cum += n_tok
+
+
+def test_waterfill_matches_iterative_reference(spark, sf_correct):
+    """The closed-form (sorted prefix/suffix window) waterfilling must
+    equal the textbook ITERATIVE algorithm — repeatedly cap every source
+    whose proportional share exceeds its capacity and redistribute the
+    residual — run in plain python on the same aggregates. Also pins the
+    allocation invariants: every allocation <= capacity, capped sources
+    saturate exactly, and the total never exceeds the budget."""
+    from spark_jdbc_limit_spark.operators.pipeline import (
+        ALLOC_BUDGET_DEN,
+        ALLOC_BUDGET_NUM,
+    )
+
+    rows = (
+        get_query("mix_capped_allocation_waterfill")
+        .builder(spark, sf_correct)
+        .collect()
+    )
+    got = {r.source: (r.allocated_tokens, r.is_capped) for r in rows}
+
+    caps = {r.source: r.available_tokens for r in rows}
+    ws = {r.source: r.n_docs for r in rows}
+    budget = sum(caps.values()) * ALLOC_BUDGET_NUM // ALLOC_BUDGET_DEN
+
+    # iterative reference: cap-and-redistribute until stable
+    capped: set[str] = set()
+    while True:
+        rem_budget = budget - sum(caps[s] for s in capped)
+        rem_w = sum(w for s, w in ws.items() if s not in capped)
+        newly = {
+            s
+            for s in ws
+            if s not in capped and caps[s] * rem_w <= rem_budget * ws[s]
+        }
+        if not newly:
+            break
+        capped |= newly
+    rem_budget = budget - sum(caps[s] for s in capped)
+    rem_w = sum(w for s, w in ws.items() if s not in capped)
+    want = {
+        s: (caps[s], True) if s in capped
+        else (rem_budget * ws[s] // rem_w, False)
+        for s in ws
+    }
+    assert got == want
+    assert all(a <= caps[s] for s, (a, _) in got.items())
+    assert sum(a for a, _ in got.values()) <= budget
