@@ -165,6 +165,58 @@ def scan_project_filter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_metadata_file_provenance",
+    category="scan",
+    description="Hidden _metadata columns: per-input-file row counts across three tables (provenance audit)",
+    oracle="""
+        SELECT 'documents.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_keys
+        FROM documents
+        UNION ALL
+        SELECT 'orders.parquet', COUNT(*), COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.parquet', COUNT(*), COUNT(DISTINCT l_orderkey)
+        FROM lineitem
+        ORDER BY file_name
+    """,
+)
+def scan_metadata_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` struct (SPARK-37273): per-file provenance
+    without a path column in the data — the audit an ingest pipeline
+    runs to attribute rows to their source files after a multi-file
+    load. Groups each of three tables by ``_metadata.file_name``; the
+    shipped corpus stores one file per table, which the oracle pins as
+    LITERAL expected names — so the entry verifies the metadata column
+    surfaces the true file identity (a wrong or empty name would
+    hash-fail), not merely that counts add up. ``_metadata`` is
+    generated at scan time from the file split, so selecting it adds no
+    column-read cost; the per-file groupBy partial-aggregates in place
+    because splits never span files. At 100 TB the same query audits
+    millions of files; the output stays file-cardinality-sized."""
+    parts = []
+    for table, key in (
+        ("documents", "doc_id"),
+        ("orders", "o_orderkey"),
+        ("lineitem", "l_orderkey"),
+    ):
+        t = load_table(spark, sf_dir, table)
+        parts.append(
+            t.select(F.col("_metadata.file_name").alias("file_name"), F.col(key).alias("k"))
+            .groupBy("file_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("k").alias("n_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("file_name")
+
+
+@query(
     "limit_semantics",
     category="scan",
     description="limit(n) returns exactly n rows regardless of partitioning",

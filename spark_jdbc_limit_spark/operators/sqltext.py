@@ -464,3 +464,33 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state afterwards cannot change the result (sessvar precedent).
     spark.sql("DROP TEMPORARY VARIABLE IF EXISTS v_cut_execimm")
     return out
+
+
+SQL_LATERAL_TOPN = """
+    SELECT n.n_name, l.c_custkey,
+           ROUND(l.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) l
+    ORDER BY n.n_name, l.c_custkey
+"""
+
+
+@query(
+    "subquery_lateral_correlated_topn",
+    category="subquery",
+    description="Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 customers per nation, decorrelated by Catalyst",
+    oracle=SQL_LATERAL_TOPN,
+)
+def subquery_lateral_correlated_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SPARK-35557, 3.4+) carrying ORDER BY
+    + LIMIT — the SQL spelling of per-group top-N that the optimizer
+    must DECORRELATE into a ranked window rather than re-running the
+    inner query per outer row. The identical text runs in DuckDB (also
+    native LATERAL) under the module's shared-text discipline, so the
+    entry pins both the surface and the semantics; ties break on
+    custkey, and the doubles being ordered are bit-identical parquet
+    values. Plan: Catalyst rewrites to a partitioned rank filter — one
+    shuffle of customer by nation key; nothing per-outer-row."""
+    return _run_shared(spark, sf_dir, SQL_LATERAL_TOPN, ("nation", "customer"))

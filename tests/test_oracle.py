@@ -165,6 +165,10 @@ RECENT_ADDITIONS = [
     # and deterministic rejection balancing (both exact-integer)
     "mix_capped_allocation_waterfill",
     "sample_rejection_source_balance",
+    # round 10b: thin-category fill (correlated LATERAL top-n; hidden
+    # _metadata file provenance)
+    "subquery_lateral_correlated_topn",
+    "scan_metadata_file_provenance",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
