@@ -72,6 +72,11 @@ SQL_BASELINES = [
     "basket_pair_cooccurrence",
     "basket_lift_rules",
     "q16_supplier_part_variety",
+    # round-10b heavy additions: the translated oracles are exactly the
+    # naive declarative formulations (adjacency self-join wedges; the
+    # same min-plus unroll without per-step checkpoint placement)
+    "graph_resource_allocation_links",
+    "graph_sssp_bellman_ford",
 ]
 
 
@@ -353,6 +358,12 @@ PY_BASELINES = {
 def baselines() -> dict:
     out = {n: sql_baseline(n) for n in SQL_BASELINES}
     out.update(PY_BASELINES)
+    # optional subset (comma-separated names): bench additions without
+    # re-timing the whole top-20; merge the JSON into BASELINE_TOP20.json
+    only = os.environ.get("SPARK_GRAFT_BASELINE_QUERIES")
+    if only:
+        keep = set(only.split(","))
+        out = {n: f for n, f in out.items() if n in keep}
     return out
 
 
