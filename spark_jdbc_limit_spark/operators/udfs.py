@@ -535,3 +535,61 @@ def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_share"
         ),
     ).orderBy("o_custkey")
+
+
+#: polymorphic UDTF: number of leading tokens emitted as COLUMNS — the
+#: literal argument analyze() reads to build the output schema.
+UDTF_HEAD_K = 3
+
+
+@query(
+    "udtf_polymorphic_analyze",
+    category="udf",
+    description=f"Polymorphic Python UDTF (Spark 4 analyze()): output schema derived from a literal arg — first {UDTF_HEAD_K} tokens as columns",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               {", ".join(f"w[{i + 1}] AS tok_{i + 1}" for i in range(UDTF_HEAD_K))}
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE doc_id < 100
+        ORDER BY doc_id
+    """,
+)
+def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF (SPARK-44503, Spark 4): the output schema is not
+    declared statically — a static ``analyze()`` method inspects the
+    call-site arguments (here the literal k) and RETURNS the schema, so
+    one registration serves any width. This is the table-function
+    surface real feature extractors want ("give me the first k tokens
+    as columns, k decided per query"); the static-returnType UDTF twin
+    (udtf_word_ngrams) cannot express it. Missing tokens emit NULL,
+    matching the oracle's out-of-range list access. Restricted to
+    doc_id < 100 to keep the differential small; the UDTF itself is
+    Arrow-batched row flow like any UDTF — one pass, no shuffle."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class HeadTokens:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType().add("doc_id", LongType()).add(
+                "n_tokens", LongType()
+            )
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, k: int):
+            toks = text.split(" ")
+            yield (doc_id, len(toks), *(toks[i] if i < len(toks) else None for i in range(k)))
+
+    spark.udtf.register("head_tokens_udtf", udtf(HeadTokens))
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.select("doc_id", "text").createOrReplaceTempView("docs_for_polymorphic_udtf")
+    return spark.sql(
+        f"""
+        SELECT h.* FROM docs_for_polymorphic_udtf,
+        LATERAL head_tokens_udtf(doc_id, text, {UDTF_HEAD_K}) h
+        ORDER BY doc_id
+        """
+    )

@@ -169,6 +169,8 @@ RECENT_ADDITIONS = [
     # _metadata file provenance)
     "subquery_lateral_correlated_topn",
     "scan_metadata_file_provenance",
+    # round 10b: polymorphic UDTF (analyze()-derived output schema)
+    "udtf_polymorphic_analyze",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
