@@ -1625,3 +1625,93 @@ def events_peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+#: dynamic session gaps by event type (minutes) — conversion-ish events
+#: hold sessions open longer than errors.
+DYN_GAP_LONG, DYN_GAP_MED, DYN_GAP_SHORT = 45, 20, 5
+
+_DYN_GAP_SQL = f"""CASE event_type
+    WHEN 'purchase' THEN INTERVAL '{DYN_GAP_LONG} minutes'
+    WHEN 'signup' THEN INTERVAL '{DYN_GAP_LONG} minutes'
+    WHEN 'error' THEN INTERVAL '{DYN_GAP_SHORT} minutes'
+    ELSE INTERVAL '{DYN_GAP_MED} minutes' END"""
+
+
+@query(
+    "events_session_dynamic_gap",
+    category="streaming",
+    description="session_window with a DYNAMIC per-event gap expression (batch twin of the streaming dynamic-gap session)",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, ts, {_DYN_GAP_SQL} AS gap FROM events
+        ),
+        ordered AS (
+            SELECT user_id, ts, gap,
+                   MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_reach
+            FROM g
+        ),
+        flags AS (
+            SELECT user_id, ts, gap,
+                   CASE WHEN prev_reach IS NULL OR ts >= prev_reach
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM ordered
+        ),
+        islands AS (
+            SELECT user_id, ts, gap,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flags
+        )
+        SELECT strftime(MIN(ts), '{{fmt}}') AS session_start,
+               strftime(MAX(ts + gap), '{{fmt}}') AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, sess_id
+        ORDER BY user_id, session_start
+    """.replace("{fmt}", TS_FMT_DUCK),
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` with a DYNAMIC gap expression (SPARK-36465):
+    each event holds its session open for a type-dependent duration
+    (purchases/signups {DYN_GAP_LONG} min, errors {DYN_GAP_SHORT} min,
+    browsing {DYN_GAP_MED}) — the real sessionization policy product
+    analytics uses, inexpressible with the fixed-gap entry. Merge
+    semantics are interval-union: each event claims [ts, ts+gap), a
+    new session starts exactly when an event's ts clears the running
+    MAX of previous reaches (an earlier long-gap event can bridge over
+    a later short-gap one — the case a LAG-based islands formulation
+    gets WRONG, which is why the oracle carries the running-max form),
+    and the session end is the max reach, not last-event + constant.
+
+    Scale: identical plan class to the fixed-gap twin — one shuffle on
+    user_id, in-partition merge; in streaming the same expression runs
+    under a watermark with state eviction at session close."""
+    ev = load_table(spark, sf_dir, "events")
+    # session_window's dynamic gap must be CalendarIntervalType — a
+    # STRING duration column casts there implicitly; the typed
+    # INTERVAL literal parses as DayTimeIntervalType and is rejected
+    gap = (
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.lit(f"{DYN_GAP_LONG} minutes"),
+        )
+        .when(F.col("event_type") == "error", F.lit(f"{DYN_GAP_SHORT} minutes"))
+        .otherwise(F.lit(f"{DYN_GAP_MED} minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("session_window.start", TS_FMT_SPARK).alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", TS_FMT_SPARK).alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

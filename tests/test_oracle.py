@@ -171,6 +171,8 @@ RECENT_ADDITIONS = [
     "scan_metadata_file_provenance",
     # round 10b: polymorphic UDTF (analyze()-derived output schema)
     "udtf_polymorphic_analyze",
+    # round 10b: dynamic-gap session windows (interval-union semantics)
+    "events_session_dynamic_gap",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
