@@ -105,6 +105,40 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (SPARK-36465) as a STREAM: the same
+    per-event-type gap expression as the batch entry
+    ``events_session_dynamic_gap`` — merging state where each arriving
+    event extends its session by its OWN duration, the policy shape
+    product sessionization actually runs."""
+    from spark_jdbc_limit_spark.operators.windowed_events import (
+        DYN_GAP_LONG,
+        DYN_GAP_MED,
+        DYN_GAP_SHORT,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    gap = (
+        F.when(
+            F.col("event_type").isin("purchase", "signup"),
+            F.lit(f"{DYN_GAP_LONG} minutes"),
+        )
+        .when(F.col("event_type") == "error", F.lit(f"{DYN_GAP_SHORT} minutes"))
+        .otherwise(F.lit(f"{DYN_GAP_MED} minutes"))
+    )
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) with watermark-bounded state."""
     ev = events_stream(spark, sf_dir)

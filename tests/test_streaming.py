@@ -42,6 +42,15 @@ def test_session_stream_matches_batch(spark, sf_dir):
     )
 
 
+def test_session_dynamic_gap_stream_matches_batch(spark, sf_dir):
+    from spark_jdbc_limit_spark.streaming.windows import stream_session_dynamic_gap
+
+    _assert_stream_matches_twin(
+        spark, sf_dir, stream_session_dynamic_gap, "events_session_dynamic_gap",
+        "complete",
+    )
+
+
 def test_dedup_stream_matches_batch(spark, sf_dir):
     got = run_stream_to_memory(
         stream_dedup_within_watermark(spark, sf_dir), "append"
