@@ -1115,3 +1115,45 @@ def test_correlation_matrix_single_fold(spark, sf_dir):
     df = get_query("agg_pearson_corr_matrix").builder(spark, sf_dir)
     assert_no_python_udf_in_plan(df)
     assert count_exchanges(df) <= 3
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    """The correlated LATERAL subquery with ORDER BY + LIMIT must plan as
+    a broadcast join + ranked window — NOT a per-outer-row nested loop
+    (the decorrelation is the entry's entire scale story)."""
+    df = get_query("subquery_lateral_correlated_topn").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_dsir_frequency_tables_broadcast(spark, sf_dir):
+    """DSIR's vocabulary relation must reach the token stream as a
+    BROADCAST join (the 100 TB posture: vocabulary-bounded, never a
+    fact-scale shuffle join), and the whole entry stays JVM-side."""
+    df = get_query("pipeline_dsir_importance_weights").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert_no_python_udf_in_plan(df)
+
+
+def test_binary_quantization_audit_stays_jvm_side(spark, sf_dir):
+    """The sign-packing and XOR+popcount pair loop are codegen
+    expressions — no Python in the plan despite the 'quantization'
+    label."""
+    df = get_query("embedding_binary_quantization_recall_audit").builder(
+        spark, sf_dir
+    )
+    assert_no_python_udf_in_plan(df)
+
+
+def test_dynamic_gap_session_exchange_budget(spark, sf_dir):
+    """Dynamic-gap sessionization costs the same plan class as the
+    fixed-gap twin: shuffle on user, in-partition merge — two exchanges
+    total (session agg + output sort)."""
+    df = get_query("events_session_dynamic_gap").builder(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+    assert_no_python_udf_in_plan(df)
