@@ -1970,3 +1970,133 @@ def graph_sssp_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("settled", F.lit(bool(settled)))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS closeness centrality
+# ---------------------------------------------------------------------------
+
+#: closeness seeds: the CLOSE_SOURCES smallest node ids (deterministic).
+CLOSE_SOURCES = 5
+
+
+def _closeness_oracle() -> str:
+    base = f"""
+        WITH {_EDGES_CTE},
+        bi AS (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        nodes AS (SELECT DISTINCT u AS node FROM bi),
+        bw AS (SELECT u, v, 1 AS w FROM bi
+               UNION ALL SELECT node, node, 0 FROM nodes),
+        seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {CLOSE_SOURCES}),
+        d0 AS (SELECT node AS src, node, 0 AS d FROM seeds)"""
+    steps = "".join(
+        f""",
+        d{k} AS (
+            SELECT l.src, b.v AS node, MIN(l.d + b.w) AS d
+            FROM bw b JOIN d{k - 1} l ON l.node = b.u
+            GROUP BY 1, 2
+        )"""
+        for k in range(1, BFS_ITERS + 1)
+    )
+    return (
+        base
+        + steps
+        + f"""
+        ,
+        audit AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_unsettled
+            FROM d{BFS_ITERS} a
+            FULL JOIN d{BFS_ITERS - 1} b USING (src, node)
+            WHERE a.d IS DISTINCT FROM b.d
+        )
+        SELECT CAST(f.src AS BIGINT) AS src,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(SUM(f.d) AS BIGINT) AS sum_dist,
+               {sql_round_dbl(
+                   'CAST(COUNT(*) - 1 AS DOUBLE)'
+                   ' / GREATEST(CAST(SUM(f.d) AS DOUBLE), 1.0)', 6)}
+                   AS closeness,
+               MAX((SELECT n_unsettled FROM audit)) AS n_unsettled
+        FROM d{BFS_ITERS} f
+        GROUP BY f.src ORDER BY src
+    """
+    )
+
+
+@query(
+    "graph_closeness_multisource",
+    category="graph",
+    description=f"Closeness centrality for the {CLOSE_SOURCES} smallest nodes via ONE multi-source BFS, settlement-audited",
+    oracle=_closeness_oracle(),
+)
+def graph_closeness_multisource(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """Closeness centrality — (reachable count) / (sum of hop distances)
+    — for {CLOSE_SOURCES} seed nodes, computed as ONE multi-source BFS:
+    the distance relation is keyed (src, node), so all seeds propagate
+    through the SAME {BFS_ITERS}-step min-plus unroll and the same
+    per-step join against the weighted edge list — k sources cost one
+    extra key column, not k traversals (the batched-probe pattern every
+    landmark/centrality sketch at scale uses). Settlement is audited
+    exactly like the single-source entries (full-outer distance
+    comparison over the last two steps, counted across all sources).
+    All distances are integers; closeness is one float division from
+    exact integers (GREATEST guard for the isolated-seed case where
+    sum_dist = 0 in BOTH engines).
+
+    Plan per step: one join of the (src,node)-keyed distance relation
+    (≤ k·|V| rows, broadcast at this scale, shuffle join at web scale)
+    onto the edge list + map-side-combined MIN — identical shape to
+    graph_bfs_hops with a wider key. Reference scope: no graph surface
+    (README.md:1-9)."""
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    bi = edges.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bw = bi.withColumn("w", F.lit(1)).unionAll(
+        nodes.select(
+            F.col("node").alias("u"), F.col("node").alias("v"), F.lit(0).alias("w")
+        )
+    )
+    seeds = nodes.orderBy("node").limit(CLOSE_SOURCES)
+    dist = seeds.select(
+        F.col("node").alias("src"), "node", F.lit(0).alias("d")
+    )
+    prev = dist
+    for i in range(BFS_ITERS):
+        if i == BFS_ITERS - 1:
+            dist = dist.localCheckpoint(eager=False)
+        prev = dist
+        votes = bw.join(F.broadcast(dist), F.col("u") == F.col("node")).select(
+            "src", "v", (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = votes.groupBy("src", "v").agg(F.min("d").alias("d")).select(
+            "src", F.col("v").alias("node"), "d"
+        )
+    dist = dist.localCheckpoint(eager=False)  # feeds audit + rollup
+    audit = (
+        dist.withColumnRenamed("d", "da")
+        .join(prev.withColumnRenamed("d", "db"), ["src", "node"], "full_outer")
+        .filter(
+            F.coalesce(F.col("da"), F.lit(-1)) != F.coalesce(F.col("db"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).alias("n_unsettled"))
+    )
+    return (
+        dist.groupBy(F.col("src").cast("long").alias("src"))
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+            F.sum("d").cast("long").alias("sum_dist"),
+            round_dbl(
+                (F.count(F.lit(1)) - 1).cast("double")
+                / F.greatest(F.sum("d").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("closeness"),
+        )
+        .crossJoin(F.broadcast(audit))
+        .orderBy("src")
+    )

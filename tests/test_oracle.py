@@ -173,6 +173,8 @@ RECENT_ADDITIONS = [
     "udtf_polymorphic_analyze",
     # round 10b: dynamic-gap session windows (interval-union semantics)
     "events_session_dynamic_gap",
+    # round 10b: multi-source BFS closeness centrality
+    "graph_closeness_multisource",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
