@@ -170,8 +170,12 @@ def _replicate(spark: SparkSession, base: str, out: str, r: int) -> None:
     # events: ids shifted AND ts shifted +rep MICROSECONDS — replicas land
     # in the same hour buckets but at distinct instants, so the sweep-line
     # point set (and per-bucket window work) scales xR instead of netting
-    # replicas into the base points
-    ev = spark.read.parquet(f"{base}/events.parquet").select("*", reps)
+    # replicas into the base points. Read through load_table (not raw):
+    # the catalog loader normalizes the ts column across testdata
+    # generations (e.g. nanos-as-long), which a raw read would corrupt.
+    from spark_jdbc_limit_spark.sources.catalog import load_table as _lt
+
+    ev = _lt(spark, base, "events").select("*", reps)
     ev.select(
         (F.col("event_id").cast("long") + F.col("rep") * 100_000_000).alias(
             "event_id"

@@ -1627,13 +1627,15 @@ def graph_resource_allocation_links(
 
     Candidate generation reuses the module's wedge trick: each hub
     expands its sorted neighbor set into C(deg, 2) in-row pairs, each
-    pair carrying the HUB's 10^12//deg value — degree-bounded per hub,
+    pair carrying the HUB's 10^12//deg value (deg = size of the hub's
+    collected neighbor set — the canonical edge list is duplicate-free,
+    so no separate degree aggregation exists) — degree-bounded per hub,
     never an all-pairs node join; the oracle's adjacency self-join is
     the same semantics spelled relationally. Plan shape at 100 TB:
-    fact-scale work is only the shared edge derivation; adjacency/
-    degree/wedge relations are graph-sized, deg broadcasts, and the
-    top-k window runs over the candidate shortlist domain (the
-    two_phase_rank swap stands by if candidates outgrow one task).
+    fact-scale work is only the shared edge derivation; adjacency and
+    wedge relations are graph-sized, and the top-k window runs over the
+    candidate shortlist domain (the two_phase_rank swap stands by if
+    candidates outgrow one task).
     At sf0.001 the thresholded graph has no wedges → EMPTY in both
     engines (agreement-on-emptiness still checked); sf0.01 fills the
     shortlist. Reference scope: no graph surface (README.md:1-9)."""
@@ -1644,12 +1646,13 @@ def graph_resource_allocation_links(
     adj = edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr")).unionAll(
         edges.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    # per-hub neighbor sets joined with the hub's own degree: every emitted
-    # wedge pair carries t = 10^12 // deg(hub) computed ONCE per hub.
+    # the canonical edge list is duplicate-free, so deg(hub) IS the size
+    # of the collected neighbor set — no separate degree aggregation or
+    # join; every emitted wedge pair carries t = 10^12 // deg(hub)
+    # computed once per hub from size(ns).
     sets = adj.groupBy("node").agg(
         F.array_sort(F.collect_set("nbr")).alias("ns")
-    ).join(F.broadcast(deg), "node")
+    )
     pair_structs = F.flatten(
         F.transform(
             "ns",
@@ -1661,7 +1664,7 @@ def graph_resource_allocation_links(
     )
     wedges = sets.select(
         F.explode(pair_structs).alias("p"),
-        F.expr(f"{RA_SCALE}L div d").alias("t"),
+        F.expr(f"{RA_SCALE}L div size(ns)").alias("t"),
     ).select("p.u", "p.v", "t")
     cn = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("cn"),
@@ -1704,6 +1707,42 @@ BF_ITERS = 6
 BF_COST_SCALE = 1_000_000_000
 #: nearest-node shortlist size (fully tie-broken: distance, then node id).
 BF_TOP_K = 20
+
+
+def _weighted_min_plus_graph(edges: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(nodes, bw, dist0) for the weighted min-plus family: bidirectional
+    integer-cost edges + 0-cost self-loops, and the min-node source
+    relation. Single-sourced so the fixed unroll and the convergence
+    loop can never disagree on the graph or the cost function (mirror
+    of the oracle's ``_EDGES_W_CTE`` + cost projection)."""
+    cost = F.expr(f"{BF_COST_SCALE}L div w")
+    bi = edges.select(
+        F.col("s1").alias("u"), F.col("s2").alias("v"), cost.alias("c")
+    ).unionAll(
+        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"), cost.alias("c"))
+    )
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bw = bi.unionAll(
+        nodes.select(
+            F.col("node").alias("u"),
+            F.col("node").alias("v"),
+            F.lit(0).cast("long").alias("c"),
+        )
+    )
+    dist = nodes.agg(F.min("node").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+    return nodes, bw, dist
+
+
+def _relax_step(bw: DataFrame, dist: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation: d(v) = min over edges of d(u)+c."""
+    relax = bw.join(F.broadcast(dist), F.col("u") == F.col("node")).select(
+        "v", (F.col("d") + F.col("c")).alias("d")
+    )
+    return relax.groupBy("v").agg(F.min("d").alias("d")).select(
+        F.col("v").alias("node"), "d"
+    )
 
 
 def _bellman_ford_oracle() -> str:
@@ -1789,32 +1828,13 @@ def graph_sssp_bellman_ford(
 
     if edges is None:
         edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
-    cost = F.expr(f"{BF_COST_SCALE}L div w")
-    bi = edges.select(
-        F.col("s1").alias("u"), F.col("s2").alias("v"), cost.alias("c")
-    ).unionAll(
-        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"), cost.alias("c"))
-    )
-    nodes = bi.select(F.col("u").alias("node")).distinct()
-    bw = bi.unionAll(
-        nodes.select(
-            F.col("node").alias("u"), F.col("node").alias("v"), F.lit(0).cast("long").alias("c")
-        )
-    )
-    dist = nodes.agg(F.min("node").alias("node")).select(
-        "node", F.lit(0).cast("long").alias("d")
-    )
+    nodes, bw, dist = _weighted_min_plus_graph(edges)
     prev = dist
     for i in range(BF_ITERS):
         if i == BF_ITERS - 1:
             dist = dist.localCheckpoint(eager=False)
         prev = dist
-        relax = bw.join(F.broadcast(dist), F.col("u") == F.col("node")).select(
-            "v", (F.col("d") + F.col("c")).alias("d")
-        )
-        dist = relax.groupBy("v").agg(F.min("d").alias("d")).select(
-            F.col("v").alias("node"), "d"
-        )
+        dist = _relax_step(bw, dist)
     dist = dist.localCheckpoint(eager=False)  # feeds audit + shortlist
     audit = (
         nodes.join(dist.withColumnRenamed("d", "da"), "node", "left")
@@ -1863,37 +1883,15 @@ def sssp_until_settled(
     joins with presence markers (the BFS posture)."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
-    cost = F.expr(f"{BF_COST_SCALE}L div w")
-    bi = edges.select(
-        F.col("s1").alias("u"), F.col("s2").alias("v"), cost.alias("c")
-    ).unionAll(
-        edges.select(F.col("s2").alias("u"), F.col("s1").alias("v"), cost.alias("c"))
-    )
-    nodes = bi.select(F.col("u").alias("node")).distinct()
-    bw = (
-        bi.unionAll(
-            nodes.select(
-                F.col("node").alias("u"),
-                F.col("node").alias("v"),
-                F.lit(0).cast("long").alias("c"),
-            )
-        )
-        .localCheckpoint(eager=False)
-    )
-    dist = nodes.agg(F.min("node").alias("node")).select(
-        "node", F.lit(0).cast("long").alias("d")
-    )
-
-    def step(dd: DataFrame) -> DataFrame:
-        relax = bw.join(F.broadcast(dd), F.col("u") == F.col("node")).select(
-            "v", (F.col("d") + F.col("c")).alias("d")
-        )
-        return relax.groupBy("v").agg(F.min("d").alias("d")).select(
-            F.col("v").alias("node"), "d"
-        )
+    _, bw, dist = _weighted_min_plus_graph(edges)
+    bw = bw.localCheckpoint(eager=False)  # reused every round
 
     return run_until_settled(
-        dist, step, key_cols=["node"], value_cols=["d"], max_rounds=max_rounds
+        dist,
+        lambda dd: _relax_step(bw, dd),
+        key_cols=["node"],
+        value_cols=["d"],
+        max_rounds=max_rounds,
     )
 
 

@@ -1643,10 +1643,15 @@ def mix_capped_allocation_waterfill(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.sum("cap").over(w_prefix), F.lit(0)).alias("prefix_cap"),
         F.sum("w").over(w_suffix).alias("suffix_w"),
     )
+    # DECIMAL(19,0) cross-products: at 100 TB (budget ~1e13 tokens x
+    # doc counts ~1e7) the int64 products overflow; the oracle side is
+    # already exact because DuckDB's SUM yields HUGEINT which dominates
+    # the arithmetic (the quantile-normalize decimal-div precedent)
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     capped = ranked.withColumn(
         "is_capped",
-        (F.col("budget") - F.col("prefix_cap")) * F.col("w")
-        >= F.col("cap") * F.col("suffix_w"),
+        dec(F.col("budget") - F.col("prefix_cap")) * dec(F.col("w"))
+        >= dec(F.col("cap")) * dec(F.col("suffix_w")),
     )
     waterline = capped.agg(
         F.coalesce(
@@ -1655,7 +1660,11 @@ def mix_capped_allocation_waterfill(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.when(~F.col("is_capped"), F.col("w"))).alias("free_w"),
     )
     alloc = F.when(F.col("is_capped"), F.col("cap")).otherwise(
-        F.expr("(budget - capped_cap) * w div free_w")
+        F.expr(
+            "CAST(CAST(budget - capped_cap AS DECIMAL(19,0))"
+            "     * CAST(w AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+            " div CAST(free_w AS DECIMAL(19,0))"
+        )
     )
     return (
         capped.crossJoin(F.broadcast(waterline))

@@ -2144,6 +2144,24 @@ T_CRIT = 1.96
 _CENTS_SQL = "CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT)"
 
 
+def _cents_moments(customers: DataFrame) -> DataFrame:
+    """Per-segment exact moment sums (n, Σcents, Σcents²) over account
+    balances — DECIMAL(38,0) so Welch and ANOVA share ONE definition of
+    the cents discipline (`_CENTS_SQL` is its single SQL mirror)."""
+    cents = (F.col("c_acctbal").cast("decimal(18,6)") * 100).cast("long")
+    return (
+        customers.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+
+
 def _welch_side_sql(alias: str, sfx: str) -> str:
     """n / mean / unbiased-variance scalars for one group — the SAME
     expression tree the builder's ``_stats`` emits, written once per
@@ -2223,19 +2241,9 @@ def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast single-row crossJoin. At 100 TB only the scan grows.
     Reference scope: the reference engine (672-LoC JDBC limit layer)
     has no statistics surface — this is the 'beyond' tier."""
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B)
-    )
-    cents = (F.col("c_acctbal").cast("decimal(18,6)") * 100).cast("long")
-    g = (
-        c.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s1"),
-            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("s2"),
+    g = _cents_moments(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment").isin(TTEST_SEG_A, TTEST_SEG_B)
         )
     )
 
@@ -2335,19 +2343,7 @@ def stats_anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one partial-aggregated customer pass into 5 groups;
     every window below runs over that 5-row micro relation. At 100 TB
     only the scan grows."""
-    c = load_table(spark, sf_dir, "customer")
-    cents = (F.col("c_acctbal").cast("decimal(18,6)") * 100).cast("long")
-    g = (
-        c.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s1"),
-            F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("s2"),
-        )
-    )
+    g = _cents_moments(load_table(spark, sf_dir, "customer"))
     wall = Window.partitionBy()
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     w = g.select(
