@@ -1759,3 +1759,94 @@ def sample_rejection_source_balance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram novelty (memorization-risk audit)
+# ---------------------------------------------------------------------------
+
+#: novelty percentile bands for the summary verdict column.
+NOVELTY_LOW_PCT = 50
+
+
+def _novelty_oracle() -> str:
+    from spark_jdbc_limit_spark.operators.dedup import SHINGLE_K
+    from spark_jdbc_limit_spark.operators.relational import sql_round_dbl
+
+    return f"""
+        WITH sh AS ({_sql_shingles(SHINGLE_K)}),
+        df AS (
+            SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh GROUP BY h
+        ),
+        per_doc AS (
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_novel
+            FROM sh s JOIN df d USING (h)
+            GROUP BY s.doc_id
+        )
+        SELECT p.doc_id, docs.source, p.n_shingles, p.n_novel,
+               {sql_round_dbl('CAST(p.n_novel AS DOUBLE) / p.n_shingles', 4)}
+                   AS novelty,
+               (p.n_novel * 100 < p.n_shingles * {NOVELTY_LOW_PCT})
+                   AS mostly_shared
+        FROM per_doc p JOIN documents docs USING (doc_id)
+        ORDER BY p.doc_id
+    """
+
+
+@query(
+    "text_ngram_novelty_cross_doc",
+    category="llm_text",
+    description="Cross-document shingle novelty per doc: fraction of its 3-gram shingles appearing in NO other document",
+    oracle=_novelty_oracle(),
+)
+def text_ngram_novelty_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memorization-risk audit decontamination does NOT cover:
+    decontaminate_ngram_overlap checks docs against a fixed benchmark
+    set, while this entry measures how much of each document's shingle
+    mass is shared with the REST OF THE CORPUS — low novelty marks
+    boilerplate, mirror copies, and template farms that survive exact
+    dedup. novelty = |shingles with document frequency 1| / |shingles|,
+    on the same rolling-hash shingles the dedup family uses
+    (operators/dedup.py: shuffle-free per-doc mapInPandas here, the
+    hash-identical SQL expansion in the oracle — approximate family,
+    exact differential). The verdict compares INTEGER cross-products
+    (n_novel·100 < n_shingles·50), no float in the boolean.
+
+    Plan shape at 100 TB: one shingle pass (scan-speed, per-doc-local
+    dedup), one document-frequency groupBy (shingle-vocabulary-sized
+    shuffle — the same relation every MinHash stage builds), one join
+    back + per-doc partial agg. Nothing quadratic: sharing is measured
+    through the df relation, never through doc-pair comparison."""
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_hashes(d)
+    df_rel = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(df_rel, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("n_docs") == 1).cast("int")).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            "n_novel",
+            round_dbl(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty"),
+            (F.col("n_novel") * 100 < F.col("n_shingles") * NOVELTY_LOW_PCT).alias(
+                "mostly_shared"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -175,6 +175,8 @@ RECENT_ADDITIONS = [
     "events_session_dynamic_gap",
     # round 10b: multi-source BFS closeness centrality
     "graph_closeness_multisource",
+    # round 10b: cross-document shingle novelty (memorization audit)
+    "text_ngram_novelty_cross_doc",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
