@@ -257,3 +257,65 @@ def test_waterfill_matches_iterative_reference(spark, sf_correct):
     assert got == want
     assert all(a <= caps[s] for s, (a, _) in got.items())
     assert sum(a for a, _ in got.values()) <= budget
+
+
+def test_peak_concurrency_matches_python_sweep(spark, tmp_path):
+    """The two-phase bucketed running sum must equal a single-pass python
+    sweep on random event sets — including bucket-boundary crossings and
+    same-instant opens/closes the shipped corpus may never hit."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    rng = random.Random(20260816)
+    rows = []
+    base = datetime(2024, 1, 1)
+    for i in range(400):
+        # cluster timestamps so sessions overlap AND hit hour boundaries
+        t = base + timedelta(seconds=rng.randint(0, 4 * 3600))
+        rows.append(
+            (
+                i,
+                t,
+                rng.randint(0, 20),
+                rng.choice(["view", "click", "purchase"]),
+                float(rng.randint(0, 7200)),  # up to 2h => crosses buckets
+                "{}",
+            )
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = str(tmp_path / "sweepdata")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
+    got = {
+        r.event_type: (r.peak_concurrent, r.first_peak_ts, r.n_intervals)
+        for r in get_query("events_peak_concurrency_sweep")
+        .builder(spark, out)
+        .collect()
+    }
+
+    want = {}
+    for etype, grp in pdf.groupby("event_type"):
+        deltas: dict[int, int] = {}
+        for _, r in grp.iterrows():
+            s = int(r.ts.value // 1000)  # ns -> us
+            e = s + int(r.value) * 1_000_000
+            deltas[s] = deltas.get(s, 0) + 1
+            deltas[e] = deltas.get(e, 0) - 1
+        cum, peak, first = 0, -1, None
+        for t in sorted(deltas):
+            cum += deltas[t]
+            if cum > peak:
+                peak, first = cum, t
+        want[etype] = (peak, pd.Timestamp(first, unit="us"), len(grp))
+
+    assert set(got) == set(want)
+    for etype, (peak, first, n) in want.items():
+        g_peak, g_first, g_n = got[etype]
+        assert g_peak == peak and g_n == n, etype
+        assert pd.Timestamp(g_first) == first, etype
