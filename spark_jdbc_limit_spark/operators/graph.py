@@ -2098,3 +2098,136 @@ def graph_closeness_multisource(
         .crossJoin(F.broadcast(audit))
         .orderBy("src")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient (top-k)
+# ---------------------------------------------------------------------------
+
+#: LCC shortlist size (fully tie-broken: lcc desc, node asc).
+LCC_TOP_K = 10
+
+
+@query(
+    "graph_local_clustering_topk",
+    category="graph",
+    description=f"Per-node local clustering coefficient, top-{LCC_TOP_K} (degree-ordered triangle enumeration, exploded per vertex)",
+    oracle=f"""
+        WITH {_EDGES_CTE},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+            FROM e e1
+            JOIN e e2 ON e1.s2 = e2.s1
+            JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        ),
+        pernode AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        ),
+        scored AS (
+            SELECT d.node, d.d, COALESCE(p.t, 0) AS t,
+                   2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)) AS lcc,
+                   ROW_NUMBER() OVER (
+                       ORDER BY 2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)) DESC,
+                                d.node) AS rk
+            FROM deg d LEFT JOIN pernode p USING (node)
+            WHERE d.d >= 2
+        )
+        SELECT CAST(node AS BIGINT) AS node, d AS degree,
+               t AS n_triangles,
+               {sql_round_dbl('lcc', 6)} AS lcc
+        FROM scored WHERE rk <= {LCC_TOP_K} ORDER BY node
+    """,
+)
+def graph_local_clustering_topk(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
+    """PER-NODE local clustering coefficient — 'how clique-like is each
+    supplier's neighborhood' — where graph_triangle_stats reports only
+    the global ratio: lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) over nodes with
+    d ≥ 2, shortlisting the top-{LCC_TOP_K}. Reuses the module's
+    degree-ordered triangle enumeration VERBATIM but keeps the closing
+    join INNER instead of semi, so each triangle emits its (u, v, w)
+    triple exactly once; exploding the three vertices and counting
+    gives T(v) with no extra pair work. The ratio is one double
+    division from exact integers, ranked with a node tiebreak; the
+    oracle enumerates the same triangles with the naive canonical
+    3-way join — a definitionally independent formulation.
+
+    Plan shape at 100 TB: identical to graph_triangle_stats (the wedge
+    join is degree-ordered O(m^1.5)-bounded) plus one explode of the
+    triangle relation (3 rows per triangle — triangle-cardinality,
+    graph-sized) and a micro top-k. Reference scope: no graph surface
+    (README.md:1-9)."""
+    from pyspark.sql.window import Window as W
+
+    if edges is None:
+        edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = F.broadcast(deg).alias("d1")
+    d2 = F.broadcast(deg).alias("d2")
+    e = (
+        edges.join(d1, F.col("s1") == F.col("d1.node"))
+        .join(d2, F.col("s2") == F.col("d2.node"))
+        .select(
+            F.when(
+                (F.col("d1.d") < F.col("d2.d"))
+                | ((F.col("d1.d") == F.col("d2.d")) & (F.col("s1") < F.col("s2"))),
+                F.struct(F.col("s1").alias("u"), F.col("s2").alias("v")),
+            )
+            .otherwise(F.struct(F.col("s2").alias("u"), F.col("s1").alias("v")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+    )
+    w1 = e.alias("w1")
+    w2 = e.select(F.col("u").alias("u2"), F.col("v").alias("w")).alias("w2")
+    wedges = w1.join(w2, F.col("w1.u") == F.col("w2.u2")).filter(
+        F.col("w1.v") != F.col("w2.w")
+    )
+    closing = e.select(F.col("u").alias("cv"), F.col("v").alias("cw"))
+    # INNER close (vs the global entry's semi): each triangle emits its
+    # vertex triple exactly once under the orientation
+    triangles = wedges.join(
+        closing,
+        (F.col("w1.v") == F.col("cv")) & (F.col("w2.w") == F.col("cw")),
+    ).select(F.col("w1.u").alias("a"), F.col("w1.v").alias("b"), F.col("w2.w").alias("c"))
+    pernode = (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    lcc = 2.0 * F.col("t") / (F.col("d") * (F.col("d") - 1))
+    scored = (
+        deg.filter(F.col("d") >= 2)
+        .join(F.broadcast(pernode), "node", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0)))
+        .withColumn("lcc_raw", lcc)
+        .withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("lcc_raw"), F.col("node"))),
+        )
+    )
+    return (
+        scored.filter(F.col("rk") <= LCC_TOP_K)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.col("t").cast("long").alias("n_triangles"),
+            round_dbl(F.col("lcc_raw"), 6).alias("lcc"),
+        )
+        .orderBy("node")
+    )

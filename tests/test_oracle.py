@@ -177,6 +177,8 @@ RECENT_ADDITIONS = [
     "graph_closeness_multisource",
     # round 10b: cross-document shingle novelty (memorization audit)
     "text_ngram_novelty_cross_doc",
+    # round 10b: per-node local clustering coefficient
+    "graph_local_clustering_topk",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
