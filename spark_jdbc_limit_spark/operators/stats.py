@@ -2370,3 +2370,104 @@ def stats_anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for per-source quality rates
+# ---------------------------------------------------------------------------
+
+#: z for the 95% two-sided Wilson interval.
+WILSON_Z = 1.96
+
+
+def _wilson_oracle() -> str:
+    z2 = WILSON_Z * WILSON_Z
+    return f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN n_chars >= {EB_CHAR_GATE}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ),
+        pooled AS (
+            SELECT CAST(SUM(c) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pr
+            FROM src
+        ),
+        iv AS (
+            SELECT s.source, s.n, s.c, p.pr,
+                   CAST(s.c AS DOUBLE) / s.n AS rate,
+                   (CAST(s.c AS DOUBLE) / s.n + {z2} / (2.0 * s.n))
+                       / (1.0 + {z2} / s.n) AS center,
+                   ({WILSON_Z} / (1.0 + {z2} / s.n))
+                     * sqrt((CAST(s.c AS DOUBLE) / s.n)
+                            * (1.0 - CAST(s.c AS DOUBLE) / s.n) / s.n
+                            + {z2} / (4.0 * s.n * s.n)) AS hw
+            FROM src s CROSS JOIN pooled p
+        )
+        SELECT source, n, c,
+               {sql_round_dbl('rate', 6)} AS rate,
+               {sql_round_dbl('center - hw', 6)} AS ci_lo,
+               {sql_round_dbl('center + hw', 6)} AS ci_hi,
+               ({sql_round_dbl('center + hw', 6)} < {sql_round_dbl('pr', 6)}
+                OR {sql_round_dbl('center - hw', 6)} > {sql_round_dbl('pr', 6)})
+                   AS differs_from_pooled
+        FROM iv ORDER BY source
+    """
+
+
+@query(
+    "mix_source_rate_wilson_ci",
+    category="llm_pipeline",
+    description=f"Wilson 95% score interval on each source's quality-pass rate, flagged against the pooled corpus rate",
+    oracle=_wilson_oracle(),
+)
+def mix_source_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score intervals — the interval the EB-shrinkage entry's
+    point estimates deserve: for each source's quality-pass rate
+    (the same n_chars >= {EB_CHAR_GATE} gate), the 95% score interval
+    center ± halfwidth, and a verdict flag when the interval excludes
+    the pooled corpus rate (the correctly-calibrated version of
+    'this source is significantly off-mix' — Wilson, unlike the Wald
+    interval, behaves at rates near 0/1 and small n). Engine
+    exactness: (n, c) are exact integers; rate/center/halfwidth are
+    FIXED float expression trees over them — identical association
+    order in builder and oracle — and the verdict compares ROUNDED
+    bounds against the ROUNDED pooled rate (the rounded-verdict rule),
+    so both engines flip together or not at all.
+
+    Plan: one partial-aggregated corpus pass into ~20 groups; interval
+    algebra on the micro relation. At 100 TB only the scan grows."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("n_chars") >= EB_CHAR_GATE).cast("int"))
+        .cast("long")
+        .alias("c"),
+    )
+    pooled = src.agg(
+        (F.sum("c").cast("double") / F.sum("n").cast("double")).alias("pr")
+    )
+    z2 = WILSON_Z * WILSON_Z
+    n, c = F.col("n"), F.col("c")
+    rate = c.cast("double") / n
+    center = (rate + z2 / (2.0 * n)) / (1.0 + z2 / n)
+    hw = (WILSON_Z / (1.0 + z2 / n)) * F.sqrt(
+        rate * (1.0 - rate) / n + z2 / (4.0 * n * n)
+    )
+    lo_r = round_dbl(center - hw, 6)
+    hi_r = round_dbl(center + hw, 6)
+    pr_r = round_dbl(F.col("pr"), 6)
+    return (
+        src.crossJoin(F.broadcast(pooled))
+        .select(
+            "source",
+            "n",
+            "c",
+            round_dbl(rate, 6).alias("rate"),
+            lo_r.alias("ci_lo"),
+            hi_r.alias("ci_hi"),
+            ((hi_r < pr_r) | (lo_r > pr_r)).alias("differs_from_pooled"),
+        )
+        .orderBy("source")
+    )

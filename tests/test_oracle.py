@@ -179,6 +179,8 @@ RECENT_ADDITIONS = [
     "text_ngram_novelty_cross_doc",
     # round 10b: per-node local clustering coefficient
     "graph_local_clustering_topk",
+    # round 10b: Wilson score intervals on per-source quality rates
+    "mix_source_rate_wilson_ci",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.

@@ -506,3 +506,25 @@ def test_inference_stats_clear_rounding_boundaries():
     # and the verdict thresholds themselves are not boundary cases
     assert abs(abs(round(t, 6)) - 1.96) > 1e-4
     assert abs(round(f, 6) - 2.39) > 1e-4
+
+
+def test_wilson_ci_matches_numpy(spark):
+    d = _docs()
+    from spark_jdbc_limit_spark.operators.stats import EB_CHAR_GATE, WILSON_Z
+
+    rows = get_query("mix_source_rate_wilson_ci").builder(spark, SF).collect()
+    z2 = WILSON_Z * WILSON_Z
+    pooled = (d["n_chars"] >= EB_CHAR_GATE).mean()
+    for r in rows:
+        grp = d[d["source"] == r.source]
+        n = len(grp)
+        c = int((grp["n_chars"] >= EB_CHAR_GATE).sum())
+        assert (r.n, r.c) == (n, c)
+        p = c / n
+        center = (p + z2 / (2 * n)) / (1 + z2 / n)
+        hw = (WILSON_Z / (1 + z2 / n)) * np.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        assert abs(r.rate - p) < 1.1e-6
+        assert abs(r.ci_lo - (center - hw)) < 1.1e-6
+        assert abs(r.ci_hi - (center + hw)) < 1.1e-6
+        pr_r = np.floor(pooled * 1e6 + 0.5) / 1e6  # round_dbl's half-up
+        assert r.differs_from_pooled == (r.ci_hi < pr_r or r.ci_lo > pr_r)
