@@ -93,6 +93,14 @@ QUERIES: dict[str, str] = {
     "pipeline_dsir_importance_weights": "linear",
     "embedding_binary_quantization_recall_audit": "linear",
     "events_peak_concurrency_sweep": "linear",
+    # session-final additions: the multi-source unroll (k seeds ride one
+    # key column — per-round work xR, rounds constant), the per-vertex
+    # triangle explode (triangle count scales xR under disjoint copies),
+    # and the shingle document-frequency path (vocabulary xR via replica
+    # tags, the same posture DSIR stresses)
+    "graph_closeness_multisource": "linear",
+    "graph_local_clustering_topk": "linear",
+    "text_ngram_novelty_cross_doc": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min
