@@ -1850,3 +1850,95 @@ def text_ngram_novelty_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: KS uniformity critical coefficient at alpha = 0.05 (one-sample).
+KS_UNIF_COEF = 1.36
+
+
+@query(
+    "dq_hash_uniformity_ks_audit",
+    category="llm_pipeline",
+    description="One-sample KS uniformity audit of the Knuth sampling hash over its 100-value percent domain",
+    oracle=f"""
+        WITH h AS (
+            SELECT {_sql_hash_pct('doc_id')} AS pct FROM documents
+        ),
+        b AS (
+            SELECT pct, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY pct
+        ),
+        e AS (
+            SELECT pct, c,
+                   SUM(c) OVER (ORDER BY pct
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER () AS n
+            FROM b
+        ),
+        d AS (
+            SELECT MAX(GREATEST(
+                       ABS(CAST(cum AS DOUBLE) / n - (pct + 1) / 100.0),
+                       ABS(CAST(cum - c AS DOUBLE) / n - pct / 100.0)
+                   )) AS ks_d,
+                   MAX(n) AS n
+            FROM e
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               {{r6_d}} AS ks_d,
+               {{r6_crit}} AS ks_crit,
+               {{r6_d}} <= {{r6_crit}} AS uniform_ok
+        FROM d
+    """.replace("{r6_d}", "FLOOR((ks_d) * 1000000.0 + 0.5) / 1000000.0")
+       .replace("{r6_crit}", f"FLOOR(({KS_UNIF_COEF} / sqrt(CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0"),
+)
+def dq_hash_uniformity_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit of this module's OWN sampling primitive: every
+    deterministic-sampling entry trusts that the Knuth multiplicative
+    hash maps doc_id uniformly onto 0..99 — this entry MEASURES that
+    with a one-sample KS test against the discrete uniform CDF
+    (D = max over the domain of the ecdf deviation, both step sides
+    checked, which for a discrete statistic needs only the 100-value
+    bucket relation, not per-row order statistics). Counts and
+    cumulative sums are exact integers; D and the 1.36/sqrt(n)
+    critical value are fixed float trees over them, and the verdict
+    compares the ROUNDED values (the rounded-verdict rule). A failing
+    audit here would invalidate sample_deterministic_hash,
+    sample_rejection_source_balance, and the bootstrap's hash draws —
+    which is exactly why a pipeline ships it.
+
+    Plan: one scan-speed hash projection, a 100-group partial agg, and
+    windows over the 100-row bucket relation. At 100 TB only the scan
+    grows."""
+    from pyspark.sql import Window as W
+
+    from spark_jdbc_limit_spark.operators.relational import round_dbl
+
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(_hash_pct_col(F.col("doc_id")).alias("pct")).groupBy("pct").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = W.orderBy("pct").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    e = b.select(
+        "pct",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    dev = F.greatest(
+        F.abs(F.col("cum").cast("double") / F.col("n") - (F.col("pct") + 1) / 100.0),
+        F.abs(
+            (F.col("cum") - F.col("c")).cast("double") / F.col("n")
+            - F.col("pct") / 100.0
+        ),
+    )
+    agg = e.agg(F.max(dev).alias("ks_d"), F.max("n").alias("n"))
+    d_r = round_dbl(F.col("ks_d"), 6)
+    crit_r = round_dbl(
+        F.lit(KS_UNIF_COEF) / F.sqrt(F.col("n").cast("double")), 6
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        d_r.alias("ks_d"),
+        crit_r.alias("ks_crit"),
+        (d_r <= crit_r).alias("uniform_ok"),
+    )

@@ -181,6 +181,8 @@ RECENT_ADDITIONS = [
     "graph_local_clustering_topk",
     # round 10b: Wilson score intervals on per-source quality rates
     "mix_source_rate_wilson_ci",
+    # round 10b: KS uniformity audit of the sampling hash
+    "dq_hash_uniformity_ks_audit",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
