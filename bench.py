@@ -92,10 +92,14 @@ def main() -> None:
         bfs_hops_until_settled,
         connected_components_until_settled,
         graph_bfs_hops,
+        graph_closeness_multisource,
         graph_connected_components,
         graph_jaccard_link_prediction,
         graph_kcore_peeling,
         graph_label_propagation,
+        graph_local_clustering_topk,
+        graph_resource_allocation_links,
+        graph_sssp_bellman_ford,
         graph_triangle_stats,
         kcore_until_settled,
         label_propagation_until_settled,
@@ -104,6 +108,7 @@ def main() -> None:
 
     cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
     edges = _supplier_edges(spark, sf_dir).localCheckpoint()
+    w_edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
     marginal_builders = {
         "dedup_cluster_best_representative": lambda: best_representative_frame(
             spark, sf_dir, cc
@@ -124,6 +129,20 @@ def main() -> None:
         "graph_kcore_peeling": lambda: graph_kcore_peeling(spark, sf_dir, edges=edges),
         "graph_jaccard_link_prediction": lambda: graph_jaccard_link_prediction(
             spark, sf_dir, edges=edges
+        ),
+        "graph_resource_allocation_links": lambda: graph_resource_allocation_links(
+            spark, sf_dir, edges=edges
+        ),
+        "graph_closeness_multisource": lambda: graph_closeness_multisource(
+            spark, sf_dir, edges=edges
+        ),
+        "graph_local_clustering_topk": lambda: graph_local_clustering_topk(
+            spark, sf_dir, edges=edges
+        ),
+        # the weighted family shares its OWN materialized relation (the
+        # same derivation with the co-order count retained)
+        "graph_sssp_bellman_ford": lambda: graph_sssp_bellman_ford(
+            spark, sf_dir, edges=w_edges
         ),
     }
 
@@ -150,6 +169,13 @@ def main() -> None:
             ),
         }
     )
+    from spark_jdbc_limit_spark.operators.graph import sssp_until_settled
+
+    def _sssp_settled_marginal():
+        state, _rounds, _settled = sssp_until_settled(spark, sf_dir, edges=w_edges)
+        return state
+
+    marginal_builders["graph_sssp_until_settled"] = _sssp_settled_marginal
     # Marginal reps are round-robin passes like the main loop, so one VM
     # noise window lands in at most one rep of any marginal builder.
     marginal_reps: dict[str, list[float]] = {m: [] for m in marginal_builders}
