@@ -21,6 +21,38 @@ from spark_jdbc_limit_spark import build_session  # noqa: E402
 from spark_jdbc_limit_spark.operators import REGISTRY  # noqa: E402
 
 
+#: Fixed anchor set: five stable, plan-frozen entries timed FIRST and LAST
+#: in every bench run. Their total against the recorded quiet-slot total
+#: (ANCHOR_REF_SEC, measured at sf0.1 / 32 cpus on a quiet slot) yields
+#: ``anchor_factor`` — the run's machine-contention multiplier. Round 10's
+#: driver artifact read 1.6x slower than round 9's for reasons that took
+#: forensics (same binaries, ±25-30% machine-day swing); the anchor makes
+#: the contention visible IN the artifact: compare ``value_anchor_norm``
+#: (total / anchor_factor) across rounds, not raw ``value``.
+ANCHOR_QUERIES = (
+    "q1_pricing_summary",
+    "set_union_distinct",
+    "limit_semantics",
+    "scan_project_filter_topk",
+    "window_topk_per_group",
+)
+#: Quiet-slot reference total for ANCHOR_QUERIES at sf0.1, 32 cpus
+#: (min-of-5 per query — matching the min-of-first/last the factor uses —
+#: recorded round 11 on a quiet slot).
+ANCHOR_REF_SEC = 2.602
+
+
+def _time_anchors(spark, sf_dir: str) -> float:
+    total = 0.0
+    for name in ANCHOR_QUERIES:
+        t0 = time.perf_counter()
+        REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        total += time.perf_counter() - t0
+    return round(total, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -60,6 +92,8 @@ def main() -> None:
     # recorded MIN stays contention-free (back-to-back reps once
     # recorded 5.1s min for a query that times 2.6s alone — one window
     # swallowed all three samples).
+    anchor_first = _time_anchors(spark, sf_dir)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     all_reps: dict[str, list[float]] = {name: [] for name in REGISTRY}
     for _ in range(reps):
@@ -189,6 +223,12 @@ def main() -> None:
         for mname, samples in marginal_reps.items()
     }
 
+    anchor_last = _time_anchors(spark, sf_dir)
+    # min of first/last: the contention-free-er of the two bracketing
+    # samples (a noise window at one end shouldn't read as a slow machine)
+    anchor_sec = min(anchor_first, anchor_last)
+    anchor_factor = round(anchor_sec / ANCHOR_REF_SEC, 3)
+
     total = round(sum(timings.values()), 3)
     total_min = round(sum(mins.values()), 3)
     full = {
@@ -204,6 +244,14 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "cpus": cpus,
+        # machine-contention instrumentation: this run's fixed-anchor-set
+        # time over the recorded quiet-slot reference, plus the total
+        # normalized by it — compare value_anchor_norm across rounds
+        "anchor_sec_first": anchor_first,
+        "anchor_sec_last": anchor_last,
+        "anchor_ref_sec": ANCHOR_REF_SEC,
+        "anchor_factor": anchor_factor,
+        "value_anchor_norm": round(total / max(anchor_factor, 1e-9), 3),
         # marginal cost with CC as a materialized pipeline intermediate;
         # NOT added to `value` (the self-contained entry already counts)
         "pipeline_marginal": pipeline_marginal,
@@ -211,6 +259,14 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
+        f.write("\n")
+    # committed staleness artifact (round-10 verdict #8): how far behind
+    # the stalest driver-green entry is, given the rotation's
+    # stalest-green-first ordering
+    from spark_jdbc_limit_spark.operators import rotation_stats
+
+    with open(os.path.join(here, "ROTATION.json"), "w") as f:
+        json.dump(rotation_stats(), f, indent=1)
         f.write("\n")
     # The grading driver keeps only the last 2000 chars of stdout; the full
     # 100-query timings dict overflows that and the line becomes

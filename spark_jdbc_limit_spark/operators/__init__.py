@@ -164,6 +164,26 @@ def _driver_sampled_names() -> set[str]:
     return set(_driver_sampled_rounds())
 
 
+def rotation_stats() -> dict:
+    """Staleness accounting for the committed per-round artifact
+    (round-10 verdict #8): the rotation orders the verified block
+    stalest-green-first, and this makes the achieved bound a NUMBER —
+    ``max_rounds_since_green`` should stay ≤ ceil(n_entries / sample
+    window) and shrink as the window re-draws stale entries."""
+    rounds = _driver_sampled_rounds()
+    known = {n: r for n, r in rounds.items() if n in REGISTRY}
+    current = max(rounds.values(), default=0)
+    since = {n: current - r for n, r in known.items()}
+    return {
+        "current_round": current,
+        "n_entries": len(REGISTRY),
+        "n_verified_green": len(known),
+        "n_unverified": len(REGISTRY) - len(known),
+        "max_rounds_since_green": max(since.values(), default=None),
+        "stalest": sorted(since, key=since.get, reverse=True)[:10],
+    }
+
+
 #: Within the never-sampled set, carried-over queries outrank later
 #: additions (they have waited more rounds for a driver row); additions
 #: are queued behind them in the order listed here.

@@ -51,6 +51,35 @@ from spark_jdbc_limit_spark.sources.catalog import load_table
 TRIANGLE_PCTL = 0.97
 TRIANGLE_MIN_W = 2
 
+#: Target rows per partition for the materialized edge relation. The
+#: filtered edge list inherits the groupBy's shuffle partitioning (32+
+#: partitions) regardless of its actual size — at the shipped SFs that is
+#: ~500 rows/task, and the iterative family then pays the per-task
+#: scheduling floor 65 times per stage across ~20 stages of micro joins
+#: (measured: right-sizing alone took the fixed CC unroll from ~7 s to
+#: ~2 s at sf0.1). Sizing by COUNT (cheap: the pair relation is already
+#: cached) instead of an AQE rebalance hint keeps the partition count
+#: GROWING with the edge set — a 64 MB-advisory rebalance would coalesce
+#: even a 100x edge set to 1-2 partitions and serialize every downstream
+#: join; 64k edge rows/partition keeps tasks meaningful at 1x and spreads
+#: a 100x/1000x edge set across the cluster.
+EDGE_ROWS_PER_PARTITION = 65536
+
+
+def _size_partitions(df: DataFrame, n_rows: int) -> DataFrame:
+    """Right-size ``df`` (a micro-to-medium derived relation of known
+    cardinality) to ``ceil(n_rows / EDGE_ROWS_PER_PARTITION)`` partitions:
+    coalesce (no shuffle) when shrinking below the session shuffle
+    parallelism, full repartition only when the relation has genuinely
+    outgrown it."""
+    n_parts = max(1, -(-n_rows // EDGE_ROWS_PER_PARTITION))
+    shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n_parts < shuf:
+        return df.coalesce(n_parts)
+    if n_parts > shuf:
+        return df.repartition(n_parts)
+    return df
+
 
 def _supplier_edges(
     spark: SparkSession, sf_dir: str, keep_weight: bool = False
@@ -101,9 +130,15 @@ def _supplier_edges(
     filtered = pairs.crossJoin(F.broadcast(thr)).filter(
         F.col("w").cast("double") >= F.col("thr")
     )  # one-row threshold relation
-    return filtered.select("s1", "s2", "w") if keep_weight else filtered.select(
+    out = filtered.select("s1", "s2", "w") if keep_weight else filtered.select(
         "s1", "s2"
     )
+    # Count the FILTERED edge set (one cached-backed job — the fact-sized
+    # work above is already materialized in the pairs cache) and
+    # right-size the output partitioning to it; see EDGE_ROWS_PER_PARTITION
+    # for why this beats both inherited shuffle partitioning and an AQE
+    # rebalance hint here.
+    return _size_partitions(out, out.count())
 
 
 #: Shared oracle fragment: the supplier co-order edge list (os -> pairs
@@ -1333,8 +1368,14 @@ def graph_jaccard_link_prediction(
 #   not a copied constant. For the peel/vote loops the oracle finds the
 #   first step whose state equals its predecessor (set counts for the
 #   monotone-shrinking k-core; per-node label diffs for LPA).
-# - ``settled``: Spark emits the loop's own flag; the oracle emits TRUE
-#   (a fixpoint query IS settled by construction). A loop that hits
+# - ``settled``: Spark emits the loop's own flag; the CC/BFS oracles emit
+#   TRUE (their analytic round derivation is uncapped, so a fixpoint query
+#   IS settled by construction), while the CAPPED unroll oracles (k-core /
+#   LPA / SSSP) emit ``rounds IS NOT NULL`` — if convergence is not
+#   detected within SETTLED_ORACLE_CAP steps the oracle says settled=false
+#   AND rounds_run=NULL, so a graph needing cap..max_rounds rounds fails
+#   the differential on BOTH columns loudly instead of producing a
+#   silently-confusing TRUE/NULL row (round-10 ADVICE). A loop that hits
 #   max_rounds mismatches and the driver records red — that is the audit.
 
 #: Unroll cap for the k-core / LPA settled oracles: DuckDB can only
@@ -1471,7 +1512,8 @@ def _kcore_settled_oracle() -> str:
         rr AS (SELECT MIN(c.step) AS rounds FROM cnt c
                JOIN cnt p ON p.step = c.step - 1 WHERE p.n = c.n)
         SELECT CAST(n.node AS BIGINT) AS node,
-               CAST(rr.rounds AS BIGINT) AS rounds_run, TRUE AS settled
+               CAST(rr.rounds AS BIGINT) AS rounds_run,
+               rr.rounds IS NOT NULL AS settled
         FROM n{SETTLED_ORACLE_CAP} n CROSS JOIN rr ORDER BY node
     """
 
@@ -1532,7 +1574,7 @@ def _lpa_settled_oracle() -> str:
         SELECT CAST(l.lbl AS BIGINT) AS community,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run,
-               TRUE AS settled
+               MAX(rr.rounds) IS NOT NULL AS settled
         FROM l{SETTLED_ORACLE_CAP} l CROSS JOIN rr
         GROUP BY l.lbl ORDER BY community
     """
@@ -1931,7 +1973,8 @@ def _sssp_settled_oracle() -> str:
         )
         SELECT CAST(r.node AS BIGINT) AS node,
                CAST(r.d AS BIGINT) AS dist_scaled,
-               CAST(rr.rounds AS BIGINT) AS rounds_run, TRUE AS settled
+               CAST(rr.rounds AS BIGINT) AS rounds_run,
+               rr.rounds IS NOT NULL AS settled
         FROM ranked r CROSS JOIN rr
         WHERE r.rk <= {BF_TOP_K} ORDER BY r.node
     """
@@ -2031,6 +2074,34 @@ def _closeness_oracle() -> str:
 def graph_closeness_multisource(
     spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
 ) -> DataFrame:
+    return closeness_frame(spark, sf_dir, broadcast_dist=True, edges=edges)
+
+
+def _closeness_step(
+    bw: DataFrame, dist: DataFrame, broadcast_dist: bool
+) -> DataFrame:
+    """One multi-source min-plus relaxation: propagate every seed's
+    distances across the weighted edge list and keep the per-(src, node)
+    MIN. Factored out so the plan test can pin the join strategy of the
+    exact step the loop runs (the loop's lazy checkpoints hide it from
+    the final plan)."""
+    dist_side = (
+        F.broadcast(dist) if broadcast_dist else dist.repartition(8, "node")
+    )
+    votes = bw.join(dist_side, F.col("u") == F.col("node")).select(
+        "src", "v", (F.col("d") + F.col("w")).alias("d")
+    )
+    return votes.groupBy("src", "v").agg(F.min("d").alias("d")).select(
+        "src", F.col("v").alias("node"), "d"
+    )
+
+
+def closeness_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_dist: bool = True,
+    edges: DataFrame | None = None,
+) -> DataFrame:
     """Closeness centrality — (reachable count) / (sum of hop distances)
     — for {CLOSE_SOURCES} seed nodes, computed as ONE multi-source BFS:
     the distance relation is keyed (src, node), so all seeds propagate
@@ -2045,9 +2116,16 @@ def graph_closeness_multisource(
     sum_dist = 0 in BOTH engines).
 
     Plan per step: one join of the (src,node)-keyed distance relation
-    (≤ k·|V| rows, broadcast at this scale, shuffle join at web scale)
-    onto the edge list + map-side-combined MIN — identical shape to
-    graph_bfs_hops with a wider key. Reference scope: no graph surface
+    (≤ k·|V| rows) onto the edge list + map-side-combined MIN —
+    identical shape to graph_bfs_hops with a wider key.
+    ``broadcast_dist=True`` (the registered query's path) broadcasts
+    the distance relation each step — right whenever k·|V| fits an
+    executor. ``broadcast_dist=False`` is the web-graph posture
+    (mirroring ``pagerank_frame``'s round-7 switch): the edge list is
+    hash-partitioned ONCE on the source endpoint and reused every step,
+    and only the distance relation reshuffles to meet it — a plan test
+    pins that this path broadcasts nothing and a value test pins both
+    variants exactly equal. Reference scope: no graph surface
     (README.md:1-9)."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
@@ -2060,6 +2138,10 @@ def graph_closeness_multisource(
             F.col("node").alias("u"), F.col("node").alias("v"), F.lit(0).alias("w")
         )
     )
+    if not broadcast_dist:
+        # iteration-invariant edge frame, partitioned once on the join
+        # key every step reuses (the pagerank_frame cdf pattern)
+        bw = bw.repartition(8, "u").localCheckpoint(eager=False)
     seeds = nodes.orderBy("node").limit(CLOSE_SOURCES)
     dist = seeds.select(
         F.col("node").alias("src"), "node", F.lit(0).alias("d")
@@ -2069,12 +2151,7 @@ def graph_closeness_multisource(
         if i == BFS_ITERS - 1:
             dist = dist.localCheckpoint(eager=False)
         prev = dist
-        votes = bw.join(F.broadcast(dist), F.col("u") == F.col("node")).select(
-            "src", "v", (F.col("d") + F.col("w")).alias("d")
-        )
-        dist = votes.groupBy("src", "v").agg(F.min("d").alias("d")).select(
-            "src", F.col("v").alias("node"), "d"
-        )
+        dist = _closeness_step(bw, dist, broadcast_dist)
     dist = dist.localCheckpoint(eager=False)  # feeds audit + rollup
     audit = (
         dist.withColumnRenamed("d", "da")

@@ -1459,13 +1459,21 @@ def _dsir_oracle() -> str:
             GROUP BY t.doc_id
         ),
         ranked AS (
-            SELECT s.doc_id, d.lang, d.source, s.n_tokens, s.lw,
-                   ROW_NUMBER() OVER (ORDER BY s.lw DESC, s.doc_id) AS rk
+            -- rank on the ROUNDED weight (with doc_id tiebreak): the raw
+            -- per-doc float fold's order differs between engines in the
+            -- last ulps, so ranking on it could flip shortlist membership
+            -- across a hairline rank-k/k+1 gap; after the 1e-6 round both
+            -- engines sort bit-identical values (round-10 ADVICE)
+            SELECT s.doc_id, d.lang, d.source, s.n_tokens,
+                   {sql_round_dbl('s.lw', 6)} AS log_weight
             FROM scored s JOIN documents d USING (doc_id)
+        ),
+        topk AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) AS rk
+            FROM ranked
         )
-        SELECT doc_id, lang, source, n_tokens,
-               {sql_round_dbl('lw', 6)} AS log_weight
-        FROM ranked WHERE rk <= {DSIR_TOP_K} ORDER BY doc_id
+        SELECT doc_id, lang, source, n_tokens, log_weight
+        FROM topk WHERE rk <= {DSIR_TOP_K} ORDER BY doc_id
     """
 
 
@@ -1528,17 +1536,15 @@ def pipeline_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFr
     )
     from spark_jdbc_limit_spark.operators.relational import round_dbl
 
+    # rank on the ROUNDED weight (doc_id tiebreak): both engines sort
+    # bit-identical post-round values, so shortlist membership can't flip
+    # on fold-order ulps at a rank-25/26 hairline gap (round-10 ADVICE)
     return (
         scored.join(d.select("doc_id", "lang", "source"), "doc_id")
-        .orderBy(F.desc("lw"), "doc_id")
+        .withColumn("log_weight", round_dbl(F.col("lw"), 6))
+        .orderBy(F.desc("log_weight"), "doc_id")
         .limit(DSIR_TOP_K)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            round_dbl(F.col("lw"), 6).alias("log_weight"),
-        )
+        .select("doc_id", "lang", "source", "n_tokens", "log_weight")
         .orderBy("doc_id")
     )
 

@@ -195,12 +195,30 @@ def scan_metadata_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame
     column-read cost; the per-file groupBy partial-aggregates in place
     because splits never span files. At 100 TB the same query audits
     millions of files; the output stays file-cardinality-sized."""
+    import os
+
+    from spark_jdbc_limit_spark.sources.catalog import table_path
+
     parts = []
     for table, key in (
         ("documents", "doc_id"),
         ("orders", "o_orderkey"),
         ("lineitem", "l_orderkey"),
     ):
+        # The oracle pins LITERAL '<table>.parquet' file names, which only
+        # holds for the shipped single-file-per-table layout; a multi-part
+        # directory layout (e.g. bench_scale's replicated part-* outputs)
+        # would surface part-file names and hash-fail confusingly. Assert
+        # the precondition here so a layout change fails with a clear
+        # message instead (round-10 ADVICE; the entry is likewise excluded
+        # from the scale sweep).
+        p = table_path(sf_dir, table)
+        if not os.path.isfile(p):
+            raise ValueError(
+                "scan_metadata_file_provenance requires the single-file-"
+                f"per-table layout; {p} is not a plain parquet file (its "
+                "oracle pins literal file names)"
+            )
         t = load_table(spark, sf_dir, table)
         parts.append(
             t.select(F.col("_metadata.file_name").alias("file_name"), F.col(key).alias("k"))

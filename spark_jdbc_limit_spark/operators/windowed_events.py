@@ -1495,13 +1495,18 @@ SWEEP_BUCKET_US = 3_600 * 1_000_000
 @query(
     "events_peak_concurrency_sweep",
     category="window_events",
-    description="Sweep-line peak concurrency per event type (interval = [ts, ts + floor(value) seconds)), two-phase running sum",
+    description="Sweep-line peak concurrency per event type (interval = [ts, ts + greatest(floor(value), 0) seconds), NULLs dropped), two-phase running sum",
     oracle=f"""
-        WITH iv AS (
+        WITH evs AS (
+            SELECT event_type, ts, value FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        iv AS (
             SELECT event_type,
                    epoch_us(ts) AS s_us,
-                   epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e_us
-            FROM events
+                   epoch_us(ts)
+                     + GREATEST(CAST(FLOOR(value) AS BIGINT), 0) * 1000000 AS e_us
+            FROM evs
         ),
         pts AS (
             SELECT event_type, s_us AS t_us, 1 AS delta FROM iv
@@ -1528,7 +1533,7 @@ SWEEP_BUCKET_US = 3_600 * 1_000_000
         ),
         cnt AS (
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals
-            FROM events GROUP BY event_type
+            FROM evs GROUP BY event_type
         )
         SELECT f.event_type,
                c.n_intervals,
@@ -1561,9 +1566,18 @@ def events_peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     bucketed window; the peak fold is a partial-aggregated groupBy.
     Reference scope: no windowing surface in the reference
     (README.md:1-9) — 'beyond' tier."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts/value rows carry no interval, and a negative value would
+    # yield end < start — an inverted interval whose -1 lands BEFORE its
+    # +1 and silently corrupts the running count in BOTH engines (the
+    # differential can't catch an identical corruption; round-10 ADVICE).
+    # Clamp the duration at 0 and drop NULLs, identically on both sides.
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     s_us = F.unix_micros(F.col("ts"))
-    e_us = s_us + F.floor(F.col("value")).cast("long") * 1_000_000
+    e_us = s_us + F.greatest(
+        F.floor(F.col("value")).cast("long"), F.lit(0).cast("long")
+    ) * 1_000_000
     pts = ev.select(
         "event_type", s_us.alias("t_us"), F.lit(1).alias("delta")
     ).unionAll(ev.select("event_type", e_us.alias("t_us"), F.lit(-1).alias("delta")))

@@ -740,6 +740,49 @@ def test_pagerank_shuffle_variant_agrees_and_skips_broadcast(spark, sf_dir):
     assert len(got_bc) > 0
 
 
+def test_closeness_shuffle_variant_agrees_and_skips_broadcast(spark, sf_dir):
+    """closeness_frame(broadcast_dist=False) is the web-graph posture
+    (k·|V| distance relation too big for one executor), mirroring
+    pagerank_frame's broadcast_ranks switch (round-10 verdict #4): the
+    distance relation must be shuffle-joined — no BroadcastHashJoin
+    anywhere once auto-broadcast is disabled — and the result must agree
+    with the broadcast variant exactly (integer distances; one float
+    division rounded 1e-6)."""
+    from spark_jdbc_limit_spark.operators.graph import closeness_frame
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    from spark_jdbc_limit_spark.operators.graph import _closeness_step
+
+    bc = closeness_frame(spark, sf_dir, broadcast_dist=True)
+    sh = closeness_frame(spark, sf_dir, broadcast_dist=False)
+    # the loop's lazy checkpoints hide the per-step join from the final
+    # plan, so pin the strategy on the EXACT step function the loop runs
+    bw = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (1, 1, 0), (2, 2, 0)], "u long, v long, w int"
+    )
+    d0 = spark.createDataFrame([(1, 1, 0)], "src long, node long, d int")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bc_joins = plan_text(
+            _closeness_step(bw, d0, broadcast_dist=True), "simple"
+        ).count("BroadcastHashJoin")
+        sh_txt = plan_text(_closeness_step(bw, d0, broadcast_dist=False), "simple")
+        assert bc_joins > 0, "broadcast variant lost its explicit dist hint"
+        assert "BroadcastHashJoin" not in sh_txt, (
+            "shuffle variant still plans a broadcast hash join — the "
+            "distance join would OOM on a non-broadcastable relation"
+        )
+        assert "SortMergeJoin" in sh_txt or "ShuffledHashJoin" in sh_txt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    key = lambda r: (r["src"], r["n_reached"], r["sum_dist"], r["closeness"], r["n_unsettled"])  # noqa: E731
+    got_bc = sorted(key(r) for r in bc.collect())
+    got_sh = sorted(key(r) for r in sh.collect())
+    assert got_bc == got_sh
+    assert len(got_bc) > 0
+
+
 def test_label_propagation_argmax_not_window(spark, sf_dir):
     """LPA's per-node label choice must be the max(struct) AGGREGATE —
     a ranked window over neighbor-label counts would sort a celebrity

@@ -4,6 +4,7 @@ the value-hash differential alone wouldn't explain on failure."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators import get_query
@@ -244,8 +245,38 @@ def test_rotation_latest_record_wins_green_then_red(monkeypatch, tmp_path):
         "glob.glob",
         lambda pattern: [str(f_new), str(f_old)] if "CORRECTNESS_r" in pattern else real_glob(pattern),
     )
-    sampled = ops._driver_sampled_names()
+    # this fixture's only name ends red, so the parser legitimately finds
+    # ZERO sampled names — assert the designed no-rotation warning fires
+    # here (and is not a live-file parse failure: see
+    # test_rotation_parses_live_correctness_files)
+    with pytest.warns(RuntimeWarning, match="no sampled names parsed"):
+        sampled = ops._driver_sampled_names()
     assert regressed not in sampled, "later red must supersede the old green"
+
+
+def test_rotation_parses_live_correctness_files():
+    """The REAL committed CORRECTNESS_r*.json files must parse from the
+    repo root at import time: if the driver's filename/format ever drifts
+    from the parser, the stalest-first ordering silently no-ops (round-10
+    verdict #6). Rounds 1-10 drove all 314 registry entries green, so the
+    live parse must yield (nearly) the whole registry with plausible
+    verifying rounds."""
+    import spark_jdbc_limit_spark.operators as ops
+
+    rounds = ops._driver_sampled_rounds()
+    assert len(rounds) >= 300, (
+        f"live CORRECTNESS parse found only {len(rounds)} verified names"
+    )
+    in_registry = set(rounds) & set(ops.REGISTRY)
+    assert len(in_registry) >= 300
+    assert all(isinstance(r, int) and r >= 1 for r in rounds.values())
+    stats = ops.rotation_stats()
+    assert stats["current_round"] >= 10
+    assert stats["n_verified_green"] >= 300
+    # with a ~50-row window over ~314 entries a full re-confirmation
+    # cycle is ceil(314/50)=7 rounds; the stalest-first ordering keeps
+    # the achieved staleness bounded by that
+    assert stats["max_rounds_since_green"] <= 7
 
 
 def test_rfm_scalable_twin_matches_ntile_exactly(spark, sf_correct):
