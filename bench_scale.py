@@ -67,10 +67,14 @@ QUERIES: dict[str, str] = {
     "agg_count_min_frequency_audit": "linear",
     "customer_gini_revenue": "linear",
     "ann_ivf_topk": "linear",
-    # exact kNN join: |Q| and |C| both scale with R, so compute is
-    # inherently R² — benched to MEASURE that honesty, with ann_ivf_topk
-    # right above it as the documented linear alternative at scale.
-    "ann_knn_join": "quadratic",
+    # kNN join: |Q| and |C| both scale with R, so the EXACT form is
+    # inherently R² (measured 2.09 top-decade in round 9/10). Round 11
+    # added the cost-based switch (verdict #3): above KNN_BRUTE_MAX_PAIRS
+    # the entry generates candidates with corpus-scaled IVF cells and
+    # exact-reranks a bounded ~nprobe×cell_target shortlist per query —
+    # work linear in n — so the measured posture is now linear, with the
+    # brute arm kept for small corpora and the oracle.
+    "ann_knn_join": "linear",
     # the until-settled loops: replication preserves per-replica graph
     # structure, so the ROUND COUNT stays constant while per-round work
     # scales xR — wall should track the fixed entries' linear posture

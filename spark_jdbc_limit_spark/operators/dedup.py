@@ -628,6 +628,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline cost). After the checkpoint both branches read the tiny
     # materialized pair set.
     pairs = dedup_minhash_verified(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    # The verified pair set is dup-pair-cardinality (micro) but inherits
+    # the verify pipeline's shuffle partitioning — right-size it so every
+    # propagation round's stages schedule O(pairs/64k) tasks, not 32+
+    # near-empty ones (the graph family's round-11 fix; count is free on
+    # the materialized checkpoint).
+    from spark_jdbc_limit_spark.operators.graph import _size_partitions
+
+    pairs = _size_partitions(pairs, pairs.count())
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )

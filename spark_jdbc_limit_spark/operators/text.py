@@ -777,6 +777,128 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: two-phase cumulative-sum bucket width for the Heaps fit (doc_id
+#: range per window partition; ids are dense-sequential in this corpus,
+#: so each partition holds ≤ this many docs at any scale).
+HEAPS_BUCKET_DOCS = 1024
+
+
+@query(
+    "text_heaps_law_fit",
+    category="llm_text",
+    description="Heaps'-law fit: OLS slope of log vocabulary size vs log cumulative tokens across the doc_id-ordered corpus prefix curve",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS t
+            FROM documents
+        ),
+        tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        per_doc AS (SELECT doc_id, COUNT(*) AS nt FROM tk GROUP BY 1),
+        fd AS (SELECT t, MIN(doc_id) AS fdoc FROM tk GROUP BY 1),
+        nv AS (SELECT fdoc AS doc_id, COUNT(*) AS nvt FROM fd GROUP BY 1),
+        pd AS (
+            SELECT p.doc_id, p.nt, COALESCE(nv.nvt, 0) AS nvt
+            FROM per_doc p LEFT JOIN nv USING (doc_id)
+        ),
+        cum AS (
+            SELECT SUM(nt) OVER (ORDER BY doc_id) AS cn,
+                   SUM(nvt) OVER (ORDER BY doc_id) AS cv
+            FROM pd
+        ),
+        pts AS (
+            SELECT LN(CAST(cn AS DOUBLE)) AS x, LN(CAST(cv AS DOUBLE)) AS y,
+                   cn, cv
+            FROM cum
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(cn) AS BIGINT) AS total_tokens,
+               CAST(MAX(cv) AS BIGINT) AS vocab_size,
+               {sql_round_dbl('COVAR_POP(x, y) / VAR_POP(x)', 4)} AS heaps_beta,
+               {sql_round_dbl('CORR(x, y)', 4)} AS corr_loglog
+        FROM pts
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fingerprint — vocabulary growth V(N) ≈ K·N^β along the
+    corpus: natural text grows vocabulary sub-linearly (β ≈ 0.4-0.6);
+    template spam flattens the curve and over-aggressive near-dedup or
+    synthetic token soup bends it up, so β is the ingest-batch
+    companion to ``text_zipf_fit``'s slope (the two laws are duals).
+    Computed exactly: each token's FIRST document (min doc_id over an
+    exploded token stream) turns 'distinct count over every prefix' —
+    quadratic if done naively — into one vocabulary-bounded aggregate;
+    per-doc new-type counts then cumulative-sum along doc_id, and the
+    (ln N, ln V) curve gets the same closed-form OLS as the Zipf entry
+    (covar_pop/var_pop + Pearson r, 1e-4 round — the accepted
+    float-aggregate posture).
+
+    Scale shape: the fact-sized work is one explode + TWO map-side-
+    combined aggregates (per-doc counts, per-token min); the running
+    sums use the module's two-phase bucket pattern
+    ({HEAPS_BUCKET_DOCS}-doc id ranges → no window partition ever holds
+    more than a bucket of docs, valid because doc ids are
+    dense-sequential), and the regression is one aggregate over the
+    doc-cardinality curve."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    per_doc = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    fd = tk.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+    nv = fd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nvt"))
+    pd_rel = (
+        per_doc.join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "nt",
+            F.coalesce(F.col("nvt"), F.lit(0)).alias("nvt"),
+        )
+        .withColumn("bucket", F.floor(F.col("doc_id") / HEAPS_BUCKET_DOCS))
+        .localCheckpoint(eager=False)  # feeds local sums AND bucket totals
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pd_rel.select(
+        "bucket",
+        F.sum("nt").over(w_local).alias("lnt"),
+        F.sum("nvt").over(w_local).alias("lnv"),
+    )
+    bt = pd_rel.groupBy("bucket").agg(
+        F.sum("nt").alias("bnt"), F.sum("nvt").alias("bnv")
+    )
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bt.select(
+        F.col("bucket").alias("o_bucket"),
+        F.coalesce(F.sum("bnt").over(w_off), F.lit(0)).alias("ont"),
+        F.coalesce(F.sum("bnv").over(w_off), F.lit(0)).alias("onv"),
+    )
+    cum = local.join(
+        F.broadcast(offsets), F.col("bucket") == F.col("o_bucket")
+    ).select(
+        (F.col("ont") + F.col("lnt")).alias("cn"),
+        (F.col("onv") + F.col("lnv")).alias("cv"),
+    )
+    pts = cum.select(
+        F.log(F.col("cn").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+        "cn",
+        "cv",
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("cn").cast("long").alias("total_tokens"),
+        F.max("cv").cast("long").alias("vocab_size"),
+        round_dbl(slope, 4).alias("heaps_beta"),
+        round_dbl(F.corr("x", "y"), 4).alias("corr_loglog"),
+    )
+
+
 CHUNK_WORDS = 32
 CHUNK_STRIDE = 24
 

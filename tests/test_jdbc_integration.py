@@ -239,6 +239,32 @@ def test_dialect_matrix_limit_and_quoting(spark):
     assert jvm.get("jdbc:derby:memory:x").quoteIdentifier('c') == '"c"'
 
 
+def test_mysql_dialect_registry_limit_clause(spark):
+    """Formal MySQL closure (round-11; reference README.md:18 validated
+    on Postgres AND MySQL): no MySQL server or driver jar exists
+    in-sandbox, so the dialect-level contract is pinned at Spark's
+    registry instead — the layer every syntax decision of our JDBC
+    scan/sink delegates to. The reference's per-partition ``LIMIT n``
+    injection (JDBCRDDWithLimit.scala:65-71) is exactly what
+    ``MySQLDialect.getLimitClause`` emits, while Derby's EMPTY clause is
+    the asymmetry the round-8 TopN-pushdown hazard guard keys on; both
+    directions are pinned here so a Spark upgrade changing either
+    surfaces loudly."""
+    jvm = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects
+    mysql = jvm.get("jdbc:mysql://host/db")
+    assert "MySQL" in mysql.toString()
+    assert mysql.supportsLimit(), "MySQL dialect must take native LIMIT"
+    assert mysql.getLimitClause(7) == "LIMIT 7"
+    assert mysql.getOffsetClause(3) == "OFFSET 3"
+    assert mysql.quoteIdentifier("c") == "`c`"
+    derby_d = jvm.get("jdbc:derby:memory:x")
+    assert not derby_d.supportsLimit()
+    assert derby_d.getLimitClause(7) == "", (
+        "Derby emitting a limit clause would invalidate the TopN hazard "
+        "guard's premise (limit-incapable dialect)"
+    )
+
+
 def test_topn_pushdown_hazard_on_derby(spark, derby):
     """Pin the upstream hazard our catalog guard exists for (Spark 4.1.2,
     SupportsPushDownTopN on a ``supportsLimit=false`` dialect): with

