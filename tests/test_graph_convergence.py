@@ -14,8 +14,26 @@ testing needs.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+#: The fixed-vs-looped pins run at sf0.01 by default; the sf0.001 twin of
+#: each is pure double-coverage (same code paths, smaller graph) and runs
+#: under the existing cross-SF sweep gate — part of the round-11 budget
+#: work keeping the ungated suite fast without losing the ungated-close
+#: coverage (the sweep still runs both).
+_CONV_SFS = [
+    pytest.param(
+        "/root/testdata/sf0.001",
+        marks=pytest.mark.skipif(
+            not os.environ.get("SPARK_GRAFT_SF_SWEEP"),
+            reason="sf0.001 twin runs under SPARK_GRAFT_SF_SWEEP=1",
+        ),
+    ),
+    "/root/testdata/sf0.01",
+]
 
 from spark_jdbc_limit_spark.operators.graph import (
     BFS_ITERS,
@@ -119,7 +137,7 @@ def test_run_until_settled_counts_appearing_keys_as_changed(spark):
     assert final.count() == 3
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("sf", _CONV_SFS)
 def test_cc_until_settled_matches_fixed_unroll(spark, sf):
     labels, rounds, settled = connected_components_until_settled(spark, sf)
     assert settled and rounds <= CC_ITERS + 1
@@ -136,7 +154,7 @@ def test_cc_until_settled_matches_fixed_unroll(spark, sf):
     assert _df_equal(converged, fixed)
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("sf", _CONV_SFS)
 def test_bfs_until_settled_matches_fixed_unroll(spark, sf):
     dist, rounds, settled = bfs_hops_until_settled(spark, sf)
     assert settled and rounds <= BFS_ITERS + 1
@@ -257,7 +275,7 @@ def test_kcore_fixed_unroll_matches_python_peel(spark):
     assert got[-1][1] == 0, "peeling must have settled inside the fixed window"
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("sf", _CONV_SFS)
 def test_kcore_until_settled_matches_fixed_unroll(spark, sf):
     """The production peel loop lands on the same core set the fixed
     unroll reports (the unroll's final n_remaining == the settled node
@@ -287,7 +305,7 @@ def test_kcore_until_settled_handles_deeper_k(spark):
     assert rounds > KCORE_ITERS, "K=4 should need more rounds than the fixed window"
 
 
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("sf", _CONV_SFS)
 def test_sssp_until_settled_matches_fixed_unroll(spark, sf):
     """The weighted min-plus loop converges within the fixed unroll's
     window on the shipped graphs, and its distances equal the fixed

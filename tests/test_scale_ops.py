@@ -279,6 +279,50 @@ def test_rotation_parses_live_correctness_files():
     assert stats["max_rounds_since_green"] <= 7
 
 
+def test_size_partitions_grows_with_cardinality(spark):
+    """The graph family's partition right-sizing (round-11): micro
+    relations coalesce down to ceil(n/64k) partitions — the per-task
+    scheduling floor was ~2/3 of the family's wall at sf0.1 — but the
+    count keeps GROWING with the edge set, so a 100x corpus spreads
+    instead of serializing (the failure mode an advisory-size rebalance
+    hint would hit)."""
+    from spark_jdbc_limit_spark.operators.graph import (
+        EDGE_ROWS_PER_PARTITION,
+        _size_partitions,
+    )
+
+    df = spark.range(1000).repartition(8)
+    assert _size_partitions(df, 1000).rdd.getNumPartitions() == 1
+    assert (
+        _size_partitions(df, 3 * EDGE_ROWS_PER_PARTITION).rdd.getNumPartitions()
+        == 3
+    )
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    big = _size_partitions(df, (shuf + 5) * EDGE_ROWS_PER_PARTITION)
+    assert big.rdd.getNumPartitions() == shuf + 5
+
+
+def test_edge_count_memoized_per_corpus(spark, sf_dir, sf_correct):
+    """The right-sizing count is memoized per input-file set: repeated
+    builds (pytest's registry-wide schema scan, bench reps) must not
+    re-pay the count job, and two SF dirs must not share an entry."""
+    from spark_jdbc_limit_spark.operators.graph import (
+        _EDGE_N_CACHE,
+        _supplier_edges,
+    )
+
+    _supplier_edges(spark, sf_dir)
+    _supplier_edges(spark, sf_correct)
+    by_key = {k: v for k, v in _EDGE_N_CACHE.items()}
+    hits = [v for k, v in by_key.items() if any(sf_dir in f for f in k)]
+    hits_c = [v for k, v in by_key.items() if any(sf_correct in f for f in k)]
+    assert hits and hits_c and hits[0] != hits_c[0]
+    # a rebuild must reuse the cached count (same dict object, no growth)
+    n_before = len(_EDGE_N_CACHE)
+    _supplier_edges(spark, sf_dir)
+    assert len(_EDGE_N_CACHE) == n_before
+
+
 def test_rfm_scalable_twin_matches_ntile_exactly(spark, sf_correct):
     """The two-phase bucket-ranked RFM variant is pinned BIT-IDENTICAL to
     the ntile window version — the scale path claims the same answer,
