@@ -105,6 +105,15 @@ QUERIES: dict[str, str] = {
     "graph_closeness_multisource": "linear",
     "graph_local_clustering_topk": "linear",
     "text_ngram_novelty_cross_doc": "linear",
+    # round-11 additions: BH-FDR is one fact shuffle + a segments×buckets
+    # micro grid (segment count constant under replication); the Heaps
+    # fit is explode + two map-side-combined aggs + bucketed two-phase
+    # running sums over the doc-cardinality curve. (The kNN recall-audit
+    # entry is deliberately NOT swept: its forced half-probe scans ~n/2
+    # candidates per query BY DESIGN — audit tier, like the exhaustive
+    # oracles; ann_knn_join's auto path is the swept posture.)
+    "stats_bh_fdr_segments": "linear",
+    "text_heaps_law_fit": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min

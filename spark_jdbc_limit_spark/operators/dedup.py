@@ -1599,6 +1599,11 @@ PREFIX_TAU = PREFIX_TAU_NUM / PREFIX_TAU_DEN
 #: shipped short-posting-list corpus (BASELINE_TOP20.json, round 10).
 PPJOIN_EXHAUSTIVE_R = 64.0
 
+#: memoized r per corpus (input-file set): the path decision is a data
+#: property, so the 1-row parameter fetch runs once per process, not
+#: once per build (the round-11 count-memoization discipline).
+_PPJOIN_R_CACHE: dict[tuple[str, ...], float | None] = {}
+
 
 @query(
     "dedup_jaccard_prefix_filter",
@@ -1694,17 +1699,19 @@ def dedup_jaccard_prefix_filter(
     sh = shingle_hashes(d).localCheckpoint(eager=False)
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
     if path == "auto":
-        stats = freq.agg(
-            (
-                F.sum(F.col("freq").cast("double") * F.col("freq"))
-                / F.sum("freq")
-            ).alias("r")
-        ).head()
-        path = (
-            "exhaustive"
-            if stats.r is not None and stats.r < PPJOIN_EXHAUSTIVE_R
-            else "prefix"
-        )
+        key = tuple(sorted(d.inputFiles()))
+        if key in _PPJOIN_R_CACHE:
+            r = _PPJOIN_R_CACHE[key]
+        else:
+            r = freq.agg(
+                (
+                    F.sum(F.col("freq").cast("double") * F.col("freq"))
+                    / F.sum("freq")
+                ).alias("r")
+            ).head().r
+            if key:
+                _PPJOIN_R_CACHE[key] = r
+        path = "exhaustive" if r is not None and r < PPJOIN_EXHAUSTIVE_R else "prefix"
     if path == "exhaustive":
         return _exhaustive_jaccard_pairs(sh, PREFIX_TAU)
     n_per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

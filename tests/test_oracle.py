@@ -47,85 +47,11 @@ def test_oracle_differential_sf0001_sweep(spark, spec):
 #: in a NEW operator must not hide behind the opt-in env var until the
 #: next full sweep; entries graduate out once they have survived one.
 RECENT_ADDITIONS = [
-    # (round-7 and round-8 cohorts graduated 2026-08-15: every registry
-    # query passed the round-8 closing env-gated sf-sweep, the exit
-    # criterion — see BASELINE.md round-8 closing note)
-    # round 9: materially reworked queries (Mann-Kendall gained the tie
-    # correction; int8 audit gained the scale=0 guard; zorder audit
-    # gained the in-plan bits guard; kfold oracle regenerated via hcol)
-    "orders_trend_mann_kendall",
-    "embedding_int8_quantization_audit",
-    "sort_zorder_skipping_audit",
-    "split_group_kfold_audit",
-    # round 9: new adapted TPC-H entries
-    "q12_priority_shipping",
-    "q16_supplier_part_variety",
-    "q9_product_type_profit",
-    # round 9: new surface
-    "agg_moments_skew_kurtosis",
-    "dq_functional_dependency_audit",
-    "window_percent_rank_cume_dist",
-    "text_bpe_top_pairs",
-    "embedding_matryoshka_truncation_audit",
-    "graph_kcore_peeling",
-    # round 9b: the drift/eval statistics family (operators/stats.py)
-    "eval_auc_rank_sum",
-    "drift_psi_snapshot_halves",
-    "drift_ks_two_sample",
-    "dq_chi_square_independence",
-    "eval_cohen_kappa_raters",
-    "drift_js_divergence_lang",
-    "customer_gini_revenue",
-    # round 9b: thin-category fill (subquery / reshape / window)
-    "subquery_exists_any_all",
-    "reshape_user_feature_matrix",
-    "window_gaps_islands",
-    # round 9b: resampling / robust-stats / calibration additions
-    "agg_poisson_bootstrap_ci",
-    "agg_winsorized_trimmed_means",
-    "pipeline_quantile_normalize_sources",
-    # round 9b: closed-form regression / calibration / mixture balance
-    "orders_ols_normal_equations",
-    "eval_calibration_bins",
-    "mix_effective_source_count",
-    # round 9b: sequential drift / vocabulary / cohort economics
-    "drift_cusum_daily_revenue",
-    "text_vocabulary_hapax",
-    "orders_cohort_ltv_triangle",
-    # round 9b: Spark-4 SQL dialect surface (pipe / variables / laterals)
-    "sql_pipe_syntax_rollup",
-    "sql_session_variables",
-    "sql_lateral_column_alias",
-    # round 9b: graph link prediction
-    "graph_jaccard_link_prediction",
-    # round 9b: forward as-of / regexp family / RFC-hostile CSV
-    "join_asof_forward",
-    "scalar_regexp_funcs",
-    "source_csv_multiline_quoted",
-    # round 9b: acoustic fingerprint (multimodal)
-    "multimodal_audio_fingerprint",
-    # round 9b: dataset-card composition profile
-    "pipeline_dataset_card_report",
-    # round 9b: aggregate-as-window moving median
-    "window_moving_median_revenue",
-    # round 9b: pandas UDAF as a window function
-    "udf_pandas_window_agg",
-    # round 9b: correlation family (power-sum Pearson, tie-aware Spearman)
-    "agg_pearson_corr_matrix",
-    "agg_spearman_rank_correlation",
-    # round 9b: robust membership fences + seasonal autocorrelation
-    "dq_outlier_iqr_fences",
-    "agg_autocorrelation_seasonal_lags",
-    # round 9b: GROUPING() subtotal disambiguation
-    "agg_rollup_grouping_id",
-    # round 9b: experiment power analysis
-    "events_ab_power_analysis",
-    # round 9b: survival analysis
-    "customer_survival_kaplan_meier",
-    # round 9b: point-in-time feature lookup (as-of == interval membership)
-    "join_point_in_time_scd2",
-    # round 9b: empirical-Bayes mixture-rate shrinkage
-    "mix_empirical_bayes_shrinkage",
+    # (round-7/8 cohorts graduated 2026-08-15 after the round-8 closing
+    # env-gated sf-sweep; round-9/9b cohorts graduated 2026-08-16 after
+    # passing BOTH the round-9 and round-10 closing sweeps — the exit
+    # criterion; see BASELINE.md closing notes. The sweep gate still
+    # covers every registry entry at both SFs.)
     # round 10: the until-settled graph family (convergence loops in
     # front of the driver, rounds_run cross-checked analytically)
     "graph_cc_until_settled",
