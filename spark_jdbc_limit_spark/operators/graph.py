@@ -158,14 +158,22 @@ def _supplier_edges(
 #: (pagerank, triangles, LPA, connected components) can never drift
 #: apart on the edge definition. Mirror of ``_supplier_edges``.
 def _edges_cte(select_cols: str = "s1, s2") -> str:
-    return f"""os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-        pairs AS (
+    # MATERIALIZED throughout (round 11): the unrolled consumers below
+    # reference their step CTEs twice each (vote + audit branches), and
+    # DuckDB's default CTE INLINING then duplicates the whole upstream
+    # subtree per reference — 2^steps copies of this fact-sized pair
+    # join, which turned the fixed CC oracle from seconds at sf0.01 into
+    # 60+ CPU-minutes at sf0.1. Materialization makes every oracle's
+    # cost steps × |edges|, the same bound the Spark side has.
+    return f"""os AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, COUNT(*) AS w
             FROM os a JOIN os b USING (l_orderkey)
             WHERE a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        e AS (
+        e AS MATERIALIZED (
             SELECT {select_cols} FROM pairs
             WHERE CAST(w AS DOUBLE) >= (
                 SELECT GREATEST({float(TRIANGLE_MIN_W)},
@@ -188,15 +196,15 @@ def _pagerank_oracle() -> str:
     d = PAGERANK_DAMPING
     base = f"""
         WITH {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
-        deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg
+        deg AS MATERIALIZED (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS dg
                 FROM bi GROUP BY u),
         nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
         pr0 AS (SELECT node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn)"""
     steps = "".join(
         f""",
-        pr{k} AS (
+        pr{k} AS MATERIALIZED (
             SELECT b.v AS node,
                    (1.0 - {d}) / ANY_VALUE(nn.n)
                        + {d} * SUM(p.r / dg.dg) AS r
@@ -448,12 +456,12 @@ LPA_ITERS = 3
 def _lpa_oracle() -> str:
     base = f"""
         WITH {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
-        lab0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
+        lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
     steps = "".join(
         f""",
-        lab{k} AS (
+        lab{k} AS MATERIALIZED (
             SELECT node, lbl FROM (
                 SELECT t.node, t.lbl,
                        ROW_NUMBER() OVER (PARTITION BY t.node
@@ -572,12 +580,12 @@ CC_ITERS = 6
 def _cc_oracle() -> str:
     base = f"""
         WITH {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
-        cc0 AS (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
+        cc0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM bi)"""
     steps = "".join(
         f""",
-        cc{k} AS (
+        cc{k} AS MATERIALIZED (
             SELECT node, MIN(lbl) AS lbl FROM (
                 SELECT b.v AS node, l.lbl
                 FROM bi b JOIN cc{k - 1} l ON l.node = b.u
@@ -699,15 +707,15 @@ BFS_ITERS = 6
 def _bfs_oracle() -> str:
     base = f"""
         WITH {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
-        nodes AS (SELECT DISTINCT u AS node FROM bi),
-        bw AS (SELECT u, v, 1 AS w FROM bi
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+        bw AS MATERIALIZED (SELECT u, v, 1 AS w FROM bi
                UNION ALL SELECT node, node, 0 FROM nodes),
         d0 AS (SELECT (SELECT MIN(node) FROM nodes) AS node, 0 AS d)"""
     steps = "".join(
         f""",
-        d{k} AS (
+        d{k} AS MATERIALIZED (
             SELECT b.v AS node, MIN(l.d + b.w) AS d
             FROM bw b JOIN d{k - 1} l ON l.node = b.u
             GROUP BY 1
@@ -1365,64 +1373,76 @@ def graph_jaccard_link_prediction(
 # entries put the SETTLED variants in front of the driver too: the Spark
 # side runs the actual convergence loop (data-dependent round count, one
 # count() per round — the Pregel check), and the oracle computes the SAME
-# fixpoint independently — recursive CTEs for CC/BFS (whose fixpoints are
-# closed-form reachability/shortest-path), capped materialized unrolls
-# with stop detection for k-core/LPA (whose fixpoints are only defined by
-# their own iteration) — PLUS the settlement-audit columns:
+# fixpoint independently as a CAPPED MATERIALIZED UNROLL with
+# first-unchanged-step detection (all five: CC, BFS, k-core, LPA, SSSP) —
+# PLUS the settlement-audit columns. (Rounds 9-10 used recursive
+# reachability/shortest-path CTEs for CC/BFS, whose analytic round count
+# is elegant but whose closure materializes O(component²) rows — DuckDB
+# burned 60+ CPU-minutes at sf0.1; the unroll is CAP × |edges| bounded,
+# so round 11 unified the whole family on the capped pattern.)
 #
-# - ``rounds_run``: for the synchronous min-label/min-plus loops the
-#   first no-change round is analytically 1 + max over nodes of the
-#   shortest-path distance to the node's "source" (its component's min
-#   label, or the BFS root): state(k) = min within distance k, so state
-#   stops changing exactly when k exceeds that eccentricity. The oracle
-#   derives it from distances; the Spark side COUNTS it by looping. The
-#   two agreeing is a genuine cross-engine audit of the loop mechanics,
-#   not a copied constant. For the peel/vote loops the oracle finds the
-#   first step whose state equals its predecessor (set counts for the
-#   monotone-shrinking k-core; per-node label diffs for LPA).
-# - ``settled``: Spark emits the loop's own flag; the CC/BFS oracles emit
-#   TRUE (their analytic round derivation is uncapped, so a fixpoint query
-#   IS settled by construction), while the CAPPED unroll oracles (k-core /
-#   LPA / SSSP) emit ``rounds IS NOT NULL`` — if convergence is not
-#   detected within SETTLED_ORACLE_CAP steps the oracle says settled=false
-#   AND rounds_run=NULL, so a graph needing cap..max_rounds rounds fails
-#   the differential on BOTH columns loudly instead of producing a
+# - ``rounds_run``: the oracle's MIN(step WHERE state(step) ≡
+#   state(step−1)) — value-equality per node via FULL JOIN + IS DISTINCT
+#   FROM, so appearing keys (BFS's growing frontier) count as change,
+#   exactly like run_until_settled's presence markers. The Spark side
+#   COUNTS the same quantity by looping; the two agreeing is a genuine
+#   cross-engine audit of the loop mechanics, not a copied constant.
+# - ``settled``: Spark emits the loop's own flag; every capped oracle
+#   emits ``rounds IS NOT NULL`` — if convergence is not detected within
+#   SETTLED_ORACLE_CAP steps the oracle says settled=false AND
+#   rounds_run=NULL, so a graph needing cap..max_rounds rounds fails the
+#   differential on BOTH columns loudly instead of producing a
 #   silently-confusing TRUE/NULL row (round-10 ADVICE). A loop that hits
 #   max_rounds mismatches and the driver records red — that is the audit.
 
-#: Unroll cap for the k-core / LPA settled oracles: DuckDB can only
-#: express "iterate until no change" as a capped materialized unroll with
-#: stop detection. 24 covers the shipped SFs ~2.4x over (k-core settles
-#: in 3 rounds, LPA in 10 at sf0.01); past the cap the oracle's
-#: rounds_run goes NULL and the row goes red — loud, not silent.
+#: Unroll cap for the settled-family oracles (CC/BFS/k-core/LPA/SSSP):
+#: DuckDB can only express "iterate until no change" as a capped
+#: materialized unroll with stop detection. 24 covers the shipped SFs
+#: ~2.4x over (k-core settles in 3 rounds, LPA in 10 at sf0.01); past
+#: the cap the oracle's rounds_run goes NULL with settled=false and the
+#: row goes red — loud, not silent.
 SETTLED_ORACLE_CAP = 24
 
 
 def _cc_settled_oracle() -> str:
+    # capped materialized unroll of the EXACT loop the Spark side runs
+    # (min over self+neighbors per step), with first-unchanged-step
+    # detection — the k-core/LPA/SSSP pattern. Round 11 replaced the
+    # original recursive-reachability formulation: its closure is
+    # O(component²) rows, which made the oracle un-runnable at sf0.1
+    # (observed 60+ CPU-minutes in DuckDB) while the unroll is
+    # CAP × |edges| bounded at any shipped SF.
+    steps = "".join(
+        f""",
+        l{k} AS MATERIALIZED (
+            SELECT b.v AS node, MIN(l.lbl) AS lbl
+            FROM bis b JOIN l{k - 1} l ON l.node = b.u
+            GROUP BY 1
+        )"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    changes = " UNION ALL ".join(
+        f"""SELECT {k} AS step,
+            (SELECT COUNT(*) FROM l{k} a FULL JOIN l{k - 1} b USING (node)
+             WHERE a.lbl IS DISTINCT FROM b.lbl) AS nchg"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
     return f"""
-        WITH RECURSIVE {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
-        n0 AS (SELECT DISTINCT u AS node FROM bi),
-        reach(node, lbl) AS (
-            SELECT node, node FROM n0
-            UNION
-            SELECT b.v, r.lbl FROM reach r JOIN bi b ON b.u = r.node
-        ),
-        finl AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
-        seeds AS (SELECT node FROM finl WHERE lbl = node),
-        dist(node, d) AS (
-            SELECT node, 0 FROM seeds
-            UNION
-            SELECT b.v, dd.d + 1 FROM dist dd JOIN bi b ON b.u = dd.node
-            WHERE dd.d < (SELECT COUNT(*) FROM n0)
-        ),
-        md AS (SELECT node, MIN(d) AS d FROM dist GROUP BY node),
-        rr AS (SELECT MAX(d) + 1 AS rounds FROM md)
-        SELECT CAST(f.lbl AS BIGINT) AS component,
+        WITH {_EDGES_CTE},
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+        bis AS MATERIALIZED (SELECT u, v FROM bi
+               UNION ALL SELECT node, node FROM n0),
+        l0 AS (SELECT node, node AS lbl FROM n0){steps},
+        chg AS ({changes}),
+        rr AS (SELECT MIN(step) AS rounds FROM chg WHERE nchg = 0)
+        SELECT CAST(l.lbl AS BIGINT) AS component,
                CAST(COUNT(*) AS BIGINT) AS n_nodes,
                CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run,
-               TRUE AS settled
-        FROM finl f CROSS JOIN rr GROUP BY f.lbl ORDER BY component
+               MAX(rr.rounds) IS NOT NULL AS settled
+        FROM l{SETTLED_ORACLE_CAP} l CROSS JOIN rr
+        GROUP BY l.lbl ORDER BY component
     """
 
 
@@ -1435,17 +1455,19 @@ def _cc_settled_oracle() -> str:
 def graph_cc_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``connected_components_until_settled`` as a registry entry: the
     convergence LOOP (not a fixed unroll) runs on the Spark side, and
-    the oracle recomputes the fixpoint via a recursive reachability CTE
-    plus the analytic round count (1 + max shortest-path distance from
-    any node to its component's min-label node — the exact round the
-    synchronous min-with-self-loop propagation first produces no
-    change). Both engines agreeing on ``rounds_run`` verifies the loop
-    MECHANICS cross-engine, which the fixed entries cannot.
+    the oracle unrolls the IDENTICAL min-with-self-loop step to
+    SETTLED_ORACLE_CAP materialized rounds with first-unchanged-step
+    detection, so ``rounds_run`` is derived, not trusted. Both engines
+    agreeing on it verifies the loop MECHANICS cross-engine, which the
+    fixed entries cannot. (rounds 9-10 used a recursive reachability
+    CTE + analytic round count instead; its O(component²) closure made
+    the oracle un-runnable at sf0.1, so round 11 moved it onto the
+    family's capped-unroll pattern — verified green at all three
+    shipped SFs.)
 
     Scale posture: identical per-round plan to the fixed entry (edge
     join + map-side-combined MIN, lineage cut per round); the loop adds
-    one node-cardinality count per round. The recursive oracle is
-    test-scale-only (its reach closure is O(component size²))."""
+    one node-cardinality count per round."""
     state, rounds, settled = connected_components_until_settled(spark, sf_dir)
     return (
         state.groupBy(F.col("lbl").cast("long").alias("component"))
@@ -1457,22 +1479,41 @@ def graph_cc_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bfs_settled_oracle() -> str:
+    # capped materialized unroll of the Spark loop (min-plus over the
+    # 0-weight-self-loop edge list from the min-id source), detecting the
+    # first VALUE-unchanged step with a FULL JOIN so newly-REACHED nodes
+    # count as change (the growing-frontier case). Replaces the recursive
+    # shortest-path formulation for the same sf0.1-viability reason as
+    # the CC twin above.
+    steps = "".join(
+        f""",
+        d{k} AS MATERIALIZED (
+            SELECT b.v AS node, MIN(l.d + b.w) AS d
+            FROM bw b JOIN d{k - 1} l ON l.node = b.u
+            GROUP BY 1
+        )"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
+    changes = " UNION ALL ".join(
+        f"""SELECT {k} AS step,
+            (SELECT COUNT(*) FROM d{k} a FULL JOIN d{k - 1} b USING (node)
+             WHERE a.d IS DISTINCT FROM b.d) AS nchg"""
+        for k in range(1, SETTLED_ORACLE_CAP + 1)
+    )
     return f"""
-        WITH RECURSIVE {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
-        n0 AS (SELECT DISTINCT u AS node FROM bi),
-        src AS (SELECT MIN(node) AS node FROM n0),
-        dist(node, d) AS (
-            SELECT node, 0 FROM src
-            UNION
-            SELECT b.v, dd.d + 1 FROM dist dd JOIN bi b ON b.u = dd.node
-            WHERE dd.d < (SELECT COUNT(*) FROM n0)
-        ),
-        md AS (SELECT node, MIN(d) AS d FROM dist GROUP BY node),
-        rr AS (SELECT MAX(d) + 1 AS rounds FROM md)
+        WITH {_EDGES_CTE},
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
+               UNION ALL SELECT s2, s1 FROM e),
+        n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+        bw AS MATERIALIZED (SELECT u, v, 1 AS w FROM bi
+              UNION ALL SELECT node, node, 0 FROM n0),
+        d0 AS (SELECT (SELECT MIN(node) FROM n0) AS node, 0 AS d){steps},
+        chg AS ({changes}),
+        rr AS (SELECT MIN(step) AS rounds FROM chg WHERE nchg = 0)
         SELECT CAST(m.d AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
-               CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run, TRUE AS settled
-        FROM md m CROSS JOIN rr GROUP BY m.d ORDER BY hops
+               CAST(MAX(rr.rounds) AS BIGINT) AS rounds_run,
+               MAX(rr.rounds) IS NOT NULL AS settled
+        FROM d{SETTLED_ORACLE_CAP} m CROSS JOIN rr GROUP BY m.d ORDER BY hops
     """
 
 
@@ -1487,9 +1528,11 @@ def graph_bfs_until_settled(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — the fixed entry's ``hops = -1`` bucket is an anti-join
     unaffected by when the loop stops). The min-plus frontier GROWS, so
     this exercises the settlement check's appears-counts-as-changed
-    side. rounds_run = source eccentricity + 1 (the first round the
-    frontier adds nothing), which the oracle derives from recursive
-    shortest-path distances."""
+    side — which is exactly why the oracle's per-step diffs use a FULL
+    JOIN (a newly reached node has no previous-round row and must count
+    as change). rounds_run = the first step whose distance relation
+    equals its predecessor (= source eccentricity + 1), detected inside
+    the capped materialized unroll."""
     state, rounds, settled = bfs_hops_until_settled(spark, sf_dir)
     return (
         state.groupBy(F.col("d").cast("long").alias("hops"))
@@ -1802,15 +1845,16 @@ def _relax_step(bw: DataFrame, dist: DataFrame) -> DataFrame:
 def _bellman_ford_oracle() -> str:
     base = f"""
         WITH {_EDGES_W_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v, {BF_COST_SCALE} // w AS c FROM e
-               UNION ALL SELECT s2, s1, {BF_COST_SCALE} // w FROM e),
-        nodes AS (SELECT DISTINCT u AS node FROM bi),
-        bw AS (SELECT u, v, c FROM bi
-               UNION ALL SELECT node, node, 0 FROM nodes),
+        bi AS MATERIALIZED (
+            SELECT s1 AS u, s2 AS v, {BF_COST_SCALE} // w AS c FROM e
+            UNION ALL SELECT s2, s1, {BF_COST_SCALE} // w FROM e),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+        bw AS MATERIALIZED (SELECT u, v, c FROM bi
+              UNION ALL SELECT node, node, 0 FROM nodes),
         d0 AS (SELECT (SELECT MIN(node) FROM nodes) AS node, 0 AS d)"""
     steps = "".join(
         f""",
-        d{k} AS (
+        d{k} AS MATERIALIZED (
             SELECT b.v AS node, MIN(l.d + b.c) AS d
             FROM bw b JOIN d{k - 1} l ON l.node = b.u
             GROUP BY 1
@@ -2036,16 +2080,16 @@ CLOSE_SOURCES = 5
 def _closeness_oracle() -> str:
     base = f"""
         WITH {_EDGES_CTE},
-        bi AS (SELECT s1 AS u, s2 AS v FROM e
+        bi AS MATERIALIZED (SELECT s1 AS u, s2 AS v FROM e
                UNION ALL SELECT s2, s1 FROM e),
-        nodes AS (SELECT DISTINCT u AS node FROM bi),
-        bw AS (SELECT u, v, 1 AS w FROM bi
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM bi),
+        bw AS MATERIALIZED (SELECT u, v, 1 AS w FROM bi
                UNION ALL SELECT node, node, 0 FROM nodes),
         seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {CLOSE_SOURCES}),
         d0 AS (SELECT node AS src, node, 0 AS d FROM seeds)"""
     steps = "".join(
         f""",
-        d{k} AS (
+        d{k} AS MATERIALIZED (
             SELECT l.src, b.v AS node, MIN(l.d + b.w) AS d
             FROM bw b JOIN d{k - 1} l ON l.node = b.u
             GROUP BY 1, 2
