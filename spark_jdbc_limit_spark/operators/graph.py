@@ -848,9 +848,25 @@ def run_until_settled(
     value_cols: Sequence[str],
     max_rounds: int = 50,
     tolerance: float | None = None,
+    rounds_per_check: int = 1,
 ) -> tuple[DataFrame, int, bool]:
     """Iterate ``state = step_fn(state)`` until a fixpoint, with a lineage
     cut per round, and return ``(final_state, rounds_run, settled)``.
+
+    ``rounds_per_check`` (round-11, verdict #1's batching lever): apply
+    the step K times between lineage cuts + settlement checks, composing
+    K joins into ONE Spark job — on a long-diameter graph this divides
+    the per-round job-scheduling and convergence-count overhead by K.
+    Two contracts change at K > 1, so the REGISTRY entries keep K = 1:
+    (a) ``rounds_run`` is reported at the batch boundary where no change
+    was detected — an upper bound rounded UP to a multiple of K, not the
+    exact first-no-change round the settled oracles derive; (b) the
+    check compares state(t) to state(t−K), i.e. it detects f^K-fixpoints
+    — equivalent to f-fixpoints for MONOTONE steps (min-label, min-plus,
+    k-core peel: once f(s)=s every later step is a no-op, and f^K(s)=s
+    forces f(s)=s by monotone convergence), but NOT for oscillating
+    steps (synchronous LPA can 2-cycle, which an even K would misread as
+    settled) — keep K = 1 for non-monotone step functions.
 
     Settlement: after each round the new state is full-outer-joined to the
     previous one on ``key_cols`` and the changed rows are counted — a key
@@ -879,9 +895,17 @@ def run_until_settled(
     """
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
+    if rounds_per_check < 1:
+        raise ValueError("rounds_per_check must be >= 1")
     cur = state.localCheckpoint()
-    for rounds in range(1, max_rounds + 1):
-        nxt = step_fn(cur).localCheckpoint()
+    rounds = 0
+    while rounds < max_rounds:
+        k = min(rounds_per_check, max_rounds - rounds)
+        nxt = cur
+        for _ in range(k):
+            nxt = step_fn(nxt)
+        nxt = nxt.localCheckpoint()
+        rounds += k
         # presence markers: the full-outer join coalesces key columns, so
         # which side is missing must be carried explicitly — a value
         # column cannot stand in (its legitimate NULLs would read as

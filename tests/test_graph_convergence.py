@@ -116,6 +116,34 @@ def test_run_until_settled_key_set_only_state(spark):
     assert final.count() == 3
 
 
+def test_run_until_settled_batched_checks_monotone(spark):
+    """rounds_per_check=K composes K steps into one job between
+    settlement checks (the long-diameter scale lever). For a MONOTONE
+    step the final state must be identical to cadence-1; rounds_run is
+    reported at the batch boundary (upper bound, multiple of K), and a
+    never-settling step still caps at max_rounds."""
+    state = spark.range(3).select(F.col("id").alias("k"), F.lit(4).alias("v"))
+    decay = lambda s: s.select("k", F.greatest(F.col("v") - 1, F.lit(0)).alias("v"))  # noqa: E731
+    f1, r1, ok1 = run_until_settled(
+        state, decay, key_cols=["k"], value_cols=["v"], max_rounds=20
+    )
+    f3, r3, ok3 = run_until_settled(
+        state, decay, key_cols=["k"], value_cols=["v"], max_rounds=20,
+        rounds_per_check=3,
+    )
+    assert ok1 and ok3
+    assert r1 == 5  # settles at 4, confirmed on round 5
+    assert r3 == 9  # first no-change batch boundary: multiple of 3
+    assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f3.collect()))
+    # never-settling step caps at max_rounds even mid-batch
+    _, rn, okn = run_until_settled(
+        state,
+        lambda s: s.select("k", (F.col("v") + 1).alias("v")),
+        key_cols=["k"], value_cols=["v"], max_rounds=7, rounds_per_check=3,
+    )
+    assert (rn, okn) == (7, False)
+
+
 def test_run_until_settled_counts_appearing_keys_as_changed(spark):
     """A growing frontier (new key, values elsewhere unchanged) must NOT
     read as settled — the BFS hazard an inner-join check would hide."""
