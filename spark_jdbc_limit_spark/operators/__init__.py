@@ -164,17 +164,48 @@ def _driver_sampled_names() -> set[str]:
     return set(_driver_sampled_rounds())
 
 
+def _latest_correctness_round() -> int:
+    """Highest round number among the CORRECTNESS_r*.json files present.
+
+    This — not the max round of any GREEN record — is the rotation clock
+    (round-11 advice): a round whose sampled entries all ended red would
+    not advance a green-derived clock, understating staleness exactly when
+    it matters most.
+    """
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rounds = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds, default=0)
+
+
 def rotation_stats() -> dict:
     """Staleness accounting for the committed per-round artifact
     (round-10 verdict #8): the rotation orders the verified block
     stalest-green-first, and this makes the achieved bound a NUMBER —
     ``max_rounds_since_green`` should stay ≤ ceil(n_entries / sample
-    window) and shrink as the window re-draws stale entries."""
+    window) and shrink as the window re-draws stale entries.
+
+    ``history`` (round-11 verdict #7) is maintained incrementally: each
+    bench run appends/overwrites its own round's row in the committed
+    ROTATION.json, so the n_entries-vs-staleness trend is visible as the
+    registry grows. Rows record the registry size AS OF that round's run —
+    past sizes are live measurements, not retroactive reconstructions.
+    """
+    import json
+    import os
+
     rounds = _driver_sampled_rounds()
     known = {n: r for n, r in rounds.items() if n in REGISTRY}
-    current = max(rounds.values(), default=0)
+    current = _latest_correctness_round()
     since = {n: current - r for n, r in known.items()}
-    return {
+    stats = {
         "current_round": current,
         "n_entries": len(REGISTRY),
         "n_verified_green": len(known),
@@ -182,6 +213,36 @@ def rotation_stats() -> dict:
         "max_rounds_since_green": max(since.values(), default=None),
         "stalest": sorted(since, key=since.get, reverse=True)[:10],
     }
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    history: list[dict] = []
+    try:
+        with open(os.path.join(root, "ROTATION.json")) as f:
+            prior = json.load(f)
+        history = [
+            row
+            for row in prior.get("history", [])
+            if isinstance(row, dict) and row.get("round") != current
+        ]
+        if not history and prior.get("current_round") not in (None, current):
+            # seed from a pre-history artifact (round ≤ 11 format)
+            history = [
+                {
+                    "round": prior["current_round"],
+                    "n_entries": prior.get("n_entries"),
+                    "max_rounds_since_green": prior.get("max_rounds_since_green"),
+                }
+            ]
+    except Exception:
+        pass
+    history.append(
+        {
+            "round": current,
+            "n_entries": stats["n_entries"],
+            "max_rounds_since_green": stats["max_rounds_since_green"],
+        }
+    )
+    stats["history"] = sorted(history, key=lambda r: r.get("round") or 0)
+    return stats
 
 
 #: Within the never-sampled set, carried-over queries outrank later

@@ -65,11 +65,16 @@ TRIANGLE_MIN_W = 2
 #: a 100x/1000x edge set across the cluster.
 EDGE_ROWS_PER_PARTITION = 65536
 
-#: Edge-set cardinality per input-file set: the right-sizing count is a
-#: property of the DATA, so one job per (process, corpus) suffices — a
-#: session that builds all 17 graph entries (pytest's schema scan, the
-#: bench's 3 reps) would otherwise re-run the count job per build.
-_EDGE_N_CACHE: dict[tuple[str, ...], int] = {}
+#: Edge-set cardinality per (session, input-file set): the right-sizing
+#: count is a property of the DATA, so one job per (session, corpus)
+#: suffices — a session that builds all 17 graph entries (pytest's schema
+#: scan, the bench's 3 reps) would otherwise re-run the count job per
+#: build. Keyed by SESSION, not just corpus: the count job is ALSO what
+#: materializes the ``pairs`` cache (see the coalesce-safety note in
+#: ``_supplier_edges``), and Spark's cached blocks live per-session — a
+#: process-wide memo would let a rebuilt session skip the count and hand
+#: ``_size_partitions`` a cold plan.
+_EDGE_N_CACHE: dict[tuple[object, ...], int] = {}
 
 
 def _size_partitions(df: DataFrame, n_rows: int) -> DataFrame:
@@ -141,14 +146,27 @@ def _supplier_edges(
     )
     # Count the FILTERED edge set (one cached-backed job — the fact-sized
     # work above is already materialized in the pairs cache; memoized per
-    # corpus so repeated builds don't re-pay it) and right-size the output
-    # partitioning to it; see EDGE_ROWS_PER_PARTITION for why this beats
-    # both inherited shuffle partitioning and an AQE rebalance hint here.
-    key = tuple(sorted(li.inputFiles()))
-    n = _EDGE_N_CACHE.get(key) if key else None
+    # (session, corpus) so repeated builds don't re-pay it) and right-size
+    # the output partitioning to it; see EDGE_ROWS_PER_PARTITION for why
+    # this beats both inherited shuffle partitioning and an AQE rebalance
+    # hint here.
+    #
+    # Coalesce-safety: _size_partitions shrinks via coalesce(), which
+    # merges the REDUCE side of the upstream groupBy shuffle without a
+    # stage boundary — executed cold, the fact-sized aggregation's merge
+    # would run in as few as one task. That is safe here ONLY because the
+    # count job below has already materialized the pairs cache in this
+    # same session (the memo key includes the session for exactly that
+    # reason), so the coalesced stage reads warm cached blocks. Should the
+    # cache ever be evicted under memory pressure, the recompute cost is
+    # bounded: the map side still shuffles at full parallelism, and
+    # n_parts itself grows with the edge set, so the merge serializes only
+    # at scales where the relation is micro anyway.
+    key = (spark, *sorted(li.inputFiles()))
+    n = _EDGE_N_CACHE.get(key) if len(key) > 1 else None
     if n is None:
         n = out.count()
-        if key:
+        if len(key) > 1:
             _EDGE_N_CACHE[key] = n
     return _size_partitions(out, n)
 
@@ -949,15 +967,20 @@ def connected_components_until_settled(
     *,
     edges: DataFrame | None = None,
     max_rounds: int = 50,
+    rounds_per_check: int = 1,
 ) -> tuple[DataFrame, int, bool]:
     """``graph_connected_components``'s min-label propagation, looped to
     convergence instead of the fixed {CC_ITERS}-step unroll — identical
     per-round plan (self-loop edge relation, broadcast labels, map-side-
     combined MIN). Returns ``((node, lbl), rounds, settled)``; the fixed
-    entry's output is the per-component aggregate of this state. On a
-    long-diameter production graph, swap the loop BODY for the
-    large-star/small-star alternation (Kiveris et al.) — O(log² n) rounds,
-    same convergence harness."""
+    entry's output is the per-component aggregate of this state.
+    ``rounds_per_check`` is sound here — min-label is MONOTONE (see
+    ``run_until_settled``), and on a long-diameter graph K > 1 divides
+    the per-round scheduling + settlement-count overhead by K (measured:
+    BENCH_SCALE.json's ``chain_cc_rounds_per_check`` row; end-to-end pin
+    in tests/test_graph_convergence.py). On a long-diameter production
+    graph, swap the loop BODY for the large-star/small-star alternation
+    (Kiveris et al.) — O(log² n) rounds, same convergence harness."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = _bi_edges(edges)
@@ -976,7 +999,12 @@ def connected_components_until_settled(
         )
 
     return run_until_settled(
-        labels, step, key_cols=["node"], value_cols=["lbl"], max_rounds=max_rounds
+        labels,
+        step,
+        key_cols=["node"],
+        value_cols=["lbl"],
+        max_rounds=max_rounds,
+        rounds_per_check=rounds_per_check,
     )
 
 
@@ -986,6 +1014,7 @@ def bfs_hops_until_settled(
     *,
     edges: DataFrame | None = None,
     max_rounds: int = 50,
+    rounds_per_check: int = 1,
 ) -> tuple[DataFrame, int, bool]:
     """``graph_bfs_hops``'s min-plus propagation from the smallest node id,
     looped to convergence instead of the fixed {BFS_ITERS}-step unroll.
@@ -993,7 +1022,8 @@ def bfs_hops_until_settled(
     fixed entry's hops = -1 bucket is the anti-join against the node
     relation, unchanged by when the loop stops). The growing frontier is
     why the settlement check full-outer-joins: a newly reached node has no
-    previous-round row."""
+    previous-round row. Min-plus is MONOTONE, so ``rounds_per_check`` > 1
+    is sound (see ``run_until_settled``)."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     bi = _bi_edges(edges)
@@ -1020,7 +1050,12 @@ def bfs_hops_until_settled(
         )
 
     return run_until_settled(
-        dist, step, key_cols=["node"], value_cols=["d"], max_rounds=max_rounds
+        dist,
+        step,
+        key_cols=["node"],
+        value_cols=["d"],
+        max_rounds=max_rounds,
+        rounds_per_check=rounds_per_check,
     )
 
 
@@ -1997,12 +2032,15 @@ def sssp_until_settled(
     *,
     edges: DataFrame | None = None,
     max_rounds: int = 50,
+    rounds_per_check: int = 1,
 ) -> tuple[DataFrame, int, bool]:
     """``graph_sssp_bellman_ford``'s weighted min-plus relaxation looped
     to convergence (the production posture for long/cheap detour paths a
     fixed unroll would miss). Returns ``((node, d), rounds, settled)``
     over reached nodes; the frontier GROWS, so settlement full-outer-
-    joins with presence markers (the BFS posture)."""
+    joins with presence markers (the BFS posture). Weighted min-plus is
+    MONOTONE, so ``rounds_per_check`` > 1 is sound (see
+    ``run_until_settled``)."""
     if edges is None:
         edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
     _, bw, dist = _weighted_min_plus_graph(edges)
@@ -2014,6 +2052,7 @@ def sssp_until_settled(
         key_cols=["node"],
         value_cols=["d"],
         max_rounds=max_rounds,
+        rounds_per_check=rounds_per_check,
     )
 
 

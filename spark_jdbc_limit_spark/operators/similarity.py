@@ -1153,7 +1153,18 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     module's IVF machinery with cell count GROWING with the corpus, and
     only a bounded shortlist is exact-reranked. See ``knn_join_frame``
     for both arms; the forced-path and recall-audit pins live in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py.
+
+    DRIVER-CONTRACT NOTE (round-11 advice): the registered oracle is the
+    exact all-pairs join, which matches the auto path only while
+    n² <= KNN_BRUTE_MAX_PAIRS (n <= 4000 embeddings; every shipped SF is
+    comfortably under). On a larger correctness corpus the differential
+    would go red BY DESIGN — the cost switch choosing the approximate
+    arm, whose quality gate is the separate driver-green
+    ``ann_knn_join_recall_audit`` entry, not a hash match. A test pins
+    the shipped-SF corpus under the switch so an SF bump trips a named
+    assertion instead of a mysterious mismatch
+    (tests/test_llm_ops.py::test_knn_auto_picks_brute_at_shipped_sfs)."""
     return knn_join_frame(spark, sf_dir, path="auto")
 
 

@@ -144,6 +144,40 @@ def test_run_until_settled_batched_checks_monotone(spark):
     assert (rn, okn) == (7, False)
 
 
+def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
+    """END-TO-END rounds_per_check pin (round-11 verdict #4): on a
+    path graph whose diameter (23) is far past the shipped corpus's ~7,
+    the REAL connected_components_until_settled at K=4 must reach the
+    identical fixpoint as K=1 — min-label is monotone, so the f^K check
+    is exact — while reporting rounds at the batch boundary. The WALL
+    claim (K=4 cuts the per-round scheduling + settlement-count overhead
+    ~Kx on long diameters) is measured in BENCH_SCALE.json's
+    ``chain_cc_rounds_per_check`` row on a 200-node chain, where the
+    job-count difference dominates; this test pins the value contract
+    end-to-end through the production entry point."""
+    n = 24
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("s1"), (F.col("id") + 1).alias("s2")
+    )
+    lbl1, r1, ok1 = connected_components_until_settled(
+        spark, "", edges=chain, max_rounds=40
+    )
+    lbl4, r4, ok4 = connected_components_until_settled(
+        spark, "", edges=chain, max_rounds=40, rounds_per_check=4
+    )
+    assert ok1 and ok4
+    # K=1 reports the exact first-no-change round: diameter 23 label
+    # propagation + 1 confirmation round
+    assert r1 == n
+    # K=4 reports the first no-change BATCH boundary: a multiple of 4 in
+    # (r1, r1 + 4] — the documented upper-bound contract
+    assert r4 % 4 == 0 and r1 < r4 <= r1 + 4
+    # identical fixpoint: every node labeled with the chain's min id
+    assert _df_equal(lbl1, lbl4)
+    assert lbl1.filter(F.col("lbl") != 0).count() == 0
+    assert lbl1.count() == n
+
+
 def test_run_until_settled_counts_appearing_keys_as_changed(spark):
     """A growing frontier (new key, values elsewhere unchanged) must NOT
     read as settled — the BFS hazard an inner-join check would hide."""

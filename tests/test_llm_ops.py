@@ -542,6 +542,33 @@ def test_knn_join_forced_ivf_identical_at_shipped_sfs(spark, sf_dir, sf_correct)
         assert len(brute) > 0
 
 
+def test_knn_auto_picks_brute_at_shipped_sfs(spark, sf_dir, sf_correct, sf_large):
+    """DRIVER-CONTRACT pin (round-11 advice): ann_knn_join's registered
+    oracle is the exact all-pairs join, valid only while the auto path's
+    cost switch stays on the brute arm (n² <= KNN_BRUTE_MAX_PAIRS). Every
+    shipped correctness corpus must sit under the switch — if a future SF
+    bump pushes the embeddings table past ~4000 rows, THIS assertion is
+    the named signal (the differential going red there is the designed
+    cost-switch behavior, audited by ann_knn_join_recall_audit, not an
+    engine bug)."""
+    from spark_jdbc_limit_spark.operators.similarity import (
+        KNN_BRUTE_MAX_PAIRS,
+        _emb_count,
+    )
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    for sf in (sf_dir, sf_correct, sf_large):
+        n = _emb_count(load_table(spark, sf, "embeddings"))
+        assert n * n <= KNN_BRUTE_MAX_PAIRS, (
+            f"{sf}: embeddings corpus n={n} exceeds the kNN brute switch "
+            f"(n²={n * n} > {KNN_BRUTE_MAX_PAIRS}); ann_knn_join's auto "
+            "path now picks IVF, so its exact-join oracle differential "
+            "will red BY DESIGN — either raise KNN_BRUTE_MAX_PAIRS, or "
+            "accept the red as the cost-switch signal (recall is gated by "
+            "ann_knn_join_recall_audit)."
+        )
+
+
 def test_knn_join_ivf_partial_probe_recall(spark, sf_correct, monkeypatch):
     """The IVF path under GENUINE partial probing (cell target forced to
     64 → 8 cells at sf0.01, probing 4 = half the corpus) must recover
