@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.registry import query
@@ -1763,3 +1763,196 @@ def dedup_jaccard_prefix_filter(
         .filter(jac >= PREFIX_TAU)
         .select("d1", "d2", round_dbl(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest duplicated substring (generalized-suffix-array LCP, anchor-bucketed)
+# ---------------------------------------------------------------------------
+
+#: Minimum detectable duplicated token run. Any cross-document common run
+#: of >= DUP_ANCHOR_L tokens shares its first DUP_ANCHOR_L-token gram, so
+#: bucketing suffixes by that anchor gram loses NOTHING above the floor —
+#: the same guarantee shape as winnowing's W+k-1, but here the report is
+#: the RUN LENGTH itself, not just "a fingerprint is shared".
+DUP_ANCHOR_L = 8
+#: Suffix truncation cap: reported run lengths saturate at this many
+#: tokens ("at least CAP"). The cap is what makes the suffix relation
+#: LINEAR in corpus size (<= CAP tokens carried per surviving position)
+#: instead of quadratic like a full generalized suffix array.
+DUP_LCP_CAP = 48
+
+#: token-LCP of two space-joined suffix strings, with early-stop fold
+#: (whole-stage-codegen HOF — no Python in the hot path). zip_with pads
+#: the shorter side with NULL and NULL <=> token is false, so the fold
+#: stops at min length; equal-length all-equal folds run to len = lcp.
+_LCP_EXPR = """
+    aggregate(
+        zip_with(split(s, ' '), split(ps, ' '), (x, y) -> if(x <=> y, 1, 0)),
+        named_struct('l', 0L, 'g', true),
+        (acc, v) -> named_struct(
+            'l', acc.l + if(acc.g and v = 1, 1L, 0L),
+            'g', acc.g and v = 1),
+        acc -> acc.l)
+"""
+
+
+def longest_dup_substring_frame(docs: DataFrame) -> DataFrame:
+    """Per document: the length of the longest token run (capped at
+    {DUP_LCP_CAP}) it shares with at least one OTHER document, plus how
+    many of its suffix positions start a shared >= {DUP_ANCHOR_L}-gram.
+
+    This is the unbounded-length exact-substring dedup modality (the
+    suffix-array LCP family): classic generalized-SA theory says the
+    longest substring shared by two distinct documents equals the max
+    LCP over ADJACENT suffix pairs from different documents in sorted
+    suffix order — and for any one document D, the max over adjacent
+    cross-document pairs INVOLVING D equals D's true max (walk from D's
+    best suffix toward its partner; the first doc-boundary crossing is
+    an adjacent cross pair whose LCP >= the pair's, since adjacent LCPs
+    on the path are all >= the range min). Both facts need only
+    sortedness, so truncation and tie order cannot break them.
+
+    Distributed shape (why this scales where a monolithic suffix array
+    cannot):
+    - suffixes are BUCKETED by their first-{DUP_ANCHOR_L}-token anchor
+      gram (md5 digest, 16 bytes on the wire — never the text): any
+      cross-doc run >= {DUP_ANCHOR_L} lands both its suffixes in one
+      bucket, so global suffix sorting shrinks to independent per-bucket
+      sorts — a window over the anchor key, skew bounded by the hottest
+      boilerplate anchor;
+    - phase 1 shuffles only (digest, doc_id, pos) rows — ~24 bytes per
+      token position — to find anchors spanning >= 2 distinct docs
+      (partial-aggregated groupBy, no window over the corpus);
+    - only SURVIVING positions (actually-duplicated regions) rebuild
+      their {DUP_LCP_CAP}-token truncated suffix via a doc_id-keyed join
+      back to the text, so the CAP-times-text blowup applies to the
+      duplicated subset, not the corpus;
+    - adjacent-pair LCP is one lag() + a codegen fold per surviving row;
+      per-doc answers are partial-aggregated MAX/COUNT.
+
+    The exhaustive all-pairs-within-bucket twin is the ORACLE (audit
+    tier, like the catalog's other exhaustive oracles); the engine runs
+    the linear adjacency plan. Complements winnowing: that entry stores
+    a bounded fingerprint index with a detection floor; this one reports
+    exact duplicated-run lengths for triage/cut decisions (licence
+    blocks, syndicated paragraphs, copy-pasted boilerplate)."""
+    L, CAP = DUP_ANCHOR_L, DUP_LCP_CAP
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= L
+    )
+    # phase 1: anchor digests per position, nothing else on the wire
+    anchors = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - L + 1)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.expr(f"array_join(slice(w, i, {L}), ' ')")).alias("ah"),
+    )
+    shared = (
+        anchors.groupBy("ah")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ah")
+    )
+    # lineage cut: the surviving positions feed three branches (count,
+    # window, emission) whose exchanges differ — without it the anchor
+    # scan re-runs per branch (the winnowing/shingle checkpoint rule)
+    sv = (
+        anchors.join(shared, "ah")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "i",
+            "ah",
+            F.expr(f"array_join(slice(w, i, {CAP}), ' ')").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    win = Window.partitionBy("ah").orderBy("s", "doc_id", "i")
+    adj = sv.select(
+        "doc_id",
+        "ah",
+        "s",
+        F.lag("doc_id").over(win).alias("pdoc"),
+        F.lag("s").over(win).alias("ps"),
+    ).filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
+    emissions = adj.select(
+        F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
+        F.expr(_LCP_EXPR).alias("lcp"),
+    )
+    mx = emissions.groupBy("doc_id").agg(F.max("lcp").alias("max_dup_len"))
+    cnt = sv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    # inner join is exact, not lossy: every doc holding a shared anchor
+    # appears in >= 1 adjacent cross pair of that anchor's bucket (the
+    # docstring's boundary-crossing argument), so cnt and mx cover the
+    # same doc set
+    return cnt.join(mx, "doc_id").select(
+        "doc_id", "max_dup_len", "n_dup_anchors"
+    ).orderBy("doc_id")
+
+
+def _sql_longest_dup(l_: int = DUP_ANCHOR_L, cap: int = DUP_LCP_CAP) -> str:
+    """Exhaustive twin of ``longest_dup_substring_frame``: all suffix
+    pairs from different docs within an anchor bucket, token-LCP via
+    list_zip (list_position returns 0 when no mismatch is found — equal
+    truncated suffixes — in which case the LCP is the full min length;
+    padding guarantees a mismatch whenever lengths differ)."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {l_}
+        ),
+        suff AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(w[i : i + {l_ - 1}], ' ')) AS ah,
+                   w[i : i + {cap - 1}] AS s
+            FROM w, UNNEST(range(1, len(w) - {l_} + 2)) AS t(i)
+        ),
+        shared AS (
+            SELECT ah FROM suff GROUP BY ah HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        sv AS (SELECT suff.* FROM suff JOIN shared USING (ah)),
+        pairs AS (
+            SELECT a.doc_id,
+                   list_position(
+                       list_transform(list_zip(a.s, b.s),
+                                      p -> p[1] IS NOT DISTINCT FROM p[2]),
+                       false) AS fpos,
+                   least(len(a.s), len(b.s)) AS minlen
+            FROM sv a JOIN sv b ON a.ah = b.ah AND a.doc_id <> b.doc_id
+        ),
+        mx AS (
+            SELECT doc_id,
+                   MAX(CAST(IF(fpos = 0, minlen, fpos - 1) AS BIGINT))
+                       AS max_dup_len
+            FROM pairs GROUP BY doc_id
+        ),
+        cnt AS (
+            SELECT doc_id, COUNT(*) AS n_dup_anchors FROM sv GROUP BY doc_id
+        )
+        SELECT cnt.doc_id, mx.max_dup_len, cnt.n_dup_anchors
+        FROM cnt JOIN mx USING (doc_id)
+        ORDER BY cnt.doc_id
+    """
+
+
+@query(
+    "dedup_longest_dup_substring",
+    category="llm_dedup",
+    description=(
+        f"Longest duplicated token run per doc (>= {DUP_ANCHOR_L}, capped "
+        f"{DUP_LCP_CAP}): suffix-array adjacency LCP, anchor-gram bucketed"
+    ),
+    oracle=_sql_longest_dup(),
+)
+def dedup_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry over the documents table; see
+    ``longest_dup_substring_frame`` for the algorithm and scale story.
+    Closes the one LLM-corpus dedup modality the catalog lacked
+    (round-11 verdict #5): unbounded-length exact substring duplication,
+    vs the fixed windows of passage dedup and the probabilistic floors
+    of MinHash/winnowing."""
+    return longest_dup_substring_frame(load_table(spark, sf_dir, "documents"))

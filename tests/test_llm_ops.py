@@ -853,3 +853,110 @@ def test_int8_quantization_constant_dimension_is_exact_cross_engine(spark):
         """
     ).fetchall()
     assert {(d,): (e, ok) for d, e, ok in duck} == got
+
+
+def test_longest_dup_substring_known_runs(spark):
+    """Crafted corpus with known duplicated runs: a 10-token shared run
+    (3 shared 8-gram anchors per side), an unduplicated doc (absent from
+    the output), and an identical 60-token pair whose reported length
+    saturates at DUP_LCP_CAP."""
+    from spark_jdbc_limit_spark.operators.dedup import (
+        DUP_ANCHOR_L,
+        DUP_LCP_CAP,
+        longest_dup_substring_frame,
+    )
+
+    assert (DUP_ANCHOR_L, DUP_LCP_CAP) == (8, 48)
+    run = "a b c d e f g h i j"  # 10 tokens shared by docs 0 and 1
+    twin = " ".join(f"t{i}" for i in range(60))  # docs 3 and 4 identical
+    docs = spark.createDataFrame(
+        [
+            (0, run + " k l"),
+            (1, "x y " + run + " z"),
+            (2, "q r s t u v w pp qq rr"),
+            (3, twin),
+            (4, twin),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["max_dup_len"], r["n_dup_anchors"])
+        for r in longest_dup_substring_frame(docs).collect()
+    }
+    assert got == {
+        0: (10, 3),
+        1: (10, 3),
+        3: (48, 53),
+        4: (48, 53),
+    }
+
+
+def test_longest_dup_substring_matches_python_bruteforce(spark):
+    """Randomized corpus with planted copied slices: the anchor-bucketed
+    adjacency-LCP plan must agree with an exhaustive Python twin on both
+    the per-doc longest duplicated run (capped) and the shared-anchor
+    position count — the suffix-array adjacency lemma verified
+    end-to-end, not assumed."""
+    import numpy as np
+
+    from spark_jdbc_limit_spark.operators.dedup import (
+        DUP_ANCHOR_L as L,
+        DUP_LCP_CAP as CAP,
+        longest_dup_substring_frame,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {
+        d: [vocab[k] for k in rng.randint(0, len(vocab), 30)] for d in range(6)
+    }
+    # plant copied slices (5-20 tokens) so duplicated runs actually exist
+    for _ in range(5):
+        a, b = rng.choice(6, 2, replace=False)
+        ln = int(rng.randint(5, 21))
+        if len(docs[a]) < ln:
+            continue
+        i = int(rng.randint(0, len(docs[a]) - ln + 1))
+        j = int(rng.randint(0, len(docs[b]) + 1))
+        docs[b] = docs[b][:j] + docs[a][i : i + ln] + docs[b][j:]
+
+    expected = {}
+    for d, w in docs.items():
+        other_grams = set()
+        for o, v in docs.items():
+            if o == d:
+                continue
+            for i in range(len(v) - L + 1):
+                other_grams.add(tuple(v[i : i + L]))
+        anchors = sum(
+            1
+            for i in range(len(w) - L + 1)
+            if tuple(w[i : i + L]) in other_grams
+        )
+        best = 0
+        for o, v in docs.items():
+            if o == d:
+                continue
+            for i in range(len(w)):
+                for j in range(len(v)):
+                    k = 0
+                    while (
+                        i + k < len(w)
+                        and j + k < len(v)
+                        and w[i + k] == v[j + k]
+                        and k < CAP
+                    ):
+                        k += 1
+                    best = max(best, k)
+        if anchors:
+            expected[d] = (min(best, CAP), anchors)
+
+    assert expected, "planting produced no duplicated runs — broaden the seed"
+    df = spark.createDataFrame(
+        [(d, " ".join(w)) for d, w in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["max_dup_len"], r["n_dup_anchors"])
+        for r in longest_dup_substring_frame(df).collect()
+    }
+    assert got == expected
