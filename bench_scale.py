@@ -114,6 +114,11 @@ QUERIES: dict[str, str] = {
     # oracles; ann_knn_join's auto path is the swept posture.)
     "stats_bh_fdr_segments": "linear",
     "text_heaps_law_fit": "linear",
+    # round-12 addition: suffix positions scale xR; replica token tags
+    # keep anchor 8-grams replica-disjoint (any gram spans >= 7 tagged
+    # tokens), so shared-anchor buckets — and the CAP-token suffix
+    # rebuild they gate — scale xR, never xR² cross-replica.
+    "dedup_longest_dup_substring": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min
