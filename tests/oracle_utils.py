@@ -74,8 +74,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
         )
 
 
-def run_differential(spark, spec, sf_dir: str) -> None:
-    spark_pdf = spec.builder(spark, sf_dir).toPandas()
+def run_differential(spark, spec, sf_dir: str, frame=None) -> None:
+    """``frame``: an already-built DataFrame for (spec, sf_dir) — callers
+    that build the same plan elsewhere in the session (the registry-wide
+    schema guard) pass it so iterative builders (star-contraction CC,
+    convergence loops, centroid fits) don't re-run their build-time
+    driver jobs; semantics are identical since plans are immutable."""
+    spark_pdf = (frame if frame is not None else spec.builder(spark, sf_dir)).toPandas()
     if spec.oracle is None:
         # no-oracle queries (sketch estimates, engine-specific results) get
         # the driver's weaker rows-only check: the query must run and

@@ -146,7 +146,7 @@ def test_run_until_settled_batched_checks_monotone(spark):
 
 def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
     """END-TO-END rounds_per_check pin (round-11 verdict #4): on a
-    path graph whose diameter (23) is far past the shipped corpus's ~7,
+    path graph whose diameter (15) is far past the shipped corpus's ~7,
     the REAL connected_components_until_settled at K=4 must reach the
     identical fixpoint as K=1 — min-label is monotone, so the f^K check
     is exact — while reporting rounds at the batch boundary. The WALL
@@ -155,7 +155,7 @@ def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
     ``chain_cc_rounds_per_check`` row on a 200-node chain, where the
     job-count difference dominates; this test pins the value contract
     end-to-end through the production entry point."""
-    n = 24
+    n = 16
     chain = spark.range(n - 1).select(
         F.col("id").alias("s1"), (F.col("id") + 1).alias("s2")
     )
@@ -166,7 +166,7 @@ def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
         spark, "", edges=chain, max_rounds=40, rounds_per_check=4
     )
     assert ok1 and ok4
-    # K=1 reports the exact first-no-change round: diameter 23 label
+    # K=1 reports the exact first-no-change round: diameter 15 label
     # propagation + 1 confirmation round
     assert r1 == n
     # K=4 reports the first no-change BATCH boundary: a multiple of 4 in
@@ -282,7 +282,10 @@ def test_pagerank_until_settled_brackets_fixed_unroll(spark):
     calibrated envelope of the fixed entry's ranks — tight enough that
     a wrong fixpoint (e.g. the uniform initialization) fails it."""
     sf = "/root/testdata/sf0.01"
-    tol = 1e-7
+    # 1e-6 (was 1e-7, round-12 suite budget): saves ~1/3 of the rounds;
+    # the envelope still separates right (7e-4 gap) from wrong (2.5e-2)
+    # by >5x each way
+    tol = 1e-6
     ranks, rounds, settled = pagerank_until_settled(spark, sf, tolerance=tol)
     assert settled and rounds < 100
     fixed = get_query("graph_pagerank_supplier").builder(spark, sf)
@@ -394,6 +397,11 @@ def test_sssp_until_settled_matches_fixed_unroll(spark, sf):
         assert loop_top.get(node, d) == d
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SF_SWEEP"),
+    reason="python-twin redundancy (fixed-unroll pin + its oracle run "
+    "ungated); runs under SPARK_GRAFT_SF_SWEEP=1",
+)
 def test_sssp_until_settled_matches_python_dijkstra(spark):
     """Oracle-independent check on graphs the shipped corpus never
     shapes: seeded random weighted graphs, loop distances vs a pure-

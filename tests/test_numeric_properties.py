@@ -367,7 +367,7 @@ def test_two_phase_rank_equals_global_sort_index(spark):
 
     from spark_jdbc_limit_spark.operators.advanced import two_phase_rank
 
-    @settings(max_examples=16, deadline=None)
+    @settings(max_examples=10, deadline=None)  # trimmed r12: suite budget
     @given(
         keys=st.lists(
             st.one_of(

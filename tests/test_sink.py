@@ -526,8 +526,11 @@ def test_partition_overwrite_crash_sweep(spark, tmp_path, monkeypatch):
     global _seed
 
     def _seed(spark, target):
+        # 2 partitions (was 3; round-12 suite budget): the sweep still
+        # crosses a crash point BETWEEN partition swaps — the mixed-state
+        # hazard — at ~2/3 the op count
         old = spark.createDataFrame(
-            [(i, i % 3) for i in range(9)], "id long, p int"
+            [(i, i % 2) for i in range(9)], "id long, p int"
         ).coalesce(1)
         old.write.partitionBy("p").parquet(str(target))
         return set(range(9)), set(range(100, 109))
@@ -537,7 +540,7 @@ def test_partition_overwrite_crash_sweep(spark, tmp_path, monkeypatch):
 
     def write_new(s, t):
         new = s.createDataFrame(
-            [(i, i % 3) for i in range(100, 109)], "id long, p int"
+            [(i, i % 2) for i in range(100, 109)], "id long, p int"
         ).coalesce(1)
         write_parquet_overwrite_partitions(new, t, "p")
 
@@ -549,7 +552,7 @@ def test_partition_overwrite_crash_sweep(spark, tmp_path, monkeypatch):
         recover_partition_publish,
         lambda s, t: {r.id for r in s.read.parquet(t).collect()},
     )
-    assert n_ops >= 8  # manifest + 3x(trash,swap) + commit + cleanup
+    assert n_ops >= 6  # manifest + 2x(trash,swap) + commit + cleanup
 
 
 def test_atomic_append_crash_sweep(spark, tmp_path, monkeypatch):

@@ -205,7 +205,9 @@ def test_snapshot_store_matches_model_over_random_histories(spark, tmp_path):
     from spark_jdbc_limit_spark.sinks.versioned import merge_snapshot
 
     rng = random.Random(20260814)
-    for case in range(3):
+    # 2 seeded histories (was 3; round-12 suite budget) x 4 steps still
+    # exercises overwrite/append/merge interleavings and full replay
+    for case in range(2):
         t = str(tmp_path / f"tbl{case}")
         model: dict[int, int] = {}
         history: list[dict[int, int]] = []
