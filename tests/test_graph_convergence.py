@@ -146,7 +146,7 @@ def test_run_until_settled_batched_checks_monotone(spark):
 
 def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
     """END-TO-END rounds_per_check pin (round-11 verdict #4): on a
-    path graph whose diameter (15) is far past the shipped corpus's ~7,
+    path graph whose diameter (11) is far past the shipped corpus's ~7,
     the REAL connected_components_until_settled at K=4 must reach the
     identical fixpoint as K=1 — min-label is monotone, so the f^K check
     is exact — while reporting rounds at the batch boundary. The WALL
@@ -155,7 +155,7 @@ def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
     ``chain_cc_rounds_per_check`` row on a 200-node chain, where the
     job-count difference dominates; this test pins the value contract
     end-to-end through the production entry point."""
-    n = 16
+    n = 12
     chain = spark.range(n - 1).select(
         F.col("id").alias("s1"), (F.col("id") + 1).alias("s2")
     )
@@ -166,7 +166,7 @@ def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
         spark, "", edges=chain, max_rounds=40, rounds_per_check=4
     )
     assert ok1 and ok4
-    # K=1 reports the exact first-no-change round: diameter 15 label
+    # K=1 reports the exact first-no-change round: diameter 11 label
     # propagation + 1 confirmation round
     assert r1 == n
     # K=4 reports the first no-change BATCH boundary: a multiple of 4 in
