@@ -1796,6 +1796,65 @@ _LCP_EXPR = """
 """
 
 
+def _dup_survivors(docs: DataFrame) -> DataFrame:
+    """Surviving suffix positions (doc_id, i, ah, s): every position
+    whose {DUP_ANCHOR_L}-token anchor digest appears in >= 2 distinct
+    documents, carrying its {DUP_LCP_CAP}-token truncated suffix string.
+    Phase 1 shuffles only (digest, doc_id, pos); only survivors rebuild
+    ``s`` via the doc_id-keyed join back to the text."""
+    L, CAP = DUP_ANCHOR_L, DUP_LCP_CAP
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= L
+    )
+    anchors = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - L + 1)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.expr(f"array_join(slice(w, i, {L}), ' ')")).alias("ah"),
+    )
+    shared = (
+        anchors.groupBy("ah")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ah")
+    )
+    # lineage cut: the survivors feed multiple branches (count, window,
+    # emission) whose exchanges differ — without it the anchor scan
+    # re-runs per branch (the winnowing/shingle checkpoint rule)
+    return (
+        anchors.join(shared, "ah")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "i",
+            "ah",
+            F.expr(f"array_join(slice(w, i, {CAP}), ' ')").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _dup_cross_adjacent(sv: DataFrame) -> DataFrame:
+    """Adjacent CROSS-document suffix pairs within each anchor bucket,
+    with their token-LCP: one lag() over the bucket-partitioned sorted
+    order + the codegen fold. Columns: doc_id, pdoc, s, lcp."""
+    win = Window.partitionBy("ah").orderBy("s", "doc_id", "i")
+    return (
+        sv.select(
+            "doc_id",
+            "ah",
+            "s",
+            F.lag("doc_id").over(win).alias("pdoc"),
+            F.lag("s").over(win).alias("ps"),
+        )
+        .filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
+        .withColumn("lcp", F.expr(_LCP_EXPR))
+    )
+
+
 def longest_dup_substring_frame(docs: DataFrame) -> DataFrame:
     """Per document: the length of the longest token run (capped at
     {DUP_LCP_CAP}) it shares with at least one OTHER document, plus how
@@ -1836,51 +1895,10 @@ def longest_dup_substring_frame(docs: DataFrame) -> DataFrame:
     a bounded fingerprint index with a detection floor; this one reports
     exact duplicated-run lengths for triage/cut decisions (licence
     blocks, syndicated paragraphs, copy-pasted boilerplate)."""
-    L, CAP = DUP_ANCHOR_L, DUP_LCP_CAP
-    toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= L
-    )
-    # phase 1: anchor digests per position, nothing else on the wire
-    anchors = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("w") - L + 1)).alias("i"),
-        "w",
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.expr(f"array_join(slice(w, i, {L}), ' ')")).alias("ah"),
-    )
-    shared = (
-        anchors.groupBy("ah")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("ah")
-    )
-    # lineage cut: the surviving positions feed three branches (count,
-    # window, emission) whose exchanges differ — without it the anchor
-    # scan re-runs per branch (the winnowing/shingle checkpoint rule)
-    sv = (
-        anchors.join(shared, "ah")
-        .join(toks, "doc_id")
-        .select(
-            "doc_id",
-            "i",
-            "ah",
-            F.expr(f"array_join(slice(w, i, {CAP}), ' ')").alias("s"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    win = Window.partitionBy("ah").orderBy("s", "doc_id", "i")
-    adj = sv.select(
-        "doc_id",
-        "ah",
-        "s",
-        F.lag("doc_id").over(win).alias("pdoc"),
-        F.lag("s").over(win).alias("ps"),
-    ).filter(F.col("pdoc").isNotNull() & (F.col("pdoc") != F.col("doc_id")))
-    emissions = adj.select(
+    sv = _dup_survivors(docs)
+    emissions = _dup_cross_adjacent(sv).select(
         F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
-        F.expr(_LCP_EXPR).alias("lcp"),
+        "lcp",
     )
     mx = emissions.groupBy("doc_id").agg(F.max("lcp").alias("max_dup_len"))
     cnt = sv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_anchors"))
@@ -1956,3 +1974,108 @@ def dedup_longest_dup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the fixed windows of passage dedup and the probabilistic floors
     of MinHash/winnowing."""
     return longest_dup_substring_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_dup_spans(l_: int = DUP_ANCHOR_L, cap: int = DUP_LCP_CAP) -> str:
+    """Exhaustive twin of ``dedup_dup_span_extract``: all cross-doc suffix
+    pairs within anchor buckets, each carrying its shared-prefix TEXT;
+    per doc keep (max length, then lexicographically smallest text)."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= {l_}
+        ),
+        suff AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(w[i : i + {l_ - 1}], ' ')) AS ah,
+                   w[i : i + {cap - 1}] AS s
+            FROM w, UNNEST(range(1, len(w) - {l_} + 2)) AS t(i)
+        ),
+        shared AS (
+            SELECT ah FROM suff GROUP BY ah HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        sv AS (SELECT suff.* FROM suff JOIN shared USING (ah)),
+        pairs AS (
+            SELECT doc_id, s,
+                   CAST(IF(fpos = 0, minlen, fpos - 1) AS BIGINT) AS lcp
+            FROM (
+                SELECT a.doc_id, a.s,
+                       list_position(
+                           list_transform(list_zip(a.s, b.s),
+                                          p -> p[1] IS NOT DISTINCT FROM p[2]),
+                           false) AS fpos,
+                       least(len(a.s), len(b.s)) AS minlen
+                FROM sv a JOIN sv b ON a.ah = b.ah AND a.doc_id <> b.doc_id
+            )
+        ),
+        spans AS (
+            SELECT doc_id, lcp,
+                   array_to_string(list_slice(s, 1, lcp), ' ') AS span
+            FROM pairs
+        ),
+        best_len AS (
+            SELECT doc_id, MAX(lcp) AS dup_len FROM spans GROUP BY doc_id
+        )
+        SELECT s.doc_id, b.dup_len, MIN(s.span) AS dup_text
+        FROM spans s JOIN best_len b
+          ON b.doc_id = s.doc_id AND s.lcp = b.dup_len
+        GROUP BY s.doc_id, b.dup_len
+        ORDER BY s.doc_id
+    """
+
+
+@query(
+    "dedup_dup_span_extract",
+    category="llm_dedup",
+    description=(
+        "Longest duplicated span TEXT per doc (max length, then smallest "
+        "text): the extraction twin of dedup_longest_dup_substring"
+    ),
+    oracle=_sql_dup_spans(),
+)
+def dedup_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTRACTION twin of ``dedup_longest_dup_substring``: a cut/keep
+    decision needs the duplicated span itself (is it a licence block? a
+    syndicated header?), not just its length. Per document with a
+    cross-document run >= {DUP_ANCHOR_L}: the longest shared token run's
+    TEXT (capped at {DUP_LCP_CAP} tokens), ties on length broken by the
+    lexicographically smallest span.
+
+    Determinism across the two engines' different pair sets: the engine
+    sees only ADJACENT cross-doc pairs, the oracle ALL cross-doc pairs —
+    but for every (doc D, max-length span text t) the oracle derives,
+    some adjacent cross pair involving D carries exactly t (walk from
+    D's t-prefixed suffix toward its partner inside t's bucket region:
+    every suffix between them also starts with t, so the first
+    doc-boundary crossing is an adjacent cross pair whose LCP is the
+    same max and whose shared prefix is t). Hence max-then-min-text
+    agrees even though positions and intermediate pair sets differ —
+    which is also why the tiebreak is the TEXT, not the position (the
+    adjacency plan does not preserve which position attains the max).
+    Same plan shape and scale story as the length entry; the span
+    materializes only for the per-doc winners."""
+    sv = _dup_survivors(load_table(spark, sf_dir, "documents"))
+    adj = _dup_cross_adjacent(sv)
+    # both sides of an adjacent pair share the prefix — one span column
+    # serves both emissions
+    spans = adj.select(
+        F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
+        "lcp",
+        F.expr("array_join(slice(split(s, ' '), 1, int(lcp)), ' ')").alias("span"),
+    )
+    # lineage cut: spans feeds both the per-doc max and the winner join
+    spans = spans.localCheckpoint(eager=False)
+    best_len = spans.groupBy("doc_id").agg(F.max("lcp").alias("dup_len"))
+    return (
+        spans.alias("sp")
+        .join(
+            best_len.alias("bl"),
+            (F.col("sp.doc_id") == F.col("bl.doc_id"))
+            & (F.col("sp.lcp") == F.col("bl.dup_len")),
+        )
+        .select(F.col("sp.doc_id").alias("doc_id"), "bl.dup_len", "sp.span")
+        .groupBy("doc_id", "dup_len")
+        .agg(F.min("span").alias("dup_text"))
+        .orderBy("doc_id")
+    )

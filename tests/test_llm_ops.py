@@ -921,6 +921,7 @@ def test_longest_dup_substring_matches_python_bruteforce(spark):
         docs[b] = docs[b][:j] + docs[a][i : i + ln] + docs[b][j:]
 
     expected = {}
+    expected_span = {}
     for d, w in docs.items():
         other_grams = set()
         for o, v in docs.items():
@@ -934,6 +935,7 @@ def test_longest_dup_substring_matches_python_bruteforce(spark):
             if tuple(w[i : i + L]) in other_grams
         )
         best = 0
+        texts: list[str] = []
         for o, v in docs.items():
             if o == d:
                 continue
@@ -947,9 +949,13 @@ def test_longest_dup_substring_matches_python_bruteforce(spark):
                         and k < CAP
                     ):
                         k += 1
-                    best = max(best, k)
+                    if k > best:
+                        best, texts = k, [" ".join(w[i : i + k])]
+                    elif k == best and k:
+                        texts.append(" ".join(w[i : i + k]))
         if anchors:
             expected[d] = (min(best, CAP), anchors)
+            expected_span[d] = (best, min(texts))
 
     assert expected, "planting produced no duplicated runs — broaden the seed"
     df = spark.createDataFrame(
@@ -960,3 +966,24 @@ def test_longest_dup_substring_matches_python_bruteforce(spark):
         for r in longest_dup_substring_frame(df).collect()
     }
     assert got == expected
+    # the extraction twin: same docs, per-doc (max length, min text) span
+    from spark_jdbc_limit_spark.operators.dedup import (
+        _dup_cross_adjacent,
+        _dup_survivors,
+    )
+
+    adj = _dup_cross_adjacent(_dup_survivors(df))
+    import pyspark.sql.functions as F
+
+    spans = adj.select(
+        F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
+        "lcp",
+        F.expr("array_join(slice(split(s, ' '), 1, int(lcp)), ' ')").alias("span"),
+    )
+    got_span = {}
+    for r in spans.collect():
+        cur = got_span.get(r["doc_id"])
+        cand = (r["lcp"], r["span"])
+        if cur is None or (cand[0], ) > (cur[0], ) or (cand[0] == cur[0] and cand[1] < cur[1]):
+            got_span[r["doc_id"]] = cand
+    assert got_span == expected_span

@@ -92,8 +92,9 @@ RECENT_ADDITIONS = [
     "pipeline_dsir_importance_weights",
     "events_peak_concurrency_sweep",
     # round 12: suffix-array longest-duplicate-substring dedup
-    # (anchor-bucketed adjacency LCP)
+    # (anchor-bucketed adjacency LCP) and its extraction twin
     "dedup_longest_dup_substring",
+    "dedup_dup_span_extract",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
