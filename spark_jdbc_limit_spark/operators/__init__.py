@@ -195,8 +195,11 @@ def rotation_stats() -> dict:
     ``history`` (round-11 verdict #7) is maintained incrementally: each
     bench run appends/overwrites its own round's row in the committed
     ROTATION.json, so the n_entries-vs-staleness trend is visible as the
-    registry grows. Rows record the registry size AS OF that round's run —
-    past sizes are live measurements, not retroactive reconstructions.
+    registry grows. A build session runs BETWEEN driver rounds (round
+    N's CORRECTNESS file exists, N+1's doesn't), so a round's row
+    reflects that round's LAST bench run — the registry state the NEXT
+    round's driver grading actually sees; past rows are live
+    measurements, never retroactive reconstructions.
     """
     import json
     import os

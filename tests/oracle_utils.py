@@ -22,6 +22,21 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+#: Shared read-only connections, one per sf_dir: pytest runs ~320
+#: differentials sequentially, and paying connect + 10 view definitions
+#: per test costs ~20-25 s of pure setup across the suite. Views are
+#: read-only over immutable parquet, so sharing is safe.
+_CON_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def _shared_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = _CON_CACHE.get(sf_dir)
+    if con is None:
+        con = duckdb_connection(sf_dir)
+        _CON_CACHE[sf_dir] = con
+    return con
+
+
 def _canon_cell(x):
     # Numeric canonicalization is TYPE-STRICT on the numeric class
     # (int vs float), mirroring the driver's hash: DuckDB returning a
@@ -87,9 +102,5 @@ def run_differential(spark, spec, sf_dir: str, frame=None) -> None:
         # produce a well-formed, non-degenerate frame
         assert list(spark_pdf.columns), f"{spec.name}: no-oracle query returned zero columns"
         return
-    con = duckdb_connection(sf_dir)
-    try:
-        oracle_pdf = con.execute(spec.oracle).fetchdf()
-    finally:
-        con.close()
+    oracle_pdf = _shared_connection(sf_dir).execute(spec.oracle).fetchdf()
     compare_frames(spark_pdf, oracle_pdf, spec.name)
