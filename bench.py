@@ -192,6 +192,8 @@ def main() -> None:
     # materialized intermediate, so ALSO time the survivor step against a
     # checkpointed CC relation — the operator's true marginal cost.
     from spark_jdbc_limit_spark.operators.dedup import (
+        _dup_cross_adjacent,
+        _dup_survivors,
         best_representative_frame,
         dedup_connected_components,
     )
@@ -218,10 +220,41 @@ def main() -> None:
     cc = dedup_connected_components(spark, sf_dir).localCheckpoint()
     edges = _supplier_edges(spark, sf_dir).localCheckpoint()
     w_edges = _supplier_edges(spark, sf_dir, keep_weight=True).localCheckpoint()
+    # the suffix-dedup pair shares one surviving-suffix relation in a
+    # pipeline; each standalone entry re-derives it for its oracle
+    from spark_jdbc_limit_spark.sources.catalog import load_table as _lt
+
+    dup_sv = _dup_survivors(_lt(spark, sf_dir, "documents")).localCheckpoint()
+
+    def _span_marginal():
+        adj = _dup_cross_adjacent(dup_sv)
+        from pyspark.sql import functions as F
+
+        spans = adj.select(
+            F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
+            "lcp",
+            F.expr(
+                "array_join(slice(split(s, ' '), 1, int(lcp)), ' ')"
+            ).alias("span"),
+        ).localCheckpoint(eager=False)
+        best = spans.groupBy("doc_id").agg(F.max("lcp").alias("dup_len"))
+        return (
+            spans.alias("sp")
+            .join(
+                best.alias("bl"),
+                (F.col("sp.doc_id") == F.col("bl.doc_id"))
+                & (F.col("sp.lcp") == F.col("bl.dup_len")),
+            )
+            .select(F.col("sp.doc_id").alias("doc_id"), "bl.dup_len", "sp.span")
+            .groupBy("doc_id", "dup_len")
+            .agg(F.min("span").alias("dup_text"))
+        )
+
     marginal_builders = {
         "dedup_cluster_best_representative": lambda: best_representative_frame(
             spark, sf_dir, cc
         ),
+        "dedup_dup_span_extract": _span_marginal,
         # the graph analytics share one materialized edge relation in a
         # pipeline; their standalone entries re-derive it for the oracle
         "graph_pagerank_supplier": lambda: pagerank_frame(spark, sf_dir, edges=edges),

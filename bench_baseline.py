@@ -346,12 +346,87 @@ def naive_pca_power_iteration(spark, sf_dir) -> DataFrame:
     )
 
 
+def naive_longest_dup_substring(spark, sf_dir) -> DataFrame:
+    """ALL cross-doc suffix pairs within each anchor bucket (the
+    exhaustive strategy the oracle runs) instead of the engine's
+    sorted-adjacency plan — same survivors relation, same LCP fold, so
+    the only difference timed is pair generation: O(bucket²) vs
+    O(bucket) rows through the fold."""
+    from spark_jdbc_limit_spark.operators.dedup import _LCP_EXPR, _dup_survivors
+
+    sv = _dup_survivors(load_table(spark, sf_dir, "documents")).cache()
+    pairs = (
+        sv.alias("a")
+        .join(
+            sv.alias("b"),
+            (F.col("a.ah") == F.col("b.ah"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.s").alias("s"),
+            F.col("b.s").alias("ps"),
+        )
+        .withColumn("lcp", F.expr(_LCP_EXPR))
+    )
+    mx = pairs.groupBy("doc_id").agg(F.max("lcp").alias("max_dup_len"))
+    cnt = sv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_anchors"))
+    return (
+        cnt.join(mx, "doc_id")
+        .select("doc_id", "max_dup_len", "n_dup_anchors")
+        .orderBy("doc_id")
+    )
+
+
+def naive_dup_span_extract(spark, sf_dir) -> DataFrame:
+    """Exhaustive-pairs twin of the span extraction entry."""
+    from spark_jdbc_limit_spark.operators.dedup import _LCP_EXPR, _dup_survivors
+
+    sv = _dup_survivors(load_table(spark, sf_dir, "documents")).cache()
+    spans = (
+        sv.alias("a")
+        .join(
+            sv.alias("b"),
+            (F.col("a.ah") == F.col("b.ah"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.s").alias("s"),
+            F.col("b.s").alias("ps"),
+        )
+        .withColumn("lcp", F.expr(_LCP_EXPR))
+        .withColumn(
+            "span",
+            F.expr("array_join(slice(split(s, ' '), 1, int(lcp)), ' ')"),
+        )
+        .cache()
+    )
+    best = spans.groupBy("doc_id").agg(F.max("lcp").alias("dup_len"))
+    return (
+        spans.alias("sp")
+        .join(
+            best.alias("bl"),
+            (F.col("sp.doc_id") == F.col("bl.doc_id"))
+            & (F.col("sp.lcp") == F.col("bl.dup_len")),
+        )
+        .select(F.col("sp.doc_id").alias("doc_id"), "bl.dup_len", "sp.span")
+        .groupBy("doc_id", "dup_len")
+        .agg(F.min("span").alias("dup_text"))
+        .orderBy("doc_id")
+    )
+
+
 PY_BASELINES = {
     "dedup_jaccard_prefix_filter": naive_jaccard_prefix_filter,
     "dedup_connected_components": naive_dedup_connected_components,
     "dedup_cluster_best_representative": naive_cluster_best_representative,
     "dedup_minhash_estimate_audit": naive_minhash_estimate_audit,
     "embedding_pca_power_iteration": naive_pca_power_iteration,
+    # round-12: the suffix-dedup pair (now the catalog's two heaviest
+    # entries) vs their exhaustive-pairs twins
+    "dedup_longest_dup_substring": naive_longest_dup_substring,
+    "dedup_dup_span_extract": naive_dup_span_extract,
 }
 
 
