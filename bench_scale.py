@@ -119,6 +119,10 @@ QUERIES: dict[str, str] = {
     # tokens), so shared-anchor buckets — and the CAP-token suffix
     # rebuild they gate — scale xR, never xR² cross-replica.
     "dedup_longest_dup_substring": "linear",
+    # the cut step shares the anchor pipeline; covered-position expansion
+    # is bounded by duplicated-region mass and the reassembly is
+    # array-local per doc
+    "dedup_remove_duplicated_spans": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min

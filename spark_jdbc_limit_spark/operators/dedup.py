@@ -1796,13 +1796,11 @@ _LCP_EXPR = """
 """
 
 
-def _dup_survivors(docs: DataFrame) -> DataFrame:
-    """Surviving suffix positions (doc_id, i, ah, s): every position
-    whose {DUP_ANCHOR_L}-token anchor digest appears in >= 2 distinct
-    documents, carrying its {DUP_LCP_CAP}-token truncated suffix string.
-    Phase 1 shuffles only (digest, doc_id, pos); only survivors rebuild
-    ``s`` via the doc_id-keyed join back to the text."""
-    L, CAP = DUP_ANCHOR_L, DUP_LCP_CAP
+def _dup_anchors(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(toks, anchors): per-doc token arrays (docs with >= {DUP_ANCHOR_L}
+    tokens) and one (doc_id, i, ah) row per suffix position — the
+    anchor digest is all that crosses the wire in phase 1."""
+    L = DUP_ANCHOR_L
     toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= L
     )
@@ -1815,6 +1813,17 @@ def _dup_survivors(docs: DataFrame) -> DataFrame:
         "i",
         F.md5(F.expr(f"array_join(slice(w, i, {L}), ' ')")).alias("ah"),
     )
+    return toks, anchors
+
+
+def _dup_survivors(docs: DataFrame) -> DataFrame:
+    """Surviving suffix positions (doc_id, i, ah, s): every position
+    whose {DUP_ANCHOR_L}-token anchor digest appears in >= 2 distinct
+    documents, carrying its {DUP_LCP_CAP}-token truncated suffix string.
+    Phase 1 shuffles only (digest, doc_id, pos); only survivors rebuild
+    ``s`` via the doc_id-keyed join back to the text."""
+    CAP = DUP_LCP_CAP
+    toks, anchors = _dup_anchors(docs)
     shared = (
         anchors.groupBy("ah")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -2079,3 +2088,110 @@ def dedup_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("span").alias("dup_text"))
         .orderBy("doc_id")
     )
+
+
+def _sql_remove_spans(l_: int = DUP_ANCHOR_L) -> str:
+    """Exhaustive twin of ``dedup_remove_duplicated_spans``: covered
+    positions via a bucket×offset expansion, reassembly via an
+    index-filtered list comprehension."""
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        anch AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(w[i : i + {l_ - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {l_} + 2)) AS t(i)
+            WHERE len(w) >= {l_}
+        ),
+        b AS (
+            SELECT ah, MIN(doc_id) AS own
+            FROM anch GROUP BY ah HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT a.doc_id, a.i + off AS pos
+            FROM anch a JOIN b USING (ah), UNNEST(range(0, {l_})) AS t(off)
+            WHERE a.doc_id > b.own
+        ),
+        cv AS (SELECT doc_id, list(pos) AS cov FROM cov GROUP BY doc_id)
+        SELECT w.doc_id,
+               CAST(len(w.w) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(cv.cov), 0) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(
+                   [w.w[k] for k in range(1, len(w.w) + 1)
+                    if cv.cov IS NULL OR NOT list_contains(cv.cov, k)],
+                   ' '), '') AS cleaned_text
+               -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — a fully-removed doc must agree
+        FROM w LEFT JOIN cv USING (doc_id)
+        ORDER BY w.doc_id
+    """
+
+
+@query(
+    "dedup_remove_duplicated_spans",
+    category="llm_dedup",
+    description=(
+        f"Apply the dedup cut: drop tokens covered by a shared >= "
+        f"{DUP_ANCHOR_L}-gram wherever this doc is not the bucket's "
+        "canonical (min-doc_id) owner; canonical copies survive"
+    ),
+    oracle=_sql_remove_spans(),
+)
+def dedup_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step closing the suffix-dedup trio (detect → extract →
+    CUT): per document, remove every token covered by some shared
+    {DUP_ANCHOR_L}-gram occurrence for which this document is not the
+    anchor bucket's canonical owner (min doc_id across the bucket's
+    documents — first-occurrence-wins, the passage-dedup survivor rule).
+    Exactly one copy of every duplicated region survives corpus-wide;
+    unique text is untouched; docs shorter than the anchor floor pass
+    through whole. Output per doc: original token count, tokens
+    removed, and the cleaned text with original token order preserved.
+
+    Plan: phase 1 is the shared anchor pipeline — (digest, doc_id, pos)
+    rows only; bucket owners come from the same partial-aggregated
+    groupBy that finds shared anchors (MIN rides along with the
+    distinct-doc count). Covered positions expand only for NON-owner
+    occurrences of shared anchors (duplicated-region mass, not corpus
+    mass), collapse to a per-doc sorted position set (collect_set —
+    bounded by doc length), and the cut itself is one index-aware
+    ``filter(w, (x, i) -> ...)`` over the token array — codegen-local,
+    no per-token shuffle, no Python. The reassembled text never crosses
+    a shuffle: the only exchanges are the anchor groupBy, the
+    anchors⋈buckets join, and the doc_id-keyed fan-back of the micro
+    position-set relation."""
+    L = DUP_ANCHOR_L
+    docs = load_table(spark, sf_dir, "documents")
+    toks_all = docs.select("doc_id", F.split("text", " ").alias("w"))
+    _, anchors = _dup_anchors(docs)
+    buckets = (
+        anchors.groupBy("ah")
+        .agg(
+            F.min("doc_id").alias("own"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("ah", "own")
+    )
+    cov = (
+        anchors.join(buckets, "ah")
+        .filter(F.col("doc_id") > F.col("own"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + L - 1)).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    joined = toks_all.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("cov", F.array().cast("array<int>")).alias("cov2"),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size("cov2").cast("long").alias("n_removed"),
+        F.expr(
+            "array_join(filter(w, (x, i) -> NOT array_contains(cov2, i + 1)), ' ')"
+        ).alias("cleaned_text"),
+    ).orderBy("doc_id")

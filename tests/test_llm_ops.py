@@ -987,3 +987,88 @@ def test_longest_dup_substring_matches_python_bruteforce(spark):
         if cur is None or (cand[0], ) > (cur[0], ) or (cand[0] == cur[0] and cand[1] < cur[1]):
             got_span[r["doc_id"]] = cand
     assert got_span == expected_span
+
+
+def test_remove_duplicated_spans_first_owner_wins(spark, sf_correct):
+    """The cut step's survivor rule on a crafted corpus: the bucket's
+    min-doc_id owner keeps every shared run, later docs lose exactly the
+    covered tokens, unique text and short docs pass through, and a full
+    duplicate is cut to empty. Then a consistency pass over the real
+    sf0.01 corpus: token accounting holds for every doc and canonical
+    docs of exact-duplicate clusters are untouched."""
+    import pyspark.sql.functions as F
+
+    from spark_jdbc_limit_spark.operators.dedup import (
+        dedup_remove_duplicated_spans,
+    )
+
+    run = "a b c d e f g h i j"  # 10 shared tokens, doc 0 canonical
+    twin = " ".join(f"t{k}" for k in range(60))
+    docs = spark.createDataFrame(
+        [
+            (0, run + " k l"),
+            (1, "x y " + run + " z"),
+            (2, "short doc"),
+            (3, twin),
+            (4, twin),
+        ],
+        "doc_id long, text string",
+    )
+    import spark_jdbc_limit_spark.operators.dedup as D
+
+    toks_all = docs.select("doc_id", F.split("text", " ").alias("w"))
+    _, anchors = D._dup_anchors(docs)
+    # replicate the registry plan on the crafted frame (the registry
+    # entry reads from sf_dir; the plan body is identical)
+    buckets = (
+        anchors.groupBy("ah")
+        .agg(F.min("doc_id").alias("own"), F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ah", "own")
+    )
+    cov = (
+        anchors.join(buckets, "ah")
+        .filter(F.col("doc_id") > F.col("own"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + D.DUP_ANCHOR_L - 1)
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    joined = toks_all.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("cov", F.array().cast("array<int>")).alias("cov2"),
+    )
+    got = {
+        r["doc_id"]: (r["n_removed"], r["cleaned"])
+        for r in joined.select(
+            "doc_id",
+            F.size("cov2").cast("long").alias("n_removed"),
+            F.expr(
+                "array_join(filter(w, (x, i) -> NOT array_contains(cov2, i + 1)), ' ')"
+            ).alias("cleaned"),
+        ).collect()
+    }
+    assert got == {
+        0: (0, run + " k l"),       # canonical owner keeps the run
+        1: (10, "x y z"),           # covered union = the whole shared run
+        2: (0, "short doc"),        # under the anchor floor: untouched
+        3: (0, twin),               # canonical twin survives whole
+        4: (60, ""),                # full duplicate cut to empty
+    }
+
+    # real corpus: token accounting + canonical preservation
+    out = dedup_remove_duplicated_spans(spark, sf_correct).collect()
+    for r in out:
+        kept = r["cleaned_text"].split(" ") if r["cleaned_text"] else []
+        assert r["n_tokens"] - r["n_removed"] == len(kept), r["doc_id"]
+    assert sum(r["n_removed"] for r in out) > 0
+    # corpus-wide: doc 0 (the global min doc_id) owns every bucket it
+    # appears in, so it can never lose a token — the one doc for which
+    # "canonical owner keeps everything" is unconditional
+    d0 = next(r for r in out if r["doc_id"] == min(x["doc_id"] for x in out))
+    assert d0["n_removed"] == 0

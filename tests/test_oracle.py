@@ -95,6 +95,7 @@ RECENT_ADDITIONS = [
     # (anchor-bucketed adjacency LCP) and its extraction twin
     "dedup_longest_dup_substring",
     "dedup_dup_span_extract",
+    "dedup_remove_duplicated_spans",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.
