@@ -346,15 +346,18 @@ def naive_pca_power_iteration(spark, sf_dir) -> DataFrame:
     )
 
 
-def naive_longest_dup_substring(spark, sf_dir) -> DataFrame:
+def naive_longest_dup_substring(spark, sf_dir, docs: DataFrame | None = None) -> DataFrame:
     """ALL cross-doc suffix pairs within each anchor bucket (the
     exhaustive strategy the oracle runs) instead of the engine's
     sorted-adjacency plan — same survivors relation, same LCP fold, so
     the only difference timed is pair generation: O(bucket²) vs
-    O(bucket) rows through the fold."""
+    O(bucket) rows through the fold. ``docs`` overrides the corpus (the
+    hot-boilerplate lever A/B in bench_levers.py feeds a synthetic one)."""
     from spark_jdbc_limit_spark.operators.dedup import _LCP_EXPR, _dup_survivors
 
-    sv = _dup_survivors(load_table(spark, sf_dir, "documents")).cache()
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    sv = _dup_survivors(docs).cache()
     pairs = (
         sv.alias("a")
         .join(

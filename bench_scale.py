@@ -123,6 +123,10 @@ QUERIES: dict[str, str] = {
     # is bounded by duplicated-region mass and the reassembly is
     # array-local per doc
     "dedup_remove_duplicated_spans": "linear",
+    # round-13 (verdict #3): the extraction twin — the one heavy entry
+    # that had no replication row; shares _dup_survivors with the length
+    # entry, span text materializes only for per-doc winners
+    "dedup_dup_span_extract": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min

@@ -203,6 +203,8 @@ def rotation_stats() -> dict:
     """
     import json
     import os
+    import subprocess
+    import warnings
 
     rounds = _driver_sampled_rounds()
     known = {n: r for n, r in rounds.items() if n in REGISTRY}
@@ -217,34 +219,69 @@ def rotation_stats() -> dict:
         "stalest": sorted(since, key=since.get, reverse=True)[:10],
     }
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    history: list[dict] = []
-    try:
-        with open(os.path.join(root, "ROTATION.json")) as f:
-            prior = json.load(f)
-        history = [
+
+    # History is rebuilt from BOTH the on-disk artifact and git HEAD's
+    # committed copy, merged by round (round-12 advice): a read-modify-
+    # write over the working-tree file alone loses the whole trend the
+    # first time something clobbers it — which already happened when an
+    # sf0.001 smoke run regenerated ROTATION.json and dropped round 11's
+    # row. Past rows never change, so the union is always safe; where
+    # both sources carry a round, the committed copy wins (it is the
+    # state the round's driver grading actually saw).
+    def _rows_from(prior: dict) -> list[dict]:
+        rows = [
             row
             for row in prior.get("history", [])
-            if isinstance(row, dict) and row.get("round") != current
+            if isinstance(row, dict) and row.get("round") is not None
         ]
-        if not history and prior.get("current_round") not in (None, current):
+        if not rows and prior.get("current_round") is not None:
             # seed from a pre-history artifact (round ≤ 11 format)
-            history = [
+            rows = [
                 {
                     "round": prior["current_round"],
                     "n_entries": prior.get("n_entries"),
                     "max_rounds_since_green": prior.get("max_rounds_since_green"),
                 }
             ]
-    except Exception:
+        return rows
+
+    by_round: dict[int, dict] = {}
+    try:
+        with open(os.path.join(root, "ROTATION.json")) as f:
+            for row in _rows_from(json.load(f)):
+                by_round[row["round"]] = row
+    except FileNotFoundError:
         pass
-    history.append(
-        {
-            "round": current,
-            "n_entries": stats["n_entries"],
-            "max_rounds_since_green": stats["max_rounds_since_green"],
-        }
-    )
-    stats["history"] = sorted(history, key=lambda r: r.get("round") or 0)
+    except Exception as exc:
+        warnings.warn(
+            f"rotation: could not read working-tree ROTATION.json ({exc}); "
+            "history rebuilt from the committed artifact only",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    try:
+        committed = subprocess.run(
+            ["git", "-C", root, "show", "HEAD:ROTATION.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if committed.returncode == 0:
+            for row in _rows_from(json.loads(committed.stdout)):
+                by_round[row["round"]] = row  # committed row wins
+    except Exception as exc:
+        warnings.warn(
+            f"rotation: could not read HEAD:ROTATION.json ({exc}); history "
+            "may be missing rows the working-tree artifact lost",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    by_round[current] = {
+        "round": current,
+        "n_entries": stats["n_entries"],
+        "max_rounds_since_green": stats["max_rounds_since_green"],
+    }
+    stats["history"] = [by_round[r] for r in sorted(by_round)]
     return stats
 
 
@@ -302,6 +339,64 @@ _QUEUE_BEHIND = (
 )
 
 
+#: The driver's per-round correctness sample size — the first this-many
+#: registry entries get a driver-signed three-way row each round. The
+#: staleness bound the rotation maintains is ceil(n_entries / window).
+_SAMPLE_WINDOW = 50
+
+
+def _changed_modules_since(round_: int) -> set[str] | None:
+    """Repo-relative paths changed since round ``round_``'s boundary
+    commit (subject ``round {N}: verdict/...``) — committed AND working
+    tree. None when git or the boundary commit is unavailable (fresh
+    checkout without history, driver sandbox): callers fall back to pure
+    staleness order. Memoized per round."""
+    import os
+    import subprocess
+    import warnings
+
+    if round_ in _CHANGED_SINCE_CACHE:
+        return _CHANGED_SINCE_CACHE[round_]
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    changed: set[str] | None = None
+    try:
+        log = subprocess.run(
+            ["git", "-C", root, "log", "--format=%H %s"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        sha = None
+        if log.returncode == 0:
+            for line in log.stdout.splitlines():
+                h, _, subject = line.partition(" ")
+                if subject.startswith(f"round {round_}:"):
+                    sha = h
+                    break  # newest matching boundary commit
+        if sha is not None:
+            diff = subprocess.run(
+                ["git", "-C", root, "diff", "--name-only", sha, "--",
+                 "spark_jdbc_limit_spark"],
+                capture_output=True,
+                text=True,
+                timeout=30,
+            )
+            if diff.returncode == 0:
+                changed = {p.strip() for p in diff.stdout.splitlines() if p.strip()}
+    except Exception as exc:
+        warnings.warn(
+            f"rotation: churn lookup for round {round_} failed ({exc}); "
+            "falling back to pure staleness order",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    _CHANGED_SINCE_CACHE[round_] = changed
+    return changed
+
+
+_CHANGED_SINCE_CACHE: dict[int, set[str] | None] = {}
+
+
 def _rotate_registry() -> None:
     rounds = _driver_sampled_rounds()
     sampled = set(rounds) & set(REGISTRY)
@@ -316,18 +411,41 @@ def _rotate_registry() -> None:
         for n in _QUEUE_BEHIND
         if n in REGISTRY and n not in sampled
     }
-    # The already-verified block is ordered STALEST-GREEN FIRST (ascending
-    # verifying round, ties by insertion order): with a ~50-row sample
-    # window over 292 entries, a full re-confirmation cycle is ~6 rounds —
-    # without this sort, an entry greened early could sit behind
-    # recently-green ones indefinitely once the never-green pool drains
-    # (round-9 verdict #7). Max rounds-since-last-green is thereby bounded
-    # by ceil(n_verified / window) plus the rounds the fresh/queued pools
-    # occupy — pinned in tests/test_scale_ops.py::test_rotation_staleness.
+    # The already-verified block is ordered in three tiers (round-12
+    # verdict #2), each stalest-green-first (ascending verifying round,
+    # ties by insertion order):
+    #   1. staleness-CRITICAL: entries that must be re-drawn this round
+    #      or their rounds-since-green would exceed the bound
+    #      ceil(n_entries / _SAMPLE_WINDOW) — the hard invariant
+    #      (round-9 verdict #7), pinned in
+    #      tests/test_scale_ops.py::test_rotation_staleness;
+    #   2. CHURNED: entries whose implementing module changed (committed
+    #      or working tree) since the round that greened them — their
+    #      driver signature certifies code that no longer exists, so a
+    #      refactor of dedup.py pulls the whole dedup family forward
+    #      into whatever window budget tier 1 leaves free;
+    #   3. everything else.
+    # Tier 2 never displaces tier 1, so churn prioritization cannot
+    # break the staleness bound; git unavailable → tier 2 is empty and
+    # the order degrades to the round-11 pure-staleness behavior.
     pos = {n: i for i, n in enumerate(REGISTRY)}
+    current = _latest_correctness_round()
+    bound = max(2, -(-len(REGISTRY) // _SAMPLE_WINDOW))
+
+    def _module_rel(n: str) -> str:
+        return REGISTRY[n].builder.__module__.replace(".", "/") + ".py"
+
+    def _tier(n: str) -> int:
+        if current - rounds[n] >= bound - 1:
+            return 1
+        changed = _changed_modules_since(rounds[n])
+        if changed is not None and _module_rel(n) in changed:
+            return 2
+        return 3
+
     seen = {
         n: REGISTRY[n]
-        for n in sorted(sampled, key=lambda n: (rounds[n], pos[n]))
+        for n in sorted(sampled, key=lambda n: (_tier(n), rounds[n], pos[n]))
     }
     REGISTRY.clear()
     REGISTRY.update(fresh)

@@ -1849,8 +1849,20 @@ def _dup_survivors(docs: DataFrame) -> DataFrame:
 def _dup_cross_adjacent(sv: DataFrame) -> DataFrame:
     """Adjacent CROSS-document suffix pairs within each anchor bucket,
     with their token-LCP: one lag() over the bucket-partitioned sorted
-    order + the codegen fold. Columns: doc_id, pdoc, s, lcp."""
-    win = Window.partitionBy("ah").orderBy("s", "doc_id", "i")
+    order + the codegen fold. Columns: doc_id, pdoc, s, lcp.
+
+    The adjacency lemma needs lexicographic order on TOKEN SEQUENCES, so
+    the window sorts by the token ARRAY, not the space-joined string: a
+    token containing a character below 0x20 (tab, newline) makes the
+    joined-string order interleave inside another token-prefix group —
+    brute-force search finds corpora where string-sorted adjacency then
+    under-reports max_dup_len vs the all-pairs oracle (round-12 advice;
+    pinned in tests/test_llm_ops.py with a tab-token corpus). Array
+    comparison is element-wise on whole tokens, which is exactly the
+    suffix order the LCP range-min argument assumes."""
+    win = Window.partitionBy("ah").orderBy(
+        F.expr("split(s, ' ')"), "doc_id", "i"
+    )
     return (
         sv.select(
             "doc_id",
@@ -2034,6 +2046,37 @@ def _sql_dup_spans(l_: int = DUP_ANCHOR_L, cap: int = DUP_LCP_CAP) -> str:
     """
 
 
+def dup_span_extract_frame(sv: DataFrame) -> DataFrame:
+    """Longest duplicated span TEXT per doc over a surviving-suffix
+    relation (``_dup_survivors`` output, possibly a materialized pipeline
+    intermediate): the single plan body shared by the registry entry and
+    bench.py's pipeline-marginal timing (round-12 advice — the inline
+    re-implementation the bench carried could drift from this source).
+    Unordered; callers add their own orderBy."""
+    adj = _dup_cross_adjacent(sv)
+    # both sides of an adjacent pair share the prefix — one span column
+    # serves both emissions
+    spans = adj.select(
+        F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
+        "lcp",
+        F.expr("array_join(slice(split(s, ' '), 1, int(lcp)), ' ')").alias("span"),
+    )
+    # lineage cut: spans feeds both the per-doc max and the winner join
+    spans = spans.localCheckpoint(eager=False)
+    best_len = spans.groupBy("doc_id").agg(F.max("lcp").alias("dup_len"))
+    return (
+        spans.alias("sp")
+        .join(
+            best_len.alias("bl"),
+            (F.col("sp.doc_id") == F.col("bl.doc_id"))
+            & (F.col("sp.lcp") == F.col("bl.dup_len")),
+        )
+        .select(F.col("sp.doc_id").alias("doc_id"), "bl.dup_len", "sp.span")
+        .groupBy("doc_id", "dup_len")
+        .agg(F.min("span").alias("dup_text"))
+    )
+
+
 @query(
     "dedup_dup_span_extract",
     category="llm_dedup",
@@ -2065,29 +2108,7 @@ def dedup_dup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same plan shape and scale story as the length entry; the span
     materializes only for the per-doc winners."""
     sv = _dup_survivors(load_table(spark, sf_dir, "documents"))
-    adj = _dup_cross_adjacent(sv)
-    # both sides of an adjacent pair share the prefix — one span column
-    # serves both emissions
-    spans = adj.select(
-        F.explode(F.array("doc_id", "pdoc")).alias("doc_id"),
-        "lcp",
-        F.expr("array_join(slice(split(s, ' '), 1, int(lcp)), ' ')").alias("span"),
-    )
-    # lineage cut: spans feeds both the per-doc max and the winner join
-    spans = spans.localCheckpoint(eager=False)
-    best_len = spans.groupBy("doc_id").agg(F.max("lcp").alias("dup_len"))
-    return (
-        spans.alias("sp")
-        .join(
-            best_len.alias("bl"),
-            (F.col("sp.doc_id") == F.col("bl.doc_id"))
-            & (F.col("sp.lcp") == F.col("bl.dup_len")),
-        )
-        .select(F.col("sp.doc_id").alias("doc_id"), "bl.dup_len", "sp.span")
-        .groupBy("doc_id", "dup_len")
-        .agg(F.min("span").alias("dup_text"))
-        .orderBy("doc_id")
-    )
+    return dup_span_extract_frame(sv).orderBy("doc_id")
 
 
 def _sql_remove_spans(l_: int = DUP_ANCHOR_L) -> str:
@@ -2159,8 +2180,20 @@ def dedup_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame
     a shuffle: the only exchanges are the anchor groupBy, the
     anchors⋈buckets join, and the doc_id-keyed fan-back of the micro
     position-set relation."""
+    return remove_duplicated_spans_frame(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def remove_duplicated_spans_frame(docs: DataFrame) -> DataFrame:
+    """The cut step as a frame function over any ``(doc_id, text)``
+    relation — the registry entry applies it to the raw documents table;
+    the curation capstone (pipeline.py: ``curate_span_cut_pipeline``)
+    applies it to the quality-gated survivors, where the anchor buckets
+    (and hence the canonical owners) are computed over the gated corpus
+    only. Unordered; callers add their own orderBy. See the registry
+    entry's docstring for semantics and the plan's scale story."""
     L = DUP_ANCHOR_L
-    docs = load_table(spark, sf_dir, "documents")
     toks_all = docs.select("doc_id", F.split("text", " ").alias("w"))
     _, anchors = _dup_anchors(docs)
     buckets = (
@@ -2194,4 +2227,4 @@ def dedup_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(
             "array_join(filter(w, (x, i) -> NOT array_contains(cov2, i + 1)), ' ')"
         ).alias("cleaned_text"),
-    ).orderBy("doc_id")
+    )

@@ -29,6 +29,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable, Sequence
 from functools import reduce
 from operator import or_
@@ -73,8 +74,13 @@ EDGE_ROWS_PER_PARTITION = 65536
 #: materializes the ``pairs`` cache (see the coalesce-safety note in
 #: ``_supplier_edges``), and Spark's cached blocks live per-session — a
 #: process-wide memo would let a rebuilt session skip the count and hand
-#: ``_size_partitions`` a cold plan.
-_EDGE_N_CACHE: dict[tuple[object, ...], int] = {}
+#: ``_size_partitions`` a cold plan. A WeakKeyDictionary (round-12
+#: advice): a flat dict keyed by the session object would pin a strong
+#: reference to every session ever used, leaking stopped sessions (and
+#: their entries) in a long-lived process that rebuilds sessions.
+_EDGE_N_CACHE: "weakref.WeakKeyDictionary[object, dict[tuple[str, ...], int]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _size_partitions(df: DataFrame, n_rows: int) -> DataFrame:
@@ -162,12 +168,13 @@ def _supplier_edges(
     # bounded: the map side still shuffles at full parallelism, and
     # n_parts itself grows with the edge set, so the merge serializes only
     # at scales where the relation is micro anyway.
-    key = (spark, *sorted(li.inputFiles()))
-    n = _EDGE_N_CACHE.get(key) if len(key) > 1 else None
+    corpus = tuple(sorted(li.inputFiles()))
+    per_session = _EDGE_N_CACHE.setdefault(spark, {})
+    n = per_session.get(corpus) if corpus else None
     if n is None:
         n = out.count()
-        if len(key) > 1:
-            _EDGE_N_CACHE[key] = n
+        if corpus:
+            per_session[corpus] = n
     return _size_partitions(out, n)
 
 

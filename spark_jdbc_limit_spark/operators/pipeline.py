@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spark_jdbc_limit_spark.operators.dedup import _sql_shingles, shingle_hashes
+from spark_jdbc_limit_spark.operators.dedup import (
+    DUP_ANCHOR_L,
+    _sql_shingles,
+    shingle_hashes,
+)
 from spark_jdbc_limit_spark.operators.registry import query
 from spark_jdbc_limit_spark.sources.catalog import load_table
 
@@ -432,6 +436,151 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_kept"),
             F.sum(F.col("n_copies") - 1).alias("n_dropped_dups"),
             F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _span_cut_gate_sql() -> str:
+    """The quality-gate CTE shared with ``curate_corpus_pipeline``'s
+    oracle (single-sourced here so the two capstones can never drift on
+    the gate definition)."""
+    return f"""
+        scored AS (
+            SELECT doc_id, source, text,
+                   len(string_split(text, ' ')) AS n_words,
+                   list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]) AS grams
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, source, text
+            FROM scored
+            WHERE n_words >= {CURATE_MIN_WORDS}
+              AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / (n_words - 2)
+                  <= {CURATE_MAX_GRAM_REP}
+        )"""
+
+
+@query(
+    "curate_span_cut_pipeline",
+    category="llm_pipeline",
+    description=(
+        "End-to-end span-level curation: quality gate -> suffix-anchor "
+        "duplicated-span CUT over the gated corpus -> per-source, "
+        "per-stage accounting"
+    ),
+    oracle=f"""
+        WITH {_span_cut_gate_sql()},
+        w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM gated),
+        anch AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L}
+        ),
+        b AS (
+            SELECT ah, MIN(doc_id) AS own
+            FROM anch GROUP BY ah HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT DISTINCT a.doc_id, a.i + off AS pos
+            FROM anch a JOIN b USING (ah), UNNEST(range(0, {DUP_ANCHOR_L})) AS t(off)
+            WHERE a.doc_id > b.own
+        ),
+        cv AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+        per_doc AS (
+            SELECT w.doc_id, w.source,
+                   len(w.w) AS n_tokens,
+                   COALESCE(cv.n_removed, 0) AS n_removed
+            FROM w LEFT JOIN cv USING (doc_id)
+        ),
+        kept AS (
+            SELECT source,
+                   COUNT(*) AS n_docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+                   CAST(SUM(n_removed) AS BIGINT) AS n_tokens_removed,
+                   CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_cut
+            FROM per_doc GROUP BY source
+        ),
+        tot AS (SELECT source, COUNT(*) AS n_docs_in FROM documents GROUP BY source)
+        SELECT tot.source,
+               tot.n_docs_in,
+               tot.n_docs_in - COALESCE(kept.n_docs_kept, 0)
+                   AS n_docs_dropped_gate,
+               COALESCE(kept.n_docs_kept, 0) AS n_docs_kept,
+               COALESCE(kept.n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(kept.n_tokens_removed, 0) AS n_tokens_removed,
+               COALESCE(kept.n_docs_cut, 0) AS n_docs_cut
+        FROM tot LEFT JOIN kept USING (source)
+        ORDER BY tot.source
+    """,
+)
+def curate_span_cut_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 suffix-dedup trio composed into the curation capstone
+    (round-12 verdict #6): quality gate → duplicated-span CUT over the
+    GATED corpus → per-source accounting with per-stage rows. Unlike
+    ``curate_corpus_pipeline`` (whole-document exact dedup), the dedup
+    stage here removes duplicated REGIONS inside surviving documents —
+    the licence-block / syndicated-boilerplate shape whole-doc dedup
+    can't touch — via ``remove_duplicated_spans_frame`` (dedup.py), with
+    anchors and canonical owners computed over the gated survivors only
+    (cutting before gating would let a rejected doc claim ownership).
+
+    Per source: documents in, dropped by the gate, kept; tokens entering
+    the cut, tokens removed, and how many kept docs were actually cut —
+    the per-stage accounting a 100 TB curation run reports to its
+    operators.
+
+    Plan shape: the gate is a scan-time predicate (no shuffle of its
+    own); the cut is the shared anchor pipeline — (digest, doc_id, pos)
+    shuffle rows, covered-position expansion bounded by duplicated-region
+    mass; the accounting is two partial-aggregated groupBys on the
+    micro per-source key plus one broadcast-sized join of the two
+    source-level relations. Composition adds NO pass over the corpus
+    beyond what the cut itself needs."""
+    from spark_jdbc_limit_spark.operators.dedup import (
+        remove_duplicated_spans_frame,
+    )
+    from spark_jdbc_limit_spark.operators.text import grams3
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # same n>=3 ANSI division guard as curate_corpus_pipeline
+    gram_rep = F.lit(1.0) - F.when(
+        n >= 3, F.size(F.array_distinct(grams3(words, n))).cast("double") / (n - 2)
+    ).otherwise(F.lit(1.0))
+    gated = d.filter((n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP))
+    per_doc = remove_duplicated_spans_frame(gated.select("doc_id", "text"))
+    kept = (
+        gated.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+            F.sum("n_removed").alias("n_tokens_removed"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_docs_cut"),
+        )
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in"))
+    z = F.lit(0).cast("long")
+    return (
+        tot.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            (F.col("n_docs_in") - F.coalesce("n_docs_kept", z)).alias(
+                "n_docs_dropped_gate"
+            ),
+            F.coalesce("n_docs_kept", z).alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", z).alias("n_tokens_kept"),
+            F.coalesce("n_tokens_removed", z).alias("n_tokens_removed"),
+            F.coalesce("n_docs_cut", z).alias("n_docs_cut"),
         )
         .orderBy("source")
     )

@@ -1,13 +1,60 @@
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from spark_jdbc_limit_spark import build_session
+
+# --- suite durations profile (round-12 verdict #5) -------------------------
+# With SPARK_GRAFT_SUITE_PROFILE=1, the run writes SUITE.json at the repo
+# root: per-test durations (setup+call+teardown summed per nodeid), outcome
+# counts, and the wall total. The committed artifact makes the "<10 min
+# suite" question auditable from the repo instead of depending on whoever
+# last had a quiet slot — the same move that gave the bench self-clearing
+# reprobes and the rotation its history.
+
+_PROFILE = os.environ.get("SPARK_GRAFT_SUITE_PROFILE") == "1"
+_SUITE_DURATIONS: dict[str, float] = {}
+_SUITE_OUTCOMES: dict[str, int] = {}
+_SUITE_T0 = time.time()
+
+
+def pytest_runtest_logreport(report):
+    if not _PROFILE:
+        return
+    _SUITE_DURATIONS[report.nodeid] = _SUITE_DURATIONS.get(report.nodeid, 0.0) + (
+        report.duration or 0.0
+    )
+    # one outcome per test: the call phase's, or a setup skip/error
+    if report.when == "call" or (report.when == "setup" and report.outcome != "passed"):
+        _SUITE_OUTCOMES[report.outcome] = _SUITE_OUTCOMES.get(report.outcome, 0) + 1
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _PROFILE or not _SUITE_DURATIONS:
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    durations = {k: round(v, 3) for k, v in _SUITE_DURATIONS.items()}
+    top = sorted(durations.items(), key=lambda kv: kv[1], reverse=True)[:40]
+    out = {
+        "wall_sec": round(time.time() - _SUITE_T0, 1),
+        "sum_test_sec": round(sum(durations.values()), 1),
+        "n_tests": len(durations),
+        "outcomes": _SUITE_OUTCOMES,
+        "exitstatus": int(getattr(exitstatus, "value", exitstatus)),
+        "slowest": [{"test": k, "sec": v} for k, v in top],
+        "durations": durations,
+    }
+    with open(os.path.join(root, "SUITE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+# ---------------------------------------------------------------------------
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"

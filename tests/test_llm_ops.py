@@ -989,6 +989,40 @@ def test_longest_dup_substring_matches_python_bruteforce(spark):
     assert got_span == expected_span
 
 
+def test_longest_dup_substring_tab_token_ordering(spark):
+    """Round-12 advice: the adjacency window must sort by the TOKEN ARRAY,
+    not the space-joined string. A token containing a character below
+    0x20 makes the joined-string order non-suffix-lexicographic, and a
+    same-document suffix can then interleave between the true max-LCP
+    cross pair — string-ordered adjacency under-reports max_dup_len.
+
+    Deterministic counterexample (found by brute-force search, verified
+    against an exhaustive pure-Python twin): doc1 = T a z1 z2 T 'a\\tb',
+    doc2 = T a, with T an 8-token anchor. In bucket T the suffixes sort
+    as  "T a" < "T a\\tb" < "T a z1 ..."  by STRING (tab < space), so the
+    LCP-9 cross pair (doc1-pos1, doc2) is separated by doc1's second-T
+    suffix and both docs report 8. Token-array order puts "T a z1 ..."
+    right after "T a" (array element 9: 'a' < 'a\\tb') and reports the
+    true 9."""
+    from spark_jdbc_limit_spark.operators.dedup import (
+        longest_dup_substring_frame,
+    )
+
+    anchor = " ".join(f"t{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{anchor} a z1 z2 {anchor} a\tb"),
+            (2, f"{anchor} a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["max_dup_len"], r["n_dup_anchors"])
+        for r in longest_dup_substring_frame(docs).collect()
+    }
+    assert got == {1: (9, 3), 2: (9, 2)}
+
+
 def test_remove_duplicated_spans_first_owner_wins(spark, sf_correct):
     """The cut step's survivor rule on a crafted corpus: the bucket's
     min-doc_id owner keeps every shared run, later docs lose exactly the

@@ -96,6 +96,9 @@ RECENT_ADDITIONS = [
     "dedup_longest_dup_substring",
     "dedup_dup_span_extract",
     "dedup_remove_duplicated_spans",
+    # round 13: the trio composed into the curation capstone (gate →
+    # span cut over gated survivors → per-source per-stage accounting)
+    "curate_span_cut_pipeline",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.

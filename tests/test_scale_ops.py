@@ -325,23 +325,30 @@ def test_edge_count_memoized_per_corpus(spark, sf_dir, sf_correct):
 
     _supplier_edges(spark, sf_dir)
     _supplier_edges(spark, sf_correct)
-    by_key = {k: v for k, v in _EDGE_N_CACHE.items()}
+    # round-12 advice: the cache is a WeakKeyDictionary keyed by the
+    # session (so stopped sessions and their entries are collectable),
+    # mapping corpus (input-file tuple) → count inside
+    per_session = _EDGE_N_CACHE[spark]
     hits = [
         v
-        for k, v in by_key.items()
-        if any(isinstance(f, str) and sf_dir in f for f in k)
+        for corpus, v in per_session.items()
+        if any(sf_dir in f for f in corpus)
     ]
     hits_c = [
         v
-        for k, v in by_key.items()
-        if any(isinstance(f, str) and sf_correct in f for f in k)
+        for corpus, v in per_session.items()
+        if any(sf_correct in f for f in corpus)
     ]
     assert hits and hits_c and hits[0] != hits_c[0]
-    assert all(k and not isinstance(k[0], str) for k in _EDGE_N_CACHE)
     # a rebuild must reuse the cached count (same dict object, no growth)
-    n_before = len(_EDGE_N_CACHE)
+    n_before = len(per_session)
     _supplier_edges(spark, sf_dir)
-    assert len(_EDGE_N_CACHE) == n_before
+    assert len(per_session) == n_before
+    # dead sessions must be collectable: the weak keying is the fix for
+    # the unbounded strong-ref growth a flat dict had
+    import weakref
+
+    assert isinstance(_EDGE_N_CACHE, weakref.WeakKeyDictionary)
 
 
 def test_rfm_scalable_twin_matches_ntile_exactly(spark, sf_correct):
@@ -421,6 +428,9 @@ def test_rotation_staleness(monkeypatch, tmp_path):
     assert all(rounds[n] == 1 for n in old_green)
     assert all(rounds[n] == 9 for n in new_green)
 
+    # hold churn fixed (empty) so this pin isolates the staleness sort;
+    # the churn tier has its own test below
+    monkeypatch.setattr(ops, "_changed_modules_since", lambda r: set())
     before = dict(ops.REGISTRY)
     try:
         ops._rotate_registry()
@@ -433,20 +443,98 @@ def test_rotation_staleness(monkeypatch, tmp_path):
         ops.REGISTRY.clear()
         ops.REGISTRY.update(before)
 
-    # real history: the verified block of the live registry must be
-    # monotone in verifying round, which bounds the redraw distance of
-    # the stalest entry to ceil(n_verified/window) sample windows.
-    # UNDO the glob monkeypatch first — otherwise this half re-reads the
+    # real history: the verified block of the live registry is ordered in
+    # tiers (round-12 verdict #2) — staleness-critical first, churned
+    # second, rest third, each ascending in verifying round — so the
+    # redraw distance of the stalest entry stays bounded by
+    # ceil(n_verified/window) sample windows while module churn gets the
+    # window budget the critical tier leaves free.
+    # UNDO the monkeypatches first — otherwise this half re-reads the
     # synthetic fixture and pins nothing about the repo's actual files.
     monkeypatch.undo()
     real_rounds = ops._driver_sampled_rounds()
     verified_in_order = [n for n in ops.REGISTRY if n in real_rounds]
-    rs = [real_rounds[n] for n in verified_in_order]
-    assert rs == sorted(rs), "verified block must be stalest-first"
-    window = 50
+    window = ops._SAMPLE_WINDOW
     if verified_in_order:
-        worst_windows = math.ceil(len(verified_in_order) / window)
+        current = ops._latest_correctness_round()
+        bound = max(2, math.ceil(len(ops.REGISTRY) / window))
+        # every staleness-critical entry (would exceed the bound if not
+        # re-drawn this round) must sit inside the first sample window of
+        # the verified block — the hard invariant churn must not break
+        critical = [
+            n for n in verified_in_order if current - real_rounds[n] >= bound - 1
+        ]
+        head = set(verified_in_order[:window])
+        assert len(critical) <= window, "critical tier over-subscribed"
+        assert set(critical) <= head, (
+            "staleness-critical entries displaced from the sample window"
+        )
+        # the critical prefix itself is stalest-first
+        rs_crit = [real_rounds[n] for n in verified_in_order[: len(critical)]]
+        assert rs_crit == sorted(rs_crit)
         stalest_pos = verified_in_order.index(
             min(verified_in_order, key=lambda n: real_rounds[n])
         )
-        assert stalest_pos < window <= window * worst_windows
+        assert stalest_pos < window
+
+
+def test_rotation_churn_tier_promotes_changed_modules(monkeypatch, tmp_path):
+    """Round-12 verdict #2: an entry whose implementing module changed
+    since the round that greened it carries a stale driver signature —
+    it must outrank unchanged recently-green entries, but NEVER displace
+    a staleness-critical one."""
+    import importlib
+    import json
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    names = list(ops.REGISTRY)
+    critical, churned, recent = names[0], names[1], names[2]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    # current round = 99; bound with the live registry ≈ 7 → green at 93
+    # is critical; 98-greens are fresh
+    f93 = tmp_path / "CORRECTNESS_r93.json"
+    f93.write_text(json.dumps({critical: green}))
+    f98 = tmp_path / "CORRECTNESS_r98.json"
+    f98.write_text(json.dumps({churned: green, recent: green}))
+    f99 = tmp_path / "CORRECTNESS_r99.json"
+    f99.write_text(json.dumps({}))
+
+    real_glob = importlib.import_module("glob").glob
+    monkeypatch.setattr(
+        "glob.glob",
+        lambda pattern: [str(f93), str(f98), str(f99)]
+        if "CORRECTNESS_r" in pattern
+        else real_glob(pattern),
+    )
+    churned_mod = ops.REGISTRY[churned].builder.__module__.replace(".", "/") + ".py"
+    monkeypatch.setattr(
+        ops, "_changed_modules_since", lambda r: {churned_mod} if r == 98 else set()
+    )
+    before = dict(ops.REGISTRY)
+    try:
+        ops._rotate_registry()
+        rotated = list(ops.REGISTRY)
+        # seen block is the last 3: critical (tier 1), churned (tier 2),
+        # untouched recent green (tier 3) — in exactly that order
+        assert rotated[-3:] == [critical, churned, recent]
+    finally:
+        ops.REGISTRY.clear()
+        ops.REGISTRY.update(before)
+
+
+def test_rotation_churn_lookup_against_real_git():
+    """The git plumbing itself: boundary-commit lookup + name-only diff
+    must produce a set of repo-relative module paths (or None on a
+    checkout without the boundary commit — never raise)."""
+    import spark_jdbc_limit_spark.operators as ops
+
+    ops._CHANGED_SINCE_CACHE.clear()
+    changed = ops._changed_modules_since(12)
+    assert changed is None or all(
+        p.startswith("spark_jdbc_limit_spark/") for p in changed
+    )
+    # memoized: second call must hit the cache
+    assert ops._changed_modules_since(12) is changed
+    # a round with no boundary commit → None (fallback, not a crash)
+    assert ops._changed_modules_since(10**6) is None
