@@ -554,7 +554,14 @@ def curate_span_cut_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_rep = F.lit(1.0) - F.when(
         n >= 3, F.size(F.array_distinct(grams3(words, n))).cast("double") / (n - 2)
     ).otherwise(F.lit(1.0))
-    gated = d.filter((n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP))
+    # lineage cut: the gated relation feeds THREE branches (the cut
+    # step's token arrays, its anchor explosion, and the source join
+    # below) — without it each branch re-pays the scan + trigram gate
+    # (the winnowing/shingle checkpoint rule; measured ~1 s of the
+    # entry's sf0.1 wall)
+    gated = d.filter(
+        (n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP)
+    ).select("doc_id", "source", "text").localCheckpoint(eager=False)
     per_doc = remove_duplicated_spans_frame(gated.select("doc_id", "text"))
     kept = (
         gated.select("doc_id", "source")
