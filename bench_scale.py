@@ -127,6 +127,13 @@ QUERIES: dict[str, str] = {
     # that had no replication row; shares _dup_survivors with the length
     # entry, span text materializes only for per-doc winners
     "dedup_dup_span_extract": "linear",
+    # round-13 additions: the decontamination screen (train anchors ×
+    # distinct eval grams — replica tags keep eval gram sets
+    # replica-disjoint, so both sides scale xR and the join stays
+    # digest-keyed) and its span-cut remedy (same machinery + the
+    # covered-position cut, bounded by contaminated mass)
+    "pipeline_decontaminate_eval_overlap": "linear",
+    "pipeline_decontaminate_span_cut": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min

@@ -151,7 +151,7 @@ _MH_A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
 _MH_B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
 
 
-def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+def minhash_band_buckets(docs: DataFrame, spread: bool = True) -> DataFrame:
     """(doc_id, band_id, band_hash): LSH bucket keys per document.
 
     The minhash signature is a pure function of ONE document, so the whole
@@ -161,6 +161,11 @@ def minhash_band_buckets(docs: DataFrame) -> DataFrame:
     100 TB is the dominant cost of the pipeline. The bucket join that
     follows is keyed on (band_id, band_hash), never on the raw pair space.
     Integer arithmetic matches the DuckDB oracle bit-for-bit.
+
+    ``spread=False`` skips the pre-Arrow round-robin repartition — the
+    streaming ingest gate (streaming/ingest.py) feeds micro-batches whose
+    partitioning the file source already set, and a shuffle inside the
+    per-trigger plan would buy nothing.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -189,9 +194,10 @@ def minhash_band_buckets(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return _spread(docs.select("doc_id", "text")).mapInPandas(
-        gen, "doc_id long, band_id int, band_hash long"
-    )
+    src = docs.select("doc_id", "text")
+    if spread:
+        src = _spread(src)
+    return src.mapInPandas(gen, "doc_id long, band_id int, band_hash long")
 
 
 def _sql_minhash_bands() -> str:
@@ -2215,6 +2221,16 @@ def remove_duplicated_spans_frame(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("cov"))
     )
+    return cut_covered_positions(toks_all, cov)
+
+
+def cut_covered_positions(toks_all: DataFrame, cov: DataFrame) -> DataFrame:
+    """Shared cut/reassembly tail: given ``(doc_id, w)`` token arrays and
+    a ``(doc_id, cov)`` covered-position-set relation (1-based
+    positions), drop the covered tokens and reassemble — one index-aware
+    codegen ``filter`` per doc, no per-token shuffle. Used by the dedup
+    cut step and the decontamination span cut
+    (pipeline.py: ``pipeline_decontaminate_span_cut``)."""
     joined = toks_all.join(cov, "doc_id", "left").select(
         "doc_id",
         "w",

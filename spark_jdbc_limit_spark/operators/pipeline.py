@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 from spark_jdbc_limit_spark.operators.dedup import (
     DUP_ANCHOR_L,
+    _dup_anchors,
     _sql_shingles,
+    cut_covered_positions,
     shingle_hashes,
 )
 from spark_jdbc_limit_spark.operators.registry import query
@@ -591,6 +593,163 @@ def curate_span_cut_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Deterministic eval-set slice for the position-level decontamination
+#: pair below (doc_id % DECON_EVAL_MOD == 0 plays the held-out
+#: benchmark). DISTINCT from `decontaminate_ngram_overlap`'s EVAL_MOD=97
+#: (that entry's whole-doc-drop policy works with a tiny eval slice; the
+#: 8-gram position screen needs mod 11's ~9% slice to stay non-vacuous
+#: on the synthetic corpus), and deliberately NOT named EVAL_MOD:
+#: rebinding that module global broke the older entry's builder while
+#: its oracle f-string kept the decoration-time 97 (caught by the
+#: round-13 suite run).
+DECON_EVAL_MOD = 11
+
+
+@query(
+    "pipeline_decontaminate_eval_overlap",
+    category="llm_pipeline",
+    description=(
+        f"Eval-set decontamination screen: per training doc, how many of "
+        f"its {DUP_ANCHOR_L}-gram positions also occur in the held-out "
+        f"eval slice (doc_id % {DECON_EVAL_MOD} == 0)"
+    ),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tr AS (
+            SELECT doc_id, md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L} AND doc_id % {DECON_EVAL_MOD} <> 0
+        ),
+        ev AS (
+            SELECT DISTINCT md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L} AND doc_id % {DECON_EVAL_MOD} = 0
+        )
+        SELECT tr.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN ev.ah IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(MAX(CASE WHEN ev.ah IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INT) AS is_contaminated
+        FROM tr LEFT JOIN ev ON tr.ah = ev.ah
+        GROUP BY tr.doc_id
+        ORDER BY tr.doc_id
+    """,
+)
+def pipeline_decontaminate_eval_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination — the screen every serious pretraining
+    pipeline runs before training: a training document that shares long
+    n-grams with the held-out evaluation set leaks the benchmark into
+    the weights, so such docs are flagged (and typically dropped or
+    span-cut). Here the deterministic doc_id % {DECON_EVAL_MOD} == 0 slice
+    plays the eval set; per TRAINING doc (≥ {DUP_ANCHOR_L} tokens) the
+    screen reports its {DUP_ANCHOR_L}-gram position count, how many of
+    those positions collide with ANY eval-set gram, and the flag.
+
+    Plan (the reason this is affordable at 100 TB): the eval side
+    collapses to its DISTINCT gram digests — a relation bounded by the
+    benchmark's size, in production broadcast onto the training scan —
+    and the training side streams (digest, doc_id) rows through one
+    left join + a partial-aggregated per-doc count. No pair space, no
+    window, no Python; the same anchor machinery as the suffix-dedup
+    family (``_dup_anchors``), aimed at a different corpus split. The
+    8-gram floor mirrors the n-gram overlap rule used by published
+    decontamination protocols (8-13 grams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
+    _, tr_anchors = _dup_anchors(docs.filter(~is_eval))
+    ev_grams = (
+        _dup_anchors(docs.filter(is_eval))[1]
+        .select("ah")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr_anchors.join(ev_grams, "ah", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.max(F.coalesce("hit", F.lit(0))).cast("int").alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipeline_decontaminate_span_cut",
+    category="llm_pipeline",
+    description=(
+        f"Decontamination CUT: strip every token covered by an eval-set "
+        f"{DUP_ANCHOR_L}-gram from each training doc, preserving order"
+    ),
+    oracle=f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tr AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L} AND doc_id % {DECON_EVAL_MOD} <> 0
+        ),
+        ev AS (
+            SELECT DISTINCT md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L} AND doc_id % {DECON_EVAL_MOD} = 0
+        ),
+        cov AS (
+            SELECT DISTINCT tr.doc_id, tr.i + off AS pos
+            FROM tr JOIN ev USING (ah), UNNEST(range(0, {DUP_ANCHOR_L})) AS t(off)
+        ),
+        cv AS (SELECT doc_id, list(pos) AS cov FROM cov GROUP BY doc_id)
+        SELECT w.doc_id,
+               CAST(len(w.w) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(cv.cov), 0) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(
+                   [w.w[k] for k in range(1, len(w.w) + 1)
+                    if cv.cov IS NULL OR NOT list_contains(cv.cov, k)],
+                   ' '), '') AS cleaned_text
+        FROM w LEFT JOIN cv USING (doc_id)
+        WHERE w.doc_id % {DECON_EVAL_MOD} <> 0
+        ORDER BY w.doc_id
+    """,
+)
+def pipeline_decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of the decontamination screen: instead of
+    dropping a flagged training document whole, remove exactly the
+    tokens covered by some eval-set {DUP_ANCHOR_L}-gram — the span-level
+    remedy used when a long doc contains one leaked benchmark passage
+    (dropping it entirely wastes the clean 99%). Training docs only in
+    the output (the eval slice is held out, not rewritten); short docs
+    pass through whole; token order is preserved.
+
+    Plan: the same covered-position machinery as the dedup cut step
+    (``cut_covered_positions``), with the owner rule replaced by
+    membership in the eval gram set — covered mass is bounded by
+    contaminated regions, the eval digest relation is benchmark-sized
+    (broadcast at production scale), and the reassembly is one codegen
+    ``filter`` per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
+    train = docs.filter(~is_eval)
+    toks_all = train.select("doc_id", F.split("text", " ").alias("w"))
+    _, tr_anchors = _dup_anchors(train)
+    ev_grams = _dup_anchors(docs.filter(is_eval))[1].select("ah").distinct()
+    cov = (
+        tr_anchors.join(ev_grams, "ah")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + DUP_ANCHOR_L - 1)
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    return cut_covered_positions(toks_all, cov).orderBy("doc_id")
 
 
 @query(

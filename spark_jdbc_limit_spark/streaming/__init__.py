@@ -9,6 +9,10 @@ the same files."""
 
 from __future__ import annotations
 
+from spark_jdbc_limit_spark.streaming.ingest import (
+    documents_stream,
+    stream_ingest_dedup_gate,
+)
 from spark_jdbc_limit_spark.streaming.windows import (
     events_stream,
     stream_cms_cells,
@@ -21,10 +25,12 @@ from spark_jdbc_limit_spark.streaming.windows import (
 )
 
 __all__ = [
+    "documents_stream",
     "events_stream",
     "stream_cms_cells",
     "run_stream_to_memory",
     "stream_dedup_within_watermark",
+    "stream_ingest_dedup_gate",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_tumbling_counts",

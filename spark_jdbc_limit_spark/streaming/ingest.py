@@ -1,0 +1,120 @@
+"""Streaming ingest-time dedup gate (SURVEY.md §2B "streaming" × the
+LLM-dedup north star; no reference analogue — the reference is batch-only
+JDBC plumbing, /root/reference/README.md:1-9).
+
+The batch twin is ``dedup_incremental_new_batch`` (operators/dedup.py):
+a newly arrived document batch is screened against the STANDING corpus —
+exact content-digest probe + minhash band-bucket near-dup probe — without
+ever re-deduplicating the corpus against itself. This module runs the
+SAME semantics as a real Structured Streaming job, the shape a 100 TB
+pipeline actually deploys (dedup on ingest, not as a periodic batch over
+the accumulated corpus):
+
+- the incoming documents are a FILE-SOURCE STREAM (at production scale:
+  the crawl landing bucket), micro-batch by micro-batch;
+- the corpus digest set and the corpus's DISTINCT band-bucket keys are
+  STATIC relations — the materialized index an ingest pipeline maintains
+  (re-resolved per trigger, so an index refresh between triggers is
+  picked up automatically);
+- both probes are stream-static LEFT joins (stateless — no watermark
+  needed, no stream-stream pairing), and the per-document verdict is a
+  two-flag aggregation in complete mode.
+
+Why the union+aggregate shape instead of the batch twin's two marker
+joins onto the batch relation: the twin joins the batch against two
+relations DERIVED FROM ITSELF, which in streaming would be a
+stream-stream self-join (needs event time + watermarks that documents
+don't have). Unioning the two probes' flag rows and taking per-doc MAX
+is the same result with only stream-static joins and one aggregation.
+
+tests/test_streaming.py::test_ingest_dedup_gate_stream_matches_batch
+pins the stream's rows EQUAL to the oracle-checked batch twin's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_jdbc_limit_spark.operators.dedup import (
+    INCR_BATCH_MOD,
+    minhash_band_buckets,
+)
+from spark_jdbc_limit_spark.sources.catalog import load_table
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the 'newly crawled
+    docs' side of the ingest gate). Schema is pinned from one batch
+    footer read, the same normalization dance as ``events_stream``."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per newly-ingested document (the deterministic doc_id %
+    {INCR_BATCH_MOD} == 0 slice of the stream): ``is_exact_dup`` (its
+    content digest exists in the standing corpus) and
+    ``has_near_dup_candidate`` (any of its minhash band buckets is
+    occupied by the corpus). Same flags, same integer arithmetic, same
+    survivor semantics as the batch twin — the probes cost
+    O(new docs × bucket lookups), never corpus²."""
+    incoming = documents_stream(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == 0
+    )
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) != 0
+    )
+    cmd5 = (
+        corpus.select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .withColumn("e_hit", F.lit(1))
+    )
+    cbands = (
+        minhash_band_buckets(corpus)
+        .select("band_id", "band_hash")
+        .distinct()
+        .withColumn("n_hit", F.lit(1))
+    )
+    exact_rows = (
+        incoming.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+        )
+        .join(cmd5, "h", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e_hit", F.lit(0)).alias("e"),
+            F.lit(0).alias("n"),
+        )
+    )
+    near_rows = (
+        minhash_band_buckets(incoming, spread=False)
+        .join(cbands, ["band_id", "band_hash"], "left")
+        .select(
+            "doc_id",
+            F.lit(0).alias("e"),
+            F.coalesce("n_hit", F.lit(0)).alias("n"),
+        )
+    )
+    return (
+        exact_rows.unionByName(near_rows)
+        .groupBy("doc_id")
+        .agg(
+            F.max("e").cast("int").alias("is_exact_dup"),
+            F.max("n").cast("int").alias("has_near_dup_candidate"),
+        )
+    )

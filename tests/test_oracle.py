@@ -99,6 +99,10 @@ RECENT_ADDITIONS = [
     # round 13: the trio composed into the curation capstone (gate →
     # span cut over gated survivors → per-source per-stage accounting)
     "curate_span_cut_pipeline",
+    # round 13: benchmark decontamination (flag + span-level cut of
+    # training docs sharing 8-grams with the held-out eval slice)
+    "pipeline_decontaminate_eval_overlap",
+    "pipeline_decontaminate_span_cut",
 ]
 # dict.fromkeys: a query reworked in a later round than it was added
 # appears twice in the list above; the sweep should run it once.

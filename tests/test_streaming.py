@@ -59,6 +59,23 @@ def test_dedup_stream_matches_batch(spark, sf_dir):
     compare_frames(got, want, "stream dedup vs batch distinct")
 
 
+def test_ingest_dedup_gate_stream_matches_batch(spark, sf_dir):
+    """The streaming ingest dedup gate (stream-static digest + band-bucket
+    probes over the documents file stream) must produce exactly the rows
+    of its oracle-checked batch twin, dedup_incremental_new_batch — the
+    dedup-on-ingest shape a production pipeline deploys. Also asserts
+    the gate is non-vacuous: at every shipped SF some incoming doc has a
+    near-dup candidate (FIXTURES.md)."""
+    from spark_jdbc_limit_spark.streaming import stream_ingest_dedup_gate
+
+    got = run_stream_to_memory(
+        stream_ingest_dedup_gate(spark, sf_dir), "complete"
+    ).toPandas()
+    want = get_query("dedup_incremental_new_batch").builder(spark, sf_dir).toPandas()
+    compare_frames(got, want, "stream ingest gate vs batch twin")
+    assert got["has_near_dup_candidate"].sum() > 0
+
+
 def test_late_data_dropped_beyond_watermark(spark, sf_dir):
     """Append-mode windowed agg only emits windows the watermark has
     closed; with availableNow over a finite source the final watermark
