@@ -544,12 +544,20 @@ def curate_span_cut_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro per-source key plus one broadcast-sized join of the two
     source-level relations. Composition adds NO pass over the corpus
     beyond what the cut itself needs."""
+    return curate_span_cut_frame(load_table(spark, sf_dir, "documents"))
+
+
+def curate_span_cut_frame(d: DataFrame) -> DataFrame:
+    """The capstone as a frame function over any ``(doc_id, source,
+    text)`` relation — the registry entry applies it to the documents
+    table; tests/test_pipeline_ops.py pins the per-stage accounting on a
+    crafted corpus (including the gated-ownership rule: a gate-dropped
+    doc must not claim an anchor bucket)."""
     from spark_jdbc_limit_spark.operators.dedup import (
         remove_duplicated_spans_frame,
     )
     from spark_jdbc_limit_spark.operators.text import grams3
 
-    d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     # same n>=3 ANSI division guard as curate_corpus_pipeline

@@ -319,3 +319,50 @@ def test_peak_concurrency_matches_python_sweep(spark, tmp_path):
         g_peak, g_first, g_n = got[etype]
         assert g_peak == peak and g_n == n, etype
         assert pd.Timestamp(g_first) == first, etype
+
+
+def test_curate_span_cut_stage_accounting_crafted(spark):
+    """The round-13 capstone's per-source, per-stage accounting pinned on
+    a crafted corpus, independently of the DuckDB oracle (which derives
+    from the same spec). The sharpest pin is GATED OWNERSHIP: doc 0
+    (source A) carries the licence block but fails the repetition gate
+    with the SMALLEST doc_id — were anchors computed over the raw corpus,
+    it would own the block's bucket and doc 3 would get cut; over the
+    gated survivors, doc 3 is the owner and only doc 4 loses the block's
+    8 tokens."""
+    from spark_jdbc_limit_spark.operators.pipeline import curate_span_cut_frame
+
+    block = " ".join(f"lic{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            # src A: gate-dropped (block + 30x repetition → gram_rep 0.75)
+            (0, "A", block + " " + " ".join(["x"] * 30)),
+            # src A: clean unique 10-worder → kept, untouched
+            (1, "A", " ".join(f"a{i}" for i in range(10))),
+            # src A: gate-dropped (pure repetition)
+            (2, "A", " ".join(["x"] * 10)),
+            # src B: licence block + 2 unique → kept, OWNER (min gated id)
+            (3, "B", block + " u1 u2"),
+            # src B: unique + block → kept, loses the block's 8 tokens
+            (4, "B", "v1 " + block + " v2"),
+            # src C: 7 tokens → gate-dropped (below the length floor)
+            (5, "C", " ".join(f"c{i}" for i in range(7))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs_in"],
+            r["n_docs_dropped_gate"],
+            r["n_docs_kept"],
+            r["n_tokens_kept"],
+            r["n_tokens_removed"],
+            r["n_docs_cut"],
+        )
+        for r in curate_span_cut_frame(docs).collect()
+    }
+    assert got == {
+        "A": (3, 2, 1, 10, 0, 0),
+        "B": (2, 0, 2, 20, 8, 1),
+        "C": (1, 1, 0, 0, 0, 0),
+    }
