@@ -134,6 +134,10 @@ QUERIES: dict[str, str] = {
     # covered-position cut, bounded by contaminated mass)
     "pipeline_decontaminate_eval_overlap": "linear",
     "pipeline_decontaminate_span_cut": "linear",
+    # the curation capstone (top-4 heaviest entry): gate is scan-local,
+    # the cut inherits the anchor pipeline's posture, accounting is a
+    # micro-key aggregation — composition must not break sub-linearity
+    "curate_span_cut_pipeline": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min
