@@ -538,3 +538,30 @@ def test_rotation_churn_lookup_against_real_git():
     assert ops._changed_modules_since(12) is changed
     # a round with no boundary commit → None (fallback, not a crash)
     assert ops._changed_modules_since(10**6) is None
+
+
+def test_bench_baseline_constants_frozen():
+    """bench.py's BASELINE_QUERY_SEC hardcodes BASELINE.md's round-1
+    recorded 57-query plain-PySpark baseline (round-12 advice flagged the
+    copy as drift-prone): pin the count, the recorded 63.8 s total, that
+    every name still exists in the registry (a rename would silently
+    drop its reprobe trigger), and that the anchor set is a subset."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import ANCHOR_QUERIES, ANCHOR_REF_SEC, BASELINE_QUERY_SEC
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    assert len(BASELINE_QUERY_SEC) == 57
+    assert abs(sum(BASELINE_QUERY_SEC.values()) - 63.8) < 0.3
+    missing = [n for n in BASELINE_QUERY_SEC if n not in ops.REGISTRY]
+    assert not missing, f"baseline names drifted from the registry: {missing}"
+    assert set(ANCHOR_QUERIES) <= set(BASELINE_QUERY_SEC)
+    # the quiet-slot reference stays in the physically-plausible band for
+    # this anchor set at sf0.1/32cpus (re-records adjust the value, not
+    # the order of magnitude)
+    assert 2.0 < ANCHOR_REF_SEC < 3.5
