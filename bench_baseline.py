@@ -357,7 +357,14 @@ def naive_longest_dup_substring(spark, sf_dir, docs: DataFrame | None = None) ->
 
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    sv = _dup_survivors(docs).cache()
+    # NOT .cache(): _dup_survivors already ends in a lazy localCheckpoint,
+    # so within the one action both self-join sides and the count branch
+    # reuse one materialization; a .cache() here additionally registered a
+    # NEW CacheManager entry per invocation (each call checkpoints a fresh
+    # RDD, so the analyzed plans never match) and bench_levers.py's 5+
+    # calls per run accumulated copies that skewed the timed A/B
+    # (round-13 advice).
+    sv = _dup_survivors(docs)
     pairs = (
         sv.alias("a")
         .join(
@@ -385,7 +392,8 @@ def naive_dup_span_extract(spark, sf_dir) -> DataFrame:
     """Exhaustive-pairs twin of the span extraction entry."""
     from spark_jdbc_limit_spark.operators.dedup import _LCP_EXPR, _dup_survivors
 
-    sv = _dup_survivors(load_table(spark, sf_dir, "documents")).cache()
+    # same no-.cache() rationale as naive_longest_dup_substring above
+    sv = _dup_survivors(load_table(spark, sf_dir, "documents"))
     spans = (
         sv.alias("a")
         .join(
@@ -403,7 +411,10 @@ def naive_dup_span_extract(spark, sf_dir) -> DataFrame:
             "span",
             F.expr("array_join(slice(split(s, ' '), 1, int(lcp)), ' ')"),
         )
-        .cache()
+        # lazy checkpoint, not .cache(): both downstream branches (best +
+        # final join) reuse one materialization within the action, and
+        # nothing accumulates in the CacheManager across timed reps
+        .localCheckpoint(eager=False)
     )
     best = spans.groupBy("doc_id").agg(F.max("lcp").alias("dup_len"))
     return (

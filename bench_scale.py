@@ -138,6 +138,12 @@ QUERIES: dict[str, str] = {
     # the cut inherits the anchor pipeline's posture, accounting is a
     # micro-key aggregation — composition must not break sub-linearity
     "curate_span_cut_pipeline": "linear",
+    # round-14 addition: the COMPOSED capstone (gate → dup cut + decon
+    # cut as one covered-position union → accounting) — one anchor
+    # explosion feeds both cover joins, the eval side is distinct gram
+    # digests (xR under replica tags), the union aggregate is bounded by
+    # covered mass; must inherit the span-cut capstone's posture
+    "curate_full_pipeline": "linear",
 }
 
 #: A first pass above this many seconds skips the second pass (the min

@@ -342,6 +342,11 @@ _QUEUE_BEHIND = (
 #: The driver's per-round correctness sample size — the first this-many
 #: registry entries get a driver-signed three-way row each round. The
 #: staleness bound the rotation maintains is ceil(n_entries / window).
+#: Round-14 decision (round-13 verdict #5): the window is the DRIVER's
+#: sampling behavior, not ours to grow, so the bound stays the formula —
+#: it self-adjusts (to 8) the moment the registry crosses 350 entries,
+#: and tier 1 enforces whatever the formula says at the current count;
+#: ROTATION.json's history row records the achieved max each round.
 _SAMPLE_WINDOW = 50
 
 
@@ -397,6 +402,44 @@ def _changed_modules_since(round_: int) -> set[str] | None:
 _CHANGED_SINCE_CACHE: dict[int, set[str] | None] = {}
 
 
+def _module_deps(mod_rel: str) -> frozenset[str]:
+    """Repo-relative paths of the package modules ``mod_rel`` imports —
+    the helper modules whose change must also churn-promote its entries
+    (round-13 advice: the tier keyed on the builder's DEFINING module
+    only, so ``curate_span_cut_pipeline`` — builder in pipeline.py, cut
+    logic in dedup.py — stayed tier 3 through a dedup.py refactor while
+    its driver signature certified changed code). Derived by scanning
+    the module source for ``from spark_jdbc_limit_spark.* import``
+    statements rather than hand-maintained (a static map would drift
+    exactly like the name lists this package avoids). One level deep by
+    design: transitive helper-of-helper edits are almost always visible
+    in the direct helper too, and depth-1 already over-approximates
+    (relational.py's shared rounding helpers pull most modules forward
+    on a relational edit — safe, since tier 2 never displaces tier 1).
+    Memoized per module file."""
+    import os
+    import re
+
+    if mod_rel in _MODULE_DEPS_CACHE:
+        return _MODULE_DEPS_CACHE[mod_rel]
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    deps: set[str] = set()
+    try:
+        with open(os.path.join(root, mod_rel)) as f:
+            src = f.read()
+        for m in re.finditer(r"from (spark_jdbc_limit_spark[.\w]*) import", src):
+            deps.add(m.group(1).replace(".", "/") + ".py")
+    except OSError:
+        pass
+    deps.discard(mod_rel)
+    out = frozenset(deps)
+    _MODULE_DEPS_CACHE[mod_rel] = out
+    return out
+
+
+_MODULE_DEPS_CACHE: dict[str, frozenset[str]] = {}
+
+
 def _rotate_registry() -> None:
     rounds = _driver_sampled_rounds()
     sampled = set(rounds) & set(REGISTRY)
@@ -419,11 +462,13 @@ def _rotate_registry() -> None:
     #      ceil(n_entries / _SAMPLE_WINDOW) — the hard invariant
     #      (round-9 verdict #7), pinned in
     #      tests/test_scale_ops.py::test_rotation_staleness;
-    #   2. CHURNED: entries whose implementing module changed (committed
-    #      or working tree) since the round that greened them — their
-    #      driver signature certifies code that no longer exists, so a
-    #      refactor of dedup.py pulls the whole dedup family forward
-    #      into whatever window budget tier 1 leaves free;
+    #   2. CHURNED: entries whose implementing module — or any package
+    #      module it imports (``_module_deps``, round-13 advice) —
+    #      changed (committed or working tree) since the round that
+    #      greened them: their driver signature certifies code that no
+    #      longer exists, so a refactor of dedup.py pulls forward both
+    #      the dedup family and the pipeline entries built on its frame
+    #      helpers, into whatever window budget tier 1 leaves free;
     #   3. everything else.
     # Tier 2 never displaces tier 1, so churn prioritization cannot
     # break the staleness bound; git unavailable → tier 2 is empty and
@@ -439,8 +484,10 @@ def _rotate_registry() -> None:
         if current - rounds[n] >= bound - 1:
             return 1
         changed = _changed_modules_since(rounds[n])
-        if changed is not None and _module_rel(n) in changed:
-            return 2
+        if changed is not None:
+            mod = _module_rel(n)
+            if mod in changed or not _module_deps(mod).isdisjoint(changed):
+                return 2
         return 3
 
     seen = {

@@ -2224,22 +2224,34 @@ def remove_duplicated_spans_frame(docs: DataFrame) -> DataFrame:
     return cut_covered_positions(toks_all, cov)
 
 
-def cut_covered_positions(toks_all: DataFrame, cov: DataFrame) -> DataFrame:
+def cut_covered_positions(
+    toks_all: DataFrame, cov: DataFrame, extra_zero_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Shared cut/reassembly tail: given ``(doc_id, w)`` token arrays and
     a ``(doc_id, cov)`` covered-position-set relation (1-based
     positions), drop the covered tokens and reassemble — one index-aware
     codegen ``filter`` per doc, no per-token shuffle. Used by the dedup
-    cut step and the decontamination span cut
-    (pipeline.py: ``pipeline_decontaminate_span_cut``)."""
+    cut step, the decontamination span cut, and the composed curation
+    capstone (pipeline.py: ``pipeline_decontaminate_span_cut``,
+    ``curate_full_pipeline``). ``extra_zero_cols`` names additional
+    numeric columns on ``cov`` (e.g. per-cut-family removal counters) to
+    carry through, coalesced to 0L for uncovered docs — so callers
+    needing per-doc breakdowns alongside the cut pay ONE aggregate over
+    the coverage relation, not a second join."""
     joined = toks_all.join(cov, "doc_id", "left").select(
         "doc_id",
         "w",
         F.coalesce("cov", F.array().cast("array<int>")).alias("cov2"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in extra_zero_cols
+        ],
     )
     return joined.select(
         "doc_id",
         F.size("w").cast("long").alias("n_tokens"),
         F.size("cov2").cast("long").alias("n_removed"),
+        *extra_zero_cols,
         F.expr(
             "array_join(filter(w, (x, i) -> NOT array_contains(cov2, i + 1)), ' ')"
         ).alias("cleaned_text"),

@@ -366,13 +366,17 @@ CURATE_MIN_WORDS = 8
 CURATE_MAX_GRAM_REP = 0.6
 
 
-@query(
-    "curate_corpus_pipeline",
-    category="llm_pipeline",
-    description="End-to-end curation: quality gate -> exact dedup -> per-source accounting",
-    oracle=f"""
-        WITH scored AS (
-            SELECT doc_id, source, lang, text,
+def _span_cut_gate_sql(extra: str = "") -> str:
+    """The quality-gate CTE pair (scored → gated) single-sourced for
+    every curation-capstone oracle, so the gate definition can never
+    drift between them (round-13 advice: the docstring used to CLAIM
+    single-sourcing while ``curate_corpus_pipeline`` still carried an
+    inline copy). ``extra`` is a comma-led column fragment appended to
+    both select lists (``curate_corpus_pipeline`` passes ``", lang"``);
+    ``gated`` always exposes n_words for consumers that account tokens."""
+    return f"""
+        scored AS (
+            SELECT doc_id, source, text{extra},
                    len(string_split(text, ' ')) AS n_words,
                    list_transform(range(1, len(string_split(text, ' ')) - 1),
                        i -> string_split(text, ' ')[i] || ' ' ||
@@ -381,12 +385,20 @@ CURATE_MAX_GRAM_REP = 0.6
             FROM documents
         ),
         gated AS (
-            SELECT doc_id, source, lang, text, n_words
+            SELECT doc_id, source, text, n_words{extra}
             FROM scored
             WHERE n_words >= {CURATE_MIN_WORDS}
               AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / (n_words - 2)
                   <= {CURATE_MAX_GRAM_REP}
-        ),
+        )"""
+
+
+@query(
+    "curate_corpus_pipeline",
+    category="llm_pipeline",
+    description="End-to-end curation: quality gate -> exact dedup -> per-source accounting",
+    oracle=f"""
+        WITH {_span_cut_gate_sql(", lang")},
         deduped AS (
             SELECT source, lang, text, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
             FROM gated
@@ -441,29 +453,6 @@ def curate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
-
-
-def _span_cut_gate_sql() -> str:
-    """The quality-gate CTE shared with ``curate_corpus_pipeline``'s
-    oracle (single-sourced here so the two capstones can never drift on
-    the gate definition)."""
-    return f"""
-        scored AS (
-            SELECT doc_id, source, text,
-                   len(string_split(text, ' ')) AS n_words,
-                   list_transform(range(1, len(string_split(text, ' ')) - 1),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1] || ' ' ||
-                            string_split(text, ' ')[i+2]) AS grams
-            FROM documents
-        ),
-        gated AS (
-            SELECT doc_id, source, text
-            FROM scored
-            WHERE n_words >= {CURATE_MIN_WORDS}
-              AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / (n_words - 2)
-                  <= {CURATE_MAX_GRAM_REP}
-        )"""
 
 
 @query(
@@ -758,6 +747,260 @@ def pipeline_decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.collect_set("pos").alias("cov"))
     )
     return cut_covered_positions(toks_all, cov).orderBy("doc_id")
+
+
+@query(
+    "curate_full_pipeline",
+    category="llm_pipeline",
+    description=(
+        f"Full curation chain: quality gate -> duplicated-span cut + "
+        f"eval-{DUP_ANCHOR_L}-gram decontamination cut in ONE pass -> "
+        f"per-source per-stage token accounting"
+    ),
+    oracle=f"""
+        WITH {_span_cut_gate_sql()},
+        w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM gated WHERE doc_id % {DECON_EVAL_MOD} <> 0
+        ),
+        anch AS (
+            SELECT doc_id, i,
+                   md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM w, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L}
+        ),
+        b AS (
+            SELECT ah, MIN(doc_id) AS own
+            FROM anch GROUP BY ah HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        evw AS (
+            SELECT string_split(text, ' ') AS w
+            FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0
+        ),
+        ev AS (
+            SELECT DISTINCT md5(array_to_string(w[i : i + {DUP_ANCHOR_L - 1}], ' ')) AS ah
+            FROM evw, UNNEST(range(1, len(w) - {DUP_ANCHOR_L} + 2)) AS t(i)
+            WHERE len(w) >= {DUP_ANCHOR_L}
+        ),
+        covt AS (
+            SELECT doc_id, pos, MAX(d) AS d, MAX(c) AS c
+            FROM (
+                SELECT a.doc_id, a.i + off AS pos, 1 AS d, 0 AS c
+                FROM anch a JOIN b USING (ah),
+                     UNNEST(range(0, {DUP_ANCHOR_L})) AS t(off)
+                WHERE a.doc_id > b.own
+                UNION ALL
+                SELECT a.doc_id, a.i + off AS pos, 0 AS d, 1 AS c
+                FROM anch a JOIN ev USING (ah),
+                     UNNEST(range(0, {DUP_ANCHOR_L})) AS t(off)
+            )
+            GROUP BY doc_id, pos
+        ),
+        cv AS (
+            SELECT doc_id, list(pos) AS cov,
+                   SUM(d) AS n_rm_dup, SUM(c) AS n_rm_decon
+            FROM covt GROUP BY doc_id
+        ),
+        cut AS (
+            SELECT w.doc_id, w.source,
+                   len(w.w) AS n_tokens,
+                   COALESCE(len(cv.cov), 0) AS n_removed,
+                   COALESCE(cv.n_rm_dup, 0) AS n_rm_dup,
+                   COALESCE(cv.n_rm_decon, 0) AS n_rm_decon,
+                   COALESCE(array_to_string(
+                       [w.w[k] for k in range(1, len(w.w) + 1)
+                        if cv.cov IS NULL OR NOT list_contains(cv.cov, k)],
+                       ' '), '') AS cleaned
+            FROM w LEFT JOIN cv USING (doc_id)
+        ),
+        kept AS (
+            SELECT source,
+                   COUNT(*) AS n_docs_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept,
+                   CAST(SUM(n_removed) AS BIGINT) AS n_tokens_removed,
+                   CAST(SUM(n_rm_dup) AS BIGINT) AS n_tokens_removed_dup,
+                   CAST(SUM(n_rm_decon) AS BIGINT) AS n_tokens_removed_decon,
+                   CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_cut,
+                   CAST(SUM(len(cleaned)) AS BIGINT) AS n_chars_out
+            FROM cut GROUP BY source
+        ),
+        gc AS (
+            SELECT source, COUNT(*) AS n_gated,
+                   CAST(SUM(CASE WHEN doc_id % {DECON_EVAL_MOD} = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+            FROM gated GROUP BY source
+        ),
+        tot AS (SELECT source, COUNT(*) AS n_docs_in FROM documents GROUP BY source)
+        SELECT tot.source,
+               tot.n_docs_in,
+               tot.n_docs_in - COALESCE(gc.n_gated, 0) AS n_docs_dropped_gate,
+               COALESCE(gc.n_eval, 0) AS n_docs_eval_heldout,
+               COALESCE(kept.n_docs_kept, 0) AS n_docs_kept,
+               COALESCE(kept.n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(kept.n_tokens_removed_dup, 0) AS n_tokens_removed_dup,
+               COALESCE(kept.n_tokens_removed_decon, 0) AS n_tokens_removed_decon,
+               COALESCE(kept.n_tokens_removed, 0) AS n_tokens_removed,
+               COALESCE(kept.n_docs_cut, 0) AS n_docs_cut,
+               COALESCE(kept.n_chars_out, 0) AS n_chars_out
+        FROM tot
+        LEFT JOIN gc USING (source)
+        LEFT JOIN kept USING (source)
+        ORDER BY tot.source
+    """,
+)
+def curate_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation chain a 100 TB pretraining run actually ships
+    (round-13 verdict #2), both cut families in ONE plan: quality gate →
+    eval holdout → duplicated-span cut AND eval-overlap decontamination
+    cut applied as a single union of covered positions → per-source,
+    per-stage token accounting.
+
+    Stage semantics: the gate (trigram-repetition + length) screens every
+    document; gated docs in the deterministic eval slice
+    (doc_id % {DECON_EVAL_MOD} == 0) are HELD OUT (never rewritten);
+    the remaining training docs lose (a) every token covered by a
+    duplicated >= {DUP_ANCHOR_L}-gram whose anchor bucket a lower doc_id
+    owns (same owner rule as ``curate_span_cut_pipeline``) and (b) every
+    token covered by an {DUP_ANCHOR_L}-gram occurring anywhere in the
+    UNGATED eval slice (benchmarks leak regardless of their quality
+    score). A position covered by both families is counted in both
+    per-family columns but removed once — n_tokens_removed is the union,
+    <= dup + decon, which the test pins on a corpus engineered to
+    overlap.
+
+    Plan shape (why composition stays one corpus pass): one anchor
+    explosion over the checkpointed gated-train relation feeds the
+    owner-bucket aggregate, the dup-cover join, and the decon-cover join;
+    the eval side collapses to DISTINCT gram digests (benchmark-bounded —
+    broadcast at production scale); both cover streams union into ONE
+    (doc_id, pos)-keyed aggregate (map-side partials absorb overlapping
+    anchors) whose single per-doc row carries the position set AND both
+    family counters into the shared codegen cut
+    (``cut_covered_positions(extra_zero_cols=...)``); accounting is
+    partial-aggregated groupBys on the micro source key. n_chars_out
+    sums the REASSEMBLED text's length, so the cut itself (not just its
+    bookkeeping) is exercised and oracle-checked."""
+    return curate_full_frame(load_table(spark, sf_dir, "documents"))
+
+
+def curate_full_frame(d: DataFrame, ev_grams: DataFrame | None = None) -> DataFrame:
+    """The composed capstone as a frame function over any ``(doc_id,
+    source, text)`` relation; tests/test_pipeline_ops.py pins the
+    per-stage accounting (gate/holdout/cut interplay, union-vs-sum of
+    the family counters, n_chars_out) on a crafted corpus.
+
+    ``ev_grams``: an already-materialized distinct eval-gram digest
+    relation (one ``ah`` column) — the benchmark index a production
+    pipeline maintains once per eval-set release instead of re-deriving
+    per run; bench.py's pipeline-marginal row times the capstone against
+    a checkpointed one. Default None derives it from ``d``'s eval slice
+    in-plan (the self-contained registry/oracle formulation)."""
+    from spark_jdbc_limit_spark.operators.text import grams3
+
+    L = DUP_ANCHOR_L
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # same n>=3 ANSI division guard as the sibling capstones
+    gram_rep = F.lit(1.0) - F.when(
+        n >= 3, F.size(F.array_distinct(grams3(words, n))).cast("double") / (n - 2)
+    ).otherwise(F.lit(1.0))
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
+    # lineage cut: gated feeds the holdout accounting plus (via train)
+    # the token arrays, the anchor explosion (x3 branches), and the
+    # source fan-back — the same rule as curate_span_cut_frame
+    gated = d.filter(
+        (n >= CURATE_MIN_WORDS) & (gram_rep <= CURATE_MAX_GRAM_REP)
+    ).select("doc_id", "source", "text").localCheckpoint(eager=False)
+    train = gated.filter(~is_eval)
+    toks_all = train.select("doc_id", F.split("text", " ").alias("w"))
+    _, anchors = _dup_anchors(train)
+    buckets = (
+        anchors.groupBy("ah")
+        .agg(
+            F.min("doc_id").alias("own"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("ah", "own")
+    )
+    if ev_grams is None:
+        ev_grams = _dup_anchors(d.filter(is_eval))[1].select("ah").distinct()
+    dup_pos = (
+        anchors.join(buckets, "ah")
+        .filter(F.col("doc_id") > F.col("own"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + L - 1)).alias("pos"),
+            F.lit(1).alias("d"),
+            F.lit(0).alias("c"),
+        )
+    )
+    dec_pos = (
+        anchors.join(ev_grams, "ah")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + L - 1)).alias("pos"),
+            F.lit(0).alias("d"),
+            F.lit(1).alias("c"),
+        )
+    )
+    cov = (
+        dup_pos.unionByName(dec_pos)
+        .groupBy("doc_id", "pos")
+        .agg(F.max("d").alias("d"), F.max("c").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("pos").alias("cov"),
+            F.sum("d").alias("n_rm_dup"),
+            F.sum("c").alias("n_rm_decon"),
+        )
+    )
+    per_doc = cut_covered_positions(
+        toks_all, cov, extra_zero_cols=("n_rm_dup", "n_rm_decon")
+    )
+    kept = (
+        train.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+            F.sum("n_removed").alias("n_tokens_removed"),
+            F.sum("n_rm_dup").alias("n_tokens_removed_dup"),
+            F.sum("n_rm_decon").alias("n_tokens_removed_decon"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("n_docs_cut"),
+            F.sum(F.length("cleaned_text").cast("long")).alias("n_chars_out"),
+        )
+    )
+    gc = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        F.sum(is_eval.cast("long")).alias("n_eval"),
+    )
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in"))
+    z = F.lit(0).cast("long")
+    return (
+        tot.join(gc, "source", "left")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            (F.col("n_docs_in") - F.coalesce("n_gated", z)).alias(
+                "n_docs_dropped_gate"
+            ),
+            F.coalesce("n_eval", z).alias("n_docs_eval_heldout"),
+            F.coalesce("n_docs_kept", z).alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", z).alias("n_tokens_kept"),
+            F.coalesce("n_tokens_removed_dup", z).alias("n_tokens_removed_dup"),
+            F.coalesce("n_tokens_removed_decon", z).alias(
+                "n_tokens_removed_decon"
+            ),
+            F.coalesce("n_tokens_removed", z).alias("n_tokens_removed"),
+            F.coalesce("n_docs_cut", z).alias("n_docs_cut"),
+            F.coalesce("n_chars_out", z).alias("n_chars_out"),
+        )
+        .orderBy("source")
+    )
 
 
 @query(

@@ -278,16 +278,30 @@ def udf_scalar_iter_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Cogroup key coarsening factor: the kernel receives a BUCKET of orders
+#: (o_orderkey % _COGROUP_BUCKETS) per invocation, not one order.
+#: applyInPandas invokes the Python kernel once per key, so keying the
+#: cogroup by the natural id made per-group overhead (~5 ms Arrow
+#: round-trip) dominate on tiny groups — 2.39x the JVM join+agg twin in
+#: the round-13 TOP20 A/B. Bucketing amortizes the hop across ~n/B
+#: orders while the per-order math stays vectorized numpy/pandas inside
+#: the kernel; at production scale B is sized to ~cluster parallelism ×
+#: a few, keeping every kernel call thousands of rows deep.
+_COGROUP_BUCKETS = 16
+
+
 def _order_fill(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    """Cogroup kernel: one order group (left, 1 row) + its lineitem group
-    (right, 0..n rows) → one fill-rate row. Line revenue is rounded to
-    exact integer cents BEFORE summing, so the sum is order-independent
-    (a float sum's result depends on pandas row order, which Spark does
-    not guarantee inside a cogroup)."""
+    """Cogroup kernel: one BUCKET of orders (left) + that bucket's
+    lineitems (right) → one fill-rate row per order. Line revenue is
+    rounded to exact integer cents BEFORE summing, so the per-order sums
+    are row-order independent (a float sum's result depends on pandas
+    row order, which Spark does not guarantee inside a cogroup); the
+    per-order reduction is a vectorized pandas groupby, never a Python
+    loop."""
     import numpy as np
 
     if not len(left):
-        # lineitem key with no order row: the oracle's LEFT JOIN from
+        # lineitem bucket with no order rows: the oracle's LEFT JOIN from
         # orders never emits it — return an empty frame, don't crash
         return pd.DataFrame(
             {
@@ -296,16 +310,28 @@ def _order_fill(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 "fill_ratio": pd.array([], dtype="float64"),
             }
         )
-    cents = np.floor(
-        right["rev"].to_numpy(dtype="float64") * 100.0 + 0.5
-    ).astype("int64").sum() if len(right) else 0
-    tp = float(left["o_totalprice"].iloc[0])
-    ratio = np.floor((cents / 100.0) / tp * 1e4 + 0.5) / 1e4
+    out = left[["o_orderkey", "o_totalprice"]].copy()
+    if len(right):
+        cents = np.floor(
+            right["rev"].to_numpy(dtype="float64") * 100.0 + 0.5
+        ).astype("int64")
+        per_order = (
+            pd.DataFrame({"k": right["l_orderkey"].to_numpy(), "c": cents})
+            .groupby("k")["c"]
+            .agg(["sum", "count"])
+        )
+        out = out.merge(per_order, left_on="o_orderkey", right_index=True, how="left")
+    else:
+        out["sum"] = np.nan
+        out["count"] = np.nan
+    cents_sum = out["sum"].fillna(0).to_numpy(dtype="float64")
+    tp = out["o_totalprice"].to_numpy(dtype="float64")
+    ratio = np.floor((cents_sum / 100.0) / tp * 1e4 + 0.5) / 1e4
     return pd.DataFrame(
         {
-            "o_orderkey": left["o_orderkey"].iloc[:1],
-            "n_lines": pd.array([len(right)], dtype="int64"),
-            "fill_ratio": pd.array([ratio], dtype="float64"),
+            "o_orderkey": out["o_orderkey"].to_numpy(dtype="int64"),
+            "n_lines": out["count"].fillna(0).to_numpy(dtype="int64"),
+            "fill_ratio": ratio,
         }
     )
 
@@ -331,27 +357,32 @@ def udf_cogrouped_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LAST Arrow API surface the UDF family was missing:
     ``groupBy().cogroup(other.groupBy()).applyInPandas`` — both
     relations arrive key-aligned as pandas frames in ONE co-partitioned
-    exchange pair (no join materialized first). The kernel sees an
-    order with zero lines as an EMPTY right frame — the left-join edge
-    the built-in twin needs COALESCE for. Restricted to orderkey<250: the
-    filter pushes to both parquet scans, and — the honest caveat of this
-    API — applyInPandas invokes the Python kernel ONCE PER KEY, so
-    per-group overhead (~5 ms) dominates when groups are tiny (measured
-    5 s for 1000 seven-row groups); cogroup earns its keep when
-    per-group logic is genuinely complex, not for micro-aggregates a
-    join+groupBy expresses (which is why the oracle's shape IS the
-    production plan and this entry exists to pin the API machinery).
+    exchange pair (no join materialized first). The kernel sees a
+    bucket whose orders have zero lines as an EMPTY right frame — the
+    left-join edge the built-in twin needs COALESCE for. Restricted to
+    orderkey<250 so the filter pushes to both parquet scans.
 
-    At 100 TB the cogroup shuffles both sides once on the key — same
-    cost as the shuffle join it replaces — and group size is bounded by
-    lines-per-order (~7), so executor memory is safe; per-group float
-    sums round to integer cents first, making them row-order
-    independent (Spark does not guarantee pandas row order in a
-    cogroup)."""
+    The cogroup key is a BUCKET (o_orderkey % {_COGROUP_BUCKETS}), not
+    the order id (round-13 verdict #3): applyInPandas invokes the
+    Python kernel once per key, so per-key cogrouping paid ~5 ms of
+    Arrow round-trip per ~7-row group — 2.39x the JVM join+agg twin.
+    Bucketing amortizes the hop over ~n/{_COGROUP_BUCKETS} orders per
+    call with the per-order reduction vectorized inside the kernel —
+    the pattern a production cogroup uses whenever per-key logic is
+    vectorizable. Semantics are unchanged: per-line revenue rounds to
+    integer cents before summing (row-order independent), output is one
+    row per order.
+
+    At 100 TB the cogroup shuffles both sides once on the bucket key —
+    same cost as the shuffle join it replaces — with the bucket count
+    sized to cluster parallelism; per-bucket memory is bounded by
+    orders/bucket × lines-per-order (~7), and a skewed natural key
+    cannot skew a bucket beyond its id range."""
+    bucket = lambda c: F.pmod(F.col(c), F.lit(_COGROUP_BUCKETS))  # noqa: E731
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 250)
-        .select("o_orderkey", "o_totalprice")
+        .select("o_orderkey", "o_totalprice", bucket("o_orderkey").alias("b"))
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -359,11 +390,12 @@ def udf_cogrouped_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            bucket("l_orderkey").alias("b"),
         )
     )
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        o.groupBy("b")
+        .cogroup(li.groupBy("b"))
         .applyInPandas(
             _order_fill, "o_orderkey long, n_lines long, fill_ratio double"
         )

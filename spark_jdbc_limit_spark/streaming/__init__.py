@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from spark_jdbc_limit_spark.streaming.ingest import (
     documents_stream,
+    materialize_corpus_index,
     stream_ingest_dedup_gate,
 )
 from spark_jdbc_limit_spark.streaming.windows import (
@@ -27,6 +28,7 @@ from spark_jdbc_limit_spark.streaming.windows import (
 __all__ = [
     "documents_stream",
     "events_stream",
+    "materialize_corpus_index",
     "stream_cms_cells",
     "run_stream_to_memory",
     "stream_dedup_within_watermark",

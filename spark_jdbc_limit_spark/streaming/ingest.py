@@ -46,50 +46,98 @@ from spark_jdbc_limit_spark.sources.catalog import load_table
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (the 'newly crawled
-    docs' side of the ingest gate). Schema is pinned from one batch
-    footer read, the same normalization dance as ``events_stream``."""
+    docs' side of the ingest gate). Schema is derived from one batch
+    footer read via ``load_table`` (round-13 advice: a hardcoded
+    StructType would break the stream — while the schema-inferring batch
+    path kept working — if a regenerated corpus changed a physical type,
+    the way events.ts has drifted across harness generations; see
+    sources/catalog.py)."""
+    import os
+
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("source", T.StringType()),
-            T.StructField("n_chars", T.LongType()),
+            f
+            for f in load_table(spark, sf_dir, "documents").schema.fields
+            if f.name in ("doc_id", "text", "lang", "source", "n_chars")
         ]
     )
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        # Spark-written corpus (the 10x replication smoke, production
+        # landing buckets): documents.parquet is a DIRECTORY of part
+        # files — stream the directory itself; maxFilesPerTrigger=1 then
+        # yields one micro-batch per part file, exactly the multi-trigger
+        # shape whose per-trigger cost the ingest lever measures
+        return reader.parquet(path)
+    # harness-generated corpus: a single file next to the other tables
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+def materialize_corpus_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write the standing corpus's dedup index — distinct content digests
+    and distinct minhash band buckets — as two parquet relations. This is
+    the index a production ingest pipeline MAINTAINS (appending each
+    accepted batch's digests/buckets): the gate's static sides then
+    re-resolve per trigger as a cheap parquet scan instead of recomputing
+    digest + minhash over the WHOLE corpus every micro-batch, which is
+    the part of the derived-relation formulation whose cost grows with
+    corpus size (measured by bench_levers.py's
+    ``stream_ingest_static_index`` lever)."""
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) != 0
     )
+    corpus.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/digests.parquet")
+    minhash_band_buckets(corpus).select(
+        "band_id", "band_hash"
+    ).distinct().write.mode("overwrite").parquet(f"{out_dir}/bands.parquet")
 
 
-def stream_ingest_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_ingest_dedup_gate(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
     """Per newly-ingested document (the deterministic doc_id %
     {INCR_BATCH_MOD} == 0 slice of the stream): ``is_exact_dup`` (its
     content digest exists in the standing corpus) and
     ``has_near_dup_candidate`` (any of its minhash band buckets is
     occupied by the corpus). Same flags, same integer arithmetic, same
     survivor semantics as the batch twin — the probes cost
-    O(new docs × bucket lookups), never corpus²."""
+    O(new docs × bucket lookups), never corpus².
+
+    ``index_dir``: a ``materialize_corpus_index`` output — the static
+    probe sides become parquet scans of the maintained index (the
+    production posture at 100 TB: per-trigger static re-resolution costs
+    a footer read + pruned scan, independent of corpus text volume).
+    Default None derives both relations from the corpus table in-plan —
+    identical rows (pinned by tests/test_streaming.py), re-derived per
+    trigger."""
     incoming = documents_stream(spark, sf_dir).filter(
         F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) == 0
     )
-    corpus = load_table(spark, sf_dir, "documents").filter(
-        F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) != 0
-    )
-    cmd5 = (
-        corpus.select(F.md5(F.col("text").cast("binary")).alias("h"))
-        .distinct()
-        .withColumn("e_hit", F.lit(1))
-    )
-    cbands = (
-        minhash_band_buckets(corpus)
-        .select("band_id", "band_hash")
-        .distinct()
-        .withColumn("n_hit", F.lit(1))
-    )
+    if index_dir is not None:
+        cmd5 = spark.read.parquet(f"{index_dir}/digests.parquet").withColumn(
+            "e_hit", F.lit(1)
+        )
+        cbands = spark.read.parquet(f"{index_dir}/bands.parquet").withColumn(
+            "n_hit", F.lit(1)
+        )
+    else:
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.pmod(F.col("doc_id"), F.lit(INCR_BATCH_MOD)) != 0
+        )
+        cmd5 = (
+            corpus.select(F.md5(F.col("text").cast("binary")).alias("h"))
+            .distinct()
+            .withColumn("e_hit", F.lit(1))
+        )
+        cbands = (
+            minhash_band_buckets(corpus)
+            .select("band_id", "band_hash")
+            .distinct()
+            .withColumn("n_hit", F.lit(1))
+        )
     exact_rows = (
         incoming.select(
             "doc_id", F.md5(F.col("text").cast("binary")).alias("h")

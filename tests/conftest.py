@@ -36,6 +36,27 @@ def pytest_runtest_logreport(report):
         _SUITE_OUTCOMES[report.outcome] = _SUITE_OUTCOMES.get(report.outcome, 0) + 1
 
 
+def _is_selected_run(config) -> bool:
+    """True when the invocation narrowed the test set (-k/-m expressions,
+    --lf/--ff, or positional selections below the whole tests dir): such
+    a run must NOT overwrite the committed whole-suite SUITE.json with
+    partial data carrying no marker of the selection (round-13 advice)."""
+    if config.getoption("-k", default="") or config.getoption("-m", default=""):
+        return True
+    if config.getoption("--lf", default=False) or config.getoption(
+        "--ff", default=False
+    ):
+        return True
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    full_run_targets = {tests_dir, os.path.dirname(tests_dir)}
+    for arg in config.args:
+        # a full run is invoked on the repo root or the tests dir; any
+        # file / nodeid / subdir selection makes the profile partial
+        if "::" in arg or os.path.abspath(arg) not in full_run_targets:
+            return True
+    return False
+
+
 def pytest_sessionfinish(session, exitstatus):
     if not _PROFILE or not _SUITE_DURATIONS:
         return
@@ -46,12 +67,18 @@ def pytest_sessionfinish(session, exitstatus):
         "wall_sec": round(time.time() - _SUITE_T0, 1),
         "sum_test_sec": round(sum(durations.values()), 1),
         "n_tests": len(durations),
+        "invocation_args": list(session.config.invocation_params.args),
         "outcomes": _SUITE_OUTCOMES,
         "exitstatus": int(getattr(exitstatus, "value", exitstatus)),
         "slowest": [{"test": k, "sec": v} for k, v in top],
         "durations": durations,
     }
-    with open(os.path.join(root, "SUITE.json"), "w") as f:
+    name = "SUITE.json"
+    if _is_selected_run(session.config):
+        # side path: keep the partial profile inspectable without
+        # clobbering the auditable whole-suite artifact
+        name = "SUITE.partial.json"
+    with open(os.path.join(root, name), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
 # ---------------------------------------------------------------------------

@@ -79,12 +79,15 @@ def _run_asof(spark, lrows, rrows, num_salts: int) -> list[tuple]:
     )
 
 
-# example counts trimmed round 12 (suite budget): 6 diverse draws keep
-# the pandas replay meaningful; the salted arm needs fewer — it pins an
-# invariance (salting is a pure perf knob) on an operator the replay
-# test already pins semantically.
+# example counts trimmed round 12 (6) and round 14 (4; round-13 verdict
+# #6 — the replay was 16 s of the suite floor): 4 diverse draws keep the
+# pandas replay meaningful because the DIRECTIONAL semantics are also
+# pinned by the seeded-case oracles and the registry differentials; the
+# salted arm needs fewer still — it pins an invariance (salting is a
+# pure perf knob) on an operator the replay test already pins
+# semantically.
 @settings(
-    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(lrows=left_rows, rrows=right_rows)
 def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):

@@ -366,3 +366,95 @@ def test_curate_span_cut_stage_accounting_crafted(spark):
         "B": (2, 0, 2, 20, 8, 1),
         "C": (1, 1, 0, 0, 0, 0),
     }
+
+
+def test_curate_full_pipeline_stage_accounting_crafted(spark):
+    """The round-14 composed capstone (gate → eval holdout → dup-span cut
+    + decon cut in one pass) pinned on a crafted corpus. The sharpest
+    pins: (a) UNION-vs-SUM — doc 6's duplicated run and its eval-covered
+    run overlap on positions 2-9, so n_tokens_removed (10) is strictly
+    less than dup (10) + decon (8); (b) the eval slice (doc_id % 11 == 0)
+    is held out of the cut but its grams still cut training docs; (c) the
+    dup owner rule runs over gated TRAIN docs only; (d) n_chars_out sums
+    the reassembled text, including a fully-emptied doc."""
+    from spark_jdbc_limit_spark.operators.pipeline import (
+        DECON_EVAL_MOD,
+        curate_full_frame,
+    )
+
+    assert DECON_EVAL_MOD == 11  # doc 0 is the eval slice below
+    lic = " ".join(f"lic{i}" for i in range(8))
+    ev = " ".join(f"ev{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            # eval doc (0 % 11 == 0): its single 8-gram defines the ev set;
+            # gated (8 distinct tokens) → counted as held out, never cut
+            (0, "E", ev),
+            # clean unique 10-worder → kept, untouched
+            (1, "A", " ".join(f"a{i}" for i in range(10))),
+            # licence-block OWNER among train docs (min doc_id) → uncut
+            (2, "B", lic + " u1 u2"),
+            # non-owner → loses the block's 8 tokens (positions 2-9)
+            (3, "B", "v1 " + lic + " v2"),
+            # eval-contaminated only: ev gram at positions 2-9 → decon cut 8
+            (4, "C", "w1 " + ev + " w2"),
+            # exact copy of doc 4: dup cover 1-10 (owner is doc 4) AND
+            # decon cover 2-9 → union 10 < 18; cleaned text is EMPTY
+            (6, "D", "w1 " + ev + " w2"),
+            # gate-dropped by repetition (not train, not eval)
+            (7, "E", " ".join(["x"] * 10)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs_in"],
+            r["n_docs_dropped_gate"],
+            r["n_docs_eval_heldout"],
+            r["n_docs_kept"],
+            r["n_tokens_kept"],
+            r["n_tokens_removed_dup"],
+            r["n_tokens_removed_decon"],
+            r["n_tokens_removed"],
+            r["n_docs_cut"],
+            r["n_chars_out"],
+        )
+        for r in curate_full_frame(docs).collect()
+    }
+    expect = {
+        "A": (1, 0, 0, 1, 10, 0, 0, 0, 0, 29),
+        "B": (2, 0, 0, 2, 20, 8, 0, 8, 1, 50),
+        "C": (1, 0, 0, 1, 10, 0, 8, 8, 1, 5),
+        "D": (1, 0, 0, 1, 10, 10, 8, 10, 1, 0),
+        "E": (2, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    }
+    assert got == expect
+
+    # the materialized-eval-index path (bench.py's pipeline-marginal
+    # formulation) must be row-identical to the in-plan derivation
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators.dedup import _dup_anchors
+
+    ev_idx = (
+        _dup_anchors(docs.filter(F.pmod("doc_id", F.lit(11)) == 0))[1]
+        .select("ah")
+        .distinct()
+        .localCheckpoint()
+    )
+    got_idx = {
+        r["source"]: (
+            r["n_docs_in"],
+            r["n_docs_dropped_gate"],
+            r["n_docs_eval_heldout"],
+            r["n_docs_kept"],
+            r["n_tokens_kept"],
+            r["n_tokens_removed_dup"],
+            r["n_tokens_removed_decon"],
+            r["n_tokens_removed"],
+            r["n_docs_cut"],
+            r["n_chars_out"],
+        )
+        for r in curate_full_frame(docs, ev_grams=ev_idx).collect()
+    }
+    assert got_idx == expect

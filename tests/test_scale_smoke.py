@@ -223,3 +223,36 @@ def test_cms_cell_table_is_volume_invariant(spark, sf_dir, tmp_path_factory):
         .count()
     )
     assert cells <= CMS_D * CMS_W
+
+
+def test_stream_ingest_gate_survives_10x(spark, big_dir):
+    """The streaming ingest dedup gate run as a REAL multi-trigger
+    Structured Streaming job over the 10x-replicated corpus (round-13
+    verdict #4: the gate was stream==batch pinned at test scale only).
+    The replicated documents.parquet is a DIRECTORY of part files, so
+    maxFilesPerTrigger=1 yields several micro-batches — static-index
+    re-resolution runs per trigger, the exact cost path bench_levers.py
+    measures. Pins: stream rows == the oracle-checked batch twin's at
+    10x, replicas make the near-dup probe non-vacuous, and the
+    materialized-index variant (the production posture) emits the SAME
+    rows as the derived-relation formulation."""
+    from spark_jdbc_limit_spark.streaming import (
+        materialize_corpus_index,
+        run_stream_to_memory,
+        stream_ingest_dedup_gate,
+    )
+    from tests.oracle_utils import compare_frames
+
+    got = run_stream_to_memory(
+        stream_ingest_dedup_gate(spark, big_dir), "complete"
+    ).toPandas()
+    want = get_query("dedup_incremental_new_batch").builder(spark, big_dir).toPandas()
+    compare_frames(got, want, "10x stream ingest gate vs batch twin")
+    assert got["has_near_dup_candidate"].sum() > 0
+
+    idx = f"{big_dir}/ingest_index"
+    materialize_corpus_index(spark, big_dir, idx)
+    got_idx = run_stream_to_memory(
+        stream_ingest_dedup_gate(spark, big_dir, index_dir=idx), "complete"
+    ).toPandas()
+    compare_frames(got_idx, want, "10x stream ingest gate (materialized index)")

@@ -76,6 +76,26 @@ def test_ingest_dedup_gate_stream_matches_batch(spark, sf_dir):
     assert got["has_near_dup_candidate"].sum() > 0
 
 
+def test_ingest_dedup_gate_materialized_index_matches(spark, sf_dir, tmp_path):
+    """The production posture — the gate's static probe sides read from a
+    MAINTAINED parquet index instead of being re-derived from the corpus
+    per trigger — must emit exactly the derived formulation's (and hence
+    the batch twin's) rows."""
+    from spark_jdbc_limit_spark.streaming import (
+        materialize_corpus_index,
+        stream_ingest_dedup_gate,
+    )
+    from spark_jdbc_limit_spark.streaming.windows import run_stream_to_memory
+
+    idx = str(tmp_path / "ingest_index")
+    materialize_corpus_index(spark, sf_dir, idx)
+    got = run_stream_to_memory(
+        stream_ingest_dedup_gate(spark, sf_dir, index_dir=idx), "complete"
+    ).toPandas()
+    want = get_query("dedup_incremental_new_batch").builder(spark, sf_dir).toPandas()
+    compare_frames(got, want, "ingest gate (materialized index) vs batch twin")
+
+
 def test_late_data_dropped_beyond_watermark(spark, sf_dir):
     """Append-mode windowed agg only emits windows the watermark has
     closed; with availableNow over a finite source the final watermark
