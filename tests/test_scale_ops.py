@@ -523,6 +523,93 @@ def test_rotation_churn_tier_promotes_changed_modules(monkeypatch, tmp_path):
         ops.REGISTRY.update(before)
 
 
+def test_rotation_churn_tier_follows_helper_modules(monkeypatch, tmp_path):
+    """Round-13 advice: entries whose logic lives in IMPORTED helper
+    modules must churn-promote when the helper changes — the capstone's
+    builder is in pipeline.py but its cut runs in dedup.py, so a
+    dedup.py refactor must pull it into tier 2 ahead of an untouched
+    same-round green."""
+    import importlib
+    import json
+
+    import spark_jdbc_limit_spark.operators as ops
+
+    dep_mod = "spark_jdbc_limit_spark/operators/dedup.py"
+    deps = ops._module_deps("spark_jdbc_limit_spark/operators/pipeline.py")
+    assert dep_mod in deps and "spark_jdbc_limit_spark/operators/text.py" in deps
+    # derived, not hand-maintained: a module with no package imports is empty
+    assert ops._module_deps("spark_jdbc_limit_spark/operators/no_such.py") == frozenset()
+
+    helper_entry = "curate_span_cut_pipeline"  # builder pipeline.py, cut dedup.py
+    other = next(
+        n
+        for n in ops.REGISTRY
+        if ops.REGISTRY[n].builder.__module__
+        == "spark_jdbc_limit_spark.operators.relational"
+    )
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    f98 = tmp_path / "CORRECTNESS_r98.json"
+    f98.write_text(json.dumps({helper_entry: green, other: green}))
+    f99 = tmp_path / "CORRECTNESS_r99.json"
+    f99.write_text(json.dumps({}))
+    real_glob = importlib.import_module("glob").glob
+    monkeypatch.setattr(
+        "glob.glob",
+        lambda pattern: [str(f98), str(f99)]
+        if "CORRECTNESS_r" in pattern
+        else real_glob(pattern),
+    )
+    monkeypatch.setattr(
+        ops, "_changed_modules_since", lambda r: {dep_mod} if r == 98 else set()
+    )
+    before = dict(ops.REGISTRY)
+    try:
+        ops._rotate_registry()
+        rotated = list(ops.REGISTRY)
+        # same verifying round, so only the tier can order them: the
+        # helper-dependent entry (tier 2 via dedup.py) must precede the
+        # untouched relational entry (tier 3)
+        assert rotated.index(helper_entry) < rotated.index(other)
+    finally:
+        ops.REGISTRY.clear()
+        ops.REGISTRY.update(before)
+
+
+def test_bench_vs_prev_norm_reads_committed_artifact():
+    """bench.py's cross-round regression bar (round-13 verdict #1) reads
+    git HEAD's BENCH_FULL.json and normalizes by ITS anchor factor; an
+    sf-mismatched artifact must disable the trigger with a warning, not
+    define the bar."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _prev_bench_norm
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        ["git", "-C", root, "show", "HEAD:BENCH_FULL.json"],
+        capture_output=True,
+        text=True,
+    )
+    if res.returncode != 0:
+        pytest.skip("no committed BENCH_FULL.json on this checkout")
+    prev = json.loads(res.stdout)
+    norm = _prev_bench_norm(prev.get("sf"))
+    assert norm, "committed artifact present but vs_prev map empty"
+    name = "q1_pricing_summary"
+    want = prev["queries"][name] / prev["anchor_factor"]
+    assert abs(norm[name] - want) < 0.01
+    with pytest.warns(RuntimeWarning):
+        assert _prev_bench_norm("no-such-sf") == {}
+
+
 def test_rotation_churn_lookup_against_real_git():
     """The git plumbing itself: boundary-commit lookup + name-only diff
     must produce a set of repo-relative module paths (or None on a
