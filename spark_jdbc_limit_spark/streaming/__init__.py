@@ -12,6 +12,7 @@ from __future__ import annotations
 from spark_jdbc_limit_spark.streaming.ingest import (
     documents_stream,
     materialize_corpus_index,
+    stream_decontamination_screen,
     stream_ingest_dedup_gate,
 )
 from spark_jdbc_limit_spark.streaming.windows import (
@@ -29,6 +30,7 @@ __all__ = [
     "documents_stream",
     "events_stream",
     "materialize_corpus_index",
+    "stream_decontamination_screen",
     "stream_cms_cells",
     "run_stream_to_memory",
     "stream_dedup_within_watermark",

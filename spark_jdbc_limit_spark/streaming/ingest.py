@@ -166,3 +166,44 @@ def stream_ingest_dedup_gate(
             F.max("n").cast("int").alias("has_near_dup_candidate"),
         )
     )
+
+
+def stream_decontamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-overlap decontamination screen run AT INGEST TIME — the
+    other half of the curation-on-arrival story (the dedup gate above):
+    each micro-batch of incoming training documents is screened against
+    the held-out eval set's {DUP_ANCHOR_L}-gram digests BEFORE it enters
+    the corpus, so a leaked benchmark passage never needs a corpus-wide
+    retroactive sweep. Semantics are EXACTLY the batch entry
+    ``pipeline_decontaminate_eval_overlap`` (same anchors, same
+    {DECON_EVAL_MOD}-slice, same flags) — pinned stream==batch by
+    tests/test_streaming.py.
+
+    Plan: the incoming side explodes to (doc_id, gram-digest) rows
+    map-locally; the eval side is a STATIC distinct-digest relation
+    (benchmark-bounded — in production the maintained index, broadcast
+    onto every micro-batch); one stream-static LEFT join + a per-doc
+    aggregation in complete mode. Stateless probes, no watermark, no
+    stream-stream pairing — the same shape that lets the dedup gate run
+    at 100 TB ingest rates."""
+    from spark_jdbc_limit_spark.operators.dedup import _dup_anchors
+    from spark_jdbc_limit_spark.operators.pipeline import DECON_EVAL_MOD
+
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
+    incoming = documents_stream(spark, sf_dir).filter(~is_eval)
+    _, tr_anchors = _dup_anchors(incoming)
+    ev_grams = (
+        _dup_anchors(load_table(spark, sf_dir, "documents").filter(is_eval))[1]
+        .select("ah")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr_anchors.join(ev_grams, "ah", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.max(F.coalesce("hit", F.lit(0))).cast("int").alias("is_contaminated"),
+        )
+    )

@@ -76,6 +76,24 @@ def test_ingest_dedup_gate_stream_matches_batch(spark, sf_dir):
     assert got["has_near_dup_candidate"].sum() > 0
 
 
+def test_stream_decontamination_screen_matches_batch(spark, sf_dir):
+    """The ingest-time decontamination screen must emit exactly the rows
+    of the oracle-checked batch entry (same anchors, same eval slice,
+    same flags) once the finite stream drains — decon-on-arrival is
+    semantics-free sugar over the batch screen."""
+    from spark_jdbc_limit_spark.streaming import stream_decontamination_screen
+
+    got = run_stream_to_memory(
+        stream_decontamination_screen(spark, sf_dir), "complete"
+    ).toPandas()
+    want = (
+        get_query("pipeline_decontaminate_eval_overlap")
+        .builder(spark, sf_dir)
+        .toPandas()
+    )
+    compare_frames(got, want, "stream decon screen vs batch entry")
+
+
 def test_ingest_dedup_gate_materialized_index_matches(spark, sf_dir, tmp_path):
     """The production posture — the gate's static probe sides read from a
     MAINTAINED parquet index instead of being re-derived from the corpus
