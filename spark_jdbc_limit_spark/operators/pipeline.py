@@ -869,11 +869,14 @@ def curate_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= dup + decon, which the test pins on a corpus engineered to
     overlap.
 
-    Plan shape (why composition stays one corpus pass): one anchor
-    explosion over the checkpointed gated-train relation feeds the
-    owner-bucket aggregate, the dup-cover join, and the decon-cover join;
-    the eval side collapses to DISTINCT gram digests (benchmark-bounded —
-    broadcast at production scale); both cover streams union into ONE
+    Plan shape (why composition stays one corpus pass): the anchor
+    explosion is a map-local projection re-derived from the MATERIALIZED
+    gated-train checkpoint by each of its three consumers (owner-bucket
+    aggregate, dup-cover join, decon-cover join) — no additional corpus
+    scan, and the identical ah-partitioned exchanges are eligible for
+    Spark's exchange reuse; the eval side collapses to DISTINCT gram
+    digests (benchmark-bounded — broadcast at production scale); both
+    cover streams union into ONE
     (doc_id, pos)-keyed aggregate (map-side partials absorb overlapping
     anchors) whose single per-doc row carries the position set AND both
     family counters into the shared codegen cut

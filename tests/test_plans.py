@@ -178,6 +178,22 @@ def test_curation_pipeline_shuffle_budget(spark, sf_dir):
     assert_no_python_udf_in_plan(df)
 
 
+def test_curate_full_pipeline_plan_shape(spark, sf_dir):
+    """The composed capstone (gate → dup cut + decon cut → accounting)
+    must stay JVM-side and corpus-pass-bounded: zero Python in the plan,
+    zero cartesian products, and at most 4 parquet scans of documents
+    (the gated checkpoint's materialization, the eval slice, and the
+    column-pruned accounting scans) — composition must not multiply
+    corpus passes as stages are added."""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    df = get_query("curate_full_pipeline").builder(spark, sf_dir)
+    txt = plan_text(df)
+    assert_no_python_udf_in_plan(df)
+    assert "CartesianProduct" not in txt
+    assert txt.count("Scan parquet") <= 4
+
+
 def test_mode_argmax_two_aggregates_no_window(spark, sf_dir):
     """The argmax-mode pattern is two hash aggregates (+ output sort) —
     no window over the raw rows, which is the skew-prone alternative."""
