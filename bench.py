@@ -181,6 +181,22 @@ def _prev_bench_norm(sf_val) -> dict[str, float]:
     }
 
 
+def _vs_prev_exceeds(
+    med: float, provisional_factor: float, prev_norm_median: float | None
+) -> bool:
+    """The cross-round trigger predicate (round-13 verdict #1), extracted
+    so the boundary behavior is unit-testable
+    (tests/test_scale_ops.py::test_bench_vs_prev_trigger_boundaries):
+    fires when this run's slot-normalized median exceeds VS_PREV_X times
+    the previous committed round's, with an absolute floor keeping
+    sub-half-second scheduler jitter out."""
+    return (
+        prev_norm_median is not None
+        and med >= VS_PREV_MIN_SEC
+        and med / provisional_factor > VS_PREV_X * prev_norm_median
+    )
+
+
 def _time_anchors(spark, sf_dir: str) -> float:
     total = 0.0
     for name in ANCHOR_QUERIES:
@@ -465,11 +481,7 @@ def main() -> None:
         base_hit = base is not None and med > REPROBE_SPREAD_X * base
         pn = prev_norm.get(name)
         med_norm = med / provisional_factor
-        prev_hit = (
-            pn is not None
-            and med >= VS_PREV_MIN_SEC
-            and med_norm > VS_PREV_X * pn
-        )
+        prev_hit = _vs_prev_exceeds(med, provisional_factor, pn)
         if not (spread_hit or base_hit or prev_hit or name in ALWAYS_REPROBE):
             continue
         solo = []

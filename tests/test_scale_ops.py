@@ -610,6 +610,31 @@ def test_bench_vs_prev_norm_reads_committed_artifact():
         assert _prev_bench_norm("no-such-sf") == {}
 
 
+def test_bench_vs_prev_trigger_boundaries():
+    """The cross-round trigger must fire on a genuine 1.5x normalized
+    exceedance, clear when the slot factor explains the raw delta, and
+    never fire below the absolute floor or without a previous row."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import VS_PREV_MIN_SEC, VS_PREV_X, _vs_prev_exceeds
+
+    assert VS_PREV_X == 1.5 and VS_PREV_MIN_SEC == 0.5
+    # genuine regression: 2.0s median on a quiet slot vs prev norm 1.0
+    assert _vs_prev_exceeds(2.0, 1.0, 1.0)
+    # same raw median on a 2x-contended slot normalizes to 1.0 → clear
+    assert not _vs_prev_exceeds(2.0, 2.0, 1.0)
+    # below the absolute floor: jitter territory, spread trigger owns it
+    assert not _vs_prev_exceeds(0.4, 1.0, 0.1)
+    # no previous row (new entry / first round) → never fires
+    assert not _vs_prev_exceeds(5.0, 1.0, None)
+    # exactly at the bar does not fire (strict >)
+    assert not _vs_prev_exceeds(1.5, 1.0, 1.0)
+
+
 def test_rotation_churn_lookup_against_real_git():
     """The git plumbing itself: boundary-commit lookup + name-only diff
     must produce a set of repo-relative module paths (or None on a
