@@ -146,6 +146,11 @@ def big_dir(spark, sf_dir, tmp_path_factory) -> str:
         "events_peak_concurrency_sweep",
         "embedding_binary_quantization_recall_audit",
         "graph_sssp_until_settled",
+        # round-14: the composed capstone — its (doc_id, pos) union
+        # aggregate and collect_set position sets are the round's new
+        # bounded-state claims; replicas make the eval slice and the
+        # duplicated-anchor mass both scale xR
+        "curate_full_pipeline",
     ],
 )
 def test_heavy_op_survives_10x(spark, big_dir, name):
