@@ -2517,3 +2517,146 @@ def dq_hash_uniformity_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit_r.alias("ks_crit"),
         (d_r <= crit_r).alias("uniform_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-constrained corpus selection (round 14)
+
+#: Global token budget for the greedy selection, as a fraction of the
+#: corpus (numerator/denominator — integer arithmetic end to end).
+TBS_BUDGET_NUM = 1
+TBS_BUDGET_DEN = 4
+#: The quality proxy is the distinct-token ratio rounded half-up to this
+#: integer scale BEFORE ordering/bucketing (the round-before-classify
+#: discipline): both engines compute the identical IEEE expression, so
+#: the selection order — (score_r DESC, doc_id) — is bit-deterministic.
+TBS_SCORE_SCALE = 10_000
+
+
+@query(
+    "pipeline_token_budget_select",
+    category="llm_pipeline",
+    description=(
+        f"Greedy token-budget selection: highest-quality docs (distinct-"
+        f"token ratio) until {TBS_BUDGET_NUM}/{TBS_BUDGET_DEN} of corpus "
+        f"tokens, two-phase bucketed (boundary-bucket-only exact sort)"
+    ),
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(floor(
+                       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * {TBS_SCORE_SCALE} + 0.5
+                   ) AS BIGINT) AS score_r
+            FROM documents
+        ),
+        b AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) * {TBS_BUDGET_NUM}
+                   // {TBS_BUDGET_DEN} AS budget
+            FROM base
+        ),
+        run AS (
+            SELECT base.*, b.budget,
+                   SUM(n_tokens) OVER (
+                       ORDER BY score_r DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM base, b
+        )
+        SELECT doc_id, source, score_r, n_tokens,
+               CAST(budget AS BIGINT) AS budget_tokens,
+               CAST(CASE WHEN cum <= budget THEN 1 ELSE 0 END AS INT)
+                   AS selected
+        FROM run
+        ORDER BY doc_id
+    """,
+)
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection every budgeted pretraining run performs after
+    allocation: given a global token budget ({TBS_BUDGET_NUM}/
+    {TBS_BUDGET_DEN} of corpus tokens here), keep the highest-quality
+    documents — quality proxied by the distinct-token ratio, the
+    cheapest scan-local repetition signal — until the budget is
+    exhausted. Selection is the largest PREFIX of the
+    (score DESC, doc_id) order whose inclusive running token total fits
+    the budget: deterministic, reproducible across re-runs/shards, and
+    complementary to ``mix_capped_allocation_waterfill`` (which decides
+    per-SOURCE budgets; this decides WHICH documents — compose them by
+    running this per source with the waterfilled budgets).
+
+    The oracle is the obvious corpus-wide window cumsum; the ENGINE
+    never runs one. Two-phase shape (the ``global_rownum_two_phase`` /
+    ``sample_stratified_exact`` discipline): scores quantize to
+    <= {TBS_SCORE_SCALE}+1 integer buckets, one partial-aggregated
+    groupBy yields per-bucket token sums, a window over THAT micro
+    relation computes bucket-prefix totals, and each doc's verdict is a
+    broadcast-join lookup — full buckets are decided with zero sorting,
+    and only the single BOUNDARY bucket (prefix crosses the budget
+    inside it) pays an exact within-bucket sort, whose doc_id tie-break
+    is exact because equal scores always share a bucket. At 100 TB the
+    corpus-sized work is one scan + one micro-keyed aggregate; the
+    boundary sort touches one score-bucket's docs."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_tok = F.size(w).cast("long")
+    score_r = F.floor(
+        F.size(F.array_distinct(w)).cast("double") / F.size(w)
+        * TBS_SCORE_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    # lineage cut: base feeds the budget agg, the bucket agg, and the
+    # verdict fan-back
+    base = d.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), score_r.alias("score_r")
+    ).localCheckpoint(eager=False)
+    budget = base.agg(F.sum("n_tokens").alias("t")).select(
+        F.expr(f"t * {TBS_BUDGET_NUM} div {TBS_BUDGET_DEN}").alias("budget")
+    )
+    buckets = base.groupBy("score_r").agg(F.sum("n_tokens").alias("btok"))
+    w_before = W.orderBy(F.col("score_r").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    bucket_run = (
+        buckets.select(
+            "score_r",
+            "btok",
+            F.coalesce(F.sum("btok").over(w_before), F.lit(0)).alias("cum_before"),
+        )
+        .crossJoin(F.broadcast(budget))
+    )
+    joined = base.join(F.broadcast(bucket_run), "score_r")
+    full_in = F.col("cum_before") + F.col("btok") <= F.col("budget")
+    all_out = F.col("cum_before") >= F.col("budget")
+    decided = joined.filter(full_in | all_out).select(
+        "doc_id",
+        "source",
+        "score_r",
+        "n_tokens",
+        F.col("budget").alias("budget_tokens"),
+        full_in.cast("int").alias("selected"),
+    )
+    w_in_bucket = (
+        W.partitionBy("score_r")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    boundary = (
+        joined.filter(~full_in & ~all_out)
+        .select(
+            "doc_id",
+            "source",
+            "score_r",
+            "n_tokens",
+            F.col("budget").alias("budget_tokens"),
+            (
+                F.col("cum_before") + F.sum("n_tokens").over(w_in_bucket)
+                <= F.col("budget")
+            )
+            .cast("int")
+            .alias("selected"),
+        )
+    )
+    return decided.unionByName(boundary).orderBy("doc_id")

@@ -458,3 +458,46 @@ def test_curate_full_pipeline_stage_accounting_crafted(spark):
         for r in curate_full_frame(docs, ev_grams=ev_idx).collect()
     }
     assert got_idx == expect
+
+
+def test_token_budget_select_prefix_and_boundary(spark):
+    """The round-14 budget selection pinned on a crafted corpus where the
+    budget boundary falls INSIDE a score bucket: the full-in bucket's
+    docs all select with no sort, the boundary bucket splits by doc_id
+    order, lower buckets are out, and the selected set is exactly the
+    largest fitting prefix of (score DESC, doc_id)."""
+    from spark_jdbc_limit_spark.operators.pipeline import (
+        TBS_BUDGET_DEN,
+        TBS_BUDGET_NUM,
+        pipeline_token_budget_select,
+    )
+    import spark_jdbc_limit_spark.operators.pipeline as pl
+    from spark_jdbc_limit_spark.sources.catalog import load_table as _lt
+
+    # 4 docs, 10 tokens each (40 total -> budget 10 tokens at 1/4):
+    #  doc 0: all-distinct (score 10000)  - fills the whole budget
+    #  doc 1: all-distinct (score 10000)  - same bucket, over budget
+    #  doc 2: 9 distinct   (score 9000)   - out
+    #  doc 3: repetitive   (score 1000)   - out
+    assert (TBS_BUDGET_NUM, TBS_BUDGET_DEN) == (1, 4)
+    rows = [
+        (0, "A", " ".join(f"a{i}" for i in range(10))),
+        (1, "A", " ".join(f"b{i}" for i in range(10))),
+        (2, "B", " ".join(f"c{i}" for i in range(9)) + " c0"),
+        (3, "B", " ".join(["x"] * 10)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(pl, "load_table", lambda s, sf, t: docs):
+        got = {
+            r["doc_id"]: (r["score_r"], r["n_tokens"], r["budget_tokens"], r["selected"])
+            for r in pipeline_token_budget_select(spark, "ignored").collect()
+        }
+    assert got == {
+        0: (10000, 10, 10, 1),  # first in order: inclusive cum 10 <= 10
+        1: (10000, 10, 10, 0),  # same bucket, cum 20 > 10
+        2: (9000, 10, 10, 0),
+        3: (1000, 10, 10, 0),
+    }
