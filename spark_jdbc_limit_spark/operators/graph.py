@@ -931,31 +931,56 @@ def run_until_settled(
             nxt = step_fn(nxt)
         nxt = nxt.localCheckpoint()
         rounds += k
-        # presence markers: the full-outer join coalesces key columns, so
-        # which side is missing must be carried explicitly — a value
-        # column cannot stand in (its legitimate NULLs would read as
-        # absence and eqNullSafe(NULL, NULL) as "unchanged")
-        terms: list[Column] = [
-            F.col("n._present").isNull() | F.col("c._present").isNull()
-        ]
-        for vc in value_cols:
-            a, b = F.col(f"n.{vc}"), F.col(f"c.{vc}")
-            if tolerance is None:
-                terms.append(~a.eqNullSafe(b))
-            else:
+        if tolerance is None:
+            # Single-exchange settlement check (optimization round 14,
+            # guide §2.3/2.4: the full-outer join shuffled BOTH micro
+            # relations and sorted each side — two exchanges per round;
+            # this is one). States are keyed (one row per key by the
+            # groupBy contract of every step), so in the union of the two
+            # rounds grouped by (key, value): an unchanged key forms a
+            # group of exactly 2 and ANY difference — value change,
+            # appearing key, disappearing key — leaves a one-sided
+            # singleton. GROUP BY is null-safe on both keys and values,
+            # exactly like the join path's eqNullSafe + explicit presence
+            # markers (a NULL-valued appearing key still groups alone —
+            # pinned in tests/test_graph_convergence.py); only
+            # ``changed == 0`` is consumed, so the two formulations
+            # decide identically and ``rounds_run``/``settled`` are
+            # bit-identical.
+            cols = [*key_cols, *value_cols]
+            changed = (
+                nxt.select(*cols)
+                .unionAll(cur.select(*cols))
+                .groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("__settle_n"))
+                .filter(F.col("__settle_n") == 1)
+                .count()
+            )
+        else:
+            # tolerance path (PageRank-style float states): near-equal
+            # values must read "unchanged", which grouping cannot express
+            # — keep the full-outer join with explicit presence markers
+            # (the join coalesces key columns, so which side is missing
+            # must be carried explicitly; a value column cannot stand in,
+            # since its legitimate NULLs would read as absence).
+            terms: list[Column] = [
+                F.col("n._present").isNull() | F.col("c._present").isNull()
+            ]
+            for vc in value_cols:
+                a, b = F.col(f"n.{vc}"), F.col(f"c.{vc}")
                 terms.append(
                     a.isNull() | b.isNull() | (F.abs(a - b) > F.lit(tolerance))
                 )
-        changed = (
-            nxt.withColumn("_present", F.lit(1)).alias("n")
-            .join(
-                cur.withColumn("_present", F.lit(1)).alias("c"),
-                on=list(key_cols),
-                how="full",
+            changed = (
+                nxt.withColumn("_present", F.lit(1)).alias("n")
+                .join(
+                    cur.withColumn("_present", F.lit(1)).alias("c"),
+                    on=list(key_cols),
+                    how="full",
+                )
+                .filter(reduce(or_, terms))
+                .count()
             )
-            .filter(reduce(or_, terms))
-            .count()
-        )
         cur = nxt
         if changed == 0:
             return cur, rounds, True
