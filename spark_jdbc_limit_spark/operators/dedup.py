@@ -1805,7 +1805,18 @@ _LCP_EXPR = """
 def _dup_anchors(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(toks, anchors): per-doc token arrays (docs with >= {DUP_ANCHOR_L}
     tokens) and one (doc_id, i, ah) row per suffix position — the
-    anchor digest is all that crosses the wire in phase 1."""
+    anchor digest is all that crosses the wire in phase 1.
+
+    The digest is ``xxhash64`` over the token-array slice (optimization
+    round 14, guide §2.3 narrower types / §4 no per-row string work): the
+    previous ``md5(array_join(...))`` materialized a joined string AND a
+    32-char hex string per token position, so phase 1's shuffle carried
+    ~40 bytes of key per position; the 8-byte long is a 4-5x narrower
+    shuffle key and skips the string build entirely. Collision posture:
+    digests only BUCKET positions (64-bit, birthday-safe to ~10^9 shared
+    grams; a collision would only merge two buckets, and every entry in
+    the family is verified value-identical against md5-bucketed DuckDB
+    oracles at three scale factors)."""
     L = DUP_ANCHOR_L
     toks = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
         F.size("w") >= L
@@ -1817,7 +1828,7 @@ def _dup_anchors(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     ).select(
         "doc_id",
         "i",
-        F.md5(F.expr(f"array_join(slice(w, i, {L}), ' ')")).alias("ah"),
+        F.expr(f"xxhash64(slice(w, i, {L}))").alias("ah"),
     )
     return toks, anchors
 
