@@ -2222,15 +2222,25 @@ def remove_duplicated_spans_frame(docs: DataFrame) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("ah", "own")
     )
+    # Shuffle anchor STARTS, not exploded positions (optimization round
+    # 14, guide §2.3 shuffle fewer bytes): the covered-position expansion
+    # is a pure per-doc function of the start set, so exploding the L
+    # offsets BEFORE the groupBy shipped L× the rows through the exchange
+    # only to collapse them again; collecting the starts and expanding
+    # in-row (codegen transform + flatten + array_distinct) moves the
+    # same information in 1/L the shuffle rows.
     cov = (
         anchors.join(buckets, "ah")
         .filter(F.col("doc_id") > F.col("own"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
         .select(
             "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + L - 1)).alias("pos"),
+            F.expr(
+                f"array_distinct(flatten(transform(starts,"
+                f" s -> sequence(s, s + {L - 1}))))"
+            ).alias("cov"),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("cov"))
     )
     return cut_covered_positions(toks_all, cov)
 

@@ -735,16 +735,21 @@ def pipeline_decontaminate_span_cut(spark: SparkSession, sf_dir: str) -> DataFra
     toks_all = train.select("doc_id", F.split("text", " ").alias("w"))
     _, tr_anchors = _dup_anchors(train)
     ev_grams = _dup_anchors(docs.filter(is_eval))[1].select("ah").distinct()
+    # Shuffle anchor STARTS, not exploded positions (guide §2.3): the
+    # covered-position expansion is a pure per-doc function of the start
+    # set, so the L-way explode before the exchange only multiplied the
+    # shuffle rows; expand in-row after the groupBy instead.
     cov = (
         tr_anchors.join(ev_grams, "ah")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + DUP_ANCHOR_L - 1)
-            ).alias("pos"),
+            F.expr(
+                f"array_distinct(flatten(transform(starts,"
+                f" s -> sequence(s, s + {DUP_ANCHOR_L - 1}))))"
+            ).alias("cov"),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("cov"))
     )
     return cut_covered_positions(toks_all, cov).orderBy("doc_id")
 
@@ -929,34 +934,45 @@ def curate_full_frame(d: DataFrame, ev_grams: DataFrame | None = None) -> DataFr
     )
     if ev_grams is None:
         ev_grams = _dup_anchors(d.filter(is_eval))[1].select("ah").distinct()
-    dup_pos = (
+    # Shuffle anchor STARTS, not exploded positions (guide §2.3), and
+    # collapse the two-level (doc_id, pos)->doc_id aggregation (two
+    # differently-keyed exchanges) into ONE doc_id-keyed groupBy: the
+    # per-family position sets are pure per-doc functions of the two
+    # start sets, so both the L-way explode and the position-level
+    # distinct can run in-row after a single exchange of start rows.
+    # Per-family counts are the sizes of the expanded distinct sets —
+    # identical to the old sum-of-max formulation (a position covered by
+    # both families counts in both, is removed once via array_union).
+    dup_starts = (
         anchors.join(buckets, "ah")
         .filter(F.col("doc_id") > F.col("own"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + L - 1)).alias("pos"),
-            F.lit(1).alias("d"),
-            F.lit(0).alias("c"),
-        )
+        .select("doc_id", "i", F.lit(1).alias("d"))
     )
-    dec_pos = (
-        anchors.join(ev_grams, "ah")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("i"), F.col("i") + L - 1)).alias("pos"),
-            F.lit(0).alias("d"),
-            F.lit(1).alias("c"),
-        )
+    dec_starts = anchors.join(ev_grams, "ah").select(
+        "doc_id", "i", F.lit(0).alias("d")
     )
+    expand = f"s -> sequence(s, s + {L - 1})"
     cov = (
-        dup_pos.unionByName(dec_pos)
-        .groupBy("doc_id", "pos")
-        .agg(F.max("d").alias("d"), F.max("c").alias("c"))
+        dup_starts.unionByName(dec_starts)
         .groupBy("doc_id")
         .agg(
-            F.collect_set("pos").alias("cov"),
-            F.sum("d").alias("n_rm_dup"),
-            F.sum("c").alias("n_rm_decon"),
+            F.collect_set(F.when(F.col("d") == 1, F.col("i"))).alias("ds"),
+            F.collect_set(F.when(F.col("d") == 0, F.col("i"))).alias("cs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct(flatten(transform(ds, {expand})))").alias(
+                "dcov"
+            ),
+            F.expr(f"array_distinct(flatten(transform(cs, {expand})))").alias(
+                "ccov"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.array_union("dcov", "ccov").alias("cov"),
+            F.size("dcov").alias("n_rm_dup"),
+            F.size("ccov").alias("n_rm_decon"),
         )
     )
     per_doc = cut_covered_positions(
