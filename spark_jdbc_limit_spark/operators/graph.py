@@ -929,7 +929,13 @@ def run_until_settled(
         nxt = cur
         for _ in range(k):
             nxt = step_fn(nxt)
-        nxt = nxt.localCheckpoint()
+        # Lazy checkpoint (optimization round 14, guide §2.6 scheduling
+        # overhead): the settlement count below is the round's first
+        # action, so it materializes the checkpoint as a side effect —
+        # one Spark job per round where eager=True paid two (the
+        # materialization count + the settlement count). Same rows
+        # computed, same lineage cut, half the per-round job overhead.
+        nxt = nxt.localCheckpoint(eager=False)
         rounds += k
         if tolerance is None:
             # Single-exchange settlement check (optimization round 14,
