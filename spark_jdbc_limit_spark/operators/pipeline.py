@@ -1670,25 +1670,43 @@ def pipeline_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rk"),
         )
     )
-    r2 = ranked.select(
-        F.col("epoch").alias("epoch_b"), F.col("doc_id").alias("doc_id2"), F.col("rk").alias("rk2")
+    # Pivot ranks per doc instead of self-joining the ranked relation
+    # (optimization round 14, guide §2.3/§2.4): the epoch<epoch_b
+    # self-join shuffled the E×N rank relation TWICE by doc_id and
+    # sort-merged, only to compute per-doc rank differences — a pure
+    # per-doc function of the E ranks. One conditional-aggregation
+    # groupBy(doc_id) (single exchange, partial-aggregated) collects the
+    # ranks as columns; the E(E-1)/2 pair rows are generated in-row and
+    # collapse map-side in the final partial aggregation. Every doc
+    # carries all E epochs by construction (cross join with the epoch
+    # relation), so pair counts and Σd² are identical to the join form.
+    per_doc = ranked.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("epoch") == e, F.col("rk"))).alias(f"r{e}")
+            for e in range(EPOCH_SHUFFLE_EPOCHS)
+        ]
     )
+    # rank diffs square in int64: row_number is int32 and |d|^2
+    # overflows past ~46k docs under ANSI — the 100 TB form needs
+    # the cast even though the shipped corpora don't
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("epoch_a"),
+            F.lit(b).alias("epoch_b"),
+            (
+                (F.col(f"r{a}").cast("long") - F.col(f"r{b}"))
+                * (F.col(f"r{a}").cast("long") - F.col(f"r{b}"))
+            ).alias("d2"),
+        )
+        for a in range(EPOCH_SHUFFLE_EPOCHS)
+        for b in range(a + 1, EPOCH_SHUFFLE_EPOCHS)
+    ]
     pairs = (
-        ranked.join(
-            r2,
-            (F.col("doc_id") == F.col("doc_id2")) & (F.col("epoch") < F.col("epoch_b")),
+        per_doc.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .groupBy(
+            F.col("p.epoch_a").alias("epoch_a"), F.col("p.epoch_b").alias("epoch_b")
         )
-        .groupBy(F.col("epoch").alias("epoch_a"), "epoch_b")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            # rank diffs square in int64: row_number is int32 and |d|^2
-            # overflows past ~46k docs under ANSI — the 100 TB form needs
-            # the cast even though the shipped corpora don't
-            F.sum(
-                (F.col("rk").cast("long") - F.col("rk2"))
-                * (F.col("rk").cast("long") - F.col("rk2"))
-            ).alias("sd2"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("p.d2").alias("sd2"))
     )
     nd = F.col("n").cast("double")
     rho = F.lit(1.0) - (F.lit(6.0) * F.col("sd2")) / (nd * (nd * F.col("n") - 1))
