@@ -534,6 +534,95 @@ RANGE_SORT_BUCKETS = 8
 _RANGE_FRACS = [i / RANGE_SORT_BUCKETS for i in range(1, RANGE_SORT_BUCKETS)]
 
 
+def equidepth_exact_cuts(spark: SparkSession, values: DataFrame, col: str) -> DataFrame:
+    """Exact percentile cutoffs at ``_RANGE_FRACS`` WITHOUT the percentile
+    counts-map (optimization round 14, guide §2.2/§5): Spark's
+    ``percentile(col, array(...))`` builds an exact value→count map per
+    partition and merges the maps single-reducer — at 583k distinct values
+    per 600k rows the map IS the corpus, and at 100 TB it is unbounded
+    aggregate state. The escape the round-12 comment in the caller already
+    named is the histogram-pruned order-statistic two-phase that
+    ``sample_stratified_exact`` uses for its cutoffs:
+
+    1. unit-resolution value histogram (``floor(v)`` — domain-bounded to
+       ~105k rows whatever the ROW count: a partial-aggregated micro
+       shuffle);
+    2. cumulative counts over the micro histogram locate, for each
+       fraction f, WHICH value bucket holds order statistics
+       floor/ceil(f·(n−1)) — at most ``2·len(fracs)`` survivor buckets;
+    3. only survivor-bucket rows (a few hundred) pay an exact sort; the
+       two order statistics interpolate with Spark's own formula
+       ``(hi−pos)·v_lo + (pos−lo)·v_hi`` (Percentile.scala), pinned
+       bit-for-bit against ``percentile()`` in
+       tests/test_scale_ops.py::test_equidepth_two_phase_cuts_exact.
+
+    The within-bucket sort order among TIED values is irrelevant: only the
+    value AT a global index is read, and ties share the value. Returns a
+    one-row relation with columns ``c1..c{B-1}``, same shape the old
+    single-aggregate form produced.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = values.select(F.col(col).alias("_v"))
+    hist = li.groupBy(F.floor("_v").alias("vb")).agg(F.count(F.lit(1)).alias("c"))
+    run = F.sum("c").over(W.orderBy("vb").rowsBetween(W.unboundedPreceding, 0))
+    cum = hist.select("vb", "c", run.alias("cum")).withColumn(
+        "cum0", F.col("cum") - F.col("c")
+    )
+    n_rel = hist.agg(F.sum("c").alias("n"))
+    fr = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(_RANGE_FRACS, 1)], "fi INT, f DOUBLE"
+    )
+    # pos replicates Percentile.scala's `percentage * (count - 1)`:
+    # long→double promotion then one double multiply. The eighths are
+    # exact binary doubles, so the literal round-trips losslessly.
+    targets = (
+        fr.crossJoin(F.broadcast(n_rel))
+        .select("fi", "f", (F.col("f") * (F.col("n") - F.lit(1))).alias("pos"))
+        .select(
+            "fi", "f", "pos", F.floor("pos").alias("lo"), F.ceil("pos").alias("hi")
+        )
+    )
+    idx = targets.select(
+        "fi",
+        "pos",
+        "lo",
+        "hi",
+        F.explode(F.array_distinct(F.array("lo", "hi"))).alias("idx"),
+    )
+    located = idx.join(
+        F.broadcast(cum),
+        (F.col("idx") >= F.col("cum0")) & (F.col("idx") < F.col("cum")),
+    )
+    need = located.select("vb", "cum0").distinct()
+    gidx = (
+        F.row_number().over(W.partitionBy("vb").orderBy("_v"))
+        - F.lit(1)
+        + F.col("cum0")
+    )
+    stat = li.join(F.broadcast(need), F.floor("_v") == F.col("vb")).select(
+        F.col("_v").alias("v"), gidx.alias("gidx")
+    )
+    picked = located.select("fi", "pos", "lo", "hi", "idx").join(
+        stat, F.col("idx") == F.col("gidx")
+    )
+    per_f = picked.groupBy("fi", "pos", "lo", "hi").agg(
+        F.max(F.when(F.col("idx") == F.col("lo"), F.col("v"))).alias("vl"),
+        F.max(F.when(F.col("idx") == F.col("hi"), F.col("v"))).alias("vh"),
+    )
+    interp = F.when(F.col("hi") == F.col("lo"), F.col("vl")).otherwise(
+        (F.col("hi").cast("double") - F.col("pos")) * F.col("vl")
+        + (F.col("pos") - F.col("lo").cast("double")) * F.col("vh")
+    )
+    cut_rows = per_f.select("fi", interp.alias("cut"))
+    return cut_rows.groupBy().agg(
+        *[
+            F.max(F.when(F.col("fi") == i, F.col("cut"))).alias(f"c{i}")
+            for i in range(1, RANGE_SORT_BUCKETS)
+        ]
+    )
+
+
 @query(
     "sort_range_equidepth_audit",
     category="sort",
@@ -573,7 +662,7 @@ def sort_range_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort anywhere (Spark's own ``orderBy`` does exactly this via
     RangePartitioner, but with SAMPLED cutpoints it neither exposes nor
     audits). This entry makes the contract inspectable: exact
-    equi-depth cutoffs (one percentile pass, a 1-row broadcast), a
+    equi-depth cutoffs (histogram-pruned two-phase, a 1-row broadcast), a
     codegen bucket assignment (sum of comparisons — no per-row UDF, no
     binary search needed at 8 buckets), and per-bucket (count, min, max)
     where ``monotone_ok`` PROVES bucket i's minimum clears bucket i-1's
@@ -587,27 +676,16 @@ def sort_range_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate already margin-pins (`tests/test_pipeline_ops.py`);
     rows exactly AT a cutpoint land below it in both engines (strict
     `>`)."""
+    from pyspark.sql.window import Window as W
+
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    # ONE array-percentile aggregate, not B-1 scalar ones: each scalar
-    # percentile(col, f) is its own aggregate buffer building its own
-    # value-counts map over the corpus — 7 of them measured 12.2 s at
-    # sf0.1 where the single array form (same counts map, 7 lookups at
-    # the end) takes 2.8 s. At extreme value-cardinality the exact
-    # counts-map reduce itself becomes the limit; the escape is the
-    # histogram-pruned order-statistic two-phase that
-    # ``sample_stratified_exact`` uses for its cutoffs.
-    fracs_sql = ", ".join(str(f) for f in _RANGE_FRACS)
-    cuts = (
-        li.agg(
-            F.expr(f"percentile(l_extendedprice, array({fracs_sql}))").alias("cs")
-        )
-        .select(
-            *[
-                F.col("cs").getItem(i).alias(f"c{i + 1}")
-                for i in range(RANGE_SORT_BUCKETS - 1)
-            ]
-        )
-    )
+    # Cutoffs via the histogram-pruned order-statistic two-phase (see
+    # equidepth_exact_cuts): same exact values `percentile(col,
+    # array(...))` produced (bit-for-bit, pinned in
+    # tests/test_scale_ops.py), without the counts-map aggregate whose
+    # state grows with distinct-value count — 583k entries here, the
+    # corpus itself at 100 TB.
+    cuts = equidepth_exact_cuts(spark, li, "l_extendedprice")
     bucket = sum(
         (F.col("l_extendedprice") > F.col(f"c{i}")).cast("long")
         for i in range(1, RANGE_SORT_BUCKETS)
@@ -622,8 +700,6 @@ def sort_range_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p"), 2).alias("max_price"),
         )
     )
-    from pyspark.sql.window import Window as W
-
     prev_max = F.lag("max_price").over(W.orderBy("bucket"))
     return stats.select(
         "bucket",

@@ -677,3 +677,32 @@ def test_bench_baseline_constants_frozen():
     # this anchor set at sf0.1/32cpus (re-records adjust the value, not
     # the order of magnitude)
     assert 2.0 < ANCHOR_REF_SEC < 3.5
+
+
+def test_equidepth_two_phase_cuts_exact(spark, sf_correct):
+    """The equidepth audit's histogram-pruned two-phase cutoffs (round-14
+    optimization) must reproduce Spark's exact `percentile()` BIT-FOR-BIT:
+    the interpolation is Percentile.scala's `(hi-pos)*v_lo +
+    (pos-lo)*v_hi` — the algebraically-equal `v_lo + d*(v_hi-v_lo)` form
+    provably diverges in the last ulp on this corpus (sf0.001 f=0.125),
+    so the formula shape itself is load-bearing."""
+    import struct
+
+    from spark_jdbc_limit_spark.operators.advanced import (
+        RANGE_SORT_BUCKETS,
+        _RANGE_FRACS,
+        equidepth_exact_cuts,
+    )
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_correct, "lineitem").select("l_extendedprice")
+    fracs_sql = ", ".join(str(f) for f in _RANGE_FRACS)
+    ref = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({fracs_sql}))").alias("cs")
+    ).collect()[0]["cs"]
+    got = equidepth_exact_cuts(spark, li, "l_extendedprice").collect()[0]
+    for i, r in enumerate(ref, 1):
+        assert struct.pack("<d", r) == struct.pack("<d", got[f"c{i}"]), (
+            f"c{i}: percentile()={r!r} two-phase={got[f'c{i}']!r}"
+        )
+    assert len(ref) == RANGE_SORT_BUCKETS - 1
