@@ -240,6 +240,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (d1 < d2) from band buckets via ONE
+    bucket-keyed shuffle (optimization round 14, guide §2.2): group each
+    (band_id, band_hash) bucket into a sorted doc set, expand the
+    C(|bucket|, 2) ordered pairs in-row (the supplier-edge / basket
+    codegen slice/transform shape, graph.py:121), then distinct across
+    bands. The self-equi-join form this replaces shuffled the band
+    relation TWICE (aliasing defeats exchange reuse) and needed a
+    localCheckpoint to keep the signature pass from running per branch —
+    single-consumer bands need neither. Work is Σ C(|bucket|, 2) either
+    way (identical to the join's per-bucket pair count); a mega-bucket
+    would hit both forms alike, and LSH bucket occupancy is the designed
+    bound."""
+    sets = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pair_structs).alias("p"))
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
+
+
+
 @query(
     "dedup_minhash_lsh_candidates",
     category="llm_dedup",
@@ -254,27 +287,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs agreeing on ANY band are candidates. The join is keyed on the
-    bucket, so cost scales with bucket occupancy, not n². The band table
-    is checkpointed before the self-join — no CSE across join branches,
-    so the raw plan would run the full minhash signature pass twice."""
+    """Docs agreeing on ANY band are candidates. Pairs come from the
+    one-shuffle bucket expansion (``_band_pairs``), so cost scales with
+    bucket occupancy, not n² — and the band relation is consumed exactly
+    once, so no checkpoint is needed to bound the signature pass."""
     d = load_table(spark, sf_dir, "documents")
-    bands = minhash_band_buckets(d).localCheckpoint(eager=False)
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("band_id").alias("band_id2"),
-        F.col("band_hash").alias("band_hash2"),
-    )
-    return (
-        bands.join(
-            b2,
-            (F.col("band_id") == F.col("band_id2"))
-            & (F.col("band_hash") == F.col("band_hash2"))
-            & (F.col("doc_id") < F.col("doc_id2")),
-        )
-        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
-        .distinct()
-    )
+    return _band_pairs(minhash_band_buckets(d))
 
 
 @query(
@@ -311,27 +329,10 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only. Verification touches |candidates| × shingles,
     not n² — the shape that survives 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    # checkpoint before the self-join: same no-CSE rationale as the
-    # candidates query — one minhash pass, not two
-    bands = minhash_band_buckets(d).localCheckpoint(eager=False)
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("band_id").alias("band_id2"),
-        F.col("band_hash").alias("band_hash2"),
-    )
-    cand = (
-        bands.join(
-            b2,
-            (F.col("band_id") == F.col("band_id2"))
-            & (F.col("band_hash") == F.col("band_hash2"))
-            & (F.col("doc_id") < F.col("doc_id2")),
-        )
-        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
-        .distinct()
-        # cand feeds both the candidate-doc semi-join and the common-shingle
-        # join below; checkpoint so the band pipeline runs once, not twice.
-        .localCheckpoint(eager=False)
-    )
+    # one-shuffle bucket expansion (see _band_pairs); cand still feeds
+    # both the candidate-doc semi-join and the common-shingle join below,
+    # so the checkpoint bounding the band pipeline to one run stays.
+    cand = _band_pairs(minhash_band_buckets(d)).localCheckpoint(eager=False)
     # Verification needs shingle sets ONLY for docs in some candidate pair —
     # a small fraction of the corpus. Re-shingling just those (broadcast
     # semi-join on the candidate ids) instead of everything removes the
@@ -633,12 +634,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash-verify pipeline twice in the first job (measured: ~2x the
     # pipeline cost). After the checkpoint both branches read the tiny
     # materialized pair set.
-    pairs = dedup_minhash_verified(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    pairs = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)  # the sizing count below materializes it
+    )
     # The verified pair set is dup-pair-cardinality (micro) but inherits
     # the verify pipeline's shuffle partitioning — right-size it so every
     # propagation round's stages schedule O(pairs/64k) tasks, not 32+
-    # near-empty ones (the graph family's round-11 fix; count is free on
-    # the materialized checkpoint).
+    # near-empty ones (the graph family's round-11 fix; the count job is
+    # also what materializes the checkpoint — one job, not two).
     from spark_jdbc_limit_spark.operators.graph import _size_partitions
 
     pairs = _size_partitions(pairs, pairs.count())
@@ -672,11 +677,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("component").alias("component"),
                 F.max("own").alias("own"),
             )
-            .localCheckpoint()  # eager: materialize + cut lineage per round
+            # lazy: the change-count action below materializes the
+            # checkpoint, merging the round's two jobs into one (the
+            # run_until_settled round-14 pattern); lineage is cut the same
+            .localCheckpoint(eager=False)
         )
         labels = agg.select("doc_id", "component")
         # min-propagation only ever lowers labels, so < means "changed";
-        # the count scans the checkpointed round result, no recompute.
+        # the count materializes + scans the round result once.
         if agg.filter(F.col("component") < F.col("own")).count() == 0:
             converged = True
             break
@@ -1151,22 +1159,10 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("band_id").alias("band_id2"),
-        F.col("band_hash").alias("band_hash2"),
-    )
-    cand = (
-        bands.join(
-            b2,
-            (F.col("band_id") == F.col("band_id2"))
-            & (F.col("band_hash") == F.col("band_hash2"))
-            & (F.col("doc_id") < F.col("doc_id2")),
-        )
-        .select(F.col("doc_id").alias("d1"), F.col("doc_id2").alias("d2"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # one-shuffle bucket expansion (see _band_pairs) instead of the
+    # aliased band self-join; cand still fans out to three consumers, so
+    # it keeps its checkpoint.
+    cand = _band_pairs(bands).localCheckpoint(eager=False)
     s1 = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(NUM_HASHES)])
     s2 = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(NUM_HASHES)])
     n_agree = sum(
