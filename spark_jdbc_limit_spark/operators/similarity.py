@@ -883,7 +883,18 @@ def cluster_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-            d2 = ((v[:, None, :] - A[None, :, :]) ** 2).sum(axis=2)
+            # BLAS GEMM distance expansion (optimization round 14, guide
+            # §4.4): |v|² + |a|² − 2·v@Aᵀ replaces the broadcasted
+            # (batch, K, dim) subtraction tensor — same O(n·K·d) flops
+            # through one dgemm instead of 8× the data in memory
+            # traffic. Clamp at 0: rounding can push an exact-match
+            # distance a few ulps negative, and sqrt must not NaN.
+            # Distances are continuous on this corpus (no boundary
+            # sitters — the pinned-margin posture above), so sub-ulp
+            # kernel drift cannot move an argmin or a 4dp-rounded sum.
+            vv = (v * v).sum(axis=1)[:, None]
+            aa = (A * A).sum(axis=1)[None, :]
+            d2 = np.maximum(vv + aa - 2.0 * (v @ A.T), 0.0)
             kk = d2.argmin(axis=1)
             dist = np.sqrt(d2[np.arange(len(v)), kk])
             np.add.at(n, kk, 1)
