@@ -2433,7 +2433,12 @@ def text_ngram_novelty_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_jdbc_limit_spark.operators.relational import round_dbl
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(d)
+    # sh feeds BOTH the document-frequency aggregate and the join-back
+    # side, and the two subtrees alias differently, so no exchange reuse
+    # fires — without the checkpoint the Arrow shingle pass ran twice
+    # (the minhash entries' pattern; plan: 4 MapInPandas → 2,
+    # optimization round 14, guide §4/§5)
+    sh = shingle_hashes(d).localCheckpoint(eager=False)
     df_rel = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
         sh.join(df_rel, "h")
