@@ -1016,18 +1016,22 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     market a monopoly': the sum of squared supplier revenue shares
     (1/n for perfect competition → 1.0 for a single supplier), plus the
     largest single share. The fact-sized work is ONE decimal-exact
-    (nation, supplier) revenue aggregate — map-side combined; nation
-    totals, shares, squares, and the final per-nation rollup all run on
-    the supplier-cardinality micro relation. The per-supplier revenue
-    is rounded to cents BEFORE share division in both engines (the same
-    decimal-then-round discipline as brand_abc_pareto) so the share
-    ratios start from identical doubles."""
+    per-supplier revenue aggregate straight off the scan — map-side
+    combined, no per-fact-row join probe (round-14: the broadcast
+    supplier join moved AFTER the aggregate, so it attaches s_nationkey
+    to supplier-cardinality rows instead of being evaluated per
+    lineitem row; suppkey determines nationkey, so the grouped values
+    are unchanged); nation totals, shares, squares, and the final
+    per-nation rollup all run on the supplier-cardinality micro
+    relation. The per-supplier revenue is rounded to cents BEFORE share
+    division in both engines (the same decimal-then-round discipline as
+    brand_abc_pareto) so the share ratios start from identical
+    doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .groupBy("s_nationkey", "l_suppkey")
+        li.groupBy("l_suppkey")
         .agg(
             F.round(
                 F.sum(
@@ -1040,6 +1044,16 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        # rev feeds BOTH the nation-total rollup and the share join, and
+        # exchange reuse does not fire across the two differently-joined
+        # consumers — without this the fact aggregate ran twice (plan
+        # audit, round 14). Supplier-cardinality rows: the checkpoint is
+        # micro; eager=False so the first action materializes it.
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("s_nationkey").agg(
         F.sum("revenue").alias("total"),

@@ -1786,11 +1786,15 @@ def embedding_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> D
     (smallest vec_ids — deterministic, no sampling); BOTH cosines
     compute in one pass over the anchor×corpus join (zip_with/aggregate
     inside codegen — slice() reuses the same array, so the corpus is
-    scanned once, no UDF); per-anchor top-k is a window over
-    {MATRYOSHKA_ANCHORS} partitions; the overlap join runs on
-    anchors×k rows. At 100 TB this is {MATRYOSHKA_ANCHORS} broadcast
-    probes over one scan — the kNN-join entry covers the all-pairs
-    posture."""
+    scanned once, no UDF); BOTH per-anchor ranks then come from ONE
+    a_id exchange (two Window sorts over the same partitioning), so
+    the top-{MATRYOSHKA_K} overlap is a conditional count on rows that
+    already carry both ranks — no second shuffle of the pair relation
+    and no rank-vs-rank join (round-14: 2 exchanges + 1 join → 1
+    exchange; the checkpoint the two-consumer shape needed is gone
+    because the plan is single-consumer now). At 100 TB this is
+    {MATRYOSHKA_ANCHORS} broadcast probes over one scan — the kNN-join
+    entry covers the all-pairs posture."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1802,39 +1806,27 @@ def embedding_matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> D
     )
     a_pfx = F.slice(F.col("a_emb"), 1, MATRYOSHKA_DIMS)
     b_pfx = F.slice(F.col("emb"), 1, MATRYOSHKA_DIMS)
-    pairs = (
-        v.join(anchors, F.col("vec_id") != F.col("a_id"))
-        .select(
-            "a_id",
-            F.col("vec_id").alias("n_id"),
-            (dot_cols(F.col("a_emb"), F.col("emb"))
-             / (_norm(F.col("a_emb")) * _norm(F.col("emb")))).alias("full_cos"),
-            (dot_cols(a_pfx, b_pfx) / (_norm(a_pfx) * _norm(b_pfx))).alias("pfx_cos"),
-        )
-        .localCheckpoint(eager=False)  # feeds both rankings
+    pairs = v.join(anchors, F.col("vec_id") != F.col("a_id")).select(
+        "a_id",
+        F.col("vec_id").alias("n_id"),
+        (dot_cols(F.col("a_emb"), F.col("emb"))
+         / (_norm(F.col("a_emb")) * _norm(F.col("emb")))).alias("full_cos"),
+        (dot_cols(a_pfx, b_pfx) / (_norm(a_pfx) * _norm(b_pfx))).alias("pfx_cos"),
     )
-    def topk(score: str) -> DataFrame:
-        r = F.row_number().over(
-            W.partitionBy("a_id").orderBy(F.col(score).desc(), "n_id")
-        )
-        return (
-            pairs.select("a_id", "n_id", r.alias("r"))
-            .filter(F.col("r") <= MATRYOSHKA_K)
-            .select("a_id", "n_id")
-        )
-
-    full_top, pfx_top = topk("full_cos"), topk("pfx_cos")
+    r_full = F.row_number().over(
+        W.partitionBy("a_id").orderBy(F.col("full_cos").desc(), "n_id")
+    )
+    r_pfx = F.row_number().over(
+        W.partitionBy("a_id").orderBy(F.col("pfx_cos").desc(), "n_id")
+    )
+    in_pfx_top = F.when(F.col("r_pfx") <= MATRYOSHKA_K, F.lit(1))
     return (
-        full_top.alias("f")
-        .join(
-            pfx_top.alias("p"),
-            (F.col("p.a_id") == F.col("f.a_id")) & (F.col("p.n_id") == F.col("f.n_id")),
-            "left",
-        )
-        .groupBy(F.col("f.a_id").alias("anchor_id"))
+        pairs.select("a_id", r_full.alias("r_full"), r_pfx.alias("r_pfx"))
+        .filter(F.col("r_full") <= MATRYOSHKA_K)
+        .groupBy(F.col("a_id").alias("anchor_id"))
         .agg(
-            F.count(F.col("p.n_id")).alias("n_overlap"),
-            (F.count(F.col("p.n_id")).cast("double") / MATRYOSHKA_K).alias("recall_at_k"),
+            F.count(in_pfx_top).alias("n_overlap"),
+            (F.count(in_pfx_top).cast("double") / MATRYOSHKA_K).alias("recall_at_k"),
         )
         .orderBy("anchor_id")
     )
