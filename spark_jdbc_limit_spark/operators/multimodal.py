@@ -247,6 +247,21 @@ def _img_dims(doc_id: int) -> tuple[int, int]:
     return 8 + (doc_id % 8) * 2, 8 + ((doc_id // 8) % 8) * 2
 
 
+def _fused_payload_pass(render_fn, consume_fn):
+    """Compose a payload renderer and its consumer into ONE mapInPandas
+    kernel: the rendered blob is handed between the two generators as a
+    pandas frame inside the SAME Python worker, so the payload bytes never
+    cross the JVM↔Python Arrow boundary at all (previously they crossed
+    twice — out of the render pass, back into the consume pass). Both
+    kernels are row-local, so the only thing composition changes — batch
+    boundaries seen by the consumer — cannot affect any output row."""
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return consume_fn(render_fn(batches))
+
+    return fused
+
+
 def render_pgm_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas "camera": render each document's text into a REAL
     binary PGM (netpbm P5) image — proper header + raster whose pixel
@@ -326,15 +341,12 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with integer floor-mean, and emit dimensions + pixel checksum. The
     corpus is ASCII, so the DuckDB twin recomputes every 2×2 block mean
     from the source text — decode, offset math, and filter arithmetic are
-    all value-verified, not just shape-checked. Both stages are
-    payload-local mapInPandas (no shuffle); blobs never leave the stage
-    that consumes them."""
+    all value-verified, not just shape-checked. Render and resize run as
+    ONE fused payload-local mapInPandas (no shuffle); blobs are born and
+    die inside the same Python pass and never cross the Arrow boundary."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
-    with_payload = d.select("doc_id", "text").mapInPandas(
-        render_pgm_payloads, "doc_id long, payload binary"
-    )
-    return with_payload.mapInPandas(
-        decode_and_resize,
+    return d.select("doc_id", "text").mapInPandas(
+        _fused_payload_pass(render_pgm_payloads, decode_and_resize),
         "doc_id long, orig_w long, orig_h long, out_w long, out_h long, resized_sum long",
     )
 
@@ -480,16 +492,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes — no trusted offsets), and emit the standard cheap audio QA
     features. The corpus is ASCII, so the DuckDB twin recomputes every
     int16 sample from the source text — container math, sample extraction,
-    and feature arithmetic are all value-verified. Both stages are
-    payload-local mapInPandas: no shuffle, blobs die in the stage that
-    reads them, and the output frame is 7 longs per clip no matter how
-    long the audio is."""
+    and feature arithmetic are all value-verified. Render and featurize run
+    as ONE fused payload-local mapInPandas: no shuffle, blobs never cross
+    the Arrow boundary, and the output frame is 7 longs per clip no matter
+    how long the audio is."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
-    with_payload = d.select("doc_id", "text").mapInPandas(
-        render_wav_payloads, "doc_id long, payload binary"
-    )
-    return with_payload.mapInPandas(
-        extract_audio_features,
+    return d.select("doc_id", "text").mapInPandas(
+        _fused_payload_pass(render_wav_payloads, extract_audio_features),
         "doc_id long, sample_rate long, n_samples long, duration_ms long, "
         "abs_sum long, n_zero_crossings long, peak long",
     )
@@ -559,18 +568,19 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     render -> REAL netpbm decode -> horizontal-gradient difference hash.
     dHash is the standard cheap perceptual hash (robust to brightness /
     scale shifts; here computed on the raw window since the synthetic
-    corpus is already uniform). Pipeline shape is the 100 TB one: both
-    stages are payload-local mapInPandas (no shuffle), the 56-bit hash
+    corpus is already uniform). Pipeline shape is the 100 TB one: render
+    and hash run as ONE fused payload-local mapInPandas (no shuffle, the
+    image bytes never cross the Arrow boundary), the 56-bit hash
     replaces the image in every downstream join, and exact/banded
     Hamming dedup on it reuses the SimHash machinery in dedup.py
     verbatim. The DuckDB twin recomputes every gradient bit from the
     source text (the renderer's pixel (r, c) is text byte (r*w+c) mod n),
     value-verifying decode, offset math, and bit packing."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
-    with_payload = d.select("doc_id", "text").mapInPandas(
-        render_pgm_payloads, "doc_id long, payload binary"
+    return d.select("doc_id", "text").mapInPandas(
+        _fused_payload_pass(render_pgm_payloads, compute_dhash),
+        "doc_id long, dhash long",
     )
-    return with_payload.mapInPandas(compute_dhash, "doc_id long, dhash long")
 
 
 DHASH_HAMMING_T = 3  #: near-dup radius (bits)
@@ -617,8 +627,10 @@ def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
     hashes = (
         d.select("doc_id", "text")
-        .mapInPandas(render_pgm_payloads, "doc_id long, payload binary")
-        .mapInPandas(compute_dhash, "doc_id long, dhash long")
+        .mapInPandas(
+            _fused_payload_pass(render_pgm_payloads, compute_dhash),
+            "doc_id long, dhash long",
+        )
         .localCheckpoint(eager=False)  # reused by both candidate sides + verify
     )
     bands = hashes.select(
@@ -740,14 +752,13 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the fingerprint reuses the SimHash machinery in dedup.py, same as
     the image path.
 
-    Plan shape: two payload-local mapInPandas stages, no shuffle; the
-    output is 3 longs per clip regardless of audio length. At 100 TB
-    the fingerprint replaces the waveform in every downstream join."""
+    Plan shape: ONE fused payload-local mapInPandas (render + fingerprint
+    in the same Python pass, no shuffle, waveform bytes never cross the
+    Arrow boundary); the output is 3 longs per clip regardless of audio
+    length. At 100 TB the fingerprint replaces the waveform in every
+    downstream join."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
-    with_payload = d.select("doc_id", "text").mapInPandas(
-        render_wav_payloads, "doc_id long, payload binary"
-    )
-    return with_payload.mapInPandas(
-        compute_audio_fingerprint,
+    return d.select("doc_id", "text").mapInPandas(
+        _fused_payload_pass(render_wav_payloads, compute_audio_fingerprint),
         "doc_id long, n_frames long, total_energy long, fingerprint long",
     )

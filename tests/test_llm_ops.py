@@ -621,6 +621,28 @@ def test_image_dhash_clusters_match_exact_text_dups(spark, sf_large):
     assert n_split == 0
 
 
+def test_multimodal_fused_single_python_pass(spark, sf_dir):
+    """Round-14 fusion pin: every render→consume multimodal pair runs as
+    ONE mapInPandas kernel, so the synthesized payload bytes never cross
+    the JVM↔Python Arrow boundary — exactly one MapInPandas node in the
+    plan and no `payload` column flowing between operators. (The
+    dhash_near_dup sibling fuses the same way but its lazy checkpoint
+    truncates the visible plan, so values are pinned by its oracle
+    differential instead.)"""
+    from spark_jdbc_limit_spark.plans import plan_text
+
+    for name in (
+        "multimodal_image_resize",
+        "multimodal_audio_features",
+        "multimodal_image_dhash",
+        "multimodal_audio_fingerprint",
+    ):
+        df = get_query(name).builder(spark, sf_dir)
+        txt = plan_text(df, "simple")
+        assert txt.count("MapInPandas") == 1, f"{name}: expected one fused pass"
+        assert "payload" not in txt, f"{name}: payload crossed the boundary"
+
+
 def test_pq_audit_margins():
     """ann_pq_rerank_audit's three float decisions — per-subspace argmin
     code assignment, the ADC shortlist cut, and the exact-rerank order —
