@@ -922,20 +922,33 @@ def run_until_settled(
     """Iterate ``state = step_fn(state)`` until a fixpoint, with a lineage
     cut per round, and return ``(final_state, rounds_run, settled)``.
 
-    ``rounds_per_check`` (round-11, verdict #1's batching lever): apply
-    the step K times between lineage cuts + settlement checks, composing
-    K joins into ONE Spark job — on a long-diameter graph this divides
-    the per-round job-scheduling and convergence-count overhead by K.
-    Two contracts change at K > 1, so the REGISTRY entries keep K = 1:
-    (a) ``rounds_run`` is reported at the batch boundary where no change
-    was detected — an upper bound rounded UP to a multiple of K, not the
-    exact first-no-change round the settled oracles derive; (b) the
-    check compares state(t) to state(t−K), i.e. it detects f^K-fixpoints
-    — equivalent to f-fixpoints for MONOTONE steps (min-label, min-plus,
-    k-core peel: once f(s)=s every later step is a no-op, and f^K(s)=s
-    forces f(s)=s by monotone convergence), but NOT for oscillating
-    steps (synchronous LPA can 2-cycle, which an even K would misread as
-    settled) — keep K = 1 for non-monotone step functions.
+    ``rounds_per_check`` (round-11, verdict #1's batching lever; made
+    EXACT in optimization round 14): apply the step K times between
+    lineage cuts + settlement checks, composing K steps into ONE batch
+    whose single settlement count replaces K per-round counts — on a
+    long-diameter graph this divides the per-round job-scheduling and
+    convergence-count overhead by K. The check compares the batch's LAST
+    CONSECUTIVE PAIR (state(t−1), state(t)): ``step_fn`` is
+    deterministic, so a fixpoint reached at any round j inside the batch
+    propagates to every later round and makes that pair equal — and,
+    unlike the earlier state(t) vs state(t−K) formulation, an equal
+    consecutive pair is a direct f-fixpoint WITNESS, so oscillating
+    steps (a synchronous-LPA 2-cycle) can never be misread as settled,
+    at any K, even or odd. On detection, the batch's earlier pairs are
+    back-checked in order for the exact first-no-change round, and THAT
+    round's state is returned — ``(final_state, rounds_run, settled)``
+    are therefore identical to the K = 1 cadence at any K (pinned in
+    tests/test_graph_convergence.py), which is what lets the REGISTRY
+    entries run K > 1 while their oracles derive the exact round count
+    analytically. The back-check costs up to K−1 extra micro counts ONCE
+    at the tail; every non-final batch pays one count instead of K. The
+    trade is therefore governed by rounds/K: the REGISTRY entries keep
+    K = 1 because the shipped corpus settles in 1-6 rounds, where the
+    tail back-check dominates the amortized savings (round-14 A/B at
+    sf0.1, all five entries: K=4 read 1.2-2.2× SLOWER than K=1, worst on
+    k-core which settles in ONE round and paid 4 steps for it); K > 1 is
+    the long-diameter lever, where rounds >> K makes the non-final
+    batches dominate (the 200-node-chain BENCH_SCALE row).
 
     Settlement: after each round the new state is full-outer-joined to the
     previous one on ``key_cols`` and the changed rows are counted — a key
@@ -966,25 +979,11 @@ def run_until_settled(
         raise ValueError("max_rounds must be >= 1")
     if rounds_per_check < 1:
         raise ValueError("rounds_per_check must be >= 1")
-    cur = state.localCheckpoint()
-    rounds = 0
-    while rounds < max_rounds:
-        k = min(rounds_per_check, max_rounds - rounds)
-        nxt = cur
-        for _ in range(k):
-            nxt = step_fn(nxt)
-        # Lazy checkpoint (optimization round 14, guide §2.6 scheduling
-        # overhead): the settlement count below is the round's first
-        # action, so it materializes the checkpoint as a side effect —
-        # one Spark job per round where eager=True paid two (the
-        # materialization count + the settlement count). Same rows
-        # computed, same lineage cut, half the per-round job overhead.
-        nxt = nxt.localCheckpoint(eager=False)
-        rounds += k
+    def count_changed(prev: DataFrame, nxt: DataFrame) -> int:
         if tolerance is None:
             # Single-exchange settlement check (optimization round 14,
             # guide §2.3/2.4: the full-outer join shuffled BOTH micro
-            # relations and sorted each side — two exchanges per round;
+            # relations and sorted each side — two exchanges per check;
             # this is one). States are keyed (one row per key by the
             # groupBy contract of every step), so in the union of the two
             # rounds grouped by (key, value): an unchanged key forms a
@@ -998,42 +997,77 @@ def run_until_settled(
             # decide identically and ``rounds_run``/``settled`` are
             # bit-identical.
             cols = [*key_cols, *value_cols]
-            changed = (
+            return (
                 nxt.select(*cols)
-                .unionAll(cur.select(*cols))
+                .unionAll(prev.select(*cols))
                 .groupBy(*cols)
                 .agg(F.count(F.lit(1)).alias("__settle_n"))
                 .filter(F.col("__settle_n") == 1)
                 .count()
             )
-        else:
-            # tolerance path (PageRank-style float states): near-equal
-            # values must read "unchanged", which grouping cannot express
-            # — keep the full-outer join with explicit presence markers
-            # (the join coalesces key columns, so which side is missing
-            # must be carried explicitly; a value column cannot stand in,
-            # since its legitimate NULLs would read as absence).
-            terms: list[Column] = [
-                F.col("n._present").isNull() | F.col("c._present").isNull()
-            ]
-            for vc in value_cols:
-                a, b = F.col(f"n.{vc}"), F.col(f"c.{vc}")
-                terms.append(
-                    a.isNull() | b.isNull() | (F.abs(a - b) > F.lit(tolerance))
-                )
-            changed = (
-                nxt.withColumn("_present", F.lit(1)).alias("n")
-                .join(
-                    cur.withColumn("_present", F.lit(1)).alias("c"),
-                    on=list(key_cols),
-                    how="full",
-                )
-                .filter(reduce(or_, terms))
-                .count()
+        # tolerance path (PageRank-style float states): near-equal
+        # values must read "unchanged", which grouping cannot express
+        # — keep the full-outer join with explicit presence markers
+        # (the join coalesces key columns, so which side is missing
+        # must be carried explicitly; a value column cannot stand in,
+        # since its legitimate NULLs would read as absence).
+        terms: list[Column] = [
+            F.col("n._present").isNull() | F.col("c._present").isNull()
+        ]
+        for vc in value_cols:
+            a, b = F.col(f"n.{vc}"), F.col(f"c.{vc}")
+            terms.append(
+                a.isNull() | b.isNull() | (F.abs(a - b) > F.lit(tolerance))
             )
-        cur = nxt
-        if changed == 0:
-            return cur, rounds, True
+        return (
+            nxt.withColumn("_present", F.lit(1)).alias("n")
+            .join(
+                prev.withColumn("_present", F.lit(1)).alias("c"),
+                on=list(key_cols),
+                how="full",
+            )
+            .filter(reduce(or_, terms))
+            .count()
+        )
+
+    cur = state.localCheckpoint()
+    rounds = 0
+    while rounds < max_rounds:
+        k = min(rounds_per_check, max_rounds - rounds)
+        # Batch body: k−1 un-checkpointed intermediate plans (retained
+        # for the settle-round back-check), then the batch's LAST
+        # CONSECUTIVE PAIR lazily checkpointed. Lazy (optimization round
+        # 14, guide §2.6 scheduling overhead): the settlement count below
+        # is the batch's first action, so it materializes BOTH
+        # checkpoints in one job (``last`` builds on ``penult``'s cached
+        # partitions) — where eager=True paid a separate materialization
+        # job per checkpoint.
+        plans = [cur]
+        for _ in range(k - 1):
+            plans.append(step_fn(plans[-1]))
+        penult = plans[-1].localCheckpoint(eager=False) if k > 1 else cur
+        last = step_fn(penult).localCheckpoint(eager=False)
+        if count_changed(penult, last) == 0:
+            # The last pair being equal witnesses an f-fixpoint reached
+            # at SOME round j in this batch (step_fn is deterministic, so
+            # s_j = s_{j-1} propagates forward). Back-check the earlier
+            # pairs in order for the exact first-no-change round and
+            # return THAT round's state — checkpointed BEFORE its
+            # deciding count so the decision and every downstream
+            # consumer read the same materialized rows (matters for
+            # float states under ``tolerance``, where a re-execution
+            # could differ in the last ulp). Runs once, at the tail.
+            for i in range(1, k):
+                cand = (
+                    penult
+                    if i == k - 1
+                    else plans[i].localCheckpoint(eager=False)
+                )
+                if count_changed(plans[i - 1], cand) == 0:
+                    return cand, rounds + i, True
+            return last, rounds + k, True
+        cur = last
+        rounds += k
     return cur, max_rounds, False
 
 
@@ -1056,9 +1090,9 @@ def connected_components_until_settled(
     per-round plan (self-loop edge relation, broadcast labels, map-side-
     combined MIN). Returns ``((node, lbl), rounds, settled)``; the fixed
     entry's output is the per-component aggregate of this state.
-    ``rounds_per_check`` is sound here — min-label is MONOTONE (see
-    ``run_until_settled``), and on a long-diameter graph K > 1 divides
-    the per-round scheduling + settlement-count overhead by K (measured:
+    ``rounds_per_check`` > 1 is exact for any deterministic step since
+    round 14 (see ``run_until_settled``); on a long-diameter graph it
+    divides the scheduling + settlement-count overhead by K (measured:
     BENCH_SCALE.json's ``chain_cc_rounds_per_check`` row; end-to-end pin
     in tests/test_graph_convergence.py). On a long-diameter production
     graph, swap the loop BODY for the large-star/small-star alternation
@@ -1104,8 +1138,8 @@ def bfs_hops_until_settled(
     fixed entry's hops = -1 bucket is the anti-join against the node
     relation, unchanged by when the loop stops). The growing frontier is
     why the settlement check full-outer-joins: a newly reached node has no
-    previous-round row. Min-plus is MONOTONE, so ``rounds_per_check`` > 1
-    is sound (see ``run_until_settled``)."""
+    previous-round row. ``rounds_per_check`` > 1 is exact for any
+    deterministic step since round 14 (see ``run_until_settled``)."""
     if edges is None:
         edges = supplier_edges_ckpt(spark, sf_dir)
     bi = _bi_edges(edges)
@@ -1147,6 +1181,7 @@ def label_propagation_until_settled(
     *,
     edges: DataFrame | None = None,
     max_rounds: int = 50,
+    rounds_per_check: int = 1,
 ) -> tuple[DataFrame, int, bool]:
     """``graph_label_propagation``'s synchronous self-vote LPA, looped to
     convergence instead of the fixed {LPA_ITERS}-step unroll — identical
@@ -1174,7 +1209,12 @@ def label_propagation_until_settled(
         )
 
     return run_until_settled(
-        labels, step, key_cols=["node"], value_cols=["lbl"], max_rounds=max_rounds
+        labels,
+        step,
+        key_cols=["node"],
+        value_cols=["lbl"],
+        max_rounds=max_rounds,
+        rounds_per_check=rounds_per_check,
     )
 
 
@@ -1347,6 +1387,7 @@ def kcore_until_settled(
     edges: DataFrame | None = None,
     k: int = KCORE_K,
     max_rounds: int = 50,
+    rounds_per_check: int = 1,
 ) -> tuple[DataFrame, int, bool]:
     """``graph_kcore_peeling``'s peel loop run to convergence on the
     ``run_until_settled`` harness — the long-diameter production
@@ -1376,7 +1417,12 @@ def kcore_until_settled(
 
     # key-set-only state: settlement is the node set itself
     return run_until_settled(
-        nodes, step, key_cols=["node"], value_cols=[], max_rounds=max_rounds
+        nodes,
+        step,
+        key_cols=["node"],
+        value_cols=[],
+        max_rounds=max_rounds,
+        rounds_per_check=rounds_per_check,
     )
 
 
@@ -2120,8 +2166,8 @@ def sssp_until_settled(
     to convergence (the production posture for long/cheap detour paths a
     fixed unroll would miss). Returns ``((node, d), rounds, settled)``
     over reached nodes; the frontier GROWS, so settlement full-outer-
-    joins with presence markers (the BFS posture). Weighted min-plus is
-    MONOTONE, so ``rounds_per_check`` > 1 is sound (see
+    joins with presence markers (the BFS posture). ``rounds_per_check``
+    > 1 is exact for any deterministic step since round 14 (see
     ``run_until_settled``)."""
     if edges is None:
         edges = supplier_edges_ckpt(spark, sf_dir, keep_weight=True)

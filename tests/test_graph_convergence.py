@@ -117,24 +117,29 @@ def test_run_until_settled_key_set_only_state(spark):
 
 
 def test_run_until_settled_batched_checks_monotone(spark):
-    """rounds_per_check=K composes K steps into one job between
-    settlement checks (the long-diameter scale lever). For a MONOTONE
-    step the final state must be identical to cadence-1; rounds_run is
-    reported at the batch boundary (upper bound, multiple of K), and a
-    never-settling step still caps at max_rounds."""
+    """rounds_per_check=K batches K steps between settlement checks (the
+    long-diameter scale lever), EXACT since optimization round 14: the
+    check compares the batch's last consecutive pair (a direct
+    f-fixpoint witness) and back-checks the batch for the exact
+    first-no-change round, so rounds_run and the final state are
+    identical to cadence-1 at ANY K; a never-settling step still caps at
+    max_rounds, and an oscillating step can never be misread as settled
+    (no 2-cycle has an equal consecutive pair — the even-K hazard of the
+    old state(t) vs state(t−K) check is gone)."""
     state = spark.range(3).select(F.col("id").alias("k"), F.lit(4).alias("v"))
     decay = lambda s: s.select("k", F.greatest(F.col("v") - 1, F.lit(0)).alias("v"))  # noqa: E731
     f1, r1, ok1 = run_until_settled(
         state, decay, key_cols=["k"], value_cols=["v"], max_rounds=20
     )
-    f3, r3, ok3 = run_until_settled(
-        state, decay, key_cols=["k"], value_cols=["v"], max_rounds=20,
-        rounds_per_check=3,
-    )
-    assert ok1 and ok3
+    assert ok1
     assert r1 == 5  # settles at 4, confirmed on round 5
-    assert r3 == 9  # first no-change batch boundary: multiple of 3
-    assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f3.collect()))
+    for K in (2, 3, 7):
+        fk, rk, okk = run_until_settled(
+            state, decay, key_cols=["k"], value_cols=["v"], max_rounds=20,
+            rounds_per_check=K,
+        )
+        assert okk and rk == r1, f"K={K}: rounds {rk} != exact {r1}"
+        assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, fk.collect()))
     # never-settling step caps at max_rounds even mid-batch
     _, rn, okn = run_until_settled(
         state,
@@ -142,19 +147,28 @@ def test_run_until_settled_batched_checks_monotone(spark):
         key_cols=["k"], value_cols=["v"], max_rounds=7, rounds_per_check=3,
     )
     assert (rn, okn) == (7, False)
+    # 2-cycle (4 <-> 3): even K must NOT read the f² fixpoint as settled
+    _, ro, oko = run_until_settled(
+        state,
+        lambda s: s.select("k", (F.lit(7) - F.col("v")).alias("v")),
+        key_cols=["k"], value_cols=["v"], max_rounds=6, rounds_per_check=2,
+    )
+    assert (ro, oko) == (6, False)
 
 
 def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
     """END-TO-END rounds_per_check pin (round-11 verdict #4): on a
     path graph whose diameter (11) is far past the shipped corpus's ~7,
     the REAL connected_components_until_settled at K=4 must reach the
-    identical fixpoint as K=1 — min-label is monotone, so the f^K check
-    is exact — while reporting rounds at the batch boundary. The WALL
-    claim (K=4 cuts the per-round scheduling + settlement-count overhead
-    ~Kx on long diameters) is measured in BENCH_SCALE.json's
-    ``chain_cc_rounds_per_check`` row on a 200-node chain, where the
-    job-count difference dominates; this test pins the value contract
-    end-to-end through the production entry point."""
+    identical fixpoint AND the identical exact round count as K=1 — the
+    round-14 last-pair + back-check semantics, which is what lets the
+    registry entries run batched while their oracles derive the exact
+    round analytically. The WALL claim (K=4 cuts the per-round
+    scheduling + settlement-count overhead ~Kx on long diameters) is
+    measured in BENCH_SCALE.json's ``chain_cc_rounds_per_check`` row on
+    a 200-node chain, where the job-count difference dominates; this
+    test pins the value contract end-to-end through the production
+    entry point."""
     n = 12
     chain = spark.range(n - 1).select(
         F.col("id").alias("s1"), (F.col("id") + 1).alias("s2")
@@ -166,12 +180,10 @@ def test_cc_rounds_per_check_end_to_end_on_long_diameter_chain(spark):
         spark, "", edges=chain, max_rounds=40, rounds_per_check=4
     )
     assert ok1 and ok4
-    # K=1 reports the exact first-no-change round: diameter 11 label
-    # propagation + 1 confirmation round
+    # the exact first-no-change round: diameter 11 label propagation + 1
+    # confirmation round — identical at BOTH cadences (round-14 contract)
     assert r1 == n
-    # K=4 reports the first no-change BATCH boundary: a multiple of 4 in
-    # (r1, r1 + 4] — the documented upper-bound contract
-    assert r4 % 4 == 0 and r1 < r4 <= r1 + 4
+    assert r4 == r1
     # identical fixpoint: every node labeled with the chain's min id
     assert _df_equal(lbl1, lbl4)
     assert lbl1.filter(F.col("lbl") != 0).count() == 0
