@@ -46,6 +46,20 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Generated-class cache sized for a multi-query application. The
+        # default (100 classes, LRU) is far below what a session running
+        # this engine's full registry generates per pass, so under the
+        # default every repeated query re-pays Janino compilation AND
+        # starts HotSpot JIT profiling from zero each time it runs — a
+        # measured +30-130% on codegen-heavy entries (flush test,
+        # OPTIMIZATION_r14.md #15). Query-count-dependent, not
+        # data-scale-dependent: the same value is right on a cluster
+        # (the cache is per-JVM and generated classes are a few KB).
+        # Static conf — applies only at session creation.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

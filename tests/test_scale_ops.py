@@ -679,6 +679,17 @@ def test_bench_baseline_constants_frozen():
     assert 2.0 < ANCHOR_REF_SEC < 3.5
 
 
+def test_codegen_class_cache_sized_for_registry(spark):
+    """The session factory raises spark.sql.codegen.cache.maxEntries from
+    Spark's default 100 (round-14 optimization #15): one registry pass
+    generates far more than 100 codegen classes, so under the default
+    every repeated query re-pays Janino compilation and restarts JIT
+    profiling — measured +30-130% on codegen-heavy entries after a
+    160-query flush, fully retained at 4096. Query-count-dependent, not
+    data-scale-dependent; SPARK_GRAFT_CODEGEN_CACHE overrides."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
+
+
 def test_equidepth_two_phase_cuts_exact(spark, sf_correct):
     """The equidepth audit's histogram-pruned two-phase cutoffs (round-14
     optimization) must reproduce Spark's exact `percentile()` BIT-FOR-BIT:
