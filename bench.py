@@ -137,12 +137,56 @@ BASELINE_QUERY_SEC = {
 }
 
 
-def _prev_bench_norm(sf_val) -> dict[str, float]:
-    """Per-query slot-normalized medians from git HEAD's committed
+def _prev_norm_from_artifact(prev: dict, sf_val, cpus: int) -> dict[str, float]:
+    """Pure core of ``_prev_bench_norm`` (unit-testable without git): the
+    per-query slot-normalized regression bar from a previous close
+    artifact, or {} when that artifact was recorded at a different scale
+    factor OR core count (round-14 verdict #6: an 8-cpu scaling run that
+    leaks into the committed artifact must not define a 32-cpu run's
+    bar — medians at different core counts are not comparable). Per
+    query the bar seed is the CONTENTION-ROBUST value min(median,
+    reprobe-solo-median) (round-14 verdict #9: a contended committed
+    median — e.g. q1 at 5.79 s vs ≤2.6 s solo — silently weakened the
+    trigger for that entry; the spread trigger already records solo rows
+    for exactly those, so prefer them)."""
+    import warnings
+
+    if prev.get("sf") != sf_val:
+        warnings.warn(
+            f"bench: committed BENCH_FULL.json is sf={prev.get('sf')!r}, this "
+            f"run is sf={sf_val!r}; vs_prev disabled (a smoke-scale artifact "
+            "must not define the regression bar)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return {}
+    if prev.get("cpus") is not None and prev.get("cpus") != cpus:
+        warnings.warn(
+            f"bench: committed BENCH_FULL.json was recorded at cpus="
+            f"{prev.get('cpus')!r}, this run is cpus={cpus!r}; vs_prev "
+            "disabled (medians at different core counts are not comparable)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return {}
+    factor = prev.get("anchor_factor") or 1.0
+    reprobe = prev.get("reprobe") or {}
+    out: dict[str, float] = {}
+    for name, med in (prev.get("queries") or {}).items():
+        solo = (reprobe.get(name) or {}).get("solo")
+        if solo:
+            med = min(med, statistics.median(solo))
+        out[name] = round(med / max(factor, 1e-9), 3)
+    return out
+
+
+def _prev_bench_norm(sf_val, cpus: int) -> dict[str, float]:
+    """Per-query slot-normalized bar values from git HEAD's committed
     BENCH_FULL.json (the previous round's close artifact), or {} when
-    unavailable / recorded at a different scale factor. Normalizing both
-    sides by their run's anchor factor makes the comparison a
-    machine-swing-free plan signal (the same move as value_anchor_norm)."""
+    unavailable / recorded at a different scale factor or core count.
+    Normalizing both sides by their run's anchor factor makes the
+    comparison a machine-swing-free plan signal (the same move as
+    value_anchor_norm)."""
     import subprocess
     import warnings
 
@@ -165,20 +209,7 @@ def _prev_bench_norm(sf_val) -> dict[str, float]:
             stacklevel=2,
         )
         return {}
-    if prev.get("sf") != sf_val:
-        warnings.warn(
-            f"bench: committed BENCH_FULL.json is sf={prev.get('sf')!r}, this "
-            f"run is sf={sf_val!r}; vs_prev disabled (a smoke-scale artifact "
-            "must not define the regression bar)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return {}
-    factor = prev.get("anchor_factor") or 1.0
-    return {
-        name: round(med / max(factor, 1e-9), 3)
-        for name, med in (prev.get("queries") or {}).items()
-    }
+    return _prev_norm_from_artifact(prev, sf_val, cpus)
 
 
 def _vs_prev_exceeds(
@@ -280,6 +311,24 @@ def main() -> None:
     # first bracket; warming keeps every recorded probe like-for-like
     # with the reference procedure (--record-anchor-ref warms the same way).
     _warm_session(spark, sf_dir, cpus)
+
+    # The shared graph-edge checkpoint's materialization cost as an
+    # EXPLICIT row (round-14 verdict #7): `supplier_edges_ckpt` memoizes
+    # one localCheckpointed edge relation per (session, corpus), so 16 of
+    # the 17 graph entries' per-query rows assume a warm checkpoint. Timing
+    # the first materialization here (a) makes the standalone cost a named,
+    # separable number in the artifact and (b) gives every graph entry
+    # uniform warm-memo (marginal-cost) semantics instead of charging the
+    # whole materialization to whichever graph entry the registry order
+    # happens to run first. Derived from parquet in THIS session — nothing
+    # crosses processes.
+    from spark_jdbc_limit_spark.operators.graph import supplier_edges_ckpt
+
+    t0 = time.perf_counter()
+    supplier_edges_ckpt(spark, sf_dir, keep_weight=True).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    supplier_edges_ckpt_sec = round(time.perf_counter() - t0, 3)
 
     # Per-query MEDIAN over n reps: a single-shot timing on a shared VM
     # reads contention windows as 10x plan regressions (round-2 bench
@@ -470,7 +519,7 @@ def main() -> None:
     # factor needs the last bracket, which deliberately runs after the
     # reprobes; first-bracket-vs-final divergence is visible in
     # anchor_series either way.
-    prev_norm = _prev_bench_norm(sf_val)
+    prev_norm = _prev_bench_norm(sf_val, cpus)
     provisional_factor = max(anchor_first / ANCHOR_REF_SEC, 1e-9)
     reprobe: dict[str, dict] = {}
     for name in REGISTRY:
@@ -573,6 +622,10 @@ def main() -> None:
         # marginal cost with CC as a materialized pipeline intermediate;
         # NOT added to `value` (the self-contained entry already counts)
         "pipeline_marginal": pipeline_marginal,
+        # standalone materialization cost of the shared graph-edge
+        # checkpoint (round-14 verdict #7); per-entry graph rows are
+        # marginal against this warm memo. NOT added to `value`.
+        "supplier_edges_ckpt_sec": supplier_edges_ckpt_sec,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:

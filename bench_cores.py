@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Core-scaling bench (round-14 verdict #5): produce a DATA-BOUND
+parallelism artifact.
+
+At sf0.1 the whole suite is scheduling/codegen-overhead-bound — the
+driver's 8-cpu run beats its 32-cpu run on suite total — so the sf0.1
+scaling block carries no parallelism evidence for the 100 TB story. This
+harness replicates the sf0.1 corpus R× with ``bench_scale._replicate``
+(replica-disjoint identity: graph/pair structure held fixed, volume ×R)
+and times a shuffle-heavy entry subset at TWO core counts in separate
+processes (``local[N]`` is a static conf). A wall-clock ratio
+t(8cpus)/t(32cpus) materially above 1 on the replicated corpus is the
+evidence that the plans actually parallelize once data binds.
+
+Run:  python bench_cores.py            # orchestrates both core counts
+Env:  SPARK_GRAFT_CORES_BASE   (default /root/testdata/sf0.1)
+      SPARK_GRAFT_CORES_R      (default 10 — replication factor)
+      SPARK_GRAFT_CORES_CPUS   (default 32,8)
+      SPARK_GRAFT_CORES_QUERIES (comma list; default CORE_QUERIES)
+      SPARK_GRAFT_CORES_WORK   (default /tmp/spark_graft_cores)
+      SPARK_GRAFT_CORES_PASSES (default 2 — min over passes)
+
+The result JSON is printed once; merge the ``core_scaling`` block into
+BENCH_SCALE.json by hand (the bench_scale subset convention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Shuffle-heavy subset spanning the operator families (TPC-H joins and
+#: aggregations, window, two-phase ranks, dedup/anchor Arrow pipelines,
+#: graph propagation, sketch audits): the entries whose 100 TB posture
+#: depends on exchanges actually spreading across cores.
+CORE_QUERIES = [
+    "q1_pricing_summary",
+    "q18_large_volume_customers",
+    "join_sortmerge_facts",
+    "window_range_frame",
+    "agg_spearman_rank_correlation",
+    "sort_range_equidepth_audit",
+    "sort_zorder_skipping_audit",
+    "agg_cms_join_size_audit",
+    "agg_approx_percentile_audit",
+    "text_bm25_retrieval",
+    "dedup_minhash_verified",
+    "dedup_minhash_estimate_audit",
+    "dedup_jaccard_prefix_filter",
+    "dedup_longest_dup_substring",
+    "curate_span_cut_pipeline",
+    "curate_full_pipeline",
+    "basket_lift_rules",
+    "graph_connected_components",
+    "embedding_pca_power_iteration",
+    "events_peak_concurrency_sweep",
+]
+
+
+def _worker(cpus: int, data_dir: str, queries: list[str], passes: int) -> None:
+    """Time every query at local[cpus] over ``data_dir``; print one JSON
+    line. Separate process per core count because master/static confs
+    bind at session creation."""
+    from spark_jdbc_limit_spark import build_session
+    from spark_jdbc_limit_spark.operators import REGISTRY
+
+    spark = build_session(
+        app_name=f"bench_cores_{cpus}", cpus=cpus, shuffle_partitions=cpus
+    )
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm: every table (footers + OS cache) and the Arrow worker pool
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        _noop(spark.read.parquet(f"{data_dir}/{t}.parquet"))
+    spark.range(0, cpus * 10, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for pass_i in range(passes):
+        for name in queries:
+            spark.sparkContext.setJobDescription(f"cores{cpus} {name}")
+            t0 = time.perf_counter()
+            _noop(REGISTRY[name].builder(spark, data_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            cur = times.get(name)
+            times[name] = min(dt, cur) if cur is not None else dt
+            print(f"# cpus={cpus} pass{pass_i + 1} {name}: {dt:.2f}s", file=sys.stderr)
+    print(json.dumps({"cpus": cpus, "times": times}))
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_CORES_BASE", "/root/testdata/sf0.1")
+    r = int(os.environ.get("SPARK_GRAFT_CORES_R", "10"))
+    cpus_list = [
+        int(x) for x in os.environ.get("SPARK_GRAFT_CORES_CPUS", "32,8").split(",")
+    ]
+    only = os.environ.get("SPARK_GRAFT_CORES_QUERIES")
+    queries = only.split(",") if only else CORE_QUERIES
+    work = os.environ.get("SPARK_GRAFT_CORES_WORK", "/tmp/spark_graft_cores")
+    passes = int(os.environ.get("SPARK_GRAFT_CORES_PASSES", "2"))
+
+    data_dir = f"{work}/x{r}"
+    if not os.path.exists(f"{data_dir}/_BUILT"):
+        from spark_jdbc_limit_spark import build_session
+        from bench_scale import _replicate
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        spark = build_session(app_name="bench_cores_build", cpus=max(cpus_list))
+        t0 = time.perf_counter()
+        _replicate(spark, base, data_dir, r)
+        print(f"# built {data_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        open(f"{data_dir}/_BUILT", "w").close()
+        spark.stop()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    per_cpus: dict[int, dict[str, float]] = {}
+    for cpus in cpus_list:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CORES_WORKER"] = json.dumps(
+            {"cpus": cpus, "data_dir": data_dir, "queries": queries, "passes": passes}
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=here,
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode != 0:
+            raise RuntimeError(f"worker cpus={cpus} failed: {proc.stdout[-500:]}")
+        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        per_cpus[cpus] = row["times"]
+
+    hi, lo = max(cpus_list), min(cpus_list)
+    out = {
+        "metric": "core_scaling_ratio_low_over_high",
+        "base": base,
+        "replication": r,
+        "cpus": cpus_list,
+        "passes": passes,
+        "queries": {
+            name: {
+                **{f"t_{c}cpus": per_cpus[c].get(name) for c in cpus_list},
+                "ratio": (
+                    round(per_cpus[lo][name] / per_cpus[hi][name], 3)
+                    if per_cpus[hi].get(name)
+                    else None
+                ),
+            }
+            for name in queries
+        },
+        "total_ratio": round(
+            sum(per_cpus[lo].values()) / max(sum(per_cpus[hi].values()), 1e-9), 3
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    worker_cfg = os.environ.get("SPARK_GRAFT_CORES_WORKER")
+    if worker_cfg:
+        cfg = json.loads(worker_cfg)
+        _worker(cfg["cpus"], cfg["data_dir"], cfg["queries"], cfg["passes"])
+    else:
+        main()

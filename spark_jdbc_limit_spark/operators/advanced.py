@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_jdbc_limit_spark.operators.registry import query
 from spark_jdbc_limit_spark.operators.relational import dec_sum, round_dbl, sql_dec_sum, sql_round_dbl
@@ -821,6 +822,14 @@ def sort_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (max//8 .. max//4) so selectivity stays comparable across SFs.
 ZORDER_MAX_BITS = 31
 ZORDER_BLOCKS = 64
+#: Lead-key bucket granularity for the audit's survivor-bucket global
+#: rank (optimization round 15): 2^12 = 4096 monotonic buckets vs 64
+#: blocks means at most 63 buckets per layout span a block boundary, so
+#: on a roughly uniform lead only ~63/4096 of rows ever see a rank
+#: window; every other bucket's block stats aggregate wholesale. Skewed
+#: leads only grow the survivor set (correctness never depends on
+#: bucket balance).
+_ZB_BUCKET_BITS = 12
 
 
 def _interleave_sql(col: str, offset: int) -> str:
@@ -946,14 +955,16 @@ def _zorder_oracle() -> str:
     """
 
 
-@query(
-    "sort_zorder_skipping_audit",
-    category="sort",
-    description=f"Z-order vs lexicographic layout: min/max block-skipping audit over {ZORDER_BLOCKS} blocks and two probe boxes",
-    oracle=_zorder_oracle(),
-)
-def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data LAYOUT as an operator — the mechanism behind Delta/Iceberg
+def _zorder_block_summary(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """The audit's per-layout block summary — the full machinery of
+    ``sort_zorder_skipping_audit``, which adds only the 2-row comparison
+    booleans on top. ``checkpoint=False`` skips the final 2-row lazy
+    checkpoint so plan dumps can show the full pipeline (the entry
+    always checkpoints — two consumers).
+
+    Data LAYOUT as an operator — the mechanism behind Delta/Iceberg
     ``OPTIMIZE ZORDER BY``: interleave the bits of (l_partkey,
     l_suppkey) into a Morton z-value, lay rows out in z order, and audit
     what the layout buys via the same min/max statistics parquet footers
@@ -968,15 +979,23 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic, so the driver hash-checks the full pruning
     matrix cross-engine.
 
-    Plan shape: the z-value is ``sources.zorder.interleave_bits`` — a
-    per-row shift/mask OR-tree inside whole-stage codegen. Block
-    assignment needs a GLOBAL rank per layout, and a bare
-    ``ntile() OVER (ORDER BY ...)`` funnels the table through one task —
-    so ranks come from the repo's two-phase pattern
-    (``global_rownum_two_phase``): a monotonic bucket of each layout's
-    LEADING key partitions the rank window (every bucket numbered in
-    parallel), per-bucket counts roll into offsets over a micro
-    relation, and ``blk = (rank-1)·B div n`` cuts equal-count blocks —
+    Plan shape (optimization round 15, guide §2.3 — the equidepth
+    survivor-bucket pattern applied to BOTH layouts at once): the
+    z-value is ``sources.zorder.interleave_bits`` — a per-row shift/mask
+    OR-tree inside whole-stage codegen. Block assignment needs a GLOBAL
+    rank per layout, but almost no row needs one individually: ONE
+    explode-tagged pass aggregates per-bucket count/min/max stats for
+    both layouts' monotonic lead-key buckets (top ``_ZB_BUCKET_BITS``
+    bits of each lead — 4096 buckets vs 64 blocks), cumulative counts
+    over that micro relation locate each bucket's block span, buckets
+    that sit inside one block contribute their stats wholesale, and
+    only rows of the ≤ B−1 boundary-SPANNING buckets per layout (~1-2%
+    of the data) pay an exact rank — a tiny window partitioned by
+    (layout, bkt) with ``rank = offset + local row_number``. The
+    previous form ranked EVERY row through two full-fact bucket windows
+    plus three separate stat passes; now no fact-sized exchange remains
+    and the checkpointed base is read twice (stats pass + survivor
+    pass). ``blk = (rank-1)·B div n`` cuts the same equal-count blocks —
     the same formula in both engines, so the differential pins it. At
     100 TB the layout IS the write: the sibling
     ``sources.zorder.write_zordered`` (repartitionByRange(z) +
@@ -1016,25 +1035,131 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.alias("z")
     ).localCheckpoint(eager=False)
-    tot = base.agg(F.count(F.lit(1)).alias("n_rows"))
 
-    def two_phase_blocks(layout: str, lead: str, order_cols: list[str]) -> DataFrame:
-        return (
-            two_phase_rank(base, lead, order_cols)
-            .crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(layout).alias("layout"),
-                "l_partkey",
-                "l_suppkey",
-                F.expr(f"((rank - 1) * {ZORDER_BLOCKS}) DIV n_rows").alias("blk"),
+    # Monotonic lead-key buckets for both layouts: the top
+    # _ZB_BUCKET_BITS bits of the (non-negative) lead key. Any monotone
+    # non-decreasing function of the lead preserves the global order
+    # across buckets; bit-slicing needs NO extent pass (the former form
+    # paid a min/max aggregate per layout plus a count pass just to
+    # size the buckets).
+    zshift = max(0, 2 * zbits - _ZB_BUCKET_BITS)
+    pshift = max(0, mp.bit_length() - _ZB_BUCKET_BITS)
+    tagged = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "z",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("z"), zshift).alias("bkt"),
+                ),
+                F.struct(
+                    F.lit("lex").alias("layout"),
+                    F.shiftright(F.col("l_partkey"), pshift).alias("bkt"),
+                ),
             )
+        ).alias("c"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "z",
+        F.col("c.layout").alias("layout"),
+        F.col("c.bkt").alias("bkt"),
+    )
+    # ONE stats pass for both layouts (explode is in-row; the partial
+    # aggregation collapses map-side, so the exchange is micro):
+    # per-bucket count + the min/max envelopes the block stats need.
+    wl = Window.partitionBy("layout").orderBy("bkt")
+    stats = (
+        tagged.groupBy("layout", "bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_suppkey").alias("mns"),
+            F.max("l_suppkey").alias("mxs"),
+            F.min("l_partkey").alias("mnp"),
+            F.max("l_partkey").alias("mxp"),
         )
-
-    laid = two_phase_blocks(
-        "zorder", "z", ["z", "l_orderkey", "l_linenumber"]
-    ).unionAll(
-        two_phase_blocks(
-            "lex", "l_partkey", ["l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"]
+        .select(
+            "*",
+            F.coalesce(
+                F.sum("cnt").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("off"),
+            F.sum("cnt")
+            .over(
+                wl.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n_rows"),
+        )
+        .withColumn("blk_lo", F.expr(f"(off * {ZORDER_BLOCKS}) DIV n_rows"))
+        .withColumn(
+            "blk_hi", F.expr(f"((off + cnt - 1) * {ZORDER_BLOCKS}) DIV n_rows")
+        )
+        .localCheckpoint(eager=False)  # micro; two consumers below
+    )
+    # Buckets inside one block contribute their stats WHOLESALE — no row
+    # of theirs is ever ranked.
+    whole = stats.filter(F.col("blk_lo") == F.col("blk_hi")).select(
+        "layout",
+        F.col("blk_lo").alias("blk"),
+        "mns",
+        "mxs",
+        "mnp",
+        "mxp",
+        F.col("cnt").alias("n"),
+    )
+    # Only rows of block-boundary-SPANNING buckets (≤ ZORDER_BLOCKS - 1
+    # per layout) pay an exact rank: offset + row_number inside the
+    # bucket reproduces the global rank because the bucket key is
+    # monotone in the lead and the order starts with the lead.
+    span = stats.filter(F.col("blk_lo") != F.col("blk_hi")).select(
+        "layout", "bkt", "off", "n_rows"
+    )
+    k1 = F.when(F.col("layout") == "zorder", F.col("z")).otherwise(
+        F.col("l_partkey")
+    )
+    k2 = F.when(F.col("layout") == "zorder", F.lit(0)).otherwise(
+        F.col("l_suppkey")
+    )
+    wr = Window.partitionBy("layout", "bkt").orderBy(
+        k1, k2, "l_orderkey", "l_linenumber"
+    )
+    surv_blocks = (
+        tagged.join(F.broadcast(span), ["layout", "bkt"])
+        .withColumn("rn", F.row_number().over(wr))
+        .select(
+            "layout",
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"((off + rn - 1) * {ZORDER_BLOCKS}) DIV n_rows").alias(
+                "blk"
+            ),
+        )
+        .groupBy("layout", "blk")
+        .agg(
+            F.min("l_suppkey").alias("mns"),
+            F.max("l_suppkey").alias("mxs"),
+            F.min("l_partkey").alias("mnp"),
+            F.max("l_partkey").alias("mxp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    blocks = (
+        whole.unionByName(surv_blocks)
+        .groupBy("layout", "blk")
+        .agg(
+            F.min("mns").alias("mns"),
+            F.max("mxs").alias("mxs"),
+            F.min("mnp").alias("mnp"),
+            F.max("mxp").alias("mxp"),
+            F.sum("n").alias("n"),
         )
     )
     # Probe-box extents from the already-fetched maxima (python // ==
@@ -1046,13 +1171,6 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(mp // 4).cast("long").alias("phi"),
         F.lit(ms // 8).cast("long").alias("slo"),
         F.lit(ms // 4).cast("long").alias("shi"),
-    )
-    blocks = laid.groupBy("layout", "blk").agg(
-        F.min("l_suppkey").alias("mns"),
-        F.max("l_suppkey").alias("mxs"),
-        F.min("l_partkey").alias("mnp"),
-        F.max("l_partkey").alias("mxp"),
-        F.count(F.lit(1)).alias("n"),
     )
     prune_t = (F.col("mns") > F.col("shi")) | (F.col("mxs") < F.col("slo"))
     prune_l = (F.col("mnp") > F.col("phi")) | (F.col("mxp") < F.col("plo"))
@@ -1067,10 +1185,30 @@ def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(prune_l, 0).otherwise(F.col("n"))).alias("scanned_leading"),
         )
     )
-    # cross-layout comparison booleans, computed in-engine from the
-    # 2-row summary (the oracle asserts both TRUE): z-order strictly
-    # beats lex on a trailing-dim box; lex stays at-least-as-good on
-    # the leading-dim box it is sorted by.
+    # 2 rows, two consumers in the entry (output rows + the cmp
+    # aggregate): the lazy checkpoint pins the whole blocks pipeline to
+    # ONE evaluation — without it the full subtree above the base
+    # checkpoint ran twice (the pre-r15 form re-ran both full-fact
+    # rank windows for the cmp branch).
+    return summary.localCheckpoint(eager=False) if checkpoint else summary
+
+
+@query(
+    "sort_zorder_skipping_audit",
+    category="sort",
+    description=f"Z-order vs lexicographic layout: min/max block-skipping audit over {ZORDER_BLOCKS} blocks and two probe boxes",
+    oracle=_zorder_oracle(),
+)
+def sort_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs lexicographic block-skipping audit: see
+    ``_zorder_block_summary`` for the full semantics and plan-shape
+    rationale (the machinery lives there so plan dumps can explain the
+    pre-checkpoint pipeline). This wrapper adds the cross-layout
+    comparison booleans, computed in-engine from the 2-row summary (the
+    oracle asserts both TRUE): z-order strictly beats lex on a
+    trailing-dim box; lex stays at-least-as-good on the leading-dim box
+    it is sorted by."""
+    summary = _zorder_block_summary(spark, sf_dir)
     zp = F.max(F.when(F.col("layout") == "zorder", F.col("pruned_trailing")))
     lp = F.max(F.when(F.col("layout") == "lex", F.col("pruned_trailing")))
     zl = F.max(F.when(F.col("layout") == "zorder", F.col("pruned_leading")))

@@ -66,9 +66,17 @@ def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one grouped aggregate computes exact + sketch arrays
     (both mergeable, map-side combined); probes explode to groups x 3
     rows (micro) and broadcast back onto ONE extra scan that counts
-    rows under each approx value — two fact passes total, no sort. At
-    100 TB the exact percentile would be dropped and the sketch kept;
-    the audit exists to prove, per run, that dropping it is safe."""
+    rows under each approx value — two fact passes total, no sort; the
+    probe subtree feeds both the broadcast and the final join, and
+    AQE's runtime exchange reuse evaluates its aggregate ONCE (round-15
+    measured negative, OPTIMIZATION_r15.md: collecting the probes to
+    the driver and re-joining them as a local relation — the "fold the
+    second pass" idea — timed ~1.8x SLOWER at sf0.1, the collect
+    barrier + extra job outweighing the statically-duplicated subtree
+    that reuse already deduplicates at runtime; only the final micro
+    join's broadcast hint was kept). At 100 TB the exact percentile
+    would be dropped and the sketch kept; the audit exists to prove,
+    per run, that dropping it is safe."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", F.col("o_totalprice").cast("double").alias("v")
     )
@@ -108,7 +116,7 @@ def agg_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_under"), F.lit(0)) / F.col("n") - F.col("target")
     )
     return (
-        probes.join(under, ["o_orderstatus", "p"], "left")
+        probes.join(F.broadcast(under), ["o_orderstatus", "p"], "left")
         .select(
             "o_orderstatus",
             "p",

@@ -58,14 +58,49 @@ def build_session(
         # Static conf — applies only at session creation.
         .config(
             "spark.sql.codegen.cache.maxEntries",
-            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+            str(_codegen_cache_entries()),
         )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate() silently reuses an existing session, in which case the
+    # static codegen-cache conf above is ignored (Spark only logs a JVM
+    # warning). Surface that: a caller embedding build_session after
+    # another session exists should see the under-sized cache instead of
+    # silently re-paying Janino+JIT per query (ADVICE r14).
+    try:
+        actual = spark.conf.get("spark.sql.codegen.cache.maxEntries")
+    except Exception:
+        actual = None
+    if actual is not None and int(actual) != _codegen_cache_entries():
+        import warnings
+
+        warnings.warn(
+            "build_session: getOrCreate() reused an existing SparkSession "
+            f"whose spark.sql.codegen.cache.maxEntries={actual} differs from "
+            f"the requested {_codegen_cache_entries()}; static confs cannot "
+            "change on a live session — repeated multi-query workloads will "
+            "re-pay codegen compilation (see OPTIMIZATION_r14.md #15)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
+
+
+def _codegen_cache_entries() -> int:
+    """The generated-class cache size: SPARK_GRAFT_CODEGEN_CACHE override
+    or the registry-sized default, validated HERE so a bad value fails
+    with a clear message instead of deep inside Spark's static-conf
+    parsing at session creation (ADVICE r14)."""
+    raw = os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096")
+    try:
+        return int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"SPARK_GRAFT_CODEGEN_CACHE must be an integer, got {raw!r}"
+        ) from exc
 
 
 def ship_package(spark: SparkSession) -> None:

@@ -601,13 +601,21 @@ def test_bench_vs_prev_norm_reads_committed_artifact():
     if res.returncode != 0:
         pytest.skip("no committed BENCH_FULL.json on this checkout")
     prev = json.loads(res.stdout)
-    norm = _prev_bench_norm(prev.get("sf"))
+    norm = _prev_bench_norm(prev.get("sf"), prev.get("cpus"))
     assert norm, "committed artifact present but vs_prev map empty"
     name = "q1_pricing_summary"
-    want = prev["queries"][name] / prev["anchor_factor"]
+    import statistics
+
+    med = prev["queries"][name]
+    solo = (prev.get("reprobe", {}).get(name) or {}).get("solo")
+    if solo:
+        med = min(med, statistics.median(solo))
+    want = med / prev["anchor_factor"]
     assert abs(norm[name] - want) < 0.01
+    # a cpus-mismatched call must disable the bar
+    assert _prev_bench_norm(prev.get("sf"), prev.get("cpus") + 1) == {}
     with pytest.warns(RuntimeWarning):
-        assert _prev_bench_norm("no-such-sf") == {}
+        assert _prev_bench_norm("no-such-sf", prev.get("cpus")) == {}
 
 
 def test_bench_vs_prev_trigger_boundaries():
@@ -633,6 +641,47 @@ def test_bench_vs_prev_trigger_boundaries():
     assert not _vs_prev_exceeds(5.0, 1.0, None)
     # exactly at the bar does not fire (strict >)
     assert not _vs_prev_exceeds(1.5, 1.0, 1.0)
+
+
+def test_bench_vs_prev_bar_guards_and_robust_seed():
+    """_prev_norm_from_artifact (round-14 verdict #6/#9): the committed
+    artifact defines the regression bar only when recorded at the SAME sf
+    AND cpus; and a contended committed median (spread-reprobed in that
+    run) seeds the bar from min(median, solo median), so slot noise in
+    one close artifact cannot weaken the next round's trigger."""
+    import os
+    import sys
+    import warnings
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _prev_norm_from_artifact
+
+    art = {
+        "sf": 0.1,
+        "cpus": 32,
+        "anchor_factor": 2.0,
+        "queries": {"a": 4.0, "b": 6.0},
+        "reprobe": {"b": {"solo": [1.0, 2.0, 9.0]}},
+    }
+    # same sf+cpus: normalized by the anchor factor; b's contended 6.0
+    # median is replaced by its solo median 2.0 before normalizing
+    norm = _prev_norm_from_artifact(art, 0.1, 32)
+    assert norm == {"a": 2.0, "b": 1.0}
+    # cpus mismatch (the 8-cpu scaling-run overwrite scenario) → disabled
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _prev_norm_from_artifact(art, 0.1, 8) == {}
+        assert any("cpus" in str(x.message) for x in w)
+    # sf mismatch (smoke-scale artifact) → disabled, as before
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _prev_norm_from_artifact(art, 0.001, 32) == {}
+        assert any("sf" in str(x.message) for x in w)
+    # a legacy artifact without a cpus field cannot be checked → allowed
+    legacy = {k: v for k, v in art.items() if k != "cpus"}
+    assert _prev_norm_from_artifact(legacy, 0.1, 32)["a"] == 2.0
 
 
 def test_rotation_churn_lookup_against_real_git():
@@ -686,8 +735,14 @@ def test_codegen_class_cache_sized_for_registry(spark):
     every repeated query re-pays Janino compilation and restarts JIT
     profiling — measured +30-130% on codegen-heavy entries after a
     160-query flush, fully retained at 4096. Query-count-dependent, not
-    data-scale-dependent; SPARK_GRAFT_CODEGEN_CACHE overrides."""
-    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 4096
+    data-scale-dependent; SPARK_GRAFT_CODEGEN_CACHE overrides — when the
+    override is set the pin tests THAT value, not the default (ADVICE
+    r14: asserting >= 4096 under a smaller override failed on designed
+    behavior)."""
+    import os
+
+    expected = int(os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= expected
 
 
 def test_equidepth_two_phase_cuts_exact(spark, sf_correct):
