@@ -70,8 +70,19 @@ def _worker(cpus: int, data_dir: str, queries: list[str], passes: int) -> None:
     from spark_jdbc_limit_spark import build_session
     from spark_jdbc_limit_spark.operators import REGISTRY
 
+    # The replicated corpus is written as 1-3 files per table (the base
+    # tables arrive as single small parquet files), so at the default
+    # 128 MB split size a 10x table yields only 2-4 scan tasks and NO
+    # core count can engage on the scan stage. A finer split granularity
+    # (env SPARK_GRAFT_CORES_SPLIT, default 16m) restores the scan
+    # parallelism a production multi-file layout has; both arms run with
+    # the same value, so the comparison stays like-for-like.
+    split = os.environ.get("SPARK_GRAFT_CORES_SPLIT", "16m")
     spark = build_session(
-        app_name=f"bench_cores_{cpus}", cpus=cpus, shuffle_partitions=cpus
+        app_name=f"bench_cores_{cpus}",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": split},
     )
 
     def _noop(df) -> None:
@@ -111,20 +122,41 @@ def main() -> None:
     work = os.environ.get("SPARK_GRAFT_CORES_WORK", "/tmp/spark_graft_cores")
     passes = int(os.environ.get("SPARK_GRAFT_CORES_PASSES", "2"))
 
-    data_dir = f"{work}/x{r}"
+    # Output file count per table: bench_scale._replicate inherits the
+    # base tables' 1-3 input partitions, so a replicated table lands as
+    # 1-3 files with ~128 MB row groups — capping SCAN parallelism at
+    # 2-4 tasks no matter the core count (measured: q1 at 10x read flat
+    # 8 s on both 8 and 32 cpus). A production multi-file layout is the
+    # posture under test, so rewrite each table into `files` files.
+    files = int(os.environ.get("SPARK_GRAFT_CORES_FILES", "64"))
+    data_dir = f"{work}/x{r}_f{files}"
     if not os.path.exists(f"{data_dir}/_BUILT"):
         from spark_jdbc_limit_spark import build_session
         from bench_scale import _replicate
 
         shutil.rmtree(data_dir, ignore_errors=True)
+        raw = f"{work}/raw_x{r}"
+        shutil.rmtree(raw, ignore_errors=True)
         spark = build_session(app_name="bench_cores_build", cpus=max(cpus_list))
         t0 = time.perf_counter()
-        _replicate(spark, base, data_dir, r)
+        _replicate(spark, base, raw, r)
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            spark.read.parquet(f"{raw}/{t}.parquet").repartition(files).write.mode(
+                "overwrite"
+            ).parquet(f"{data_dir}/{t}.parquet")
+        shutil.rmtree(raw, ignore_errors=True)
         print(f"# built {data_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         open(f"{data_dir}/_BUILT", "w").close()
         spark.stop()
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # cpus_list may REPEAT values (e.g. "8,32,8,32"): alternating worker
+    # processes bound slot-contention order effects the same way the main
+    # bench's round-robin reps do; per-query times min-merge across a
+    # value's workers.
     per_cpus: dict[int, dict[str, float]] = {}
     for cpus in cpus_list:
         env = dict(os.environ)
@@ -142,8 +174,11 @@ def main() -> None:
         if proc.returncode != 0:
             raise RuntimeError(f"worker cpus={cpus} failed: {proc.stdout[-500:]}")
         row = json.loads(proc.stdout.strip().splitlines()[-1])
-        per_cpus[cpus] = row["times"]
+        cur = per_cpus.setdefault(cpus, {})
+        for name, t in row["times"].items():
+            cur[name] = min(t, cur[name]) if name in cur else t
 
+    cpus_list = sorted(set(cpus_list))
     hi, lo = max(cpus_list), min(cpus_list)
     out = {
         "metric": "core_scaling_ratio_low_over_high",

@@ -371,6 +371,32 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _posting_common_counts(sh: DataFrame) -> DataFrame:
+    """(d1 < d2, n_common) over the inverted shingle index via the
+    aliased self-join on shingle hash — shared by the exhaustive
+    Jaccard pairs and the containment entry.
+
+    Round-15 measured NEGATIVE (kept out, recorded here): rebuilding
+    this as the one-exchange ``_band_pairs`` shape — groupBy(h) into a
+    sorted posting array, C(|list|, 2) in-row expansion, map-side pair
+    count — timed ~1.4× SLOWER at sf0.1 on BOTH consumers (jaccard
+    1.78 → 2.52 s median, containment 1.61 → 2.27, one-session
+    alternating A/B). The collect_set aggregation ships the same bytes
+    as the join's second exchange but adds per-key array construction,
+    and the C(n,2) Generate runs in fresh whole-stage codegen vs the
+    join's precompiled SMJ path — the r14 lsh-candidates win does NOT
+    transfer because here the posting relation is fact-sized (every
+    shingle), not band-bucket-sized. The self-join's two exchanges of
+    (doc_id, h) longs are simply cheap."""
+    a = sh.select(F.col("doc_id").alias("d1"), "h")
+    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
+    return (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def _exhaustive_jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
     """(d1, d2, jaccard≥tau) via the inverted shingle index (join on
     shingle hash, never a cross join) — ONE definition shared by
@@ -378,13 +404,7 @@ def _exhaustive_jaccard_pairs(sh: DataFrame, tau: float) -> DataFrame:
     cost-chosen exhaustive arm, so the two can never drift. ``sh``
     should be checkpointed by the caller (it feeds four branches)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "h")
-    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
-    common = (
-        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    common = _posting_common_counts(sh)
     z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("n_common").cast("double") / (
@@ -885,13 +905,9 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = shingle_hashes(d).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "h")
-    b = sh.select(F.col("doc_id").alias("d2"), F.col("h").alias("h2"))
-    common = (
-        a.join(b, (F.col("h") == F.col("h2")) & (F.col("d1") < F.col("d2")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # shared self-join counts (a one-exchange rewrite measured slower —
+    # see _posting_common_counts)
+    common = _posting_common_counts(sh)
     z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     cont = F.greatest(

@@ -1059,33 +1059,56 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, in-partition merge frame) + a columnar per-row choice; the
     oracle's events×orders-per-user join is the naive baseline this
     entry exists to avoid."""
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders")
     dedup = orders.groupBy("o_custkey", "o_orderdate").agg(
         F.min("o_orderkey").alias("o_orderkey")
     )
-    bwd = asof_join(
-        ev,
-        dedup,
-        on_left="ts",
-        on_right="o_orderdate",
-        by_left="user_id",
-        by_right="o_custkey",
-        right_payload=["o_orderkey", "o_orderdate"],
-        suffix="_b",
-        direction="backward",
-    ).select("event_id", "user_id", "ts", "o_orderkey_b", "o_orderdate_b")
-    fwd = asof_join(
-        ev.select("event_id", "ts", "user_id"),
-        dedup,
-        on_left="ts",
-        on_right="o_orderdate",
-        by_left="user_id",
-        by_right="o_custkey",
-        right_payload=["o_orderkey", "o_orderdate"],
-        suffix="_f",
-        direction="forward",
-    ).select(F.col("event_id").alias("event_id_f"), "o_orderkey_f", "o_orderdate_f")
+    # BOTH directions from ONE tagged union (optimization round 15,
+    # guide §2.4): the two asof_join passes shuffled the same event/order
+    # union twice (column-order differences defeat exchange reuse) and a
+    # third event_id exchange pair re-joined their outputs. One exchange
+    # on the by-key now feeds two windows — backward fill over
+    # (t asc, side asc) [preceding, current] and forward fill over
+    # (t asc, side desc) [current, following], exactly asof.py's frames,
+    # so the fills (and the argmin below) are value-identical. Cost:
+    # one shuffle + two in-partition sorts; no re-join.
+    l_tagged = ev.select(
+        "user_id",
+        F.col("ts").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dedup.schema["o_orderkey"].dataType).alias("__ok"),
+        F.lit(None).cast(dedup.schema["o_orderdate"].dataType).alias("__od"),
+        "event_id",
+        "ts",
+    )
+    r_tagged = dedup.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col("o_orderkey").alias("__ok"),
+        F.col("o_orderdate").alias("__od"),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w_b = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_f = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    matched = unioned.select(
+        "*",
+        F.last("__ok", ignorenulls=True).over(w_b).alias("o_orderkey_b"),
+        F.last("__od", ignorenulls=True).over(w_b).alias("o_orderdate_b"),
+        F.first("__ok", ignorenulls=True).over(w_f).alias("o_orderkey_f"),
+        F.first("__od", ignorenulls=True).over(w_f).alias("o_orderdate_f"),
+    ).filter(F.col("__side") == 1)
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap_b = F.abs(t_us - F.unix_micros(F.col("o_orderdate_b").cast("timestamp")))
     gap_f = F.abs(t_us - F.unix_micros(F.col("o_orderdate_f").cast("timestamp")))
@@ -1095,7 +1118,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey_f").isNull() | (gap_b <= gap_f)
     )
     return (
-        bwd.join(fwd, F.col("event_id") == F.col("event_id_f"), "left")
+        matched
         .select(
             "event_id",
             "user_id",

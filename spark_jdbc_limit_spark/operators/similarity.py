@@ -304,14 +304,20 @@ def ivf_assignments(embeddings: DataFrame) -> tuple[DataFrame, list[tuple[int, l
 IVF_RECALL_MIN_HITS = 3
 
 
-def ivf_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_frame(
+    spark: SparkSession, sf_dir: str, qv: list[float] | None = None
+) -> DataFrame:
     """The IVF ANN search itself: assign vectors to nearest coarse
     centroid, probe the query's IVF_NPROBE nearest centroids,
     exact-rerank inside them. At scale the assignment is a parquet
-    partition key and probing = partition pruning."""
+    partition key and probing = partition pruning. ``qv`` lets a caller
+    that already fetched the query vector skip the duplicate 1-row
+    parameter scan (optimization round 15: the recall audit fetched the
+    same vector twice — one of its four warm build jobs)."""
     e = load_table(spark, sf_dir, "embeddings")
     assigned, cents = ivf_assignments(e)
-    qv = [float(x) for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
+    if qv is None:
+        qv = [float(x) for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
 
     def cos_py(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))
@@ -350,7 +356,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
     exact = cosine_topk(e.filter(F.col("vec_id") != QUERY_VEC_ID), qv, TOP_K)
-    ivf_ids = ivf_topk_frame(spark, sf_dir).select("vec_id")
+    ivf_ids = ivf_topk_frame(spark, sf_dir, qv=qv).select("vec_id")
     hits = exact.join(ivf_ids, "vec_id", "left_semi").agg(
         F.count(F.lit(1)).alias("n_hits")
     )

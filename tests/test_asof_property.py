@@ -175,3 +175,60 @@ def test_nearest_composition_matches_pandas_nearest(spark):
             for r in merged.itertuples()
         )
         assert got == want, f"trial {trial}"
+
+
+def test_nearest_entry_single_exchange_equals_two_pass_composition(spark):
+    """Round-15 rewrite pin: join_asof_nearest now computes BOTH
+    directional fills from ONE tagged union (one exchange, two window
+    sorts) instead of two asof_join passes re-joined on event_id. The
+    entry's output must equal the old two-pass composition row for row
+    on the real sf0.001 corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_jdbc_limit_spark.operators import get_query
+    from spark_jdbc_limit_spark.operators.asof import asof_join
+    from spark_jdbc_limit_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf, "orders")
+    dedup = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.min("o_orderkey").alias("o_orderkey")
+    )
+    bwd = asof_join(
+        ev, dedup, on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        right_payload=["o_orderkey", "o_orderdate"], suffix="_b",
+        direction="backward",
+    ).select("event_id", "user_id", "ts", "o_orderkey_b", "o_orderdate_b")
+    fwd = asof_join(
+        ev.select("event_id", "ts", "user_id"), dedup,
+        on_left="ts", on_right="o_orderdate",
+        by_left="user_id", by_right="o_custkey",
+        right_payload=["o_orderkey", "o_orderdate"], suffix="_f",
+        direction="forward",
+    ).select(F.col("event_id").alias("event_id_f"), "o_orderkey_f", "o_orderdate_f")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_b = F.abs(t_us - F.unix_micros(F.col("o_orderdate_b").cast("timestamp")))
+    gap_f = F.abs(t_us - F.unix_micros(F.col("o_orderdate_f").cast("timestamp")))
+    take_b = F.col("o_orderkey_b").isNotNull() & (
+        F.col("o_orderkey_f").isNull() | (gap_b <= gap_f)
+    )
+    ref = sorted(
+        tuple(r)
+        for r in bwd.join(fwd, F.col("event_id") == F.col("event_id_f"), "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            F.when(take_b, F.col("o_orderkey_b"))
+            .otherwise(F.col("o_orderkey_f"))
+            .alias("nearest_orderkey"),
+            F.when(take_b, gap_b).otherwise(gap_f).alias("gap_us"),
+        )
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in get_query("join_asof_nearest").builder(spark, sf).collect()
+    )
+    assert got == ref
